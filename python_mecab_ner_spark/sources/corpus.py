@@ -1,0 +1,148 @@
+"""Deterministic Common-Crawl-style pages corpus (test/bench fixture).
+
+Synthesizes the input table mandated by BASELINE.json input_hint —
+(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)
+— from sentence templates instantiated ONLY with pinned-vocabulary
+gazetteer surfaces (SURVEY.md §7.2), so tokenizer output is
+byte-identical on every row by construction.
+
+Deterministic: row i depends only on (seed, i); generation can be
+distributed (mapInPandas over an id range) or driver-side for tests.
+
+Skew knob: a head set of country surfaces appears in >=30% of Korean
+docs (FIXTURES.md §6), creating the head-entity skew the salted graph
+write defuses.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+
+from ..kernel.jamo import has_jongseong
+from ..kernel.lexicon import _align_entry, load_gazetteer_rows
+
+EPOCH = _dt.datetime(2026, 1, 1)
+
+# ASCII filler for lang='en' passthrough rows; deliberately avoids every
+# latin gazetteer surface (orangestar, strawberry, moon, ...)
+_EN_WORDS = ("the quick brown fox jumps over a lazy dog while data engines "
+             "shuffle columns across wide tables and narrow stages").split()
+
+_HEAD_COUNTRIES = ["미국", "중국", "일본", "영국", "프랑스"]
+
+
+def _josa(word: str, with_final: str, without_final: str) -> str:
+    return with_final if has_jongseong(word) else without_final
+
+
+class CorpusSpec:
+    """Slot pools derived from the aligned gazetteer surfaces."""
+
+    def __init__(self, rows=None):
+        rows = rows if rows is not None else load_gazetteer_rows()
+        pools: dict[str, list[str]] = {}
+        for large, _small, surface, tokenized in rows:
+            if _align_entry(surface, tokenized.split()) is None:
+                continue
+            pools.setdefault(large, []).append(surface)
+        self.singers = pools.get("ner_example_music_singer", [])
+        self.songs = pools.get("ner_example_music_song", [])
+        self.fruits = pools.get("ner_example_fruit", [])
+        self.tours = pools.get("ner_example_location_tour", [])
+        self.countries = pools.get("ner_example_location_country", [])
+        self.foods = pools.get("ner_example_fastfood", [])
+        self.heads = [c for c in _HEAD_COUNTRIES if c in self.countries] \
+            or self.countries[:5]
+
+
+def _sentence(rng: random.Random, spec: CorpusSpec) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        singer, song = rng.choice(spec.singers), rng.choice(spec.songs)
+        tour, fruit = rng.choice(spec.tours), rng.choice(spec.fruits)
+        return (f"{singer}의 {song}{_josa(song, '을', '를')} 들으면서 "
+                f"{tour} {fruit}{_josa(fruit, '을', '를')} 먹을래")
+    if kind == 1:
+        return f"나는 {rng.choice(spec.tours)}에 갔어"
+    if kind == 2:
+        # head-entity skew: ~60% of this template (template itself is
+        # 1/6 of docs x multi-sentence) draws subj from the head set
+        pool = spec.heads if rng.random() < 0.6 else spec.countries
+        subj = rng.choice(pool)
+        obj = rng.choice(spec.tours)
+        return f"{subj}{_josa(subj, '은', '는')} {obj}에 있다"
+    if kind == 3:
+        singer, tour = rng.choice(spec.singers), rng.choice(spec.tours)
+        return f"{singer}{_josa(singer, '이', '가')} {tour}{_josa(tour, '을', '를')} 방문했다"
+    if kind == 4:
+        singer, song = rng.choice(spec.singers), rng.choice(spec.songs)
+        return f"{singer}{_josa(singer, '은', '는')} {song}{_josa(song, '을', '를')} 노래했다"
+    fruit, food = rng.choice(spec.fruits), rng.choice(spec.foods)
+    return f"{fruit}{_josa(fruit, '은', '는')} {food}보다 좋다"
+
+
+def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dict:
+    """Deterministic page row for a given (seed, doc_id)."""
+    spec = spec or _default_spec()
+    rng = random.Random((seed << 32) ^ doc_id)
+    if rng.random() < 0.05:
+        lang = "en"
+        n = rng.randint(8, 30)
+        text = " ".join(rng.choice(_EN_WORDS) for _ in range(n))
+    else:
+        lang = "ko"
+        n = rng.randint(1, 5)
+        text = ". ".join(_sentence(rng, spec) for _ in range(n))
+    url = f"https://example.org/{lang}/{doc_id:08d}"
+    return {
+        "url": url,
+        "warc_ts": EPOCH + _dt.timedelta(minutes=doc_id),
+        "html": f"<html><body>{text}</body></html>".encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
+_SPEC = None
+
+
+def _default_spec() -> CorpusSpec:
+    global _SPEC
+    if _SPEC is None:
+        _SPEC = CorpusSpec()
+    return _SPEC
+
+
+def gen_pages(n_docs: int, seed: int = 42, start: int = 0) -> list[dict]:
+    spec = _default_spec()
+    return [gen_page(i, seed, spec) for i in range(start, start + n_docs)]
+
+
+def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed generation: spark.range over doc ids -> mapInPandas.
+
+    Scale path: generation happens on executors, one Arrow batch per id
+    range split — no driver materialization (at 10^12 docs the corpus
+    would come straight off Iceberg instead; this synthesizer stands in
+    for that scan).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ])
+
+    def gen(batches):
+        spec = _default_spec()
+        for pdf in batches:
+            rows = [gen_page(int(i), seed, spec) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    rng_df = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=schema)
