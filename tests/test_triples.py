@@ -37,5 +37,6 @@ def test_spans_and_conf():
     t = _triples("미국은 경복궁에 있다", gaz)
     subj, pred, obj, ss, se, os_, oe, conf = t[0]
     assert (ss, se) == (0, 1)
-    assert (os_, oe) == (2, 3)
+    # 경복궁 is pinned as two tokens (경복 궁) by the compiled gazetteer
+    assert (os_, oe) == (2, 4)
     assert 0 < conf <= 1
