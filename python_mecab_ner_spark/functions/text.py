@@ -1,0 +1,105 @@
+"""Text-analysis Column functions for the training-data pipeline:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions (JVM-side, whole-stage
+codegen) — no Python in the hot path — and each has an exact DuckDB
+SQL twin (the *_sql constants) for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .hashing import md5_int, md5_int_sql
+
+# small English stopword set for the n-gram-free language heuristic
+_EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    return F.when(F.trim(col) == "", 0).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))).cast("int")
+
+
+def token_count_sql(expr: str) -> str:
+    return (f"CAST(CASE WHEN trim({expr}) = '' THEN 0 ELSE "
+            f"length(regexp_split_to_array(trim({expr}), '\\s+')) END AS INT)")
+
+
+def hangul_ratio(col) -> Column:
+    """Fraction of chars in the Hangul syllable block (language ID
+    signal; >0.3 -> ko in practice for this corpus)."""
+    stripped = F.regexp_replace(col, "[가-힣]", "")
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        (F.length(col) - F.length(stripped)) / F.length(col))
+
+
+def hangul_ratio_sql(expr: str) -> str:
+    return (f"CASE WHEN length({expr}) = 0 THEN 0.0 ELSE "
+            f"(length({expr}) - length(regexp_replace({expr}, '[가-힣]', '', 'g')))"
+            f" * 1.0 / length({expr}) END")
+
+
+def lang_id(col) -> Column:
+    """Heuristic language ID: hangul-dominant -> 'ko', else stopword
+    evidence -> 'en', else 'unknown'."""
+    lower = F.lower(col)
+    stop_hits = sum(
+        (F.when(F.concat(F.lit(" "), lower, F.lit(" "))
+          .contains(f" {w} "), 1).otherwise(0) for w in _EN_STOPWORDS),
+        F.lit(0))
+    return (F.when(hangul_ratio(col) > 0.3, "ko")
+            .when(stop_hits >= 2, "en")
+            .otherwise("unknown"))
+
+
+def lang_id_sql(expr: str) -> str:
+    stop_hits = " + ".join(
+        f"CASE WHEN concat(' ', lower({expr}), ' ') LIKE '% {w} %' THEN 1 ELSE 0 END"
+        for w in _EN_STOPWORDS)
+    return (f"CASE WHEN {hangul_ratio_sql(expr)} > 0.3 THEN 'ko' "
+            f"WHEN ({stop_hits}) >= 2 THEN 'en' ELSE 'unknown' END")
+
+
+def quality_score(col) -> Column:
+    """Integer quality score in [0, 100]: length band + word-length
+    sanity + punctuation-density penalty.  Integer-valued so the
+    DuckDB oracle hash-matches exactly."""
+    n_chars = F.length(col)
+    n_toks = token_count(col)
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[!?.,;:#*]", ""))
+    len_band = (F.when(n_chars >= 200, 40)
+                .when(n_chars >= 50, 30)
+                .when(n_chars >= 10, 15)
+                .otherwise(0))
+    tok_band = (F.when((n_toks >= 5) & (n_toks <= 500), 40)
+                .when(n_toks > 0, 20).otherwise(0))
+    punct_pen = F.least(F.lit(20), (punct * 100 / F.greatest(n_chars, F.lit(1))).cast("int"))
+    return (len_band + tok_band + F.lit(20) - punct_pen).cast("int")
+
+
+def quality_score_sql(expr: str) -> str:
+    n_chars = f"length({expr})"
+    n_toks = token_count_sql(expr)
+    punct = f"(length({expr}) - length(regexp_replace({expr}, '[!?.,;:#*]', '', 'g')))"
+    len_band = (f"CASE WHEN {n_chars} >= 200 THEN 40 WHEN {n_chars} >= 50 THEN 30 "
+                f"WHEN {n_chars} >= 10 THEN 15 ELSE 0 END")
+    tok_band = (f"CASE WHEN {n_toks} >= 5 AND {n_toks} <= 500 THEN 40 "
+                f"WHEN {n_toks} > 0 THEN 20 ELSE 0 END")
+    punct_pen = f"least(20, CAST({punct} * 100 / greatest({n_chars}, 1) AS INT))"
+    return f"CAST({len_band} + {tok_band} + 20 - {punct_pen} AS INT)"
+
+
+def fingerprint(col) -> Column:
+    """Order-sensitive document fingerprint: md5-int of the
+    whitespace-normalized lowercased text (rolling-hash equivalent at
+    document granularity; exact-dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return md5_int(norm)
+
+
+def fingerprint_sql(expr: str) -> str:
+    norm = f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+    return md5_int_sql(norm)

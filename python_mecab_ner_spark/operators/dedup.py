@@ -1,0 +1,135 @@
+"""Document deduplication operators for the training-data pipeline:
+
+- exact_dedup: fingerprint groupBy (map-side combinable, one shuffle);
+- shingle / jaccard_pairs: n-gram shingling + intersection/union counts
+  (integers, so the DuckDB oracle hash-matches exactly);
+- minhash_signatures + lsh_candidate_pairs: MinHash over md5-salted
+  hashes, banded LSH self-join on band keys (the scale path: candidate
+  generation never compares all pairs);
+- simhash64: 64-bit SimHash over word hashes (near-dup by Hamming
+  distance).
+
+All hashes are the portable md5-int family (functions.hashing) so each
+operator has an exact cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+from ..functions.text import fingerprint
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint.
+    Single hash-aggregate shuffle; partial aggregation (map-side
+    combine) makes this linear at 100 TB."""
+    return (df.withColumn("fp", fingerprint(F.col(text_col)))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count")))
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Word k-gram shingle set per document: (id, shingle) distinct rows.
+
+    transform+slice over the split array stays in codegen; explode is
+    the only row-multiplier.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(sh)).alias("shingle"))
+            .where(F.col("shingle") != ""))
+
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  k: int = 3, min_shared: int = 2) -> DataFrame:
+    """Near-dup candidate pairs with integer (intersection, union)
+    shingle counts.  Self-join on shingle — the shingle key is
+    high-cardinality so the shuffle is balanced; min_shared prunes the
+    long tail before the pair aggregate."""
+    sh = shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (a.join(b, on="shingle")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    pairs = (pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                        .withColumnRenamed("n_sh", "n_a"), on="doc_a")
+             .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("n_sh", "n_b"), on="doc_b")
+             .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+             .where(F.col("inter") >= min_shared)
+             .select("doc_a", "doc_b", "inter", "uni"))
+    return pairs
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3, n_hashes: int = 16) -> DataFrame:
+    """Wide minhash signature: (doc_id, mh0..mh{n-1}).
+
+    No row multiplication: one groupBy over the shingle table computes
+    all n salted minima as partial (map-side combinable) aggregates.
+    """
+    sh = shingles(df, text_col, id_col, k)
+    aggs = [F.min(md5_int(F.col("shingle"), salt=f"mh{i}:")).alias(f"mh{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 3, n_hashes: int = 16,
+                        bands: int = 4) -> DataFrame:
+    """Banded-LSH near-dup candidates: equal band signature in >=1 band.
+
+    Band key = md5 of the in-band minhash concat; the per-band tables
+    self-join on band_key only.  At 100 TB this is the all-pairs-free
+    path: cost is O(docs x bands), never O(docs^2)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    per_band = []
+    for b in range(bands):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        per_band.append(sig.select(
+            "doc_id", F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(",", *cols)).alias("band_key")))
+    banded = per_band[0]
+    for extra in per_band[1:]:
+        banded = banded.unionByName(extra)
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, on=["band_idx", "band_key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> DataFrame:
+    """SimHash over whitespace words (n_bits <= 60, the width of the
+    portable hash): per bit, sign of the sum of (+1/-1) word-hash bits;
+    near-dups share most bits.
+
+    Pure SQL with NO row multiplication: one groupBy computes all bit
+    votes as wide conditional sums (map-side combinable), then a single
+    projection recombines the bits.  One shuffle total.
+    """
+    words = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                       .alias("w"))
+             .where(F.col("w") != ""))
+    h = words.withColumn("h", md5_int(F.col("w")))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"v{i}")
+             for i in range(n_bits)]
+    per_doc = h.groupBy("doc_id").agg(*votes)
+    sim = sum((F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint"))
+               .otherwise(F.lit(0).cast("bigint")) for i in range(n_bits)),
+              F.lit(0).cast("bigint"))
+    return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))

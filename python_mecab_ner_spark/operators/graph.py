@@ -1,0 +1,112 @@
+"""Graph materialization: vertices + edges with explicit skew handling.
+
+Head entities (country names etc. appearing in a large fraction of
+documents) make the edge table skewed on src_id.  The salting decision
+is COMPUTED, not guessed (SURVEY.md §7.3): a frequency pass counts
+edges per src_id; keys above `head_threshold` x mean get a salt column
+pmod(md5(url), n_salt) so downstream repartition/write spreads each hot
+key over n_salt tasks.  AQE skew-join splitting stays on as the second
+line of defense.
+
+Writes partitioned Parquet through sources.catalog (Iceberg-gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+
+
+def build_vertices(linked_mentions: DataFrame, entities_df: DataFrame,
+                   canonical: DataFrame | None = None) -> DataFrame:
+    """(entity_id, canonical, large, small) for every linked entity."""
+    v = (linked_mentions.where(F.col("entity_id").isNotNull())
+         .select("entity_id").distinct()
+         .join(F.broadcast(entities_df.select(
+             "entity_id", F.col("surface").alias("canonical"),
+             "large", "small")), "entity_id", "inner"))
+    if canonical is not None:
+        v = (v.join(F.broadcast(canonical), "entity_id", "left")
+             .withColumn("canonical_id",
+                         F.coalesce("canonical_id", "entity_id")))
+    else:
+        v = v.withColumn("canonical_id", F.col("entity_id"))
+    return v
+
+
+def build_edges(triples_df: DataFrame, linked_mentions: DataFrame,
+                canonical: DataFrame | None = None) -> DataFrame:
+    """triples (url, subj spans, obj spans) x linked mentions ->
+    (src_id, dst_id, pred, url, warc_ts, conf).
+
+    Joins on (url, span start) — both sides are corpus-sized, so this
+    is a shuffled hash join on a high-cardinality composite key.
+    """
+    lm = linked_mentions.select(
+        "url", F.col("start").alias("m_start"),
+        F.col("entity_id"))
+    subj = lm.select("url", F.col("m_start").alias("subj_start"),
+                     F.col("entity_id").alias("src_id"))
+    obj = lm.select("url", F.col("m_start").alias("obj_start"),
+                    F.col("entity_id").alias("dst_id"))
+    e = (triples_df
+         .join(subj, ["url", "subj_start"], "inner")
+         .join(obj, ["url", "obj_start"], "inner")
+         .where(F.col("src_id").isNotNull() & F.col("dst_id").isNotNull()))
+    if canonical is not None:
+        c = F.broadcast(canonical)
+        e = (e.join(c.withColumnRenamed("entity_id", "src_id")
+                    .withColumnRenamed("canonical_id", "src_canon"), "src_id", "left")
+             .join(c.withColumnRenamed("entity_id", "dst_id")
+                   .withColumnRenamed("canonical_id", "dst_canon"), "dst_id", "left")
+             .withColumn("src_id", F.coalesce("src_canon", "src_id"))
+             .withColumn("dst_id", F.coalesce("dst_canon", "dst_id"))
+             .drop("src_canon", "dst_canon"))
+    return e.select("src_id", "dst_id", "pred", "url", "warc_ts", "conf")
+
+
+def detect_head_keys(edges: DataFrame, key: str = "src_id",
+                     head_threshold: float = 8.0) -> DataFrame:
+    """Keys whose edge count exceeds head_threshold x the mean count.
+    One aggregate over the edge table; the result is a tiny dimension
+    that gets broadcast into add_salt."""
+    counts = edges.groupBy(key).agg(F.count("*").alias("cnt"))
+    mean = counts.agg(F.avg("cnt").alias("mean_cnt"))
+    return (counts.crossJoin(F.broadcast(mean))
+            .where(F.col("cnt") >= F.col("mean_cnt") * head_threshold)
+            .select(key, "cnt"))
+
+
+def add_salt(edges: DataFrame, head_keys: DataFrame, key: str = "src_id",
+             n_salt: int = 16) -> DataFrame:
+    """salt = pmod(md5(url), n_salt) for head keys, 0 otherwise.  The
+    (key, salt) composite spreads each hot key over n_salt partitions
+    while cold keys stay single-partition."""
+    heads = F.broadcast(head_keys.select(key).withColumn("_is_head", F.lit(True)))
+    return (edges.join(heads, key, "left")
+            .withColumn("salt",
+                        F.when(F.col("_is_head"),
+                               F.pmod(md5_int(F.col("url")), F.lit(n_salt)))
+                        .otherwise(F.lit(0)).cast("int"))
+            .drop("_is_head"))
+
+
+def materialize_graph(edges: DataFrame, vertices: DataFrame, out_dir: str,
+                      n_salt: int = 16, n_buckets: int = 32) -> dict:
+    """Salted, bucketed Parquet write of the graph tables.
+
+    Edge layout: partitioned by pmod(src_id, n_buckets) directory key;
+    within a partition, data arrives via repartition(src_id, salt) so a
+    hot entity's rows spread over n_salt write tasks instead of one.
+    """
+    heads = detect_head_keys(edges)
+    salted = add_salt(edges, heads, n_salt=n_salt)
+    salted = salted.withColumn("bucket", F.pmod("src_id", F.lit(n_buckets)).cast("int"))
+    (salted.repartition(F.col("src_id"), F.col("salt"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{out_dir}/edges"))
+    vertices.repartition(4).write.mode("overwrite").parquet(f"{out_dir}/vertices")
+    return {"edges": f"{out_dir}/edges", "vertices": f"{out_dir}/vertices",
+            "n_head_keys": heads.count()}

