@@ -1,38 +1,585 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship KG extraction: testdata documents mapped into
+                 the pages shape + the deterministic pinned-vocabulary
+                 Korean corpus -> fused annotate stage -> triples.
+queries()     -> one entry per implemented operator (SURVEY.md §2 +
+                 the training-data operators); each callable takes
+                 (spark, sf_dir) and returns a DataFrame.
+oracle_sql()  -> the DuckDB twin of every SQL-expressible query.
+                 Numeric outputs are integers (cents / counts / ids)
+                 so value hashes match across engines exactly; float
+                 scores only ever influence ORDER BY (with total-order
+                 tiebreakers), never output values.
+
+KG-pipeline queries over the synthesized pages corpus (kg_*) have no
+SQL oracle (tokenization + automaton matching are not SQL-expressible)
+and get the driver's rows-only check; their correctness gate is the
+pyref-oracle P/R suite in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from python_mecab_ner_spark.functions.hashing import md5_int, md5_int_sql
+from python_mecab_ner_spark.functions import text as TX
+
+N_KG_DOCS = 400  # deterministic corpus size for kg_* queries
+
+# English mini-gazetteer over the documents vocabulary (token-sequence
+# mention detection with a SQL-checkable whitespace tokenizer)
+MINI_GAZ = ["hash join", "table scan", "window agg", "spark", "query"]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("bigint")
+
+
+_CENTS_SQL = "CAST(round({x} * 100) AS BIGINT)"
+
+# minute index without timezone ambiguity (doy/hour/minute fields)
+_MINUTE = lambda c: ((F.dayofyear(c) * 24 + F.hour(c)) * 60 + F.minute(c)).cast("bigint")
+_MINUTE_SQL = ("CAST((date_part('doy', {c}) * 24 + date_part('hour', {c})) * 60 "
+               "+ date_part('minute', {c}) AS BIGINT)")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pages -> fused annotate -> (url, subj, pred, obj) triples.
+
+    Reads /root/testdata/sf0.001 documents (mapped into the mandated
+    pages shape) and unions the deterministic pinned-vocabulary corpus,
+    so the run exercises both the testdata scan and the KG path.
+    """
+    from python_mecab_ner_spark.plans.pipeline import extract_graph
+    from python_mecab_ner_spark.sources.corpus import pages_dataframe
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    doc_pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.col("text"), F.col("lang"))
+    pages = pages_dataframe(spark, 500, seed=42).select(
+        "url", "warc_ts", "text", "lang").unionByName(doc_pages)
+    g = extract_graph(spark, pages, canonicalize=False)
+    return g["triples"].select("url", "subj", "pred", "obj", "conf")
+
+
+# --------------------------------------------------------------------------
+# relational / operator queries (SQL-oracled)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """Partial-aggregable groupBy (TPC-H Q1 shape): map-side combine +
+    one shuffle on a low-cardinality key."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+                 F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+                 F.count("*").alias("n_rows")))
+
+
+def q02_region_revenue(spark, sf_dir):
+    """Star join: fact orders x customer, dims nation/region broadcast."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    r = _load(spark, sf_dir, "region")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"),
+                 F.count("*").alias("n_orders")))
+
+
+def q03_topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority: rank-1-per-group generalization
+    (reference L12 argmax loops as a window)."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter("rn <= 3")
+            .select("o_orderpriority", "o_orderkey", "rn"))
+
+
+def q04_event_islands(spark, sf_dir):
+    """Gaps-and-islands (reference M9 run merge as SQL): maximal runs of
+    consecutive active minutes per user."""
+    from python_mecab_ner_spark.operators.spans import gaps_and_islands
+    ev = _load(spark, sf_dir, "events")
+    m = ev.select("user_id", _MINUTE(F.col("ts")).alias("minute")).distinct()
+    runs = gaps_and_islands(m, "user_id", "minute")
+    return (runs.groupBy("user_id")
+            .agg(F.count("*").alias("n_runs"),
+                 F.max("run_len").alias("max_len")))
+
+
+def q05_nearest_click(spark, sf_dir):
+    """Nearest join (reference L13 entity-intent pairing): for each
+    error event, the closest click of the same user by time."""
+    from python_mecab_ner_spark.operators.spans import nearest_join
+    ev = _load(spark, sf_dir, "events")
+    err = (ev.filter("event_type = 'error'")
+           .select("user_id", F.col("event_id"),
+                   _MINUTE(F.col("ts")).alias("pos")))
+    clk = (ev.filter("event_type = 'click'")
+           .select("user_id", F.col("event_id").alias("click_id"),
+                   _MINUTE(F.col("ts")).alias("cpos")))
+    out = nearest_join(err, clk, on=["user_id"], left_pos="pos",
+                       right_pos="cpos", left_id="event_id",
+                       tiebreakers=["click_id"])
+    return out.select("event_id", F.col("click_id_r").alias("click_id"))
+
+
+def q06_semi_join(spark, sf_dir):
+    """Evidence semi-join (reference L9 strict validation): customers
+    with at least one order above 400."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders").filter("o_totalprice > 400")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi") \
+        .select("c_custkey", "c_name")
+
+
+def q07_anti_join(spark, sf_dir):
+    """Resume-style anti-join (plans.lineage): customers with no orders."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name")
+
+
+def q08_word_freq(spark, sf_dir):
+    """Stats accumulation (reference L5 counters as groupBy): corpus
+    word frequencies above a fixed support."""
+    d = _load(spark, sf_dir, "documents")
+    w = (d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+         .where("word <> ''")
+         .groupBy("word").agg(F.count("*").alias("cnt"))
+         .filter("cnt >= 20"))
+    return w
+
+
+def q09_neighbor_window(spark, sf_dir):
+    """±3-row neighbor window (reference L5 NEIGHBOR_DISTANCE loops as
+    Window.rowsBetween): windowed value sum per event."""
+    ev = _load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(_MINUTE(F.col("ts")).asc(), F.col("event_id").asc())
+         .rowsBetween(-3, 3))
+    return ev.select("event_id",
+                     F.sum(_cents(F.col("value"))).over(w).alias("w_sum_c"))
+
+
+def q10_latest_per_user(spark, sf_dir):
+    """Rank-1 per group (reference L12 homonym disambiguation): the
+    latest event per user."""
+    from python_mecab_ner_spark.operators.spans import rank1_per_group
+    ev = _load(spark, sf_dir, "events")
+    out = rank1_per_group(
+        ev.select("user_id", "event_id", _MINUTE(F.col("ts")).alias("m")),
+        ["user_id"], [F.col("m").desc(), F.col("event_id").desc()])
+    return out.select("user_id", "event_id")
+
+
+# ---- training-data / text operators --------------------------------------
+
+def q11_token_count(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+
+
+def q12_lang_id(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q13_quality_score(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def q14_fingerprint(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def q15_exact_dedup(spark, sf_dir):
+    from python_mecab_ner_spark.operators.dedup import exact_dedup
+    d = _load(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+def q16_jaccard_pairs(spark, sf_dir):
+    from python_mecab_ner_spark.operators.dedup import jaccard_pairs
+    d = _load(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2)
+
+
+def q17_lsh_pairs(spark, sf_dir):
+    from python_mecab_ner_spark.operators.dedup import lsh_candidate_pairs
+    d = _load(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "text", "doc_id", k=3, n_hashes=8, bands=4)
+
+
+def q18_simhash(spark, sf_dir):
+    from python_mecab_ner_spark.operators.dedup import simhash64
+    d = _load(spark, sf_dir, "documents")
+    return simhash64(d, "text", "doc_id", n_bits=16)
+
+
+def q19_mention_firstpos(spark, sf_dir):
+    """Token-sequence mention detection with a whitespace tokenizer
+    (SQL-checkable analogue of the gazetteer matcher M1): first char
+    position of each mini-gazetteer surface per document."""
+    d = _load(spark, sf_dir, "documents")
+    gaz = spark.createDataFrame([(s,) for s in MINI_GAZ], "surface string")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    needle = F.concat(F.lit(" "), F.col("surface"), F.lit(" "))
+    return (d.crossJoin(F.broadcast(gaz))
+            .select("doc_id", "surface",
+                    F.instr(padded, needle).cast("bigint").alias("first_pos"))
+            .filter("first_pos > 0"))
+
+
+def q20_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 to the vec_id=0 embedding (brute-force ANN
+    baseline); output is (vec_id, rank) so hashes are float-free."""
+    from python_mecab_ner_spark.operators.ann import brute_force_topk
+    e = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter("vec_id = 0").select("embedding").first()[0]]
+    out = brute_force_topk(e, qvec, k=10)
+    return out.select("vec_id", F.col("rank").cast("int").alias("rank"))
+
+
+def q21_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (the scale path): top-10 within the query's
+    bucket of the first 8 dimension signs."""
+    from python_mecab_ner_spark.operators.ann import bucketed_topk
+    e = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter("vec_id = 0").select("embedding").first()[0]]
+    return bucketed_topk(e, qvec, k=10, b=8)
+
+
+def q22_salt_distribution(spark, sf_dir):
+    """Computed skew handling (operators.graph): detect head keys by
+    frequency, salt them over 8 partitions, report the spread."""
+    ev = _load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    mean = counts.agg(F.avg("cnt").alias("mean_cnt"))
+    heads = (counts.crossJoin(F.broadcast(mean))
+             .filter(F.col("cnt") >= F.col("mean_cnt") * 1.5)
+             .select("event_type"))
+    salted = (ev.join(F.broadcast(heads.withColumn("_h", F.lit(True))),
+                      "event_type", "left")
+              .withColumn("salt",
+                          F.when(F.col("_h"),
+                                 F.pmod(md5_int(F.col("event_id").cast("string")),
+                                        F.lit(8)))
+                          .otherwise(F.lit(0)).cast("int")))
+    return (salted.groupBy("event_type")
+            .agg(F.countDistinct("salt").alias("n_salts"),
+                 F.count("*").alias("total")))
+
+
+# ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
+
+def _kg_graph(spark, canonicalize=False):
+    from python_mecab_ner_spark.plans.pipeline import extract_graph
+    from python_mecab_ner_spark.sources.corpus import pages_dataframe
+    pages = pages_dataframe(spark, N_KG_DOCS, seed=42)
+    return extract_graph(spark, pages, canonicalize=canonicalize)
+
+
+def kg_triples_by_pred(spark, sf_dir):
+    g = _kg_graph(spark)
+    return (g["triples"].groupBy("pred")
+            .agg(F.count("*").alias("n_triples")))
+
+
+def kg_mentions_by_category(spark, sf_dir):
+    g = _kg_graph(spark)
+    return (g["mentions"].groupBy("large", "small")
+            .agg(F.count("*").alias("n_mentions")))
+
+
+def kg_link_levels(spark, sf_dir):
+    g = _kg_graph(spark)
+    return (g["linked"].groupBy("link_level")
+            .agg(F.count("*").alias("n_spans")))
+
+
+def kg_edges_by_pred(spark, sf_dir):
+    g = _kg_graph(spark)
+    return (g["edges"].groupBy("pred")
+            .agg(F.count("*").alias("n_edges"),
+                 F.countDistinct("src_id").alias("n_src")))
+
+
+def kg_extracted_text(spark, sf_dir):
+    """The byte-identity anchor: per-url extracted text fingerprints."""
+    g = _kg_graph(spark)
+    return g["annotated"].select(
+        "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_region_revenue": q02_region_revenue,
+        "q03_topk_per_group": q03_topk_per_group,
+        "q04_event_islands": q04_event_islands,
+        "q05_nearest_click": q05_nearest_click,
+        "q06_semi_join": q06_semi_join,
+        "q07_anti_join": q07_anti_join,
+        "q08_word_freq": q08_word_freq,
+        "q09_neighbor_window": q09_neighbor_window,
+        "q10_latest_per_user": q10_latest_per_user,
+        "q11_token_count": q11_token_count,
+        "q12_lang_id": q12_lang_id,
+        "q13_quality_score": q13_quality_score,
+        "q14_fingerprint": q14_fingerprint,
+        "q15_exact_dedup": q15_exact_dedup,
+        "q16_jaccard_pairs": q16_jaccard_pairs,
+        "q17_lsh_pairs": q17_lsh_pairs,
+        "q18_simhash": q18_simhash,
+        "q19_mention_firstpos": q19_mention_firstpos,
+        "q20_ann_bruteforce": q20_ann_bruteforce,
+        "q21_ann_lsh": q21_ann_lsh,
+        "q22_salt_distribution": q22_salt_distribution,
+        "kg_triples_by_pred": kg_triples_by_pred,
+        "kg_mentions_by_category": kg_mentions_by_category,
+        "kg_link_levels": kg_link_levels,
+        "kg_edges_by_pred": kg_edges_by_pred,
+        "kg_extracted_text": kg_extracted_text,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    cents = _CENTS_SQL
+    minute = _MINUTE_SQL
+
+    tok_sql = TX.token_count_sql("text")
+    lang_sql = TX.lang_id_sql("text")
+    qual_sql = TX.quality_score_sql("text")
+    fp_sql = TX.fingerprint_sql("text")
+
+    # shared shingle CTE (matches operators.dedup.shingles semantics:
+    # indices 0..max(n-k, 0), shingle = k words or the remainder tail)
+    shingle_cte = """
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, w, unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS i
+          FROM t
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(w[i + 1 : least(i + 3, len(w))], ' ') AS shingle
+          FROM idx
+          WHERE array_to_string(w[i + 1 : least(i + 3, len(w))], ' ') <> ''
+        )
     """
-    return {}
+
+    minhash_cols = ", ".join(
+        f"CAST(min({md5_int_sql('shingle', salt=f'mh{i}:')}) AS BIGINT) AS mh{i}"
+        for i in range(8))
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', mh{b*2}, mh{b*2+1})) AS band_key FROM sig"
+        for b in range(4))
+
+    simhash_votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16))
+    simhash_bits = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(16))
+
+    mini_gaz_values = ", ".join(f"('{s}')" for s in MINI_GAZ)
+
+    return {
+        "q01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum({cents.format(x='l_quantity')}) AS BIGINT) AS sum_qty_c,
+                   CAST(sum({cents.format(x='l_extendedprice')}) AS BIGINT) AS sum_price_c,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "q02_region_revenue": f"""
+            SELECT r_name,
+                   CAST(sum({cents.format(x='o_totalprice')}) AS BIGINT) AS rev_c,
+                   count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "q03_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, rn FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "q04_event_islands": f"""
+            WITH m AS (SELECT DISTINCT user_id, {minute.format(c='ts')} AS minute FROM events),
+            g AS (SELECT user_id, minute,
+                         minute - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY minute) AS grp
+                  FROM m),
+            r AS (SELECT user_id, grp, count(*) AS run_len FROM g GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_len
+            FROM r GROUP BY user_id
+        """,
+        "q05_nearest_click": f"""
+            WITH e AS (SELECT event_id, user_id, {minute.format(c='ts')} AS pos
+                       FROM events WHERE event_type = 'error'),
+            c AS (SELECT event_id AS click_id, user_id, {minute.format(c='ts')} AS cpos
+                  FROM events WHERE event_type = 'click'),
+            j AS (SELECT e.event_id, c.click_id,
+                         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                             ORDER BY abs(e.pos - c.cpos), c.cpos, c.click_id) AS rn
+                  FROM e JOIN c ON e.user_id = c.user_id)
+            SELECT event_id, click_id FROM j WHERE rn = 1
+        """,
+        "q06_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400)
+        """,
+        "q07_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q08_word_freq": """
+            SELECT word, count(*) AS cnt FROM (
+              SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+              FROM documents)
+            WHERE word <> '' GROUP BY word HAVING count(*) >= 20
+        """,
+        "q09_neighbor_window": f"""
+            SELECT event_id,
+                   CAST(sum({cents.format(x='value')}) OVER (
+                        PARTITION BY user_id
+                        ORDER BY {minute.format(c='ts')}, event_id
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w_sum_c
+            FROM events
+        """,
+        "q10_latest_per_user": f"""
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY {minute.format(c='ts')} DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "q11_token_count": f"SELECT doc_id, {tok_sql} AS n_tokens FROM documents",
+        "q12_lang_id": f"SELECT doc_id, {lang_sql} AS lang_pred FROM documents",
+        "q13_quality_score": f"SELECT doc_id, {qual_sql} AS quality FROM documents",
+        "q14_fingerprint": f"SELECT doc_id, {fp_sql} AS fp FROM documents",
+        "q15_exact_dedup": f"""
+            SELECT {fp_sql.replace('text', 'text')} AS fp,
+                   min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "q16_jaccard_pairs": shingle_cte + """
+            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, inter,
+                   sa.n_sh + sb.n_sh - inter AS uni
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE inter >= 2
+        """,
+        "q17_lsh_pairs": shingle_cte + f"""
+            , sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+            banded AS ({band_keys})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "q18_simhash": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+              FROM documents),
+            h AS (SELECT doc_id, {md5_int_sql('w')} AS h
+                  FROM words WHERE w <> ''),
+            votes AS (SELECT doc_id, {simhash_votes} FROM h GROUP BY doc_id)
+            SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash FROM votes
+        """,
+        "q19_mention_firstpos": f"""
+            WITH gaz(surface) AS (VALUES {mini_gaz_values})
+            SELECT doc_id, surface,
+                   CAST(instr(concat(' ', lower(text), ' '),
+                              concat(' ', surface, ' ')) AS BIGINT) AS first_pos
+            FROM documents CROSS JOIN gaz
+            WHERE instr(concat(' ', lower(text), ' '), concat(' ', surface, ' ')) > 0
+        """,
+        "q20_ann_bruteforce": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT vec_id, list_cosine_similarity(embedding, qe) AS cos
+                  FROM embeddings, q)
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+            FROM s ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "q21_ann_lsh": _ann_lsh_sql(),
+        "q22_salt_distribution": f"""
+            WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+            m AS (SELECT avg(cnt) AS mean_cnt FROM counts),
+            heads AS (SELECT event_type FROM counts, m WHERE cnt >= mean_cnt * 1.5),
+            salted AS (
+              SELECT e.event_type,
+                     CASE WHEN h.event_type IS NOT NULL
+                          THEN {md5_int_sql("CAST(e.event_id AS VARCHAR)")} % 8
+                          ELSE 0 END AS salt
+              FROM events e LEFT JOIN heads h ON e.event_type = h.event_type)
+            SELECT event_type, count(DISTINCT salt) AS n_salts, count(*) AS total
+            FROM salted GROUP BY event_type
+        """,
+    }
+
+
+def _ann_lsh_sql() -> str:
+    qbucket_bits = " + ".join(
+        f"CASE WHEN qe[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8))
+    ebucket_bits = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8))
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT qe, {qbucket_bits} AS qbucket FROM q),
+        cand AS (SELECT vec_id, embedding, qe,
+                        {ebucket_bits} AS bucket, qbucket
+                 FROM embeddings, qb)
+        SELECT vec_id FROM cand
+        WHERE bucket = qbucket
+        ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
+        LIMIT 10
+    """

@@ -1,0 +1,109 @@
+"""Benchmark harness: headline KG-pipeline throughput + operator queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "docs_per_sec": ..., "triples_per_sec": ...}
+
+The kg_pipeline entry is the headline: synthesized pages corpus sized
+to the scale factor (sf0.1 -> 50,000 docs) through the fused annotate
+stage to materialized triple counts.  Scaling-efficiency evidence
+(local[8] vs local[32]) lives in scripts/bench_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_DOCS = max(500, int(500_000 * SF))  # sf0.1 -> 50,000 docs
+
+BENCH_QUERIES = [
+    "q01_pricing_summary", "q02_region_revenue", "q04_event_islands",
+    "q05_nearest_click", "q08_word_freq", "q09_neighbor_window",
+    "q16_jaccard_pairs", "q17_lsh_pairs", "q18_simhash",
+    "q20_ann_bruteforce",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder.master(f"local[{cpus}]")
+            .appName("python-mecab-ner-spark-bench")
+            .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "48g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())
+
+
+def run_kg_pipeline(spark, n_docs: int) -> dict:
+    """Headline: pages -> annotate -> triples/mentions counts."""
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.operators.annotate import annotate_pages
+    from python_mecab_ner_spark.sources.corpus import pages_dataframe
+    from python_mecab_ner_spark.sources.gazetteer import broadcast_rows
+
+    pages = pages_dataframe(spark, n_docs, seed=42,
+                            partitions=spark.sparkContext.defaultParallelism * 2)
+    bc = broadcast_rows(spark)
+    t0 = time.time()
+    ann = annotate_pages(pages, bc)
+    agg = ann.agg(F.count("*").alias("docs"),
+                  F.sum(F.size("triples")).alias("triples"),
+                  F.sum(F.size("mentions")).alias("mentions")).collect()[0]
+    wall = time.time() - t0
+    return {"sec": wall, "docs": int(agg.docs), "triples": int(agg.triples),
+            "mentions": int(agg.mentions),
+            "docs_per_sec": agg.docs / wall,
+            "triples_per_sec": agg.triples / wall}
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    kg = run_kg_pipeline(spark, N_DOCS)
+    timings["kg_pipeline"] = round(kg["sec"], 3)
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "kg_pipeline+operator_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "kg_docs": kg["docs"],
+        "kg_triples": kg["triples"],
+        "kg_mentions": kg["mentions"],
+        "docs_per_sec": round(kg["docs_per_sec"], 1),
+        "triples_per_sec": round(kg["triples_per_sec"], 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,20 +49,26 @@ def rank1_per_group(df: DataFrame, group_cols: list, order_cols: list) -> DataFr
 
 
 def nearest_join(left: DataFrame, right: DataFrame, on: list,
-                 left_pos: str, right_pos: str, suffix: str = "_r") -> DataFrame:
-    """For each left row, attach the single right row (same `on` keys)
-    minimizing |left_pos - right_pos|; ties -> smaller right_pos.
+                 left_pos: str, right_pos: str, left_id: str,
+                 tiebreakers: list | None = None,
+                 suffix: str = "_r") -> DataFrame:
+    """For each left row (identified by left_id), attach the single
+    right row (same `on` keys) minimizing |left_pos - right_pos|; ties
+    broken by right_pos then the caller's tiebreakers (pass a total
+    order for determinism).
 
     Equi-join on the keys then rank-1 window; Catalyst plans a shuffled
     hash join on `on` — at scale the key set (url/user) is high
     cardinality, so this stays balanced.
     """
     r = right.select(*on, F.col(right_pos).alias(right_pos + suffix),
-                     *[c for c in right.columns if c not in on + [right_pos]])
+                     *[F.col(c).alias(c + suffix) for c in right.columns
+                       if c not in on + [right_pos]])
     joined = left.join(r, on=on, how="inner")
     dist = F.abs(F.col(left_pos) - F.col(right_pos + suffix))
-    w = Window.partitionBy(*on, left_pos).orderBy(dist.asc(),
-                                                  F.col(right_pos + suffix).asc())
+    order = [dist.asc(), F.col(right_pos + suffix).asc()]
+    order += [F.col(c + suffix).asc() for c in (tiebreakers or [])]
+    w = Window.partitionBy(left_id).orderBy(*order)
     return (joined.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
 
