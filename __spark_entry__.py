@@ -155,9 +155,10 @@ def q06_semi_join(spark, sf_dir):
 
 
 def q07_anti_join(spark, sf_dir):
-    """Resume-style anti-join (plans.lineage): customers with no orders."""
+    """Resume-style anti-join (plans.lineage): customers with no
+    urgent order (a non-empty complement at every sf)."""
     c = _load(spark, sf_dir, "customer")
-    o = _load(spark, sf_dir, "orders")
+    o = _load(spark, sf_dir, "orders").filter("o_orderpriority = '1-URGENT'")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
         .select("c_custkey", "c_name")
 
@@ -297,6 +298,45 @@ def q22_salt_distribution(spark, sf_dir):
                  F.count("*").alias("total")))
 
 
+# ---- multimodal (binary columns; fake decode is md5-derived so the
+# ---- SQL oracle reproduces it exactly; see operators.multimodal) ----------
+
+def q23_blob_meta(spark, sf_dir):
+    """Binary-column metadata scan: synthesize deterministic blobs from
+    documents, extract (mime, n_bytes, checksum) JVM-side."""
+    from python_mecab_ner_spark.operators.multimodal import (blob_metadata,
+                                                             synthesize_blobs)
+    d = _load(spark, sf_dir, "documents")
+    return blob_metadata(synthesize_blobs(d))
+
+
+def q24_image_features(spark, sf_dir):
+    """mapInPandas Arrow-batched decode (codec stubbed deterministic):
+    per-doc fake (width, height, n_channels, mean_luma)."""
+    from python_mecab_ner_spark.operators.multimodal import (image_features,
+                                                             synthesize_blobs)
+    d = _load(spark, sf_dir, "documents")
+    return image_features(synthesize_blobs(d))
+
+
+def q25_frame_sample(spark, sf_dir):
+    """Video frame sampling: fixed-size fake frames sliced from the
+    binary column (sequence+explode, JVM-side), every 4th frame."""
+    from python_mecab_ner_spark.operators.multimodal import (sample_frames,
+                                                             synthesize_blobs)
+    d = _load(spark, sf_dir, "documents")
+    video = synthesize_blobs(d).filter("meta.mime = 'video/mp4'")
+    return sample_frames(video, every_k=4)
+
+
+def q26_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-LSH bucket self-join
+    (the dedup family's ANN member; output pairs are float-free)."""
+    from python_mecab_ner_spark.operators.ann import embedding_neardup_pairs
+    e = _load(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.4, b=8)
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 def _kg_graph(spark, canonicalize=False):
@@ -362,6 +402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_ann_bruteforce": q20_ann_bruteforce,
         "q21_ann_lsh": q21_ann_lsh,
         "q22_salt_distribution": q22_salt_distribution,
+        "q23_blob_meta": q23_blob_meta,
+        "q24_image_features": q24_image_features,
+        "q25_frame_sample": q25_frame_sample,
+        "q26_embedding_neardup": q26_embedding_neardup,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -471,7 +515,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q07_anti_join": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
         """,
         "q08_word_freq": """
             SELECT word, count(*) AS cnt FROM (
@@ -550,6 +596,38 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY cos DESC, vec_id LIMIT 10
         """,
         "q21_ann_lsh": _ann_lsh_sql(),
+        # blob = utf-8 bytes of text, so DuckDB's md5(text) equals
+        # Spark's md5(binary); documents text is single-byte-safe
+        # (asserted in tests/test_multimodal.py), so varchar substring
+        # equals byte slicing
+        "q23_blob_meta": """
+            SELECT doc_id,
+                   (['image/png', 'audio/wav', 'video/mp4'])[(doc_id % 3) + 1] AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   ('0x' || substr(md5(text), 1, 15))::bigint AS checksum
+            FROM documents
+        """,
+        "q24_image_features": """
+            WITH h AS (SELECT doc_id,
+                              ('0x' || substr(md5(text), 1, 15))::bigint AS hv
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(32 + hv % 480 AS INT) AS width,
+                   CAST(32 + (hv >> 9) % 480 AS INT) AS height,
+                   CAST(1 + hv % 4 AS INT) AS n_channels,
+                   CAST(hv % 256 AS INT) AS mean_luma
+            FROM h
+        """,
+        "q25_frame_sample": """
+            WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+            f AS (SELECT doc_id, text,
+                         unnest(range(0, CAST(floor(octet_length(encode(text)) / 64) AS BIGINT), 4)) AS frame_idx
+                  FROM v)
+            SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+                   ('0x' || substr(md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)), 1, 15))::bigint AS frame_sig
+            FROM f
+        """,
+        "q26_embedding_neardup": _embedding_neardup_sql(),
         "q22_salt_distribution": f"""
             WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
             m AS (SELECT avg(cnt) AS mean_cnt FROM counts),
@@ -564,6 +642,20 @@ def oracle_sql() -> dict[str, str]:
             FROM salted GROUP BY event_type
         """,
     }
+
+
+def _embedding_neardup_sql() -> str:
+    bucket_bits = " + ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
+        for i in range(8))
+    return f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {bucket_bits} AS bucket
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.4
+    """
 
 
 def _ann_lsh_sql() -> str:

@@ -59,6 +59,36 @@ def sign_lsh_buckets(df: DataFrame, b: int = 8,
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def _pair_cosine(a_col, b_col):
+    """Cosine between two embedding columns (codegen-side: zip_with dot
+    + aggregate norms, accumulated in double)."""
+    dot = F.aggregate(F.zip_with(a_col, b_col, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (_norm(a_col) * _norm(b_col))
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4,
+                            b: int = 8, id_col: str = "vec_id",
+                            emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate candidate pairs (the dedup
+    family's ANN member): sign-LSH bucket both sides, self-join on the
+    bucket key only, keep pairs with cosine >= threshold.
+
+    The bucket join is the 100 TB path — the shuffle key is the
+    bucket, pair work is O(sum over buckets of n_b^2), never global
+    O(n^2); recall is traded per LSH bits b, with the within-bucket
+    cosine exact."""
+    bucketed = sign_lsh_buckets(df.select(id_col, emb_col), b, emb_col)
+    a = bucketed.alias("a")
+    c = bucketed.alias("c")
+    return (a.join(c, on="bucket")
+            .where(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
+            .where(_pair_cosine(F.col(f"a.{emb_col}"),
+                                F.col(f"c.{emb_col}")) >= threshold)
+            .select(F.col(f"a.{id_col}").alias("vec_a"),
+                    F.col(f"c.{id_col}").alias("vec_b")))
+
+
 def bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10, b: int = 8,
                   id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
     """ANN top-k restricted to the query's sign-LSH bucket.  The bucket
