@@ -1,0 +1,89 @@
+"""Structured-Streaming ingest for the KG pipeline.
+
+The batch engine's annotate stage is stateless and row-local, so the
+SAME operator graph runs unchanged on a streaming pages source:
+readStream(parquet dir) -> annotate (mapInPandas) -> triples ->
+writeStream(parquet, exactly-once via checkpoint).  A crawler keeps
+appending WARC-derived parquet files; each micro-batch extracts
+triples incrementally with per-batch lineage in the checkpoint log.
+
+The reference has no streaming concept (SURVEY.md §2.6); this module
+is the Spark-native capability a continuously-crawled 100 TB corpus
+needs on top of it.  Late/duplicate pages are handled by the
+watermarked per-predicate rollup (windowed on warc_ts) and by the
+downstream exact_dedup operator.
+
+Scale notes: the streaming plan is the identical narrow stage as the
+batch plan (no shuffle before the sink), so executor scaling behavior
+matches the batch measurements in BENCH.md; `maxFilesPerTrigger`
+bounds micro-batch size so state and task counts stay constant as the
+input directory grows unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (StringType, StructField, StructType,
+                               TimestampType)
+
+from ..operators.annotate import annotate_pages, triples_table
+
+PAGES_STREAM_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+])
+
+
+def stream_pages(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of pages parquet (schema fixed up front —
+    streaming sources cannot infer)."""
+    reader = spark.readStream.schema(PAGES_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_triples(pages_stream: DataFrame, gazetteer_rows_bc,
+                   search_category=None) -> DataFrame:
+    """Streaming triples: the batch annotate stage applied verbatim
+    (stateless mapInPandas is streaming-compatible)."""
+    ann = annotate_pages(pages_stream, gazetteer_rows_bc,
+                         search_category=search_category)
+    return triples_table(ann)
+
+
+def windowed_pred_counts(triples_stream: DataFrame,
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked windowed rollup: triples per predicate per warc_ts
+    window.  Late pages beyond the watermark are dropped; state is
+    bounded by (windows in watermark horizon) x |preds|."""
+    return (triples_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "pred")
+            .agg(F.count("*").alias("n_triples"))
+            .select(F.col("w.start").alias("window_start"), "pred",
+                    "n_triples"))
+
+
+def run_ingest(spark: SparkSession, input_dir: str, out_dir: str,
+               checkpoint_dir: str, gazetteer_rows_bc,
+               available_now: bool = True):
+    """Start the ingest query: pages dir -> triples parquet, exactly
+    once per input file via the checkpoint log.  available_now=True
+    drains what exists and stops (the batch-incremental 'resume' mode:
+    re-running after new files arrive processes only the new files)."""
+    triples = stream_triples(stream_pages(spark, input_dir),
+                             gazetteer_rows_bc)
+    writer = (triples.writeStream
+              .format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
