@@ -48,15 +48,35 @@ def build_spark(cpus: int):
 
 
 def run_kg_pipeline(spark, n_docs: int) -> dict:
-    """Headline: pages -> annotate -> triples/mentions counts."""
+    """Headline: pages (from storage) -> annotate -> triple counts.
+
+    The corpus is materialized to parquet first (reported separately
+    as gen_sec): the production job reads Iceberg, it does not
+    synthesize input, and measuring from storage keeps the annotate
+    stage a single Python-worker layer (chained mapInPandas would
+    double the Python processes per task slot)."""
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from python_mecab_ner_spark.operators.annotate import annotate_pages
     from python_mecab_ner_spark.sources.corpus import pages_dataframe
     from python_mecab_ner_spark.sources.gazetteer import broadcast_rows
 
-    pages = pages_dataframe(spark, n_docs, seed=42,
-                            partitions=spark.sparkContext.defaultParallelism * 2)
+    corpus = f"{tempfile.gettempdir()}/kg_bench_corpus_{n_docs}"
+    t0 = time.time()
+    if not Path(corpus, "_SUCCESS").exists():
+        (pages_dataframe(spark, n_docs, seed=42,
+                         partitions=spark.sparkContext.defaultParallelism * 2)
+         .select("url", "warc_ts", "text", "lang")
+         .write.mode("overwrite").parquet(corpus))
+    gen_sec = time.time() - t0
+
+    par = spark.sparkContext.defaultParallelism
+    input_bytes = sum(f.stat().st_size for f in Path(corpus).glob("*.parquet"))
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+                   str(max(1 << 20, input_bytes // (par * 2))))
+    pages = spark.read.parquet(corpus)
     bc = broadcast_rows(spark)
     t0 = time.time()
     ann = annotate_pages(pages, bc)
@@ -64,8 +84,8 @@ def run_kg_pipeline(spark, n_docs: int) -> dict:
                   F.sum(F.size("triples")).alias("triples"),
                   F.sum(F.size("mentions")).alias("mentions")).collect()[0]
     wall = time.time() - t0
-    return {"sec": wall, "docs": int(agg.docs), "triples": int(agg.triples),
-            "mentions": int(agg.mentions),
+    return {"sec": wall, "gen_sec": gen_sec, "docs": int(agg.docs),
+            "triples": int(agg.triples), "mentions": int(agg.mentions),
             "docs_per_sec": agg.docs / wall,
             "triples_per_sec": agg.triples / wall}
 
@@ -94,6 +114,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": SF,
+        "kg_gen_sec": round(kg["gen_sec"], 3),
         "kg_docs": kg["docs"],
         "kg_triples": kg["triples"],
         "kg_mentions": kg["mentions"],

@@ -225,13 +225,21 @@ class Lexicon:
 
 
 def load_gazetteer_rows(path: str | Path = GAZETTEER_TSV):
+    p = Path(path)
+    if p.is_file():
+        text = p.read_text(encoding="utf-8")
+    else:
+        # zipimport (spark-submit --py-files pkg.zip): the package data
+        # is only reachable through importlib.resources
+        from importlib import resources
+        text = (resources.files("python_mecab_ner_spark") / "data"
+                / "gazetteer.tsv").read_text(encoding="utf-8")
+    lines = text.splitlines()
+    assert lines and lines[0].startswith("large\t")
     rows = []
-    with Path(path).open(encoding="utf-8") as f:
-        header = f.readline()
-        assert header.startswith("large\t")
-        for line in f:
-            large, small, surface, tokenized = line.rstrip("\n").split("\t")
-            rows.append((large, small, surface, tokenized))
+    for line in lines[1:]:
+        large, small, surface, tokenized = line.split("\t")
+        rows.append((large, small, surface, tokenized))
     return rows
 
 

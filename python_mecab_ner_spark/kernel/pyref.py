@@ -63,9 +63,10 @@ def pyref_mentions(tokens, rows, search_category=None):
     return mentions
 
 
-def pyref_ners(text, rows, search_category=None, infer=True):
-    """text -> [(word, large, small)] exactly following the reference
-    parse flow (mecab_ner.py:224-298), naive throughout."""
+def pyref_spans(text, rows, search_category=None, infer=True):
+    """text -> [(start, end, word, large, small)] NER spans exactly
+    following the reference parse flow (mecab_ner.py:224-298), naive
+    throughout."""
     tokens = tokenize(text)
     mentions = pyref_mentions(tokens, rows, search_category)
 
@@ -107,4 +108,24 @@ def pyref_ners(text, rows, search_category=None, infer=True):
                 out.append((s, end_idx, word, m.large, m.small))
                 break  # first-match-wins (reference DUPLICATE=False)
     out.sort(key=lambda x: x[0])
-    return [(w, lg, sm) for _, _, w, lg, sm in out]
+    return out
+
+
+def pyref_ners(text, rows, search_category=None, infer=True):
+    """Projection of pyref_spans: [(word, large, small)]."""
+    return [(w, lg, sm) for _, _, w, lg, sm
+            in pyref_spans(text, rows, search_category, infer)]
+
+
+def pyref_triples(text, rows, search_category=None, infer=True):
+    """Gold (subj, pred, obj, spans, conf) triples: the naive span flow
+    above fed to the shared windowed extractor (kernel.triples) — the
+    P/R gold for the distributed pipeline (operators.metrics)."""
+    from types import SimpleNamespace
+
+    from .triples import extract_triples
+
+    spans = [SimpleNamespace(start=s, end=e, word=w)
+             for s, e, w, _lg, _sm
+             in pyref_spans(text, rows, search_category, infer)]
+    return extract_triples(tokenize(text), spans)

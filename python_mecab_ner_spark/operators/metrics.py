@@ -1,0 +1,81 @@
+"""Distributed evaluation jobs (reference L17: seqeval/sklearn F1 in
+tests/f1_test.py + main.py:188-190, re-expressed as Spark
+aggregations).
+
+prf_report joins prediction and gold tables on their key columns and
+reduces to one row of counts + P/R/F1 — two broadcast-free shuffles
+on high-cardinality keys, linear at any corpus size.
+
+gold_triples_df runs the NAIVE pyref oracle (kernel.pyref, a
+per-entry nested-loop re-implementation of the reference scan kept
+independent of the optimized AC matcher) distributed over the pages
+table via mapInPandas: the P/R >= 0.95 gate (BASELINE.md) is computed
+engine-vs-reference-semantics at corpus scale, not on a sample.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRIPLE_KEYS = ["url", "subj", "pred", "obj", "subj_start", "obj_start"]
+
+GOLD_TRIPLE_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+    T.StructField("subj_start", T.IntegerType()),
+    T.StructField("subj_end", T.IntegerType()),
+    T.StructField("obj_start", T.IntegerType()),
+    T.StructField("obj_end", T.IntegerType()),
+])
+
+
+def gold_triples_df(pages_df: DataFrame, gazetteer_rows_bc,
+                    search_category=None, infer=True) -> DataFrame:
+    """Pages -> reference-semantics gold triples via the naive pyref
+    path, distributed (one Arrow batch per partition split)."""
+
+    def gen(batches):
+        from ..kernel.pyref import pyref_triples
+        rows = gazetteer_rows_bc.value
+        for pdf in batches:
+            out = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for t in pyref_triples(text or "", rows,
+                                       search_category, infer):
+                    out.append({"url": url, "subj": t[0], "pred": t[1],
+                                "obj": t[2], "subj_start": t[3],
+                                "subj_end": t[4], "obj_start": t[5],
+                                "obj_end": t[6]})
+            yield pd.DataFrame(out, columns=GOLD_TRIPLE_SCHEMA.fieldNames())
+
+    return pages_df.select("url", "text").mapInPandas(
+        gen, schema=GOLD_TRIPLE_SCHEMA)
+
+
+def prf_report(pred_df: DataFrame, gold_df: DataFrame,
+               keys: list[str] = None) -> DataFrame:
+    """One-row report: (n_pred, n_gold, tp, precision, recall, f1).
+
+    tp = |distinct pred keys ∩ distinct gold keys| via inner join of
+    the two distinct key sets (shuffle on the composite key — high
+    cardinality, skew-free)."""
+    keys = keys or TRIPLE_KEYS
+    p = pred_df.select(*keys).distinct()
+    g = gold_df.select(*keys).distinct()
+    tp = p.join(g, keys, "inner").count()
+    n_pred, n_gold = p.count(), g.count()
+    precision = tp / n_pred if n_pred else 1.0
+    recall = tp / n_gold if n_gold else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    spark = pred_df.sparkSession
+    return spark.createDataFrame(
+        [(n_pred, n_gold, tp, round(precision, 6), round(recall, 6),
+          round(f1, 6))],
+        "n_pred bigint, n_gold bigint, tp bigint, "
+        "precision double, recall double, f1 double")

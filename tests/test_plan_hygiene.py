@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the plans the 100 TB story depends on
+must actually be the plans Catalyst produces (broadcast joins where
+dims are small, partial aggregation before shuffles, column pruning
+into the parquet scan)."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def sf01():
+    return "/root/testdata/sf0.001"
+
+
+def test_star_join_broadcasts_dims(spark, sf01):
+    plan = _plan(entry.q02_region_revenue(spark, sf01))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_groupby_has_partial_aggregate(spark, sf01):
+    plan = _plan(entry.q01_pricing_summary(spark, sf01))
+    # two HashAggregates (partial + final) around one exchange:
+    # map-side combine is what keeps a low-cardinality groupBy linear
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf01):
+    plan = _plan(entry.q11_token_count(spark, sf01))
+    # the documents scan must read only doc_id + text, never the
+    # whole-row (source, n_chars, lang stay unread)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan, scan
+    assert "source" not in scan and "n_chars" not in scan, scan
+
+
+def test_semi_join_filter_pushdown(spark, sf01):
+    plan = _plan(entry.q06_semi_join(spark, sf01))
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" \
+        in plan, plan
+
+
+def test_topk_is_windowed_not_global_sort(spark, sf01):
+    plan = _plan(entry.q03_topk_per_group(spark, sf01))
+    # rank-per-group must shuffle by the group key, not globally sort
+    assert "Window" in plan, plan
+
+
+def test_ann_topk_uses_take_ordered(spark, sf01):
+    plan = _plan(entry.q20_ann_bruteforce(spark, sf01))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_annotate_stage_is_shuffle_free(spark):
+    from python_mecab_ner_spark.operators.annotate import annotate_pages
+    from python_mecab_ner_spark.sources.corpus import pages_dataframe
+    from python_mecab_ner_spark.sources.gazetteer import broadcast_rows
+    ann = annotate_pages(pages_dataframe(spark, 10), broadcast_rows(spark))
+    plan = _plan(ann)
+    assert "Exchange" not in plan, plan
