@@ -337,6 +337,24 @@ def q26_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(e, threshold=0.4, b=8)
 
 
+def q27_neardup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (iterative min-label
+    join loop with localCheckpoint truncation) over the jaccard
+    candidate pairs; cluster id = min doc_id of the component."""
+    from python_mecab_ner_spark.operators.canonicalize import \
+        connected_components
+    from python_mecab_ner_spark.operators.dedup import jaccard_pairs
+    d = _load(spark, sf_dir, "documents")
+    pairs = (jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2)
+             .select(F.col("doc_a").alias("a_id"),
+                     F.col("doc_b").alias("b_id")))
+    nodes = (pairs.select(F.col("a_id").alias("entity_id"))
+             .union(pairs.select("b_id")).distinct())
+    cc = connected_components(pairs, nodes)
+    return cc.select(F.col("entity_id").alias("doc_id"),
+                     F.col("canonical_id").alias("cluster_id"))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 def _kg_graph(spark, canonicalize=False):
@@ -406,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_image_features": q24_image_features,
         "q25_frame_sample": q25_frame_sample,
         "q26_embedding_neardup": q26_embedding_neardup,
+        "q27_neardup_clusters": q27_neardup_clusters,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -628,6 +647,26 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q26_embedding_neardup": _embedding_neardup_sql(),
+        # connected components as a recursive CTE: transitive closure
+        # then min reachable id per node (the Spark side's iterative
+        # min-label propagation converges to the same fixpoint)
+        "q27_neardup_clusters": shingle_cte.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1) + """
+            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            p0 AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (SELECT doc_a, doc_b FROM p0 WHERE inter >= 2),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+            SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+        """,
         "q22_salt_distribution": f"""
             WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
             m AS (SELECT avg(cnt) AS mean_cnt FROM counts),
