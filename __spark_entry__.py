@@ -37,7 +37,30 @@ MINI_GAZ = ["hash join", "table scan", "window agg", "spark", "query"]
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # sandbox-scale plan hygiene: the sf* parquet files are a few MB,
+    # so the default 128 MB split puts the whole scan (and, after AQE
+    # coalescing, every downstream stage) on ONE task.  Explodes
+    # multiply rows ~50x downstream of the scan, so split small files
+    # finer and keep post-shuffle partitions small enough to stay
+    # parallel.  At production scale files are row-grouped >=128 MB
+    # and these two knobs would be left at their defaults.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                   str(4 << 20))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _loadp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_load + explicit repartition: every sf* table is ONE parquet
+    file with ONE row group (unsplittable), so any scan is a single
+    task no matter the split size.  For explode-heavy operators
+    (shingles multiply rows ~50x) the pre-explode repartition is a
+    few-MB round-robin shuffle that buys full downstream parallelism —
+    the standard move for unsplittable/small sources.  Pure relational
+    queries keep the plain scan (volumes are small, plans stay
+    pushdown-clean)."""
+    return _load(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
 
 
 def _cents(col) -> F.Column:
@@ -166,7 +189,7 @@ def q07_anti_join(spark, sf_dir):
 def q08_word_freq(spark, sf_dir):
     """Stats accumulation (reference L5 counters as groupBy): corpus
     word frequencies above a fixed support."""
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     w = (d.select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
          .where("word <> ''")
          .groupBy("word").agg(F.count("*").alias("cnt"))
@@ -199,46 +222,46 @@ def q10_latest_per_user(spark, sf_dir):
 # ---- training-data / text operators --------------------------------------
 
 def q11_token_count(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return d.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
 
 
 def q12_lang_id(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return d.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q13_quality_score(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
 def q14_fingerprint(spark, sf_dir):
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
 def q15_exact_dedup(spark, sf_dir):
     from python_mecab_ner_spark.operators.dedup import exact_dedup
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return exact_dedup(d, "text", "doc_id")
 
 
 def q16_jaccard_pairs(spark, sf_dir):
     from python_mecab_ner_spark.operators.dedup import jaccard_pairs
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2)
 
 
 def q17_lsh_pairs(spark, sf_dir):
     from python_mecab_ner_spark.operators.dedup import lsh_candidate_pairs
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return lsh_candidate_pairs(d, "text", "doc_id", k=3, n_hashes=8, bands=4)
 
 
 def q18_simhash(spark, sf_dir):
     from python_mecab_ner_spark.operators.dedup import simhash64
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return simhash64(d, "text", "doc_id", n_bits=16)
 
 
@@ -315,7 +338,7 @@ def q24_image_features(spark, sf_dir):
     per-doc fake (width, height, n_channels, mean_luma)."""
     from python_mecab_ner_spark.operators.multimodal import (image_features,
                                                              synthesize_blobs)
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     return image_features(synthesize_blobs(d))
 
 
@@ -324,7 +347,7 @@ def q25_frame_sample(spark, sf_dir):
     binary column (sequence+explode, JVM-side), every 4th frame."""
     from python_mecab_ner_spark.operators.multimodal import (sample_frames,
                                                              synthesize_blobs)
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     video = synthesize_blobs(d).filter("meta.mime = 'video/mp4'")
     return sample_frames(video, every_k=4)
 
@@ -333,7 +356,7 @@ def q26_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via sign-LSH bucket self-join
     (the dedup family's ANN member; output pairs are float-free)."""
     from python_mecab_ner_spark.operators.ann import embedding_neardup_pairs
-    e = _load(spark, sf_dir, "embeddings")
+    e = _loadp(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(e, threshold=0.4, b=8)
 
 
@@ -344,7 +367,7 @@ def q27_neardup_clusters(spark, sf_dir):
     from python_mecab_ner_spark.operators.canonicalize import \
         connected_components
     from python_mecab_ner_spark.operators.dedup import jaccard_pairs
-    d = _load(spark, sf_dir, "documents")
+    d = _loadp(spark, sf_dir, "documents")
     pairs = (jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2)
              .select(F.col("doc_a").alias("a_id"),
                      F.col("doc_b").alias("b_id")))

@@ -94,15 +94,19 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     path: cost is O(docs x bands), never O(docs^2)."""
     rows_per_band = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    per_band = []
-    for b in range(bands):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        per_band.append(sig.select(
-            "doc_id", F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws(",", *cols)).alias("band_key")))
-    banded = per_band[0]
-    for extra in per_band[1:]:
-        banded = banded.unionByName(extra)
+    # ONE projection emits every band key (array of structs + explode):
+    # a per-band union would re-execute the signature aggregation once
+    # per band
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(",", *[
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ])).alias("band_key"))
+        for b in range(bands)])
+    banded = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
+              .select("doc_id", F.col("bk.band_idx").alias("band_idx"),
+                      F.col("bk.band_key").alias("band_key")))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, on=["band_idx", "band_key"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
