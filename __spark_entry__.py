@@ -360,6 +360,17 @@ def q26_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(e, threshold=0.4, b=8)
 
 
+def q28_sessionize(spark, sf_dir):
+    """Timeout sessionization (30-min gap) per user over the events
+    stream table: the arbitrary-gap generalization of gaps-and-islands."""
+    from python_mecab_ner_spark.operators.spans import sessionize
+    ev = _load(spark, sf_dir, "events")
+    m = ev.select("user_id", F.col("event_id"),
+                  _MINUTE(F.col("ts")).alias("m"))
+    return sessionize(m, "user_id", "m", gap=30,
+                      order_cols=["event_id"])
+
+
 def q27_neardup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (iterative min-label
     join loop with localCheckpoint truncation) over the jaccard
@@ -448,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_frame_sample": q25_frame_sample,
         "q26_embedding_neardup": q26_embedding_neardup,
         "q27_neardup_clusters": q27_neardup_clusters,
+        "q28_sessionize": q28_sessionize,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -670,6 +682,24 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q26_embedding_neardup": _embedding_neardup_sql(),
+        "q28_sessionize": f"""
+            WITH mm AS (SELECT user_id, event_id, {minute.format(c='ts')} AS m
+                        FROM events),
+            f AS (SELECT user_id, event_id, m,
+                         CASE WHEN lag(m) OVER w IS NULL
+                                   OR m - lag(m) OVER w > 30
+                              THEN 1 ELSE 0 END AS newf
+                  FROM mm
+                  WINDOW w AS (PARTITION BY user_id ORDER BY m, event_id)),
+            s AS (SELECT user_id, m,
+                         CAST(sum(newf) OVER (PARTITION BY user_id
+                              ORDER BY m, event_id
+                              ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+                  FROM f)
+            SELECT user_id, session_id, min(m) AS session_start,
+                   max(m) AS session_end, count(*) AS n_events
+            FROM s GROUP BY 1, 2
+        """,
         # connected components as a recursive CTE: transitive closure
         # then min reachable id per node (the Spark side's iterative
         # min-label propagation converges to the same fixpoint)

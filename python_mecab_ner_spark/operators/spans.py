@@ -98,3 +98,30 @@ def overlap_dedup(df: DataFrame, part_col: str, start_col: str, end_col: str,
     kept = (ranked.join(clash, on=[part_col, "_rn"], how="left_anti")
             .drop("_rn", "_len"))
     return kept
+
+
+def sessionize(df: DataFrame, part_col: str, pos_col: str,
+               gap: int, order_cols: list | None = None) -> DataFrame:
+    """Timeout-based sessionization: within each part_col, a new
+    session starts when pos_col jumps by more than `gap` from the
+    previous row.  Returns (part_col, session_id, session_start,
+    session_end, n_events).
+
+    The generalization of gaps_and_islands from gap==1 to arbitrary
+    timeouts; one window + one aggregate, both partitioned by the
+    high-cardinality entity key, so state never concentrates."""
+    order = [F.col(pos_col).asc()] + [
+        F.col(c).asc() if isinstance(c, str) else c
+        for c in (order_cols or [])]
+    w = Window.partitionBy(part_col).orderBy(*order)
+    flagged = df.withColumn(
+        "_new", F.when(
+            (F.col(pos_col) - F.lag(pos_col).over(w) > gap)
+            | F.lag(pos_col).over(w).isNull(), 1).otherwise(0))
+    with_sid = flagged.withColumn(
+        "session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+    return (with_sid.groupBy(part_col, "session_id")
+            .agg(F.min(pos_col).alias("session_start"),
+                 F.max(pos_col).alias("session_end"),
+                 F.count("*").alias("n_events")))

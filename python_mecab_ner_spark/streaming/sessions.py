@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: timeout sessionization via
+applyInPandasWithState (the Arrow-batched arbitrary-state API).
+
+The batch twin is operators.spans.sessionize; this streaming form
+keeps one (start, end, n) tuple per user in the state store, closes a
+session when a new event arrives more than `gap` after the last one
+(emitting the closed session downstream), and closes idle sessions
+via processing-time timeout.  State is O(active users), partitioned
+by the grouping key — the state store shards with executors, so a
+1000-executor cluster holds 1000x the active-user working set.
+
+The reference has no streaming at all (SURVEY.md §2.6); this is the
+Spark-native capability that turns its batch span-merging idea into a
+continuous operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (LongType, StructField, StructType)
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", LongType()),
+    StructField("session_end", LongType()),
+    StructField("n_events", LongType()),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("start", LongType()),
+    StructField("end", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def stream_sessionize(events: DataFrame, gap: int = 30,
+                      pos_col: str = "m",
+                      key_col: str = "user_id") -> DataFrame:
+    """events stream (key_col, pos_col as integer minutes) ->
+    append-mode stream of CLOSED sessions."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        (user,) = key
+        closed = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            closed.append((user, s, e, n))
+            state.remove()
+        else:
+            ms: list[int] = []
+            for pdf in pdfs:
+                ms.extend(int(x) for x in pdf[pos_col])
+            ms.sort()
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s = e = n = None
+            for m in ms:
+                if s is None:
+                    s, e, n = m, m, 1
+                elif m - e > gap:
+                    closed.append((user, s, e, n))
+                    s, e, n = m, m, 1
+                else:
+                    e, n = m, n + 1
+            if s is not None:
+                state.update((s, e, n))
+                state.setTimeoutDuration(gap * 60 * 1000)
+        yield pd.DataFrame(
+            closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn, SESSION_SCHEMA, STATE_SCHEMA, "append",
+        GroupStateTimeout.ProcessingTimeTimeout)

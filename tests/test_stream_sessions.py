@@ -1,0 +1,62 @@
+"""Stateful streaming sessionization (applyInPandasWithState): state
+survives across micro-batches via the checkpointed state store, and a
+session closed by a later batch's events is emitted exactly once."""
+
+from pyspark.sql.types import LongType, StructField, StructType
+
+from python_mecab_ner_spark.streaming.sessions import stream_sessionize
+
+EVENTS_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("m", LongType()),
+])
+
+
+def _run_stream(spark, src, out, ckpt):
+    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
+    q = (stream_sessionize(stream, gap=30).writeStream
+         .format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_sessions_close_across_batches(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("events", "out", "ckpt"))
+
+    # batch 1: user 1 -> events at minutes 0, 5 (one open session);
+    #          user 2 -> 10, 200 (first session closed IN-batch)
+    spark.createDataFrame(
+        [(1, 0), (1, 5), (2, 10), (2, 200)], EVENTS_SCHEMA
+    ).coalesce(1).write.parquet(src)
+    _run_stream(spark, src, out, ckpt)
+    got1 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(2, 10, 10, 1)}
+
+    # batch 2: user 1 jumps to minute 100 -> closes (0, 5); user 2
+    # continues at 210 -> still open, nothing emitted for it
+    spark.createDataFrame(
+        [(1, 100), (2, 210)], EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_stream(spark, src, out, ckpt)
+    got2 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got2 - got1 == {(1, 0, 5, 2)} and got1 <= got2
+
+
+def test_batch_twin_agrees(spark):
+    """The closed sessions a full replay emits must match the batch
+    sessionize operator (minus the trailing open session per user)."""
+    from python_mecab_ner_spark.operators.spans import sessionize
+    rows = [(1, 0), (1, 5), (1, 100), (1, 101), (1, 300),
+            (2, 10), (2, 200), (2, 210)]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    batch = sessionize(df, "user_id", "m", gap=30).collect()
+    # drop the last (open) session per user
+    last = {}
+    for r in batch:
+        if r.user_id not in last or r.session_id > last[r.user_id].session_id:
+            last[r.user_id] = r
+    want_closed = {(r.user_id, r.session_start, r.session_end, r.n_events)
+                   for r in batch if r is not last[r.user_id]}
+    assert want_closed == {(1, 0, 5, 2), (1, 100, 101, 2), (2, 10, 10, 1)}
