@@ -78,6 +78,10 @@ def run_kg_pipeline(spark, n_docs: int) -> dict:
                    str(max(1 << 20, input_bytes // (par * 2))))
     pages = spark.read.parquet(corpus)
     bc = broadcast_rows(spark)
+    # warmup: spawn the Python workers + build the per-worker automaton
+    # so the measured run is steady-state (matches bench_scaling.py)
+    annotate_pages(pages.limit(2000).repartition(par), bc) \
+        .agg(F.count("*")).collect()
     t0 = time.time()
     ann = annotate_pages(pages, bc)
     agg = ann.agg(F.count("*").alias("docs"),
@@ -101,6 +105,12 @@ def main() -> int:
     timings["kg_pipeline"] = round(kg["sec"], 3)
 
     qs = entrymod.queries()
+    # warmup pass at the smallest sf: first-use whole-stage codegen /
+    # JIT / parquet-footer caching happens once per query SHAPE, and
+    # a throughput benchmark should report the steady-state cost
+    for name in BENCH_QUERIES:
+        qs[name](spark, SF_DIR.replace(f"sf{SF}", "sf0.001")) \
+            .write.format("noop").mode("overwrite").save()
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
