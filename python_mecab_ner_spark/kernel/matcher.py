@@ -48,6 +48,7 @@ class GazEntry:
     small: str
     surface: str          # original dictionary surface (mention text)
     pattern: tuple        # tokenized words (token-mode pattern)
+    token_gate_len: int   # len(' '.join(pattern)), precomputed
 
 
 @dataclass
@@ -131,7 +132,8 @@ class CompiledGazetteer:
             rows = [r for r in rows if r[0] in allow]
         ordered = sorted(rows, key=lambda r: (r[0], r[1], -len(r[2]), r[2]))
         self.entries = [
-            GazEntry(i, large, small, surface, tuple(tokenized.split()))
+            GazEntry(i, large, small, surface, tuple(tokenized.split()),
+                     len(" ".join(tokenized.split())))
             for i, (large, small, surface, tokenized) in enumerate(ordered)]
         self.token_ac = AhoCorasick([e.pattern for e in self.entries])
         # char-mode only for surfaces of >=2 chars (min_meaning=2,
@@ -164,14 +166,18 @@ def find_mentions(tokens, gaz: CompiledGazetteer):
     token_words = [t["word"] for t in tokens]
     tok_hits, char_hits = _candidates(gaz, token_words)
     mentions: list[Mention] = []
-    masked: set = set()        # (large, small, token_idx)
+    masked: set = set()        # token idxs accepted for the current small cat
     cur_cat = None
-    for e in gaz.entries:
+    # only entries with at least one candidate matter: entries without
+    # hits accept nothing, so they influence neither masking nor the
+    # per-category reset (eid order == canonical entry order)
+    for eid in sorted(tok_hits.keys() | char_hits.keys()):
+        e = gaz.entries[eid]
         cat = (e.large, e.small)
         if cat != cur_cat:
             cur_cat = cat
             masked = set()
-        for mode_hits, gate_len in ((tok_hits, len(" ".join(e.pattern))),
+        for mode_hits, gate_len in ((tok_hits, e.token_gate_len),
                                     (char_hits, len(e.surface))):
             spans = mode_hits.get(e.eid)
             if not spans:
