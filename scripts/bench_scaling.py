@@ -52,8 +52,10 @@ def _build_spark(cpus: int):
             .getOrCreate())
 
 
-def materialize_corpus(n_docs: int, out_path: str, partitions: int = 64):
-    """One-time corpus write (NOT part of any measurement)."""
+def materialize_corpus(n_docs: int, out_path: str, partitions: int = 256):
+    """One-time corpus write (NOT part of any measurement).  256
+    output files -> >=8 task waves at local[32]: a straggler costs
+    1/8 of a wave, not half a 2-wave schedule."""
     from python_mecab_ner_spark.sources.corpus import pages_dataframe
     if Path(out_path, "_SUCCESS").exists():
         return
@@ -163,6 +165,7 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=400_000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--corpus-parts", type=int, default=256)
     ap.add_argument("--out", default=str(REPO / "BENCH.md"))
     args = ap.parse_args()
 
@@ -174,9 +177,9 @@ def main() -> int:
         "levels must be N,4N"
     n, n4 = levels
 
-    corpus = f"/tmp/kg_scaling_corpus_{args.docs}"
+    corpus = f"/tmp/kg_scaling_corpus_{args.docs}_{args.corpus_parts}"
     print(f"materializing corpus ({args.docs:,} docs) ...", flush=True)
-    materialize_corpus(args.docs, corpus)
+    materialize_corpus(args.docs, corpus, partitions=args.corpus_parts)
 
     results: dict[int, list[dict]] = {}
     for cpus in levels:
