@@ -371,6 +371,28 @@ def q28_sessionize(spark, sf_dir):
                       order_cols=["event_id"])
 
 
+def q29_ann_ivf(spark, sf_dir):
+    """IVF ANN: coarse-quantize vectors to n_cells centroids (rank-1
+    broadcast assignment), probe the query's 4 nearest cells, exact
+    top-10 inside them."""
+    from python_mecab_ner_spark.operators.ann import ivf_topk
+    e = _loadp(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.filter("vec_id = 0").select("embedding").first()[0]]
+    return ivf_topk(e, qvec, k=10, n_cells=16, n_probe=4)
+
+
+def q30_rollup(spark, sf_dir):
+    """Hierarchical rollup aggregation (priority -> status) with
+    grouping id — the grouping-sets capability the reference lacks
+    entirely (SURVEY.md §2.6)."""
+    o = _load(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(_cents(F.col("o_totalprice"))).alias("rev_c"),
+                 F.grouping_id().cast("int").alias("gid")))
+
+
 def q27_neardup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (iterative min-label
     join loop with localCheckpoint truncation) over the jaccard
@@ -460,6 +482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_embedding_neardup": q26_embedding_neardup,
         "q27_neardup_clusters": q27_neardup_clusters,
         "q28_sessionize": q28_sessionize,
+        "q29_ann_ivf": q29_ann_ivf,
+        "q30_rollup": q30_rollup,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -682,6 +706,40 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q26_embedding_neardup": _embedding_neardup_sql(),
+        "q29_ann_ivf": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            cents AS (SELECT vec_id AS cell_id, embedding AS cent
+                      FROM embeddings WHERE vec_id < 16),
+            assign AS (
+              SELECT e.vec_id, e.embedding, c.cell_id,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                                  c.cell_id) AS rn
+              FROM embeddings e CROSS JOIN cents c),
+            a AS (SELECT vec_id, embedding, cell_id FROM assign WHERE rn = 1),
+            probe AS (SELECT cell_id FROM (
+              SELECT c.cell_id,
+                     ROW_NUMBER() OVER (ORDER BY
+                         list_cosine_similarity(c.cent, q.qe) DESC,
+                         c.cell_id) AS pr
+              FROM cents c, q) WHERE pr <= 4),
+            cand AS (SELECT a.vec_id, a.embedding FROM a
+                     JOIN probe USING (cell_id))
+            SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                        list_cosine_similarity(embedding, qe) DESC,
+                        vec_id) AS INT) AS rank
+            FROM cand, q
+            ORDER BY rank LIMIT 10
+        """,
+        "q30_rollup": f"""
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   CAST(sum({cents.format(x='o_totalprice')}) AS BIGINT) AS rev_c,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
         "q28_sessionize": f"""
             WITH mm AS (SELECT user_id, event_id, {minute.format(c='ts')} AS m
                         FROM events),

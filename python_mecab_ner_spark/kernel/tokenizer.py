@@ -26,11 +26,23 @@ TOKEN_FIELDS = (
 )
 
 
+_JONG_CACHE: dict = {}
+
+
+def _has_jongseong_cached(word: str) -> bool:
+    v = _JONG_CACHE.get(word)
+    if v is None:
+        if len(_JONG_CACHE) >= 500_000:
+            _JONG_CACHE.clear()
+        v = _JONG_CACHE[word] = has_jongseong(word)
+    return v
+
+
 def _token(word, pos, reading, gtype, space, mtok, mcomp, begin, end):
     return {
         "word": word,
         "pos": pos,
-        "has_jongseong": has_jongseong(word),
+        "has_jongseong": _has_jongseong_cached(word),
         "reading": reading,
         "type": gtype,
         "space": space,
@@ -61,6 +73,23 @@ def _fallback_group(ej: str, i: int):
 
 
 def _segment_eojeol(ej: str, lex: Lexicon):
+    """Memoized per-eojeol segmentation: web-corpus eojeol vocabulary
+    is heavy-tailed, so the per-worker cache converts repeat eojeols to
+    one dict hit.  Bounded (cleared at 200k entries) so a pathological
+    corpus cannot grow worker memory unboundedly."""
+    cache = getattr(lex, "_seg_cache", None)
+    if cache is None:
+        cache = lex._seg_cache = {}
+    groups = cache.get(ej)
+    if groups is None:
+        groups = _segment_eojeol_uncached(ej, lex)
+        if len(cache) >= 200_000:
+            cache.clear()
+        cache[ej] = groups
+    return groups
+
+
+def _segment_eojeol_uncached(ej: str, lex: Lexicon):
     """Eojeol -> tuple of groups.  Pinned whole-eojeol entries win;
     otherwise greedy longest-prefix over the chunk table with run-based
     fallback.  Deterministic by construction (no dict-order effects)."""

@@ -103,3 +103,58 @@ def bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10, b: int = 8,
                          cosine_to(F.col(emb_col), qvec).alias("cos"))
     return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k).select(id_col))
+
+
+def ivf_cells(df: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Coarse quantization: assign every vector to its nearest centroid
+    by cosine (rank-1 per vector, ties by centroid id).
+
+    Centroids here are the first n_cells vectors — a deterministic
+    stand-in for a trained k-means codebook (at production scale the
+    codebook comes from a sampled k-means job and is broadcast the same
+    way).  The assignment is a broadcast nested-loop over n_cells
+    candidates, i.e. O(n x n_cells) with no shuffle before the rank
+    window keyed by the high-cardinality vector id."""
+    from pyspark.sql import Window
+    cents = (df.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cell_id"),
+                     F.col(emb_col).alias("cent_emb")))
+    scored = (df.select(id_col, emb_col)
+              .crossJoin(F.broadcast(cents))
+              .withColumn("cos", _pair_cosine(F.col(emb_col),
+                                              F.col("cent_emb"))))
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
+                                           F.col("cell_id").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(id_col, emb_col, "cell_id"))
+
+
+def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """IVF search: probe the query's n_probe nearest cells, exact
+    cosine top-k inside them.  The scan prunes to ~n_probe/n_cells of
+    the corpus; with the assignment table written partitioned by
+    cell_id the probe is partition pruning, not a filter."""
+    import math
+    assigned = ivf_cells(df, n_cells, id_col, emb_col)
+    cents = (df.filter(F.col(id_col) < n_cells)
+             .select(id_col, emb_col).collect())
+    qn = math.sqrt(sum(v * v for v in qvec)) or 1.0
+
+    def cos(emb):
+        n = math.sqrt(sum(v * v for v in emb)) or 1.0
+        return sum(a * b for a, b in zip(emb, qvec)) / (n * qn)
+
+    probe = [r[0] for r in sorted(
+        cents, key=lambda r: (-cos(r[1]), r[0]))[:n_probe]]
+    cand = assigned.filter(F.col("cell_id").isin(probe))
+    scored = cand.select(F.col(id_col),
+                         cosine_to(F.col(emb_col), qvec).alias("cos"))
+    from pyspark.sql import Window
+    topk = scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(id_col, "rank"))

@@ -110,3 +110,25 @@ def test_embedding_neardup_pairs(spark, sf_dir):
             if cos >= 0.4:
                 want.add((ida, idb))
     assert {(p.vec_a, p.vec_b) for p in pairs} == want
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF probing 4/16 cells must still find most of the exact top-10
+    (and exactly the brute-force order among what it returns)."""
+    from python_mecab_ner_spark.operators.ann import brute_force_topk, ivf_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in
+            e.filter("vec_id = 0").select("embedding").first()[0]]
+    exact = [r.vec_id for r in
+             brute_force_topk(e, qvec, k=10).orderBy("rank").collect()]
+    ivf = [r.vec_id for r in
+           ivf_topk(e, qvec, k=10, n_cells=16, n_probe=4)
+           .orderBy("rank").collect()]
+    # the query vector itself lives in a probed cell -> always found
+    assert ivf[0] == exact[0] == 0
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.5, (recall, ivf, exact)
+    # ivf results are ordered consistently with the exact ranking
+    exact_pos = {v: i for i, v in enumerate(exact)}
+    shared = [v for v in ivf if v in exact_pos]
+    assert shared == sorted(shared, key=lambda v: exact_pos[v])
