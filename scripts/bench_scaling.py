@@ -40,10 +40,14 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def _build_spark(cpus: int):
+def _build_spark(cpus: int, set_master: bool = True):
     from pyspark.sql import SparkSession
-    return (SparkSession.builder.master(f"local[{cpus}]")
-            .appName(f"kg-scaling-{cpus}")
+    b = SparkSession.builder
+    if set_master:
+        # under spark-submit the master comes from --master; setting it
+        # here would override the submitted value
+        b = b.master(f"local[{cpus}]")
+    return (b.appName(f"kg-scaling-{cpus}")
             .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.sql.session.timeZone", "UTC")
@@ -67,14 +71,14 @@ def materialize_corpus(n_docs: int, out_path: str, partitions: int = 256):
     spark.stop()
 
 
-def run_child(cpus: int, corpus_path: str) -> int:
+def run_child(cpus: int, corpus_path: str, via_submit: bool = False) -> int:
     """One measurement: read pages parquet -> annotate -> counts."""
     from pyspark.sql import functions as F
 
     from python_mecab_ner_spark.operators.annotate import annotate_pages
     from python_mecab_ner_spark.sources.gazetteer import broadcast_rows
 
-    spark = _build_spark(cpus)
+    spark = _build_spark(cpus, set_master=not via_submit)
     spark.sparkContext.setLogLevel("ERROR")
     # split the scan ~2 tasks per core for balance at every level
     input_bytes = sum(f.stat().st_size
@@ -101,9 +105,25 @@ def run_child(cpus: int, corpus_path: str) -> int:
 
 
 def measure(cpus: int, corpus_path: str) -> dict:
+    """Each measurement is a REAL `spark-submit --master local[N]
+    --py-files pkg.zip` invocation (the north_rule's run mode) when
+    spark-submit is on PATH; plain python subprocess otherwise."""
+    import shutil
+    submit = shutil.which("spark-submit")
+    if submit:
+        zip_path = REPO / "dist" / "python_mecab_ner_spark.zip"
+        if not zip_path.exists():
+            subprocess.run([sys.executable,
+                            str(REPO / "scripts" / "make_pyfiles_zip.py")],
+                           check=True, cwd=str(REPO))
+        cmd = [submit, "--master", f"local[{cpus}]",
+               "--driver-memory", "48g",
+               "--py-files", str(zip_path),
+               __file__, "--child", str(cpus), corpus_path, "--via-submit"]
+    else:
+        cmd = [sys.executable, __file__, "--child", str(cpus), corpus_path]
     out = subprocess.run(
-        [sys.executable, __file__, "--child", str(cpus), corpus_path],
-        capture_output=True, text=True, cwd=str(REPO), timeout=1200)
+        cmd, capture_output=True, text=True, cwd=str(REPO), timeout=1200)
     for line in out.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
             return json.loads(line[len("CHILD_RESULT "):])
@@ -162,6 +182,8 @@ def _kernel_work(args) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", nargs=2, metavar=("CPUS", "CORPUS"))
+    ap.add_argument("--via-submit", action="store_true",
+                    help="child runs under spark-submit (master set there)")
     ap.add_argument("--docs", type=int, default=400_000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
@@ -170,7 +192,8 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.child:
-        return run_child(int(args.child[0]), args.child[1])
+        return run_child(int(args.child[0]), args.child[1],
+                         via_submit=args.via_submit)
 
     levels = [int(x) for x in args.levels.split(",")]
     assert len(levels) == 2 and levels[1] == 4 * levels[0], \
