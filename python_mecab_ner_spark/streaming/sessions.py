@@ -36,9 +36,19 @@ STATE_SCHEMA = StructType([
 
 def stream_sessionize(events: DataFrame, gap: int = 30,
                       pos_col: str = "m",
-                      key_col: str = "user_id") -> DataFrame:
+                      key_col: str = "user_id",
+                      idle_timeout: bool = False) -> DataFrame:
     """events stream (key_col, pos_col as integer minutes) ->
-    append-mode stream of CLOSED sessions."""
+    append-mode stream of CLOSED sessions.
+
+    idle_timeout=True arms a processing-time timeout so sessions of
+    users that go silent still close — use it in ALWAYS-ON
+    deployments.  Leave False for availableNow drains: with a
+    processing-time timeout registered, the micro-batch engine keeps
+    scheduling empty timeout-check batches and an availableNow query
+    never reaches termination (observed: ~1.5 s/batch forever); in
+    drain mode idle sessions simply stay in the checkpointed state
+    until the next run's events or an always-on restart closes them."""
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -67,10 +77,12 @@ def stream_sessionize(events: DataFrame, gap: int = 30,
                     e, n = m, n + 1
             if s is not None:
                 state.update((s, e, n))
-                state.setTimeoutDuration(gap * 60 * 1000)
+                if idle_timeout:
+                    state.setTimeoutDuration(gap * 60 * 1000)
         yield pd.DataFrame(
             closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
+    conf = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout
+            else GroupStateTimeout.NoTimeout)
     return events.groupBy(key_col).applyInPandasWithState(
-        fn, SESSION_SCHEMA, STATE_SCHEMA, "append",
-        GroupStateTimeout.ProcessingTimeTimeout)
+        fn, SESSION_SCHEMA, STATE_SCHEMA, "append", conf)

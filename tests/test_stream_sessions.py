@@ -13,13 +13,21 @@ EVENTS_SCHEMA = StructType([
 
 
 def _run_stream(spark, src, out, ckpt):
-    stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
-    q = (stream_sessionize(stream, gap=30).writeStream
-         .format("parquet").option("path", out)
-         .option("checkpointLocation", ckpt)
-         .outputMode("append")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # 2 state partitions (pinned in the checkpoint at first run):
+    # the state store writes one delta file per partition per batch,
+    # so fewer partitions = much faster micro-batches at test scale
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = (spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
+        q = (stream_sessionize(stream, gap=30).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(120), "drain did not terminate"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def test_sessions_close_across_batches(spark, tmp_path):

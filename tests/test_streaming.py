@@ -33,7 +33,7 @@ def test_stream_equals_batch(spark, bc, tmp_path):
 
     q = run_ingest(spark, src, str(tmp_path / "out"),
                    str(tmp_path / "ckpt"), bc)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = spark.read.parquet(str(tmp_path / "out"))
     want = triples_table(annotate_pages(pages, bc))
@@ -46,13 +46,13 @@ def test_incremental_resume_processes_only_new_files(spark, bc, tmp_path):
     batch1 = pages_dataframe(spark, 30, seed=1).select(
         "url", "warc_ts", "text", "lang")
     batch1.write.parquet(src)
-    run_ingest(spark, src, out, ckpt, bc).awaitTermination(120)
+    assert run_ingest(spark, src, out, ckpt, bc).awaitTermination(120)
     n1 = spark.read.parquet(out).count()
 
     batch2 = pages_dataframe(spark, 30, seed=2).select(
         "url", "warc_ts", "text", "lang")
     batch2.write.mode("append").parquet(src)
-    run_ingest(spark, src, out, ckpt, bc).awaitTermination(120)
+    assert run_ingest(spark, src, out, ckpt, bc).awaitTermination(120)
 
     got = spark.read.parquet(out)
     assert got.count() > n1
@@ -60,7 +60,7 @@ def test_incremental_resume_processes_only_new_files(spark, bc, tmp_path):
     assert got.count() == got.select("url", "subj", "pred", "obj",
                                      "subj_start", "obj_start").distinct().count()
     # third run with NO new files adds nothing
-    run_ingest(spark, src, out, ckpt, bc).awaitTermination(120)
+    assert run_ingest(spark, src, out, ckpt, bc).awaitTermination(120)
     assert spark.read.parquet(out).count() == got.count()
 
 
@@ -79,7 +79,7 @@ def test_windowed_pred_counts_rollup(spark, bc, tmp_path):
          .outputMode("complete")
          .option("checkpointLocation", str(tmp_path / "ckpt2"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)
 
     got = spark.sql("SELECT * FROM pred_counts")
     want = (triples_table(annotate_pages(pages, bc))
