@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) over the pure kernel — the test
+category the reference lacks entirely (SURVEY.md §5).  All pure
+Python: no SparkSession, so the whole file runs in seconds."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from python_mecab_ner_spark.kernel.jamo import from_jamo, to_jamo
+from python_mecab_ner_spark.kernel.lexicon import (default_lexicon,
+                                                   load_gazetteer_rows)
+from python_mecab_ner_spark.kernel.matcher import (CompiledGazetteer,
+                                                   merge_runs, ner_parse)
+from python_mecab_ner_spark.kernel.pyref import pyref_ners
+from python_mecab_ner_spark.kernel.tokenizer import (restore_surface,
+                                                     tokenize)
+
+_ROWS = load_gazetteer_rows()
+_GAZ = CompiledGazetteer(_ROWS)
+_LEX = default_lexicon()
+_SURFACES = [r[2] for r in _ROWS]
+
+hangul = st.text(
+    alphabet=st.characters(min_codepoint=0xAC00, max_codepoint=0xD7A3),
+    min_size=1, max_size=8)
+
+# sentences assembled from gazetteer surfaces, particles, and filler
+_PARTICLES = ["은", "는", "이", "가", "을", "를", "에", "에서", "의"]
+sentence = st.lists(
+    st.one_of(
+        st.sampled_from(_SURFACES),
+        st.builds(lambda s, p: s + p,
+                  st.sampled_from(_SURFACES), st.sampled_from(_PARTICLES)),
+        hangul),
+    min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(hangul)
+def test_jamo_roundtrip(s):
+    assert from_jamo(to_jamo(s)) == s
+
+
+@settings(max_examples=100, deadline=None)
+@given(sentence)
+def test_restore_roundtrip(text):
+    toks = tokenize(text, _LEX)
+    # restore reproduces the whitespace-normalized original
+    assert restore_surface(toks) == " ".join(text.split())
+
+
+@settings(max_examples=100, deadline=None)
+@given(sentence)
+def test_token_offsets_cover_words(text):
+    toks = tokenize(text, _LEX)
+    for t in toks:
+        assert 0 <= t["begin"] <= t["end"] <= len(text)
+    # space indexes are non-decreasing and within the eojeol count
+    spaces = [t["space"] for t in toks]
+    assert spaces == sorted(spaces)
+    assert not toks or spaces[-1] < len(text.split())
+
+
+@settings(max_examples=60, deadline=None)
+@given(sentence)
+def test_engine_matches_pyref_on_arbitrary_sentences(text):
+    """The optimized AC-replay engine and the naive per-entry oracle
+    must agree on ANY sentence, not just the fixture corpus."""
+    toks = tokenize(text, _LEX)
+    parsed, _ = ner_parse(toks, _GAZ)
+    engine = [(w, lg, sm) for w, pos, lg, sm in parsed if pos == "ner"]
+    assert engine == pyref_ners(text, _ROWS)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                max_size=8),
+       st.integers(1, 32))
+def test_merge_runs_equals_bruteforce(spans, n):
+    class M:
+        def __init__(self, s, e):
+            self.start, self.end = s, e
+    ms = [M(min(s, e), max(s, e)) for s, e in spans
+          if min(s, e) < n]
+    for m in ms:
+        m.end = min(m.end, n)
+    got = merge_runs(ms, n)
+    bitmap = [0] * n
+    for m in ms:
+        for i in range(m.start, m.end):
+            bitmap[i] = 1
+    want, s = [], None
+    for i, v in enumerate(bitmap):
+        if v and s is None:
+            s = i
+        if not v and s is not None:
+            want.append((s, i - 1))
+            s = None
+    if s is not None:
+        want.append((s, n - 1))
+    assert got == want
