@@ -393,6 +393,34 @@ def q30_rollup(spark, sf_dir):
                  F.grouping_id().cast("int").alias("gid")))
 
 
+def q31_asof_join(spark, sf_dir):
+    """Directional as-of join (the time-series complement of q05's
+    symmetric nearest join): for each error event, the most recent
+    click of the same user AT OR BEFORE it."""
+    ev = _load(spark, sf_dir, "events")
+    err = (ev.filter("event_type = 'error'")
+           .select("user_id", "event_id", _MINUTE(F.col("ts")).alias("pos")))
+    clk = (ev.filter("event_type = 'click'")
+           .select("user_id", F.col("event_id").alias("click_id"),
+                   _MINUTE(F.col("ts")).alias("cpos")))
+    j = err.join(clk, "user_id").where(F.col("cpos") <= F.col("pos"))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("cpos").desc(), F.col("click_id").desc())
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1").select("event_id", "click_id"))
+
+
+def q32_trailing_window(spark, sf_dir):
+    """RANGE-frame window (value-based, vs q09's ROWS frame): events
+    per user in the trailing 30 minutes including the current one."""
+    ev = _load(spark, sf_dir, "events")
+    m = ev.select("user_id", "event_id", _MINUTE(F.col("ts")).alias("m"))
+    w = (Window.partitionBy("user_id").orderBy(F.col("m").asc())
+         .rangeBetween(-30, 0))
+    return m.select("event_id",
+                    F.count("*").over(w).alias("n_trailing"))
+
+
 def q27_neardup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (iterative min-label
     join loop with localCheckpoint truncation) over the jaccard
@@ -484,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_sessionize": q28_sessionize,
         "q29_ann_ivf": q29_ann_ivf,
         "q30_rollup": q30_rollup,
+        "q31_asof_join": q31_asof_join,
+        "q32_trailing_window": q32_trailing_window,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -706,6 +736,27 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "q26_embedding_neardup": _embedding_neardup_sql(),
+        "q31_asof_join": f"""
+            WITH e AS (SELECT event_id, user_id, {minute.format(c='ts')} AS pos
+                       FROM events WHERE event_type = 'error'),
+            c AS (SELECT event_id AS click_id, user_id,
+                         {minute.format(c='ts')} AS cpos
+                  FROM events WHERE event_type = 'click'),
+            j AS (SELECT e.event_id, c.click_id,
+                         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                             ORDER BY c.cpos DESC, c.click_id DESC) AS rn
+                  FROM e JOIN c ON e.user_id = c.user_id
+                  WHERE c.cpos <= e.pos)
+            SELECT event_id, click_id FROM j WHERE rn = 1
+        """,
+        "q32_trailing_window": f"""
+            SELECT event_id,
+                   count(*) OVER (PARTITION BY user_id
+                        ORDER BY {minute.format(c='ts')}
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+                   AS n_trailing
+            FROM events
+        """,
         "q29_ann_ivf": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             cents AS (SELECT vec_id AS cell_id, embedding AS cent
