@@ -52,7 +52,11 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     shingle counts.  Self-join on shingle — the shingle key is
     high-cardinality so the shuffle is balanced; min_shared prunes the
     long tail before the pair aggregate."""
-    sh = shingles(df, text_col, id_col, k)
+    # the shingle table feeds three subplans (both self-join sides +
+    # the per-doc sizes); persist materializes the explode once — the
+    # DataFrame analogue of a materialized CTE (ContextCleaner evicts
+    # the blocks when the plan is GC'd)
+    sh = shingles(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -93,7 +97,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     self-join on band_key only.  At 100 TB this is the all-pairs-free
     path: cost is O(docs x bands), never O(docs^2)."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n_hashes)
+    # both sides of the band self-join read the signature table
+    sig = minhash_signatures(df, text_col, id_col, k, n_hashes).persist()
     # ONE projection emits every band key (array of structs + explode):
     # a per-band union would re-execute the signature aggregation once
     # per band
