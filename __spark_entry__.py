@@ -34,6 +34,18 @@ N_KG_DOCS = 400  # deterministic corpus size for kg_* queries
 # mention detection with a SQL-checkable whitespace tokenizer)
 MINI_GAZ = ["hash join", "table scan", "window agg", "spark", "query"]
 
+# sign-LSH target band-bucket population: bits per band =
+# ceil(log2(n_vectors / LSH_TARGET_BUCKET)), so bucket size (and with
+# it per-bucket self-join work) stays ~constant as the corpus grows
+LSH_TARGET_BUCKET = 64
+LSH_BANDS = 4
+
+# shingle document-frequency cap for the exact-jaccard path (q16):
+# bounds self-join fan-out per shingle key at MAX_SH_DF^2 at ANY corpus
+# size; chosen so sf0.01 results are identical to uncapped (verified)
+# while sf0.1's stopword trigrams get pruned
+MAX_SH_DF = 256
+
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -248,9 +260,14 @@ def q15_exact_dedup(spark, sf_dir):
 
 
 def q16_jaccard_pairs(spark, sf_dir):
+    """Exact capped-Jaccard pairs: shingles appearing in > MAX_SH_DF
+    documents are dropped BEFORE the self-join, bounding per-key join
+    fan-out at MAX_SH_DF^2 regardless of corpus size (the 100 TB guard
+    against stopword-trigram hot keys)."""
     from python_mecab_ner_spark.operators.dedup import jaccard_pairs
     d = _loadp(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2)
+    return jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2,
+                         max_df=MAX_SH_DF)
 
 
 def q17_lsh_pairs(spark, sf_dir):
@@ -291,13 +308,16 @@ def q20_ann_bruteforce(spark, sf_dir):
 
 
 def q21_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN (the scale path): top-10 within the query's
-    bucket of the first 8 dimension signs."""
+    """Banded sign-LSH ANN (the scale path): top-10 among vectors
+    colliding with the query in ANY of 4 bands; bits per band are
+    CORPUS-SCALED (ceil(log2(n / target_bucket))) so candidate count
+    stays ~constant per probe at any corpus size."""
     from python_mecab_ner_spark.operators.ann import bucketed_topk
     e = _load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             e.filter("vec_id = 0").select("embedding").first()[0]]
-    return bucketed_topk(e, qvec, k=10, b=8)
+    return bucketed_topk(e, qvec, k=10, n_bands=4,
+                         target_bucket_size=LSH_TARGET_BUCKET)
 
 
 def q22_salt_distribution(spark, sf_dir):
@@ -353,11 +373,13 @@ def q25_frame_sample(spark, sf_dir):
 
 
 def q26_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via sign-LSH bucket self-join
-    (the dedup family's ANN member; output pairs are float-free)."""
+    """Embedding-cosine near-dup pairs via banded corpus-scaled
+    sign-LSH self-join (the dedup family's ANN member; output pairs are
+    float-free; membership gated on a bit-stable rounded cosine)."""
     from python_mecab_ner_spark.operators.ann import embedding_neardup_pairs
     e = _loadp(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.4, b=8)
+    return embedding_neardup_pairs(e, threshold=0.4, n_bands=4,
+                                   target_bucket_size=LSH_TARGET_BUCKET)
 
 
 def q28_sessionize(spark, sf_dir):
@@ -423,13 +445,17 @@ def q32_trailing_window(spark, sf_dir):
 
 def q27_neardup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (iterative min-label
-    join loop with localCheckpoint truncation) over the jaccard
-    candidate pairs; cluster id = min doc_id of the component."""
+    join loop with localCheckpoint truncation) over LSH-verified pairs
+    — candidates come from the banded-LSH join (O(docs x bands), no
+    shingle-keyed self-join anywhere in the plan), then only the
+    candidates get exact shingle-intersection verification; cluster
+    id = min doc_id of the component."""
     from python_mecab_ner_spark.operators.canonicalize import \
         connected_components
-    from python_mecab_ner_spark.operators.dedup import jaccard_pairs
+    from python_mecab_ner_spark.operators.dedup import lsh_verified_pairs
     d = _loadp(spark, sf_dir, "documents")
-    pairs = (jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2)
+    pairs = (lsh_verified_pairs(d, "text", "doc_id", k=3, n_hashes=8,
+                                bands=4, min_shared=2)
              .select(F.col("doc_a").alias("a_id"),
                      F.col("doc_b").alias("b_id")))
     nodes = (pairs.select(F.col("a_id").alias("entity_id"))
@@ -657,11 +683,15 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY 1
         """,
-        "q16_jaccard_pairs": shingle_cte + """
-            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        "q16_jaccard_pairs": shingle_cte + f"""
+            , keep AS (SELECT shingle FROM sh
+                       GROUP BY shingle HAVING count(*) <= {MAX_SH_DF}),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                    JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
             pairs AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT doc_a, doc_b, inter,
                    sa.n_sh + sb.n_sh - inter AS uni
@@ -809,15 +839,25 @@ def oracle_sql() -> dict[str, str]:
                    max(m) AS session_end, count(*) AS n_events
             FROM s GROUP BY 1, 2
         """,
-        # connected components as a recursive CTE: transitive closure
-        # then min reachable id per node (the Spark side's iterative
-        # min-label propagation converges to the same fixpoint)
+        # connected components as a recursive CTE over LSH-VERIFIED
+        # pairs: candidates from the banded minhash join (q17's exact
+        # machinery composed), exact shingle-intersection verification
+        # of the candidates only, transitive closure, min reachable id
+        # per node (the Spark side's iterative min-label propagation
+        # converges to the same fixpoint)
         "q27_neardup_clusters": shingle_cte.replace(
-            "WITH t AS", "WITH RECURSIVE t AS", 1) + """
-            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            "WITH t AS", "WITH RECURSIVE t AS", 1) + f"""
+            , sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+            banded AS ({band_keys}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
             p0 AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
               GROUP BY 1, 2),
             pairs AS (SELECT doc_a, doc_b FROM p0 WHERE inter >= 2),
             edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -845,34 +885,59 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+# corpus-scaled bits per band (twin of operators.ann.adaptive_bits):
+# log2 of an exact power of two is IEEE-exact, so ceil agrees across
+# engines; band b, bit i (1-based) reads dim b + (i-1)*n_bands + 1
+_BITS_CTE = (f"p AS (SELECT greatest(1, least(16, CAST(ceil(log2(greatest("
+             f"count(*), 1) / {LSH_TARGET_BUCKET}.0)) AS INT))) AS bits "
+             f"FROM embeddings)")
+_BAND_IDX_VALUES = ", ".join(f"({b})" for b in range(LSH_BANDS))
+
+
+def _band_key_sql(emb: str) -> str:
+    return (f"CAST(coalesce(list_sum(list_transform(range(1, bits + 1), "
+            f"i -> CASE WHEN {emb}[band_idx + (i - 1) * {LSH_BANDS} + 1] >= 0 "
+            f"THEN 1 << (i - 1) ELSE 0 END)), 0) AS INT)")
+
+
 def _embedding_neardup_sql() -> str:
-    bucket_bits = " + ".join(
-        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
-        for i in range(8))
+    # double-cast embeddings + 6-dp rounded threshold comparison: the
+    # exact twin of operators.ann.embedding_neardup_pairs' bit-stable
+    # membership gate; candidates from the banded corpus-scaled LSH
     return f"""
-        WITH b AS (SELECT vec_id, embedding,
-                          {bucket_bits} AS bucket
-                   FROM embeddings)
-        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
-        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-        WHERE list_cosine_similarity(a.embedding, c.embedding) >= 0.4
+        WITH {_BITS_CTE},
+        banded AS (
+          SELECT vec_id, {_band_key_sql('embedding')} AS band_key, band_idx
+          FROM embeddings, p, (VALUES {_BAND_IDX_VALUES}) b(band_idx)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM banded a JOIN banded c
+            ON a.band_idx = c.band_idx AND a.band_key = c.band_key
+           AND a.vec_id < c.vec_id)
+        SELECT vec_a, vec_b
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = vec_a
+        JOIN embeddings eb ON eb.vec_id = vec_b
+        WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]), 6) >= 0.4
     """
 
 
 def _ann_lsh_sql() -> str:
-    qbucket_bits = " + ".join(
-        f"CASE WHEN qe[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(8))
-    ebucket_bits = " + ".join(
-        f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END"
-        for i in range(8))
+    # multi-probe twin of operators.ann.bucketed_topk: candidates
+    # collide with the query in ANY band; bits are corpus-scaled
     return f"""
-        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        qb AS (SELECT qe, {qbucket_bits} AS qbucket FROM q),
-        cand AS (SELECT vec_id, embedding, qe,
-                        {ebucket_bits} AS bucket, qbucket
-                 FROM embeddings, qb)
-        SELECT vec_id FROM cand
-        WHERE bucket = qbucket
+        WITH {_BITS_CTE},
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qb AS (SELECT band_idx, {_band_key_sql('qe')} AS band_key
+               FROM q, p, (VALUES {_BAND_IDX_VALUES}) b(band_idx)),
+        eb AS (SELECT vec_id, embedding, band_idx,
+                      {_band_key_sql('embedding')} AS band_key
+               FROM embeddings, p, (VALUES {_BAND_IDX_VALUES}) b(band_idx)),
+        cand AS (SELECT DISTINCT e.vec_id, e.embedding
+                 FROM eb e JOIN qb
+                   ON e.band_idx = qb.band_idx AND e.band_key = qb.band_key)
+        SELECT vec_id FROM cand, q
         ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
         LIMIT 10
     """

@@ -78,8 +78,12 @@ def _rows_from_ner_path(ner_path: str):
             line = raw.strip()
             if not line:
                 continue
-            if line.startswith("#"):
-                small = line.lstrip("#").strip()
+            if "#" in line:
+                # reference read_category treats '#' ANYWHERE in the
+                # line as a small-category header (`SMALL_CAT_DIVIDER
+                # in word`, mecab_reader.py:177); the header value has
+                # every '#' removed (mecab_ner.py:249,253 semantics)
+                small = line.replace("#", "").strip()
                 continue
             surface = line.split(",")[0]
             rows.append((large, small, surface, extracted_text(surface)))

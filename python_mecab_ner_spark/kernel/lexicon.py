@@ -228,12 +228,16 @@ def load_gazetteer_rows(path: str | Path = GAZETTEER_TSV):
     p = Path(path)
     if p.is_file():
         text = p.read_text(encoding="utf-8")
-    else:
-        # zipimport (spark-submit --py-files pkg.zip): the package data
-        # is only reachable through importlib.resources
+    elif p == Path(GAZETTEER_TSV):
+        # zipimport (spark-submit --py-files pkg.zip): the DEFAULT
+        # package data is only reachable through importlib.resources;
+        # an explicit (non-default) missing path must raise, never
+        # silently load the bundled copy
         from importlib import resources
         text = (resources.files("python_mecab_ner_spark") / "data"
                 / "gazetteer.tsv").read_text(encoding="utf-8")
+    else:
+        raise FileNotFoundError(f"gazetteer tsv not found: {path}")
     lines = text.splitlines()
     assert lines and lines[0].startswith("large\t")
     rows = []

@@ -59,6 +59,43 @@ def sign_lsh_buckets(df: DataFrame, b: int = 8,
     return df.withColumn("bucket", bucket.cast("int"))
 
 
+def adaptive_bits(n_vectors: int, target_bucket_size: int = 64,
+                  max_bits: int = 16) -> int:
+    """Corpus-scaled LSH width: b = ceil(log2(n / target_bucket_size)),
+    clamped to [1, max_bits].  A FIXED b means bucket population grows
+    linearly with the corpus and the within-bucket self-join trends
+    O(n^2 / 2^b); scaling b with n keeps expected bucket size at
+    target_bucket_size, so per-bucket work is constant at any corpus
+    size (the same move the MinHash band path makes implicitly)."""
+    import math
+    return max(1, min(max_bits,
+                      math.ceil(math.log2(max(1.0, n_vectors / target_bucket_size)))))
+
+
+def _band_key(emb_col, band: int, bits: int, n_bands: int):
+    """Sign bits of STRIDED dims (band b, bit i -> dim b + i*n_bands):
+    bands stay independent for any bits <= dim/n_bands."""
+    return sum((F.when(F.element_at(emb_col, band + i * n_bands + 1) >= 0,
+                       F.lit(1 << i)).otherwise(F.lit(0)) for i in range(bits)),
+               F.lit(0)).cast("int")
+
+
+def banded_sign_buckets(df: DataFrame, bits: int, n_bands: int = 4,
+                        emb_col: str = "embedding") -> DataFrame:
+    """(id cols..., band_idx, band_key): one row per (vector, band).
+    Multi-band sign-LSH — a pair is a candidate if it collides in ANY
+    band, which recovers the recall a single wide bucket loses while
+    keeping per-band bucket size ~n/2^bits."""
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band_idx"),
+                 _band_key(F.col(emb_col), b, bits, n_bands).alias("band_key"))
+        for b in range(n_bands)])
+    return (df.select("*", F.explode(bands).alias("_bk"))
+            .withColumn("band_idx", F.col("_bk.band_idx"))
+            .withColumn("band_key", F.col("_bk.band_key"))
+            .drop("_bk"))
+
+
 def _pair_cosine(a_col, b_col):
     """Cosine between two embedding columns (codegen-side: zip_with dot
     + aggregate norms, accumulated in double)."""
@@ -68,37 +105,72 @@ def _pair_cosine(a_col, b_col):
 
 
 def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4,
-                            b: int = 8, id_col: str = "vec_id",
+                            bits: int | None = None, n_bands: int = 4,
+                            target_bucket_size: int = 64,
+                            id_col: str = "vec_id",
                             emb_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate candidate pairs (the dedup
-    family's ANN member): sign-LSH bucket both sides, self-join on the
-    bucket key only, keep pairs with cosine >= threshold.
+    family's ANN member): banded sign-LSH both sides, self-join on
+    (band_idx, band_key) only, distinct pairs, keep cosine >= threshold.
 
-    The bucket join is the 100 TB path — the shuffle key is the
-    bucket, pair work is O(sum over buckets of n_b^2), never global
-    O(n^2); recall is traded per LSH bits b, with the within-bucket
-    cosine exact."""
-    bucketed = sign_lsh_buckets(df.select(id_col, emb_col), b, emb_col)
-    a = bucketed.alias("a")
-    c = bucketed.alias("c")
-    return (a.join(c, on="bucket")
+    The band join is the 100 TB path — bits is CORPUS-SCALED
+    (adaptive_bits: ceil(log2(n / target_bucket_size))) so expected
+    band-bucket population stays ~target_bucket_size at any corpus
+    size; pair work is O(n_bands x n x target), linear in n, never the
+    O(n^2/2^b) a fixed-width bucket decays to.  Multi-band union
+    recovers the recall a single wide bucket loses.
+
+    The threshold gates PAIR MEMBERSHIP (not just ordering), so the
+    cosine must be bit-stable across engines: embeddings are cast to
+    double BEFORE the dot/norms (both engines then accumulate the same
+    doubles left-to-right) and the comparison uses a 6-dp rounded
+    cosine so any residual last-ulp divergence cannot flip a row."""
+    if bits is None:
+        bits = adaptive_bits(df.count(), target_bucket_size)
+    dbl = F.transform(F.col(emb_col), lambda x: x.cast("double"))
+    banded = banded_sign_buckets(df.select(id_col, emb_col), bits, n_bands,
+                                 emb_col)
+    a = banded.alias("a")
+    c = banded.alias("c")
+    cand = (a.join(c, on=["band_idx", "band_key"])
             .where(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
-            .where(_pair_cosine(F.col(f"a.{emb_col}"),
-                                F.col(f"c.{emb_col}")) >= threshold)
             .select(F.col(f"a.{id_col}").alias("vec_a"),
-                    F.col(f"c.{id_col}").alias("vec_b")))
+                    F.col(f"c.{id_col}").alias("vec_b"))
+            .distinct())
+    emb = df.select(F.col(id_col), dbl.alias(emb_col))
+    return (cand
+            .join(emb.select(F.col(id_col).alias("vec_a"),
+                             F.col(emb_col).alias("_ea")), on="vec_a")
+            .join(emb.select(F.col(id_col).alias("vec_b"),
+                             F.col(emb_col).alias("_eb")), on="vec_b")
+            .where(F.round(_pair_cosine(F.col("_ea"), F.col("_eb")), 6)
+                   >= threshold)
+            .select("vec_a", "vec_b"))
 
 
-def bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10, b: int = 8,
+def bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10,
+                  bits: int | None = None, n_bands: int = 4,
+                  target_bucket_size: int = 64,
                   id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """ANN top-k restricted to the query's sign-LSH bucket.  The bucket
-    predicate is a plain filter -> partition-prunable when the table is
-    written partitioned/bucketed by `bucket`."""
-    qbucket = 0
-    for i in range(b):
-        if qvec[i] >= 0:
-            qbucket |= 1 << i
-    cand = sign_lsh_buckets(df, b, emb_col).filter(F.col("bucket") == qbucket)
+    """ANN top-k over the query's banded sign-LSH candidates: vectors
+    colliding with the query in ANY band (multi-probe recall), exact
+    cosine top-k among them.  The band predicates are plain filters ->
+    partition-prunable when the table is written partitioned by a band
+    key; candidate count stays ~n_bands x target_bucket_size at any
+    corpus size because bits is corpus-scaled."""
+    if bits is None:
+        bits = adaptive_bits(df.count(), target_bucket_size)
+    preds = []
+    for band in range(n_bands):
+        qkey = 0
+        for i in range(bits):
+            if qvec[band + i * n_bands] >= 0:
+                qkey |= 1 << i
+        preds.append(_band_key(F.col(emb_col), band, bits, n_bands) == qkey)
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = pred | p
+    cand = df.filter(pred)
     scored = cand.select(F.col(id_col),
                          cosine_to(F.col(emb_col), qvec).alias("cos"))
     return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())

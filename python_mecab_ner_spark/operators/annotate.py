@@ -28,8 +28,11 @@ from .schemas import annotated_schema
 _GAZ_CACHE: dict = {}
 
 
-def _executor_gazetteer(rows_bc, search_category) -> CompiledGazetteer:
-    key = (id(rows_bc), tuple(search_category) if search_category else None)
+def _executor_gazetteer(rows_bc, bc_id, search_category) -> CompiledGazetteer:
+    # keyed by Spark's monotonically increasing broadcast id (resolved
+    # driver-side in annotate_pages) — NOT id(rows_bc), which CPython
+    # can reuse after GC and silently alias two different broadcasts
+    key = (bc_id, tuple(search_category) if search_category else None)
     gaz = _GAZ_CACHE.get(key)
     if gaz is None:
         gaz = CompiledGazetteer(rows_bc.value, search_category)
@@ -47,11 +50,12 @@ def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
     """
     schema = annotated_schema(with_tokens)
     cols = [c for c in ("url", "warc_ts", "text", "lang") if c in pages_df.columns]
+    bc_id = gazetteer_rows_bc._jbroadcast.id()  # stable unique cache key
 
     def process(batches):
         from ..kernel.matcher import find_mentions, infer_extend, ner_spans
         lex = default_lexicon()
-        gaz = _executor_gazetteer(gazetteer_rows_bc, search_category)
+        gaz = _executor_gazetteer(gazetteer_rows_bc, bc_id, search_category)
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
             for row in pdf.itertuples(index=False):

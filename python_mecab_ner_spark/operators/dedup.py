@@ -31,32 +31,58 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count")))
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+             max_df: int | None = None) -> DataFrame:
     """Word k-gram shingle set per document: (id, shingle) distinct rows.
 
     transform+slice over the split array stays in codegen; explode is
     the only row-multiplier.
+
+    max_df: drop shingles appearing in more than max_df documents (the
+    standard stopword-shingle cap).  A web corpus's most common trigram
+    appears in a large fraction of ALL documents, so any downstream
+    self-join on the shingle key has O(df^2) fan-out per key — the cap
+    bounds per-key work by max_df^2 REGARDLESS of corpus size, which is
+    what makes the exact-jaccard path survive a 100x scale-up.  Cost:
+    one extra count aggregate + left-semi join, both keyed by the
+    high-cardinality shingle (map-side combinable, no skew).
     """
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     n = F.size(toks)
     idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.array_distinct(sh)).alias("shingle"))
-            .where(F.col("shingle") != ""))
+    out = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.array_distinct(sh)).alias("shingle"))
+           .where(F.col("shingle") != ""))
+    if max_df is not None:
+        keep = (out.groupBy("shingle")
+                .agg(F.count("*").alias("sh_df"))
+                .where(F.col("sh_df") <= max_df)
+                .select("shingle"))
+        out = out.join(keep, "shingle", "left_semi")
+    return out
 
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                  k: int = 3, min_shared: int = 2) -> DataFrame:
+                  k: int = 3, min_shared: int = 2,
+                  max_df: int | None = None) -> DataFrame:
     """Near-dup candidate pairs with integer (intersection, union)
-    shingle counts.  Self-join on shingle — the shingle key is
-    high-cardinality so the shuffle is balanced; min_shared prunes the
-    long tail before the pair aggregate."""
+    shingle counts over the (optionally DF-capped) shingle sets.
+
+    With max_df set, intersection AND union are both computed over the
+    capped sets (self-consistent capped-Jaccard): dropping a shingle
+    that appears in >max_df documents changes no true near-dup verdict
+    for sane caps, and bounds the self-join fan-out per shingle key at
+    max_df^2 — the 100 TB-safe shape.  Without a cap the self-join is
+    exact but its hottest key grows with the corpus; prefer
+    lsh_verified_pairs at scale."""
     # the shingle table feeds three subplans (both self-join sides +
     # the per-doc sizes); persist materializes the explode once — the
-    # DataFrame analogue of a materialized CTE (ContextCleaner evicts
-    # the blocks when the plan is GC'd)
-    sh = shingles(df, text_col, id_col, k).persist()
+    # DataFrame analogue of a materialized CTE.  NOTE Dataset.persist
+    # registers in the SQL CacheManager and is pinned until explicit
+    # unpersist/clearCache; callers that loop over many corpora should
+    # unpersist via the returned plan's .unpersist_input handle below.
+    sh = shingles(df, text_col, id_col, k, max_df=max_df).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -72,6 +98,7 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
              .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
              .where(F.col("inter") >= min_shared)
              .select("doc_a", "doc_b", "inter", "uni"))
+    pairs.unpersist_input = sh.unpersist  # session-cache release hook
     return pairs
 
 
@@ -113,11 +140,53 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
               .select("doc_id", F.col("bk.band_idx").alias("band_idx"),
                       F.col("bk.band_key").alias("band_key")))
     a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, on=["band_idx", "band_key"])
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    out = (a.join(b, on=["band_idx", "band_key"])
+           .where(F.col("a.doc_id") < F.col("b.doc_id"))
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b"))
+           .distinct())
+    # persist pins blocks in the SQL CacheManager until explicitly
+    # released; expose the handle for callers that loop over corpora
+    out.unpersist_input = sig.unpersist
+    return out
+
+
+def lsh_verified_pairs(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3, n_hashes: int = 8, bands: int = 4,
+                       min_shared: int = 2) -> DataFrame:
+    """The 100 TB near-dup pair path: banded-LSH candidate generation
+    (O(docs x bands), never all-pairs) + EXACT shingle-intersection
+    verification of the candidates only.
+
+    Verification is relational: candidates join the shingle table once
+    per side on the document id (high-cardinality key, candidate set is
+    LSH-bounded), so per-pair work is O(|smaller shingle set|) and no
+    shingle-keyed self-join ever exists in the plan — the q16-style
+    hot-shingle quadratic key is structurally absent.
+
+    Output: (doc_a, doc_b, inter, uni) for candidates with
+    inter >= min_shared — same schema/semantics as jaccard_pairs
+    restricted to the LSH candidate set.
+    """
+    cand = lsh_candidate_pairs(df, text_col, id_col, k, n_hashes, bands)
+    sh = shingles(df, text_col, id_col, k).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (cand
+             .join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+             .join(sh.alias("sb"),
+                   (F.col("doc_b") == F.col("sb.doc_id"))
+                   & (F.col("sa.shingle") == F.col("sb.shingle")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    out = (inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                      .withColumnRenamed("n_sh", "n_a"), on="doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_sh", "n_b"), on="doc_b")
+           .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+           .where(F.col("inter") >= min_shared)
+           .select("doc_a", "doc_b", "inter", "uni"))
+    out.unpersist_input = sh.unpersist
+    return out
 
 
 def simhash64(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> DataFrame:

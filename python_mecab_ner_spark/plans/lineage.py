@@ -60,6 +60,8 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
     """
     inp = with_part_key(input_df, key_col, n_parts)
     done = completed_parts(spark, out_dir, stage)
+    done_set: set[int] = (set() if done is None else
+                          {r[0] for r in done.collect()})  # <= n_parts rows
     todo = inp if done is None else inp.join(done, "part_key", "left_anti")
 
     t0 = time.time()
@@ -71,14 +73,20 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
         (out.write.mode("overwrite").partitionBy("part_key")
          .parquet(_data_path(out_dir, stage)))
         wall_ms = int((time.time() - t0) * 1000)
+        # the stage fn's plan executes exactly ONCE (the write above):
+        # newly completed part keys come from the written partition
+        # directories (a pure listing — part_key is a function of the
+        # input key, so every todo part materializes a dir), never from
+        # re-running `out`; the checksum pass below then reads back
+        # ONLY those dirs via partition pruning.
+        part_dirs = {
+            int(d.name.split("=", 1)[1])
+            for d in Path(_data_path(out_dir, stage)).iterdir()
+            if d.name.startswith("part_key=")}
+        new_parts = sorted(part_dirs - done_set)
         written = spark.read.parquet(_data_path(out_dir, stage))
-        new_manifest = (
-            out.select("part_key").distinct()
-            .join(written, "part_key", "left_semi")  # only parts just written
-        )
         manifest = (written
-                    .join(new_manifest.select("part_key").distinct(),
-                          "part_key", "left_semi")
+                    .filter(F.col("part_key").isin(new_parts))
                     .groupBy("part_key")
                     .agg(F.count("*").alias("rows_out"),
                          F.sum(F.conv(F.substring(F.md5(F.to_json(

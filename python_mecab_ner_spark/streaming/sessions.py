@@ -48,7 +48,15 @@ def stream_sessionize(events: DataFrame, gap: int = 30,
     scheduling empty timeout-check batches and an availableNow query
     never reaches termination (observed: ~1.5 s/batch forever); in
     drain mode idle sessions simply stay in the checkpointed state
-    until the next run's events or an always-on restart closes them."""
+    until the next run's events or an always-on restart closes them.
+
+    Late data: events are sorted within a micro-batch, but an event
+    arriving in a LATER batch may precede the open session's end.  Any
+    late event within gap of the open session merges via
+    (min(start, m), max(end, m)); a late event more than gap BEFORE the
+    open session still merges (documented divergence from the batch
+    twin, which would emit it as its own earlier session — resolving
+    that exactly would require buffering closed sessions per key)."""
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
@@ -74,7 +82,13 @@ def stream_sessionize(events: DataFrame, gap: int = 30,
                     closed.append((user, s, e, n))
                     s, e, n = m, m, 1
                 else:
-                    e, n = m, n + 1
+                    # min/max merge so a LATE event (m <= e, possible
+                    # across micro-batches even though each batch is
+                    # sorted) widens the open session instead of
+                    # corrupting it (shrinking session_end / inverting
+                    # start > end); in-order arrivals take e = m as
+                    # before
+                    s, e, n = min(s, m), max(e, m), n + 1
             if s is not None:
                 state.update((s, e, n))
                 if idle_timeout:

@@ -2,7 +2,8 @@
 queries() entry on Spark and its oracle_sql() twin on DuckDB, compare
 row count, column names, and an order-insensitive value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+(extra args restrict the run to those queries() keys)
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ def _norm(v) -> str:
     return str(v)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -53,6 +54,8 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -96,4 +99,5 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+                  sys.argv[2:] or None))

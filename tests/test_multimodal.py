@@ -89,27 +89,44 @@ def test_frame_sample_empty_blob(spark):
 
 
 def test_embedding_neardup_pairs(spark, sf_dir):
+    from python_mecab_ner_spark.operators.ann import adaptive_bits
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_neardup_pairs(e, threshold=0.4, b=8).collect()
+    pairs = embedding_neardup_pairs(e, threshold=0.4, n_bands=4).collect()
     assert all(p.vec_a < p.vec_b for p in pairs)
-    # verify against exact numpy cosine within the same buckets
+    # verify against exact numpy cosine within a numpy twin of the
+    # banded corpus-scaled LSH (strided dims, any-band collision)
     import numpy as np
     rows = e.select("vec_id", "embedding").collect()
     vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    bits, n_bands = adaptive_bits(len(vecs)), 4
 
-    def bucket(v):
-        return sum(1 << i for i in range(8) if v[i] >= 0)
+    def band_keys(v):
+        return tuple(
+            sum(1 << i for i in range(bits) if v[b + i * n_bands] >= 0)
+            for b in range(n_bands))
 
     want = set()
     items = sorted(vecs.items())
     for i, (ida, va) in enumerate(items):
         for idb, vb in items[i + 1:]:
-            if bucket(va) != bucket(vb):
+            if not any(x == y for x, y in zip(band_keys(va), band_keys(vb))):
                 continue
             cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
-            if cos >= 0.4:
+            if round(cos, 6) >= 0.4:
                 want.add((ida, idb))
     assert {(p.vec_a, p.vec_b) for p in pairs} == want
+
+
+def test_adaptive_bits_scales_with_corpus():
+    """Fixed-width LSH decays to O(n^2/2^b); the adaptive width must
+    grow ~log2(n) so expected bucket size stays at the target."""
+    from python_mecab_ner_spark.operators.ann import adaptive_bits
+    assert adaptive_bits(64) == 1          # floor
+    assert adaptive_bits(64 * 2 ** 5) == 5
+    assert adaptive_bits(64 * 2 ** 5 + 1) == 6   # ceil
+    assert adaptive_bits(10 ** 12) == 16   # clamp at max_bits
+    b1, b2 = adaptive_bits(10 ** 6), adaptive_bits(10 ** 8)
+    assert b2 > b1
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):

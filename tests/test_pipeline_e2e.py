@@ -57,3 +57,33 @@ def test_run_pipeline_resume(spark, tmp_path):
     m = metrics_table(spark, out)
     assert m.filter("stage = 'annotate'").count() == 8  # one row per part_key
     assert m.filter("rows_out <= 0").count() == 0
+
+
+def test_run_stage_executes_fn_once(spark, tmp_path):
+    """The stage fn's plan must execute exactly once (the write): the
+    manifest is derived from written partition dirs, never by
+    re-running the (expensive) stage DAG.  Counted via an accumulator
+    inside a mapInPandas in fn — with double-compute it would read
+    2x the input rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.plans.lineage import run_stage
+
+    acc = spark.sparkContext.accumulator(0)
+    n_rows = 40
+    inp = spark.range(n_rows).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * 2).alias("val"))
+
+    def fn(df):
+        def count_rows(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+        return df.mapInPandas(count_rows, schema=df.schema)
+
+    out = run_stage(spark, "s1", inp, fn, str(tmp_path / "once"),
+                    key_col="url", n_parts=4)
+    assert out.count() == n_rows
+    assert acc.value == n_rows, f"stage fn processed {acc.value} rows, expected {n_rows}"

@@ -58,6 +58,38 @@ def test_ann_topk_uses_take_ordered(spark, sf01):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_lsh_verified_pairs_has_no_shingle_selfjoin(spark, sf01):
+    """The scale-killer the round-1 audit flagged: q27's candidate
+    pairs must come from the banded-LSH join (band_key), never a raw
+    shingle = shingle self-join (O(df^2) fan-out on stopword
+    trigrams).  A shingle key may appear in a join only alongside a
+    doc-id key (the per-candidate verification join)."""
+    import re
+
+    from python_mecab_ner_spark.operators.dedup import lsh_verified_pairs
+    d = spark.read.parquet(f"{sf01}/documents.parquet")
+    plan = _plan(lsh_verified_pairs(d, "text", "doc_id"))
+    assert "band_key#" in plan, plan
+    # formatted explain renders each join's keys as
+    # "Left keys [k]: [...]": shingle must never be the SOLE key
+    sole_key_lines = re.findall(r"(?:Left|Right) keys \[1\]: \[[^\]]*\]", plan)
+    assert sole_key_lines, plan  # sanity: the band/size joins exist
+    for line in sole_key_lines:
+        assert "shingle#" not in line, f"shingle-only join key: {line}"
+    # and the verification join keys shingle TOGETHER with a doc id
+    multi = [l for l in re.findall(r"(?:Left|Right) keys \[2\]: \[[^\]]*\]", plan)
+             if "shingle#" in l]
+    assert all("doc" in l for l in multi), multi
+
+
+def test_q16_shingle_cap_in_plan(spark, sf01):
+    """q16's capped-jaccard must aggregate shingle document frequency
+    (the cap) before the self-join: two extra HashAggregates over
+    shingle + a LeftSemi appear in the plan."""
+    plan = _plan(entry.q16_jaccard_pairs(spark, sf01))
+    assert "LeftSemi" in plan, plan
+
+
 def test_annotate_stage_is_shuffle_free(spark):
     from python_mecab_ner_spark.operators.annotate import annotate_pages
     from python_mecab_ner_spark.sources.corpus import pages_dataframe

@@ -52,6 +52,32 @@ def test_sessions_close_across_batches(spark, tmp_path):
     assert got2 - got1 == {(1, 0, 5, 2)} and got1 <= got2
 
 
+def test_late_event_across_batches_merges(spark, tmp_path):
+    """A LATE event (earlier than the open session's end, arriving in a
+    later micro-batch) must widen the open session via min/max merge —
+    never shrink session_end or invert start/end."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("events", "out", "ckpt"))
+
+    # batch 1: open session for user 7 at minutes 50..60
+    spark.createDataFrame([(7, 50), (7, 60)], EVENTS_SCHEMA) \
+        .coalesce(1).write.parquet(src)
+    _run_stream(spark, src, out, ckpt)
+
+    # batch 2: late event at minute 55 (inside the open session) and a
+    # late-but-in-gap event at minute 40 (extends start backward); then
+    # minute 200 closes the session
+    spark.createDataFrame([(7, 55), (7, 40)], EVENTS_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _run_stream(spark, src, out, ckpt)
+    spark.createDataFrame([(7, 200)], EVENTS_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(src)
+    _run_stream(spark, src, out, ckpt)
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # merged session: start widened to 40, end stays 60, 4 events
+    assert got == {(7, 40, 60, 4)}
+
+
 def test_batch_twin_agrees(spark):
     """The closed sessions a full replay emits must match the batch
     sessionize operator (minus the trailing open session per user)."""
