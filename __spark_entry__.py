@@ -465,13 +465,90 @@ def q27_neardup_clusters(spark, sf_dir):
                      F.col("canonical_id").alias("cluster_id"))
 
 
+STAT_LABELS = ["spark", "query"]   # single-token labels for q33/q34
+STAT_TARGET = "join"               # the "homonym" word q34 disambiguates
+
+
+def _doc_context(spark, sf_dir):
+    """documents -> (url, idx, word, pos) whitespace-token context
+    (pos is a constant tag: the English corpus has no POS)."""
+    d = _loadp(spark, sf_dir, "documents")
+    return (d.select(F.col("doc_id").alias("url"),
+                     F.posexplode(F.split(F.lower(F.trim("text")), r"\s+"))
+                     .alias("idx", "word"))
+            .where("word <> ''")
+            .withColumn("pos", F.lit("W")))
+
+
+def q33_neighbor_stats(spark, sf_dir):
+    """The L5 stats aggregation (operators.linking.build_neighbor_stats
+    == reference set_mecab_token_storage neighbor_word counters) run on
+    the documents table: +-3-token neighbor counts around each
+    occurrence of the label words."""
+    from python_mecab_ner_spark.operators.linking import build_neighbor_stats
+    ctx = _doc_context(spark, sf_dir)
+    mentions = (ctx.where(F.col("word").isin(STAT_LABELS))
+                .select("url", F.col("idx").alias("start"),
+                        (F.col("idx") + 1).alias("end"),
+                        F.col("word").alias("large")))
+    return (build_neighbor_stats(ctx, mentions, window=3)
+            .select("label", "word", F.col("cnt").cast("bigint").alias("cnt")))
+
+
+def q34_context_argmax(spark, sf_dir):
+    """The homonym-disambiguation argmax (operators.linking
+    .add_neighbor_scores == reference delete_duplicate_value): for
+    every occurrence of the target word, pick the label whose learned
+    neighbor counters best explain the +-3 context (capped-product
+    score = exact-integer twin of the reference's log-smoothed sum;
+    ties broken label-asc)."""
+    from pyspark.sql import Window as W
+
+    from python_mecab_ner_spark.operators.linking import (
+        add_neighbor_scores, build_neighbor_stats)
+    ctx = _doc_context(spark, sf_dir)
+    mentions = (ctx.where(F.col("word").isin(STAT_LABELS))
+                .select("url", F.col("idx").alias("start"),
+                        (F.col("idx") + 1).alias("end"),
+                        F.col("word").alias("large")))
+    stats = build_neighbor_stats(ctx, mentions, window=3)
+    targets = (ctx.where(F.col("word") == STAT_TARGET)
+               .select("url", F.col("idx").alias("start"),
+                       (F.col("idx") + 1).alias("end")))
+    labels = spark.createDataFrame([(s,) for s in STAT_LABELS],
+                                   "n_label string")
+    cand = targets.crossJoin(F.broadcast(labels))
+    scored = add_neighbor_scores(cand, ctx, stats, window=3)
+    w = W.partitionBy("url", "start").orderBy(
+        F.col("n_score").desc(), F.col("n_label").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(F.col("url").alias("doc_id"),
+                    F.col("start").cast("bigint").alias("pos"),
+                    F.col("n_label").alias("best_label")))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
+
+_KG_GRAPHS: dict = {}
+
 
 def _kg_graph(spark, canonicalize=False):
     from python_mecab_ner_spark.plans.pipeline import extract_graph
     from python_mecab_ner_spark.sources.corpus import pages_dataframe
-    pages = pages_dataframe(spark, N_KG_DOCS, seed=42)
-    return extract_graph(spark, pages, canonicalize=canonicalize)
+    # memoized per session: the 5 kg_* queries share one graph build
+    # (extract_graph persists its annotate stage + linking working set,
+    # so rebuilding per query would stack duplicate cache entries)
+    key = (id(spark), canonicalize)
+    if key not in _KG_GRAPHS:
+        pages = pages_dataframe(spark, N_KG_DOCS, seed=42)
+        # kb_holdout_mod=20: the canonical KB lacks ~5% of detector
+        # aliases (deterministic hash holdout) — the KB-coverage-gap
+        # reality that exercises the inference end of the linking ladder
+        _KG_GRAPHS[key] = extract_graph(spark, pages,
+                                        canonicalize=canonicalize,
+                                        kb_holdout_mod=20)
+    return _KG_GRAPHS[key]
 
 
 def kg_triples_by_pred(spark, sf_dir):
@@ -540,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_rollup": q30_rollup,
         "q31_asof_join": q31_asof_join,
         "q32_trailing_window": q32_trailing_window,
+        "q33_neighbor_stats": q33_neighbor_stats,
+        "q34_context_argmax": q34_context_argmax,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -596,6 +675,27 @@ def oracle_sql() -> dict[str, str]:
         for i in range(16))
 
     mini_gaz_values = ", ".join(f"('{s}')" for s in MINI_GAZ)
+
+    stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
+    stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
+    # shared context/stats CTE chain for q33/q34 (twin of
+    # operators.linking.build_neighbor_stats over whitespace tokens)
+    stats_cte = f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                   FROM documents),
+        ctx AS (SELECT doc_id, unnest(w) AS word,
+                       generate_subscripts(w, 1) - 1 AS idx
+                FROM t),
+        c2 AS (SELECT * FROM ctx WHERE word <> ''),
+        m AS (SELECT doc_id, idx AS s, word AS label FROM c2
+              WHERE word IN ({stat_labels_in})),
+        nb AS (SELECT m.label, c.word FROM m JOIN c2 c
+                ON c.doc_id = m.doc_id
+               AND c.idx >= m.s - 3 AND c.idx < m.s + 1 + 3
+               AND c.idx <> m.s),
+        stats AS (SELECT label, word, count(*) AS cnt FROM nb GROUP BY 1, 2)
+    """
 
     return {
         "q01_pricing_summary": f"""
@@ -868,6 +968,38 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
             SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+        """,
+        "q33_neighbor_stats": stats_cte + """
+            SELECT label, word, CAST(cnt AS BIGINT) AS cnt FROM stats
+        """,
+        # capped-product argmax (exact-integer twin of the reference's
+        # log-smoothed neighbor sum; see kernel/stats.py docstring)
+        "q34_context_argmax": stats_cte + f"""
+            , tgt AS (SELECT doc_id, idx AS s FROM c2
+                      WHERE word = '{STAT_TARGET}'),
+            labels(n_label) AS (VALUES {stat_labels_values}),
+            wtok AS (SELECT g.doc_id, g.s, c.word FROM tgt g JOIN c2 c
+                      ON c.doc_id = g.doc_id
+                     AND c.idx >= g.s - 3 AND c.idx < g.s + 1 + 3
+                     AND c.idx <> g.s),
+            hits AS (SELECT w.doc_id, w.s, st.label AS n_label,
+                            least(st.cnt, 63) + 1 AS f
+                     FROM wtok w JOIN stats st ON st.word = w.word),
+            scores AS (SELECT doc_id, s, n_label, product(f) AS score
+                       FROM hits GROUP BY 1, 2, 3),
+            cand AS (SELECT g.doc_id, g.s, l.n_label,
+                            coalesce(sc.score, 1) AS score
+                     FROM tgt g CROSS JOIN labels l
+                     LEFT JOIN scores sc
+                       ON sc.doc_id = g.doc_id AND sc.s = g.s
+                      AND sc.n_label = l.n_label),
+            r AS (SELECT doc_id, s, n_label,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                             ORDER BY score DESC, n_label) AS rn
+                  FROM cand)
+            SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                   n_label AS best_label
+            FROM r WHERE rn = 1
         """,
         "q22_salt_distribution": f"""
             WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),

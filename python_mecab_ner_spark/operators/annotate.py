@@ -103,6 +103,17 @@ def mentions_table(annotated_df):
             .select("url", "m.start", "m.end", "m.surface", "m.large", "m.small"))
 
 
+def tokens_table(annotated_df):
+    """Exploded token context: (url, idx, word, pos) — the input of the
+    learned-statistics builds and the neighbor-evidence scoring
+    (requires annotate_pages(..., with_tokens=True))."""
+    from pyspark.sql import functions as F
+    return (annotated_df
+            .select("url", F.posexplode("tokens").alias("idx", "t"))
+            .select("url", "idx", F.col("t.word").alias("word"),
+                    F.col("t.pos").alias("pos")))
+
+
 def spans_table(annotated_df):
     from pyspark.sql import functions as F
     return (annotated_df

@@ -21,12 +21,29 @@ from ..functions.hashing import md5_int
 
 def build_vertices(linked_mentions: DataFrame, entities_df: DataFrame,
                    canonical: DataFrame | None = None) -> DataFrame:
-    """(entity_id, canonical, large, small) for every linked entity."""
-    v = (linked_mentions.where(F.col("entity_id").isNotNull())
-         .select("entity_id").distinct()
-         .join(F.broadcast(entities_df.select(
-             "entity_id", F.col("surface").alias("canonical"),
-             "large", "small")), "entity_id", "inner"))
+    """(entity_id, canonical, large, small) for every linked entity.
+    Level-4 (BRUTE) links target label pseudo-entities — those become
+    type-level vertices (canonical = the label, small = '*') so no
+    edge dangles."""
+    from ..operators.linking import label_entity_id
+    dict_v = (linked_mentions.where(F.col("entity_id").isNotNull()
+                                    & (F.col("link_level") < 4))
+              .select("entity_id").distinct()
+              .join(F.broadcast(entities_df.select(
+                  "entity_id", F.col("surface").alias("canonical"),
+                  "large", "small")), "entity_id", "inner"))
+    # label pseudo-ids -> (label) via the tiny label-id dimension
+    # (entity_id encodes the PREDICTED label, which can differ from
+    # the mention's own large)
+    label_dim = (entities_df.select(F.col("large").alias("canonical"))
+                 .distinct()
+                 .select(label_entity_id(F.col("canonical")).alias("entity_id"),
+                         "canonical", F.col("canonical").alias("large"),
+                         F.lit("*").alias("small")))
+    label_v = (linked_mentions.where(F.col("link_level") == 4)
+               .select("entity_id").distinct()
+               .join(F.broadcast(label_dim), "entity_id", "inner"))
+    v = dict_v.unionByName(label_v)
     if canonical is not None:
         v = (v.join(F.broadcast(canonical), "entity_id", "left")
              .withColumn("canonical_id",

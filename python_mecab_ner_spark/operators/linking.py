@@ -3,21 +3,41 @@
 Generalizes the reference's staged strict->loose->infer match ladder
 (NerExtractor.get_entity levels STRICT_CORE/LOOSE_CORE/PART_INFER/
 BRUTE_INFER, reference mecab_category_storage.py:19-22,481-532) into
-three broadcast-join passes of decreasing strictness, then the
-reference's rank-1-per-group homonym disambiguation
-(delete_duplicate_value, mecab_category_storage.py:39-63,619-656) as a
-deterministic window:
+FIVE passes of decreasing strictness, plus the reference's
+neighbor-evidence homonym disambiguation (delete_duplicate_value,
+mecab_category_storage.py:39-63,619-656) applied WITHIN the final
+rank-1 window:
 
-  level 0  exact surface equality
-  level 1  jamo-normalized equality (spacing/jamo variants)
-  level 2  shared-token evidence within the same large category,
-           scored by shared-token count (the counter-evidence checks
-           L8/L9 reduced to join cardinality)
+  level 0  STRICT    exact surface equality, same large category
+  level 1  LOOSE     jamo-normalized equality (spacing/jamo variants)
+  level 2  PART      shared-token evidence, same large category,
+                     scored by shared-token count (L8/L9 as joins)
+  level 3  NEIGHBOR  jamo-SUFFIX candidates across ALL categories
+                     (the compound-extension case: span 서울대병원 vs
+                     alias 병원), accepted only with positive
+                     +-3-neighbor evidence — the learned-statistics
+                     scoring of reference set_mecab_token_storage /
+                     delete_duplicate_value (:326-354, :39-63)
+  level 4  BRUTE     label-level inference: argmax over labels of the
+                     core-count sum in the [start-2, end+2) window
+                     (reference set_infer_ner brute branch, :534-595);
+                     links to the deterministic LABEL pseudo-entity
+                     md5('label:'+large) — the type-level-node
+                     fallback of KG construction
+  level 5  UNLINKED  entity_id NULL
 
-The entity dimension is tiny relative to the corpus -> F.broadcast on
-every pass; the only corpus-sized shuffle is the final per-mention
-window, keyed by (url, start, end) which is high-cardinality at any
-scale.
+Scores are the kernel/stats.py exact-integer family (capped product ==
+argmax twin of the reference's log-smoothed sum; see its docstring) so
+every scoring decision is bit-stable and SQL-expressible.
+
+Scale shape: the entity dimension is tiny relative to the corpus ->
+F.broadcast on every pass; neighbor stats are an aggregated (label,
+word, pos) table, also broadcast.  Context joins are keyed by url
+(high-cardinality) with per-url token counts bounded.  The expensive
+non-equi suffix join (level 3) and the brute scoring run only on the
+anti-joined REMAINDER of earlier levels, and in-window neighbor
+disambiguation only on spans with >1 candidate entity — at web scale
+both remainders are small fractions of the corpus.
 """
 
 from __future__ import annotations
@@ -28,8 +48,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import md5_int
+from ..kernel.stats import BRUTE_DISTANCE, NEIGHBOR_DISTANCE, SCORE_CAP
 
 MENTION_COLS = ["url", "start", "end", "surface", "large", "small"]
+OUT_COLS = MENTION_COLS + ["entity_id", "link_level", "link_score"]
+LEVEL_UNLINKED = 5
+SPAN_KEY = ["url", "start", "end"]
 
 
 def _jamo_key_udf(col):
@@ -53,11 +77,142 @@ def canonical_entities(gazetteer_df: DataFrame) -> DataFrame:
             .withColumn("jamo_key", _jamo_key_udf(F.col("surface"))))
 
 
-def link_mentions(mentions_df: DataFrame, entities_df: DataFrame) -> DataFrame:
+def label_entity_id(label_col):
+    """Deterministic pseudo-entity id for a label-level (type) node."""
+    return md5_int(F.concat(F.lit("label:"), label_col))
+
+
+def build_neighbor_stats(context_df: DataFrame, mentions_df: DataFrame,
+                         window: int = NEIGHBOR_DISTANCE) -> DataFrame:
+    """The L5 training aggregation (reference set_mecab_token_storage
+    neighbor_word, mecab_category_storage.py:347-353) as one groupBy
+    job: per label (large category), counts of (word, pos) context
+    tokens within +-window of a mention span, span-internal positions
+    excluded.
+
+    context_df: (url, idx, word, pos) exploded tokens;
+    mentions_df: (url, start, end, large).
+    Output (label, word, pos, cnt) — a small aggregate, broadcast to
+    every scoring pass (partial aggregation makes the build map-side
+    combinable; at 100 TB this is one linear pass)."""
+    m = mentions_df.select("url", "start", "end",
+                           F.col("large").alias("label"))
+    ctx = context_df.select("url", "idx", "word", "pos")
+    return (m.join(ctx, "url")
+            .where((F.col("idx") >= F.col("start") - window)
+                   & (F.col("idx") < F.col("end") + window)
+                   & ((F.col("idx") < F.col("start"))
+                      | (F.col("idx") >= F.col("end"))))
+            .groupBy("label", "word", "pos")
+            .agg(F.count("*").alias("cnt")))
+
+
+def build_core_stats(context_df: DataFrame, mentions_df: DataFrame) -> DataFrame:
+    """The L5 core_key_word aggregation (reference :339-345): per
+    label, counts of the mention's LAST (word, pos) token."""
+    m = mentions_df.select("url", (F.col("end") - 1).alias("idx"),
+                           F.col("large").alias("label"))
+    return (m.join(context_df.select("url", "idx", "word", "pos"),
+                   ["url", "idx"])
+            .groupBy("label", "word", "pos")
+            .agg(F.count("*").alias("cnt")))
+
+
+def _window_tokens(keyed: DataFrame, context_df: DataFrame,
+                   lo_off: int, hi_off: int, exclude_span: bool) -> DataFrame:
+    """keyed (url, start, end, ...) x context -> one row per context
+    token with idx in [start - lo_off, end + hi_off)."""
+    ctx = context_df.select("url", "idx",
+                            F.col("word").alias("c_word"),
+                            F.col("pos").alias("c_pos"))
+    j = (keyed.join(ctx, "url")
+         .where((F.col("idx") >= F.col("start") - lo_off)
+                & (F.col("idx") < F.col("end") + hi_off)))
+    if exclude_span:
+        j = j.where((F.col("idx") < F.col("start"))
+                    | (F.col("idx") >= F.col("end")))
+    return j
+
+
+def _stats_for_join(stats_df: DataFrame) -> DataFrame:
+    return stats_df.select(F.col("label").alias("s_label"),
+                           F.col("word").alias("c_word"),
+                           F.col("pos").alias("c_pos"),
+                           F.col("cnt").alias("s_cnt"))
+
+
+def neighbor_score_col():
+    """Capped-product factor: min(cnt, CAP) + 1 (kernel.stats twin)."""
+    return F.least(F.col("s_cnt"), F.lit(SCORE_CAP)) + F.lit(1)
+
+
+def add_neighbor_scores(cand: DataFrame, context_df: DataFrame,
+                        stats_df: DataFrame,
+                        window: int = NEIGHBOR_DISTANCE) -> DataFrame:
+    """cand (url, start, end, n_label, ...) -> + n_score bigint: the
+    capped-product neighbor score of the candidate's label over the
+    span's +-window context (floor 1 when no evidence).
+
+    Plan: window-token explode (url-keyed join), broadcast stats join
+    on (label, word, pos), product aggregate — the product stays exact
+    because factors are <= 64 over <= 2*window tokens (2^36 < 2^53)."""
+    keys = SPAN_KEY + ["n_label"]
+    base = cand.select(*keys).distinct()
+    toks = _window_tokens(base, context_df, window, window, True)
+    hits = toks.join(
+        F.broadcast(_stats_for_join(stats_df)
+                    .withColumnRenamed("s_label", "n_label")),
+        on=["n_label", "c_word", "c_pos"], how="inner")
+    scores = (hits.groupBy(*keys)
+              .agg(F.product(neighbor_score_col()).cast("bigint")
+                   .alias("n_score")))
+    return (cand.join(scores, keys, "left")
+            .withColumn("n_score", F.coalesce("n_score", F.lit(1))))
+
+
+def brute_link(unlinked: DataFrame, context_df: DataFrame,
+               core_stats_df: DataFrame,
+               window: int = BRUTE_DISTANCE) -> DataFrame:
+    """Level-4 BRUTE_INFER (reference set_infer_ner brute branch,
+    mecab_category_storage.py:577-581): label score = SUM of core
+    counts over the [start-2, end+2) window (span included, as in the
+    reference); argmax label with score > 0 links to the label
+    pseudo-entity.
+
+    Plan: window tokens join the broadcast core stats on (word, pos)
+    — every matching (token, label) pair scores at once, no
+    label cross-join — then sum per (span, label) and rank-1."""
+    base = unlinked.select(*MENTION_COLS)
+    toks = _window_tokens(base, context_df, window, window, False)
+    st = (core_stats_df.select(F.col("label").alias("b_label"),
+                               F.col("word").alias("c_word"),
+                               F.col("pos").alias("c_pos"),
+                               F.col("cnt").alias("s_cnt")))
+    scored = (toks.join(F.broadcast(st), ["c_word", "c_pos"], "inner")
+              .groupBy(*MENTION_COLS, "b_label")
+              .agg(F.sum("s_cnt").cast("bigint").alias("link_score"))
+              .where(F.col("link_score") > 0))
+    w = Window.partitionBy(*SPAN_KEY).orderBy(
+        F.col("link_score").desc(), F.col("b_label").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(*MENTION_COLS,
+                    label_entity_id(F.col("b_label")).alias("entity_id"),
+                    F.lit(4).alias("link_level"), "link_score"))
+
+
+def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
+                  context_df: DataFrame | None = None,
+                  neighbor_stats_df: DataFrame | None = None,
+                  core_stats_df: DataFrame | None = None) -> DataFrame:
     """mentions (url, start, end, surface, large, small) ->
     + (entity_id, link_level, link_score); unlinkable mentions keep
-    entity_id NULL at level 3."""
-    out_cols = MENTION_COLS + ["entity_id", "link_level", "link_score"]
+    entity_id NULL at level LEVEL_UNLINKED.
+
+    Without context/stats the ladder is levels 0-2 (+ NULL); with them
+    the full 6-level ladder runs and neighbor evidence disambiguates
+    multi-candidate spans inside the final window (the reference's
+    delete_duplicate_value as a rank-1 ordering key)."""
     ent = entities_df.select(
         F.col("entity_id").alias("e_id"),
         F.col("large").alias("e_large"),
@@ -70,12 +225,16 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame) -> DataFrame:
     l0 = (m.join(F.broadcast(ent),
                  (m.surface == F.col("alias")) & (m.large == F.col("e_large")))
           .select(*MENTION_COLS, F.col("e_id").alias("entity_id"),
-                  F.lit(0).alias("link_level"), F.lit(100).alias("link_score")))
+                  F.lit(0).alias("link_level"),
+                  F.lit(100).cast("bigint").alias("link_score"),
+                  F.col("e_large").alias("n_label")))
 
     l1 = (m.join(F.broadcast(ent),
                  (F.col("m_jamo") == F.col("e_jamo")) & (m.large == F.col("e_large")))
           .select(*MENTION_COLS, F.col("e_id").alias("entity_id"),
-                  F.lit(1).alias("link_level"), F.lit(50).alias("link_score")))
+                  F.lit(1).alias("link_level"),
+                  F.lit(50).cast("bigint").alias("link_score"),
+                  F.col("e_large").alias("n_label")))
 
     # level 2: shared-token evidence (token = whitespace word of the
     # surface), same large category
@@ -84,24 +243,83 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame) -> DataFrame:
              .select("e_id", "e_large", "tok"))
     l2 = (m_tok.join(F.broadcast(e_tok),
                      (m_tok.large == F.col("e_large")) & (m_tok.tok == e_tok.tok))
-          .groupBy(*MENTION_COLS, "e_id")
-          .agg(F.count("*").cast("int").alias("link_score"))
+          .groupBy(*MENTION_COLS, "e_id", "e_large")
+          .agg(F.count("*").cast("bigint").alias("link_score"))
           .select(*MENTION_COLS, F.col("e_id").alias("entity_id"),
-                  F.lit(2).alias("link_level"), "link_score"))
+                  F.lit(2).alias("link_level"), "link_score",
+                  F.col("e_large").alias("n_label")))
 
     candidates = l0.unionByName(l1).unionByName(l2)
+    with_stats = (context_df is not None and neighbor_stats_df is not None)
 
-    # rank-1 per mention: best level, then score, then stable id
-    w = Window.partitionBy("url", "start", "end").orderBy(
-        F.col("link_level").asc(), F.col("link_score").desc(),
-        F.col("entity_id").asc())
+    if with_stats:
+        # level 3 NEIGHBOR candidates: only for spans no earlier level
+        # touched — jamo-suffix aliases across categories; the floor
+        # filter below rejects candidates without neighbor evidence
+        un1 = (m.join(candidates.select(*SPAN_KEY).distinct(),
+                      SPAN_KEY, "left_anti"))
+        l3cand = (un1.join(F.broadcast(ent),
+                           (F.length(F.col("e_jamo")) >= 2)
+                           & (F.col("m_jamo") != F.col("e_jamo"))
+                           & F.col("m_jamo").endswith(F.col("e_jamo")))
+                  .select(*MENTION_COLS, F.col("e_id").alias("entity_id"),
+                          F.lit(3).alias("link_level"),
+                          F.lit(0).cast("bigint").alias("link_score"),
+                          F.col("e_large").alias("n_label")))
+        candidates = candidates.unionByName(l3cand)
+
+    # persist the mention-scale candidate working set: it anchors the
+    # scoring join, the rank window, and the remainder anti-joins —
+    # without materialization each reference replays the whole
+    # candidate-generation subtree and the plan grows multiplicatively
+    # (the linking working set is the one table the reference holds in
+    # RAM; persisting it is the distributed equivalent)
+    candidates = candidates.persist()
+
+    if with_stats:
+        # ONE neighbor-scoring pass over every candidate: scores both
+        # the level-3 evidence floor AND the in-window homonym
+        # disambiguation (reference delete_duplicate_value)
+        candidates = (add_neighbor_scores(candidates, context_df,
+                                          neighbor_stats_df)
+                      .where((F.col("link_level") != 3)
+                             | (F.col("n_score") > 1))
+                      .withColumn(
+                          "link_score",
+                          F.when(F.col("link_level") == 3,
+                                 F.col("n_score"))
+                          .otherwise(F.col("link_score"))))
+    else:
+        candidates = candidates.withColumn("n_score",
+                                           F.lit(1).cast("bigint"))
+
+    # rank-1 per mention: best level, then neighbor evidence (the
+    # reference's homonym disambiguation), then level score, stable id
+    w = Window.partitionBy(*SPAN_KEY).orderBy(
+        F.col("link_level").asc(), F.col("n_score").desc(),
+        F.col("link_score").desc(), F.col("entity_id").asc())
     best = (candidates.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1").drop("_rn"))
+            .filter("_rn = 1").drop("_rn", "n_score", "n_label")
+            .persist())
 
-    unlinked = (mentions_df.select(*MENTION_COLS)
-                .join(best.select("url", "start", "end").distinct(),
-                      ["url", "start", "end"], "left_anti")
+    linked_parts = [best.select(OUT_COLS)]
+    remainder = (mentions_df.select(*MENTION_COLS)
+                 .join(best.select(*SPAN_KEY).distinct(), SPAN_KEY,
+                       "left_anti").persist())
+
+    if with_stats and core_stats_df is not None:
+        l4 = brute_link(remainder, context_df, core_stats_df)
+        linked_parts.append(l4.select(OUT_COLS))
+        remainder = remainder.join(l4.select(*SPAN_KEY).distinct(),
+                                   SPAN_KEY, "left_anti")
+
+    unlinked = (remainder
                 .withColumn("entity_id", F.lit(None).cast("bigint"))
-                .withColumn("link_level", F.lit(3))
-                .withColumn("link_score", F.lit(0)))
-    return best.select(out_cols).unionByName(unlinked.select(out_cols))
+                .withColumn("link_level", F.lit(LEVEL_UNLINKED))
+                .withColumn("link_score", F.lit(0).cast("bigint")))
+    linked_parts.append(unlinked.select(OUT_COLS))
+
+    out = linked_parts[0]
+    for p in linked_parts[1:]:
+        out = out.unionByName(p)
+    return out

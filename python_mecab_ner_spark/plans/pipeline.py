@@ -13,33 +13,82 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.annotate import (annotate_pages, mentions_table,
-                                  spans_table, triples_table)
+                                  spans_table, tokens_table, triples_table)
 from ..operators.canonicalize import canonical_map
 from ..operators.graph import build_edges, build_vertices, materialize_graph
-from ..operators.linking import canonical_entities, link_mentions
+from ..operators.linking import (build_core_stats, build_neighbor_stats,
+                                 canonical_entities, link_mentions)
 from ..sources.gazetteer import broadcast_rows, gazetteer_df_from_tsv
 
 
+def _training_mentions(mentions):
+    """The learned-statistics training signal: gazetteer mentions whose
+    span carries exactly ONE large category (ambiguous spans are the
+    ones being disambiguated — excluding them keeps the counters
+    uncontaminated, mirroring the reference training on gold labels)."""
+    unambig = (mentions.groupBy("url", "start", "end")
+               .agg(F.countDistinct("large").alias("_n"))
+               .where("_n = 1").select("url", "start", "end"))
+    return mentions.join(unambig, ["url", "start", "end"], "left_semi")
+
+
 def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
-                  infer=True, canonicalize=True):
+                  infer=True, canonicalize=True, learned_stats=True,
+                  kb_holdout_mod=None):
     """Returns a dict of lazily-planned DataFrames:
     annotated, mentions, spans, triples, entities, linked, vertices,
-    edges (+ canonical when canonicalize=True)."""
+    edges (+ canonical when canonicalize=True; + context/neighbor_stats
+    /core_stats when learned_stats=True).
+
+    learned_stats=True runs the full 6-level linking ladder: the
+    corpus' own unambiguous gazetteer mentions train the +-3-neighbor
+    and core counters (one groupBy job each, broadcast), which then
+    power levels 3/4 and in-window homonym disambiguation.
+
+    kb_holdout_mod=N deterministically drops aliases with
+    pmod(md5(surface), N) == 0 from the CANONICAL entity KB (mention
+    detection still sees the full gazetteer).  This models the
+    KB-coverage gap every real KG build has — surfaces the detector
+    finds but the canonical KB lacks — which is exactly the situation
+    the reference's PART/BRUTE inference levels exist for (reference
+    mecab_category_storage.py:534-595)."""
     gaz_df = gazetteer_df if gazetteer_df is not None else gazetteer_df_from_tsv(spark)
     bc = broadcast_rows(spark, df=gaz_df)
 
     annotated = annotate_pages(
         pages_df.select("url", "warc_ts", "text", "lang"),
-        bc, search_category=search_category, infer=infer)
+        bc, search_category=search_category, infer=infer,
+        with_tokens=learned_stats)
+    if learned_stats:
+        # the annotate stage feeds ~10 downstream subplans (stats
+        # builds, context joins, level-3/4 scoring, spans, triples);
+        # without materialization each one re-executes the whole
+        # tokenize+match mapInPandas.  Lazy-plan variant: persist
+        # (memory+disk).  The production path is run_pipeline, which
+        # checkpoints this stage to Parquet with lineage instead.
+        from pyspark import StorageLevel
+        annotated = annotated.persist(StorageLevel.MEMORY_AND_DISK)
     mentions = mentions_table(annotated)
     spans = spans_table(annotated)
     triples = triples_table(annotated)
 
     entities = canonical_entities(gaz_df)
+    if kb_holdout_mod:
+        from ..functions.hashing import md5_int
+        entities = entities.where(
+            F.pmod(md5_int(F.col("surface")), F.lit(kb_holdout_mod)) != 0)
+    context = nstats = cstats = None
+    if learned_stats:
+        context = tokens_table(annotated)
+        train = _training_mentions(mentions)
+        nstats = build_neighbor_stats(context, train)
+        cstats = build_core_stats(context, train)
     # link the resolved NER spans (the final entities of a page);
     # the spans' word column is the mention surface for linking
     linked = link_mentions(
-        spans.withColumnRenamed("word", "surface"), entities)
+        spans.withColumnRenamed("word", "surface"), entities,
+        context_df=context, neighbor_stats_df=nstats,
+        core_stats_df=cstats)
 
     canonical = canonical_map(entities) if canonicalize else None
     vertices = build_vertices(linked, entities, canonical)
@@ -47,6 +96,7 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
     return {
         "annotated": annotated, "mentions": mentions, "spans": spans,
         "triples": triples, "entities": entities, "linked": linked,
+        "context": context, "neighbor_stats": nstats, "core_stats": cstats,
         "canonical": canonical, "vertices": vertices, "edges": edges,
     }
 
@@ -64,14 +114,21 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
 
     def annotate_fn(pages_part):
         return annotate_pages(
-            pages_part.select("url", "warc_ts", "text", "lang"), bc)
+            pages_part.select("url", "warc_ts", "text", "lang"), bc,
+            with_tokens=True)
 
     annotated = run_stage(spark, "annotate", pages_df, annotate_fn,
                           out_dir, key_col="url", n_parts=n_parts)
 
     entities = canonical_entities(gaz_df)
     spans = spans_table(annotated)
-    linked = link_mentions(spans.withColumnRenamed("word", "surface"), entities)
+    context = tokens_table(annotated)
+    mentions = mentions_table(annotated)
+    train = _training_mentions(mentions)
+    linked = link_mentions(spans.withColumnRenamed("word", "surface"), entities,
+                           context_df=context,
+                           neighbor_stats_df=build_neighbor_stats(context, train),
+                           core_stats_df=build_core_stats(context, train))
     triples = triples_table(annotated)
     canonical = canonical_map(entities) if canonicalize else None
     vertices = build_vertices(linked, entities, canonical)

@@ -20,7 +20,7 @@ import datetime as _dt
 import random
 
 from ..kernel.jamo import has_jongseong
-from ..kernel.lexicon import _align_entry, load_gazetteer_rows
+from ..kernel.lexicon import _align_entry, default_lexicon, load_gazetteer_rows
 
 EPOCH = _dt.datetime(2026, 1, 1)
 
@@ -54,10 +54,30 @@ class CorpusSpec:
         self.foods = pools.get("ner_example_fastfood", [])
         self.heads = [c for c in _HEAD_COUNTRIES if c in self.countries] \
             or self.countries[:5]
+        # NNP lexicon chunks that are NOT gazetteer surfaces: prefixing
+        # one to a tour alias inside one eojeol (e.g. 신촌경복궁) makes
+        # the matcher's left-extension produce a span surface that is
+        # not any alias — the compound-variant case the linking
+        # ladder's NEIGHBOR level (jamo-suffix + evidence) resolves
+        surfaces = {s for pool in pools.values() for s in pool}
+        chunks = default_lexicon().chunks
+        self.nnp_prefixes = sorted(
+            k for k, grps in chunks.items()
+            if len(k) >= 2 and k not in surfaces and len(grps) == 1
+            and len(grps[0][2]) == 1 and grps[0][2][0][1] == "NNP")[:20] \
+            or ["신촌"]
 
 
 def _sentence(rng: random.Random, spec: CorpusSpec) -> str:
-    kind = rng.randrange(6)
+    kind = rng.randrange(7)
+    if kind == 6:
+        # compound surface variant: NNP prefix fused into the tour
+        # alias eojeol -> span "신촌경복궁" (no alias equals it); the
+        # familiar context (…에 갔어) carries the neighbor evidence
+        # linking level 3 needs
+        prefix = rng.choice(spec.nnp_prefixes)
+        tour = rng.choice(spec.tours)
+        return f"{prefix}{tour}에 갔어"
     if kind == 0:
         singer, song = rng.choice(spec.singers), rng.choice(spec.songs)
         tour, fruit = rng.choice(spec.tours), rng.choice(spec.fruits)

@@ -1,0 +1,155 @@
+"""Learned-statistics linking: the reference's neighbor-counter
+disambiguation and inference ladder, ported as goldens.
+
+The homonym golden is reference tests/test_category_save.py:92-108
+(test_duplicate_filter): train 'food: 좋은 차를 마셨어' (drank good
+tea) and 'product: 좋은 차를 몰았어' (drove a good car); the query
+sentence '좋은 차를 마셨어' must resolve 좋은 차 to food because the
+neighbor 마시 evidence lives in food's counter — exactly the
+delete_duplicate_value mechanism (mecab_category_storage.py:39-63).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_mecab_ner_spark.kernel.stats import (best_label, brute_score,
+                                                 core_counts, neighbor_counts,
+                                                 score_label)
+
+# hand-built morpheme rows mirroring the reference's MeCab output for
+# the golden sentences (word, pos)
+SENT_DRINK = [("좋", "VA"), ("은", "ETM"), ("차", "NNG"), ("를", "JKO"),
+              ("마시", "VV"), ("었", "EP"), ("어", "EF")]
+SENT_DRIVE = [("좋", "VA"), ("은", "ETM"), ("차", "NNG"), ("를", "JKO"),
+              ("몰", "VV"), ("았", "EP"), ("어", "EF")]
+SPAN = (0, 3)  # 좋은 차 covers tokens 0..2
+
+
+def _train_counts():
+    c1 = neighbor_counts(SENT_DRINK, [(SPAN[0], SPAN[1], "food")])
+    c2 = neighbor_counts(SENT_DRIVE, [(SPAN[0], SPAN[1], "product")])
+    merged = dict(c1)
+    for k, v in c2.items():
+        merged[k] = merged.get(k, 0) + v
+    return merged
+
+
+def test_homonym_golden_kernel():
+    """reference test_category_save.py:108: ('좋', 'B-food') wins."""
+    counts = _train_counts()
+    ctx = [SENT_DRINK[i] for i in range(len(SENT_DRINK))
+           if not (SPAN[0] <= i < SPAN[1])][:3]  # +-3 window after span
+    win = best_label(["food", "product"],
+                     lambda lab: score_label(counts, lab, ctx))
+    assert win is not None and win[0] == "food"
+    # and the drive context picks product symmetrically
+    ctx2 = [SENT_DRIVE[i] for i in range(len(SENT_DRIVE))
+            if not (SPAN[0] <= i < SPAN[1])][:3]
+    win2 = best_label(["food", "product"],
+                      lambda lab: score_label(counts, lab, ctx2))
+    assert win2 is not None and win2[0] == "product"
+
+
+def test_homonym_golden_spark(spark):
+    """The Spark operators reproduce the kernel golden exactly:
+    build_neighbor_stats == neighbor_counts, add_neighbor_scores ==
+    score_label, rank-1 == best_label."""
+    from python_mecab_ner_spark.operators.linking import (
+        add_neighbor_scores, build_neighbor_stats)
+
+    rows = ([("u1", i, w, p) for i, (w, p) in enumerate(SENT_DRINK)]
+            + [("u2", i, w, p) for i, (w, p) in enumerate(SENT_DRIVE)])
+    ctx = spark.createDataFrame(rows, "url string, idx int, word string, pos string")
+    mentions = spark.createDataFrame(
+        [("u1", SPAN[0], SPAN[1], "food"), ("u2", SPAN[0], SPAN[1], "product")],
+        "url string, start int, end int, large string")
+    stats = build_neighbor_stats(ctx, mentions)
+
+    # cross-engine agreement with the kernel counts
+    got = {(r.label, r.word, r.pos): r.cnt for r in stats.collect()}
+    assert got == _train_counts()
+
+    cand = spark.createDataFrame(
+        [("u1", SPAN[0], SPAN[1], lab) for lab in ("food", "product")],
+        "url string, start int, end int, n_label string")
+    scored = {r.n_label: r.n_score
+              for r in add_neighbor_scores(cand, ctx, stats).collect()}
+    counts = _train_counts()
+    ctx_tokens = [SENT_DRINK[i] for i in range(len(SENT_DRINK))
+                  if not (SPAN[0] <= i < SPAN[1])][:3]
+    assert scored["food"] == score_label(counts, "food", ctx_tokens)
+    assert scored["product"] == score_label(counts, "product", ctx_tokens)
+    assert scored["food"] > scored["product"]
+
+
+def test_core_counts_and_brute():
+    counts = core_counts({"food": [SENT_DRINK[0:3]],
+                          "drink": [[("콜라", "NNG")]]})
+    assert counts[("food", "차", "NNG")] == 1
+    assert brute_score(counts, "food", [("차", "NNG"), ("를", "JKO")]) == 1
+    assert brute_score(counts, "drink", [("차", "NNG")]) == 0
+    assert best_label(["food", "drink"],
+                      lambda lab: brute_score(counts, lab, [("차", "NNG")]),
+                      floor=0)[0] == "food"
+
+
+@pytest.fixture()
+def ladder(spark):
+    """A tiny corpus that deterministically exercises linking levels
+    3 (suffix + neighbor evidence), 4 (brute core-count inference) and
+    5 (unlinked)."""
+    from python_mecab_ner_spark.operators.linking import (canonical_entities,
+                                                          link_mentions)
+    gaz = spark.createDataFrame(
+        [("FOOD", "f", "버거"), ("DRINK", "d", "콜라")],
+        "large string, small string, surface string")
+    entities = canonical_entities(gaz)
+    mentions = spark.createDataFrame(
+        [("u1", 1, 2, "수제버거", "FOOD", "f"),     # suffix of 버거 -> L3
+         ("u2", 1, 2, "김치찌개", "FOOD", "f"),     # no suffix -> L4 via core
+         ("u3", 1, 2, "없는것", "FOOD", "f")],      # no evidence -> L5
+        "url string, start int, end int, surface string, large string, small string")
+    ctx = spark.createDataFrame(
+        [("u1", 0, "맛있", "VA"), ("u1", 2, "먹", "VV"),
+         ("u2", 0, "시원", "VA"), ("u2", 2, "마시", "VV"),
+         ("u3", 0, "zzz", "SY"), ("u3", 2, "qqq", "SY")],
+        "url string, idx int, word string, pos string")
+    nstats = spark.createDataFrame(
+        [("FOOD", "먹", "VV", 5), ("DRINK", "마시", "VV", 7)],
+        "label string, word string, pos string, cnt long")
+    cstats = spark.createDataFrame(
+        [("DRINK", "마시", "VV", 3)],
+        "label string, word string, pos string, cnt long")
+    return link_mentions(mentions, entities, context_df=ctx,
+                         neighbor_stats_df=nstats, core_stats_df=cstats)
+
+
+def test_ladder_levels_3_4_5(ladder, spark):
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    rows = {r.url: r for r in ladder.collect()}
+    assert rows["u1"].link_level == 3          # suffix + evidence
+    assert rows["u1"].entity_id is not None
+    assert rows["u2"].link_level == 4          # brute core inference
+    expected_drink = spark.range(1).select(
+        md5_int(F.lit("label:DRINK")).alias("h")).first().h
+    assert rows["u2"].entity_id == expected_drink
+    assert rows["u3"].link_level == 5          # unlinked
+    assert rows["u3"].entity_id is None
+
+
+def test_ladder_backcompat_without_stats(spark):
+    """No context/stats -> levels 0-2 + UNLINKED only (the round-1
+    behavior), terminal level renumbered to LEVEL_UNLINKED."""
+    from python_mecab_ner_spark.operators.linking import (LEVEL_UNLINKED,
+                                                          canonical_entities,
+                                                          link_mentions)
+    gaz = spark.createDataFrame([("FOOD", "f", "버거")],
+                                "large string, small string, surface string")
+    mentions = spark.createDataFrame(
+        [("u1", 0, 1, "버거", "FOOD", "f"),
+         ("u2", 0, 1, "없는것", "FOOD", "f")],
+        "url string, start int, end int, surface string, large string, small string")
+    out = {r.url: r for r in
+           link_mentions(mentions, canonical_entities(gaz)).collect()}
+    assert out["u1"].link_level == 0
+    assert out["u2"].link_level == LEVEL_UNLINKED

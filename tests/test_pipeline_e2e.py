@@ -20,7 +20,10 @@ def test_linked_spans(graph):
     lvl0 = [r for r in rows if r.link_level == 0]
     assert len(lvl0) > 0
     for r in rows:
-        assert r.link_level in (0, 1, 2, 3)
+        assert r.link_level in (0, 1, 2, 3, 4, 5)
+    # the compound-prefix corpus template guarantees NEIGHBOR-level
+    # (3) links: suffix candidates accepted on learned evidence
+    assert any(r.link_level == 3 for r in rows)
 
 
 def test_edges_have_entities(graph):
@@ -57,6 +60,53 @@ def test_run_pipeline_resume(spark, tmp_path):
     m = metrics_table(spark, out)
     assert m.filter("stage = 'annotate'").count() == 8  # one row per part_key
     assert m.filter("rows_out <= 0").count() == 0
+
+
+# ---- kg_* oracle hardening: pyref-computed exact aggregates ----------------
+# Pinned goldens for the driver's rows-only kg corpus (N_KG_DOCS=400,
+# seed=42): computed by the single-process pyref oracle (kernel only,
+# no Spark), so the Spark kg_* queries are pinned to exact VALUES, not
+# just row counts.
+KG_TRIPLES_BY_PRED = {"노래하": 57, "듣": 253, "먹": 47,
+                      "방문하": 45, "있": 65, "좋": 56}
+KG_MENTIONS_TOTAL = 2299
+# link-level histogram: Spark-computed regression golden (linking has
+# no pyref twin by design — its gates are the operator goldens in
+# test_linking_stats.py); pins the full 5-level ladder firing
+KG_LINK_LEVELS = {0: 1430, 1: 297, 2: 188, 3: 105, 4: 64}
+
+
+def test_kg_goldens_pyref():
+    """The pyref oracle still reproduces the pinned aggregates (guards
+    against silent corpus/kernel drift)."""
+    from collections import Counter
+
+    from python_mecab_ner_spark.kernel.lexicon import load_gazetteer_rows
+    from python_mecab_ner_spark.kernel.pyref import pyref_triples
+    from python_mecab_ner_spark.sources.corpus import gen_pages
+    rows = load_gazetteer_rows()
+    pred_c = Counter()
+    for p in gen_pages(400, seed=42):
+        for t in pyref_triples(p["text"], rows):
+            pred_c[t[1]] += 1
+    assert dict(pred_c) == KG_TRIPLES_BY_PRED
+
+
+def test_kg_goldens_spark(spark):
+    """The Spark kg_* queries hash to the same exact values the pyref
+    oracle computed (the hardening VERDICT r1 item 10 asked for)."""
+    import __spark_entry__ as entry
+    g = entry._kg_graph(spark)
+    from pyspark.sql import functions as F
+    got_pred = {r.pred: r.n for r in
+                g["triples"].groupBy("pred")
+                .agg(F.count("*").alias("n")).collect()}
+    assert got_pred == KG_TRIPLES_BY_PRED
+    assert g["mentions"].count() == KG_MENTIONS_TOTAL
+    got_lvl = {r.link_level: r.n for r in
+               g["linked"].groupBy("link_level")
+               .agg(F.count("*").alias("n")).collect()}
+    assert got_lvl == KG_LINK_LEVELS
 
 
 def test_run_stage_executes_fn_once(spark, tmp_path):
