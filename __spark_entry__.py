@@ -465,6 +465,32 @@ def q27_neardup_clusters(spark, sf_dir):
                      F.col("canonical_id").alias("cluster_id"))
 
 
+def q35_regex_entities(spark, sf_dir):
+    """L4 regex NE extraction (reference set_cat_dict pattern
+    <form:label>, mecab_category_storage.py:368-408): tag the label
+    words inline, extract every (form, label) pair with
+    regexp_extract_all (JVM-side), and fingerprint the re.sub-stripped
+    plain text (the reference's other output)."""
+    from python_mecab_ner_spark.functions.text import (regex_entities,
+                                                       strip_ne_tags)
+    d = _loadp(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), r"\b(spark|query)\b",
+                         "<$1:TECH>").alias("ttext"))
+    return (tagged
+            .select("doc_id", md5_int(strip_ne_tags(F.col("ttext"))).alias("plain_fp"),
+                    F.posexplode(regex_entities(F.col("ttext"))).alias("pos", "e"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("e.form").alias("form"),
+                    F.col("e.label").alias("label"), "plain_fp"))
+
+
+# DuckDB twin of strip_ne_tags + fingerprint (built outside the oracle
+# f-string: f-string expressions cannot contain backslashes)
+_PLAIN_FP_SQL = md5_int_sql(
+    "regexp_replace(ttext, '<([^:]+):([\\d\\w]+)>', '\\1', 'g')")
+
 STAT_LABELS = ["spark", "query"]   # single-token labels for q33/q34
 STAT_TARGET = "join"               # the "homonym" word q34 disambiguates
 
@@ -528,6 +554,57 @@ def q34_context_argmax(spark, sf_dir):
                     F.col("n_label").alias("best_label")))
 
 
+KLUE_FIXTURE = "/root/repo/tests/data/klue_fixture.json"
+
+
+def _doc_mentions(spark, sf_dir):
+    """MINI_GAZ phrase mentions over the documents whitespace tokens:
+    (url, start, end, label) token-index spans (label = surface with
+    '_' for spaces)."""
+    toks = _doc_context(spark, sf_dir).drop("pos")
+    singles = [s for s in MINI_GAZ if " " not in s]
+    m = (toks.where(F.col("word").isin(singles))
+         .select("url", F.col("idx").alias("start"),
+                 (F.col("idx") + 1).alias("end"),
+                 F.col("word").alias("label")))
+    for surface in MINI_GAZ:
+        parts = surface.split()
+        if len(parts) != 2:
+            continue
+        t1 = toks.alias("t1")
+        t2 = toks.alias("t2")
+        m2 = (t1.where(F.col("t1.word") == parts[0])
+              .join(t2, (F.col("t1.url") == F.col("t2.url"))
+                    & (F.col("t2.idx") == F.col("t1.idx") + 1)
+                    & (F.col("t2.word") == parts[1]))
+              .select(F.col("t1.url").alias("url"),
+                      F.col("t1.idx").alias("start"),
+                      (F.col("t1.idx") + 2).alias("end"),
+                      F.lit(surface.replace(" ", "_")).alias("label")))
+        m = m.unionByName(m2)
+    return m
+
+
+def q36_bio_export(spark, sf_dir):
+    """BIO label writeback + training-data export (reference L3/L15 as
+    operators.bio.bio_export): every documents token stamped
+    'O'/'B-x'/'I-x' from the MINI_GAZ phrase mentions,
+    first-writer-wins on overlaps."""
+    from python_mecab_ner_spark.operators.bio import bio_export
+    toks = _doc_context(spark, sf_dir).drop("pos")
+    out = bio_export(toks, _doc_mentions(spark, sf_dir))
+    return out.select(F.col("url").alias("doc_id"),
+                      F.col("idx").cast("int").alias("idx"), "word", "bio")
+
+
+def q37_klue_ner(spark, sf_dir):
+    """KLUE-NER JSON source (reference S7, main.py:55-98): nested
+    document[].sentence[].NE[] exploded to one row per annotation via
+    spark.read.json — the real-training-corpus ingest path."""
+    from python_mecab_ner_spark.sources.klue import klue_ner
+    return klue_ner(spark, KLUE_FIXTURE)
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -576,6 +653,17 @@ def kg_edges_by_pred(spark, sf_dir):
                  F.countDistinct("src_id").alias("n_src")))
 
 
+def kg_bio_by_label(spark, sf_dir):
+    """BIO writeback over the kg corpus (reference L15 set_mecab_label
+    via operators.bio): per-BIO-tag token counts — the shape of the
+    training-data export this pipeline emits."""
+    from python_mecab_ner_spark.operators.bio import bio_from_mentions
+    g = _kg_graph(spark)
+    out = bio_from_mentions(g["context"], g["mentions"],
+                            label_col="large")
+    return out.groupBy("bio").agg(F.count("*").alias("n_tokens"))
+
+
 def kg_extracted_text(spark, sf_dir):
     """The byte-identity anchor: per-url extracted text fingerprints."""
     g = _kg_graph(spark)
@@ -619,10 +707,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_trailing_window": q32_trailing_window,
         "q33_neighbor_stats": q33_neighbor_stats,
         "q34_context_argmax": q34_context_argmax,
+        "q35_regex_entities": q35_regex_entities,
+        "q36_bio_export": q36_bio_export,
+        "q37_klue_ner": q37_klue_ner,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
         "kg_edges_by_pred": kg_edges_by_pred,
+        "kg_bio_by_label": kg_bio_by_label,
         "kg_extracted_text": kg_extracted_text,
     }
 
@@ -887,32 +979,7 @@ def oracle_sql() -> dict[str, str]:
                    AS n_trailing
             FROM events
         """,
-        "q29_ann_ivf": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            cents AS (SELECT vec_id AS cell_id, embedding AS cent
-                      FROM embeddings WHERE vec_id < 16),
-            assign AS (
-              SELECT e.vec_id, e.embedding, c.cell_id,
-                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
-                                  c.cell_id) AS rn
-              FROM embeddings e CROSS JOIN cents c),
-            a AS (SELECT vec_id, embedding, cell_id FROM assign WHERE rn = 1),
-            probe AS (SELECT cell_id FROM (
-              SELECT c.cell_id,
-                     ROW_NUMBER() OVER (ORDER BY
-                         list_cosine_similarity(c.cent, q.qe) DESC,
-                         c.cell_id) AS pr
-              FROM cents c, q) WHERE pr <= 4),
-            cand AS (SELECT a.vec_id, a.embedding FROM a
-                     JOIN probe USING (cell_id))
-            SELECT vec_id,
-                   CAST(ROW_NUMBER() OVER (ORDER BY
-                        list_cosine_similarity(embedding, qe) DESC,
-                        vec_id) AS INT) AS rank
-            FROM cand, q
-            ORDER BY rank LIMIT 10
-        """,
+        "q29_ann_ivf": _ann_ivf_sql(),
         "q30_rollup": f"""
             SELECT o_orderpriority, o_orderstatus,
                    count(*) AS n_orders,
@@ -1001,6 +1068,74 @@ def oracle_sql() -> dict[str, str]:
                    n_label AS best_label
             FROM r WHERE rn = 1
         """,
+        "q35_regex_entities": """
+            WITH tagged AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '\\b(spark|query)\\b',
+                                    '<\\1:TECH>', 'g') AS ttext
+              FROM documents),
+            ex AS (SELECT doc_id, ttext,
+                          regexp_extract_all(ttext, '<([^:]+):([\\d\\w]+)>', 1) AS forms,
+                          regexp_extract_all(ttext, '<([^:]+):([\\d\\w]+)>', 2) AS labels
+                   FROM tagged),
+            u AS (SELECT doc_id,
+                         """ + _PLAIN_FP_SQL + """ AS plain_fp,
+                         unnest(forms) AS form, unnest(labels) AS label,
+                         generate_subscripts(forms, 1) - 1 AS pos
+                  FROM ex)
+            SELECT doc_id, CAST(pos AS INT) AS pos, form, label, plain_fp
+            FROM u
+        """,
+        "q36_bio_export": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word,
+                           generate_subscripts(w, 1) - 1 AS idx
+                    FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            nxt AS (SELECT doc_id, idx, word,
+                           lead(word) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+                    FROM c2),
+            m AS (
+              SELECT doc_id, idx AS s, idx + 1 AS e, word AS lab
+              FROM c2 WHERE word IN ('spark', 'query')
+              UNION ALL
+              SELECT doc_id, idx, idx + 2, 'hash_join' FROM nxt
+              WHERE word = 'hash' AND w2 = 'join'
+              UNION ALL
+              SELECT doc_id, idx, idx + 2, 'table_scan' FROM nxt
+              WHERE word = 'table' AND w2 = 'scan'
+              UNION ALL
+              SELECT doc_id, idx, idx + 2, 'window_agg' FROM nxt
+              WHERE word = 'window' AND w2 = 'agg'),
+            cov AS (SELECT doc_id, s, e, lab, unnest(range(s, e)) AS idx FROM m),
+            lab AS (SELECT doc_id, idx,
+                           CASE WHEN idx = s THEN 'B-' || lab
+                                ELSE 'I-' || lab END AS bio,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id, idx
+                               ORDER BY s, e DESC, lab) AS rn
+                    FROM cov)
+            SELECT c2.doc_id, CAST(c2.idx AS INT) AS idx, c2.word,
+                   coalesce(l.bio, 'O') AS bio
+            FROM c2 LEFT JOIN (SELECT * FROM lab WHERE rn = 1) l
+              ON l.doc_id = c2.doc_id AND l.idx = c2.idx
+        """,
+        "q37_klue_ner": f"""
+            WITH docs AS (SELECT unnest(document) AS d
+                          FROM read_json('{KLUE_FIXTURE}')),
+            sents AS (SELECT d.id AS doc_id, unnest(d.sentence) AS s,
+                             generate_subscripts(d.sentence, 1) - 1 AS sent_idx
+                      FROM docs),
+            ne AS (SELECT doc_id, sent_idx, s.form AS form,
+                          unnest(s."NE") AS n
+                   FROM sents WHERE s.form <> '')
+            SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, form,
+                   n.form AS ne_form, n.label AS label,
+                   CAST(n.begin AS INT) AS ne_begin,
+                   CAST(n."end" AS INT) AS ne_end
+            FROM ne
+        """,
         "q22_salt_distribution": f"""
             WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
             m AS (SELECT avg(cnt) AS mean_cnt FROM counts),
@@ -1052,6 +1187,75 @@ def _embedding_neardup_sql() -> str:
         JOIN embeddings eb ON eb.vec_id = vec_b
         WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
                                            eb.embedding::DOUBLE[]), 6) >= 0.4
+    """
+
+
+def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 4, iters: int = 2,
+                 k: int = 10) -> str:
+    """DuckDB twin of operators.ann kmeans_codebook + ivf_topk: seeded
+    sample init (smallest md5('km:'||id)), `iters` unrolled Lloyd
+    iterations with 6-dp-rounded per-dimension means (absorbing
+    engine-order float summation), probe the query's nearest cells,
+    exact top-k inside them."""
+    seed_hash = md5_int_sql("CAST(vec_id AS VARCHAR)", salt="km:")
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+            {out}_r AS (
+              SELECT v.vec_id, v.e, c.cell_id,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                         ORDER BY list_cosine_similarity(v.e, c.cent) DESC,
+                                  c.cell_id) AS rn
+              FROM v CROSS JOIN {cents} c),
+            {out} AS (SELECT vec_id, e, cell_id FROM {out}_r WHERE rn = 1)"""
+
+    def recompute(assigned: str, out: str) -> str:
+        return f"""
+            {out}_d AS (
+              SELECT cell_id, generate_subscripts(e, 1) AS dim,
+                     unnest(e) AS val
+              FROM {assigned}),
+            {out} AS (
+              SELECT cell_id, list(mv ORDER BY dim) AS cent FROM (
+                SELECT cell_id, dim, round(avg(val), 6) AS mv
+                FROM {out}_d GROUP BY 1, 2) GROUP BY cell_id)"""
+
+    iter_ctes = []
+    cents = "c0"
+    for i in range(iters):
+        iter_ctes.append(assign(cents, f"a{i + 1}"))
+        iter_ctes.append(recompute(f"a{i + 1}", f"c{i + 1}"))
+        cents = f"c{i + 1}"
+    chain = ",".join(iter_ctes)
+
+    return f"""
+        WITH v AS (SELECT vec_id,
+                          list_transform(embedding,
+                                         x -> round(x::DOUBLE, 6)) AS e
+                   FROM embeddings),
+        q AS (SELECT embedding AS qe,
+                     list_transform(embedding,
+                                    x -> round(x::DOUBLE, 6)) AS qr
+              FROM embeddings WHERE vec_id = 0),
+        seed AS (SELECT vec_id, e, {seed_hash} AS h FROM v),
+        c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT)
+                      AS cell_id, e AS cent
+               FROM (SELECT * FROM seed ORDER BY h, vec_id LIMIT {n_cells})),
+        {chain},
+        {assign(cents, 'af')},
+        probe AS (SELECT cell_id FROM (
+          SELECT c.cell_id,
+                 ROW_NUMBER() OVER (ORDER BY
+                     list_cosine_similarity(c.cent, q.qr) DESC,
+                     c.cell_id) AS pr
+          FROM {cents} c, q) WHERE pr <= {n_probe}),
+        cand AS (SELECT af.vec_id, af.e FROM af JOIN probe USING (cell_id))
+        SELECT vec_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY
+                    list_cosine_similarity(e, qe::DOUBLE[]) DESC,
+                    vec_id) AS INT) AS rank
+        FROM cand, q
+        ORDER BY rank LIMIT {k}
     """
 
 

@@ -92,6 +92,34 @@ def quality_score_sql(expr: str) -> str:
     return f"CAST({len_band} + {tok_band} + 20 - {punct_pen} AS INT)"
 
 
+# the reference's inline-annotation pattern <form:label>
+# (mecab_category_storage.py:368-408, set_cat_dict)
+NE_TAG_PATTERN = r"<([^:]+):([\d\w]+)>"
+
+
+def regex_entities(col) -> Column:
+    """L4 regex NE extraction (reference set_cat_dict,
+    mecab_category_storage.py:368-408): every <form:label> tag in the
+    text as an array of (form, label) structs — JVM-side
+    regexp_extract_all, zero Python."""
+    forms = F.regexp_extract_all(col, F.lit(NE_TAG_PATTERN), 1)
+    labels = F.regexp_extract_all(col, F.lit(NE_TAG_PATTERN), 2)
+    return F.arrays_zip(forms.alias("form"), labels.alias("label"))
+
+
+def strip_ne_tags(col) -> Column:
+    """The re.sub twin (reference :404-406): tags replaced by their
+    form, yielding the plain text."""
+    return F.regexp_replace(col, NE_TAG_PATTERN, r"$1")
+
+
+def regex_entities_sql(expr: str) -> str:
+    """DuckDB twin of regex_entities (exploded downstream by the
+    caller): list_zip of the two capture-group extractions."""
+    return (f"list_zip(regexp_extract_all({expr}, '{NE_TAG_PATTERN}', 1), "
+            f"regexp_extract_all({expr}, '{NE_TAG_PATTERN}', 2))")
+
+
 def fingerprint(col) -> Column:
     """Order-sensitive document fingerprint: md5-int of the
     whitespace-normalized lowercased text (rolling-hash equivalent at

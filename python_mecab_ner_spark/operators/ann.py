@@ -177,23 +177,70 @@ def bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10,
             .limit(k).select(id_col))
 
 
-def ivf_cells(df: DataFrame, n_cells: int = 16,
-              id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """Coarse quantization: assign every vector to its nearest centroid
-    by cosine (rank-1 per vector, ties by centroid id).
+KM_ITERS = 2       # unrolled Lloyd iterations (same count in the SQL twin)
+KM_SALT = "km:"    # seeded-sample salt
+KM_ROUND = 6       # centroid rounding: absorbs cross-engine avg() ulp drift
 
-    Centroids here are the first n_cells vectors — a deterministic
-    stand-in for a trained k-means codebook (at production scale the
-    codebook comes from a sampled k-means job and is broadcast the same
-    way).  The assignment is a broadcast nested-loop over n_cells
-    candidates, i.e. O(n x n_cells) with no shuffle before the rank
-    window keyed by the high-cardinality vector id."""
+
+def kmeans_codebook(df: DataFrame, n_cells: int = 16,
+                    iters: int = KM_ITERS,
+                    id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> DataFrame:
+    """Seeded k-means codebook as pure DataFrame Lloyd iterations:
+
+    - init: the n_cells vectors with the smallest md5(salt||id) — a
+      deterministic pseudo-random sample (SQL-expressible, unlike
+      rand());
+    - each iteration: broadcast-assign every vector to its nearest
+      centroid by cosine (rank-1, ties by cell id), then recompute
+      centroids as the per-dimension mean via posexplode + groupBy
+      (map-side combinable — one linear pass per iteration at any
+      corpus size), ROUNDED to 6 dp so engine-order-dependent float
+      summation cannot produce divergent codebooks cross-engine.
+
+    The codebook is n_cells rows; callers broadcast it.  Centroids are
+    collected driver-side between iterations (n_cells rows) so the
+    lazy plan does not nest one iteration inside the next."""
+    from ..functions.hashing import md5_int
+
+    dbl = F.transform(F.col(emb_col), lambda x: F.round(x.cast("double"),
+                                                        KM_ROUND))
+    vecs = df.select(F.col(id_col), dbl.alias(emb_col))
+    init = (vecs
+            .withColumn("_h", md5_int(F.concat(F.lit(KM_SALT),
+                                               F.col(id_col).cast("string"))))
+            .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+            .limit(n_cells))
     from pyspark.sql import Window
-    cents = (df.filter(F.col(id_col) < n_cells)
-             .select(F.col(id_col).alias("cell_id"),
-                     F.col(emb_col).alias("cent_emb")))
-    scored = (df.select(id_col, emb_col)
-              .crossJoin(F.broadcast(cents))
+    wseed = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    cents = (init.withColumn("cell_id",
+                             (F.row_number().over(wseed) - 1).cast("int"))
+             .select("cell_id", F.col(emb_col).alias("cent_emb")))
+
+    for _ in range(iters):
+        assigned = _assign_cells(vecs, cents, id_col, emb_col)
+        dims = (assigned
+                .select("cell_id", F.posexplode(emb_col).alias("dim", "v"))
+                .groupBy("cell_id", "dim")
+                .agg(F.round(F.avg("v"), KM_ROUND).alias("mv")))
+        new_cents = (dims.groupBy("cell_id")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                         lambda s: s.mv).alias("cent_emb")))
+        rows = new_cents.collect()  # n_cells tiny rows: plan reset
+        cents = df.sparkSession.createDataFrame(
+            [(int(r.cell_id), [float(x) for x in r.cent_emb]) for r in rows],
+            "cell_id int, cent_emb array<double>")
+    return cents
+
+
+def _assign_cells(vecs: DataFrame, cents: DataFrame,
+                  id_col: str, emb_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast nested-loop over n_cells
+    candidates (O(n x n_cells), no shuffle) + rank-1 window keyed by
+    the high-cardinality vector id."""
+    from pyspark.sql import Window
+    scored = (vecs.crossJoin(F.broadcast(cents))
               .withColumn("cos", _pair_cosine(F.col(emb_col),
                                               F.col("cent_emb"))))
     w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(),
@@ -203,25 +250,47 @@ def ivf_cells(df: DataFrame, n_cells: int = 16,
             .select(id_col, emb_col, "cell_id"))
 
 
+def ivf_cells(df: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              codebook: DataFrame | None = None) -> DataFrame:
+    """Coarse quantization: assign every vector to its nearest codebook
+    centroid by cosine (rank-1 per vector, ties by centroid id).
+
+    The codebook defaults to the seeded k-means of kmeans_codebook (at
+    production scale: train on a sample, broadcast — same shape)."""
+    cents = codebook if codebook is not None else \
+        kmeans_codebook(df, n_cells, id_col=id_col, emb_col=emb_col)
+    dbl = F.transform(F.col(emb_col),
+                      lambda x: F.round(x.cast("double"), KM_ROUND))
+    vecs = df.select(F.col(id_col), dbl.alias(emb_col))
+    return _assign_cells(vecs, cents, id_col, emb_col)
+
+
 def ivf_topk(df: DataFrame, qvec: list[float], k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """IVF search: probe the query's n_probe nearest cells, exact
-    cosine top-k inside them.  The scan prunes to ~n_probe/n_cells of
-    the corpus; with the assignment table written partitioned by
-    cell_id the probe is partition pruning, not a filter."""
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             codebook: DataFrame | None = None) -> DataFrame:
+    """IVF search over the trained (seeded k-means) codebook: probe
+    the query's n_probe nearest cells, exact cosine top-k inside them.
+    The scan prunes to ~n_probe/n_cells of the corpus; with the
+    assignment table written partitioned by cell_id the probe is
+    partition pruning, not a filter.  The n_cells-row codebook is
+    collected driver-side for probe selection — the standard broadcast
+    pattern, not a data collect."""
     import math
-    assigned = ivf_cells(df, n_cells, id_col, emb_col)
-    cents = (df.filter(F.col(id_col) < n_cells)
-             .select(id_col, emb_col).collect())
-    qn = math.sqrt(sum(v * v for v in qvec)) or 1.0
+    cents = codebook if codebook is not None else \
+        kmeans_codebook(df, n_cells, id_col=id_col, emb_col=emb_col)
+    assigned = ivf_cells(df, n_cells, id_col, emb_col, codebook=cents)
+    cent_rows = cents.collect()
+    qr = [round(float(v), KM_ROUND) for v in qvec]
+    qn = math.sqrt(sum(v * v for v in qr)) or 1.0
 
     def cos(emb):
         n = math.sqrt(sum(v * v for v in emb)) or 1.0
-        return sum(a * b for a, b in zip(emb, qvec)) / (n * qn)
+        return sum(a * b for a, b in zip(emb, qr)) / (n * qn)
 
-    probe = [r[0] for r in sorted(
-        cents, key=lambda r: (-cos(r[1]), r[0]))[:n_probe]]
+    probe = [r.cell_id for r in sorted(
+        cent_rows, key=lambda r: (-cos(r.cent_emb), r.cell_id))[:n_probe]]
     cand = assigned.filter(F.col("cell_id").isin(probe))
     scored = cand.select(F.col(id_col),
                          cosine_to(F.col(emb_col), qvec).alias("cos"))

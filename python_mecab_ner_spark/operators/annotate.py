@@ -104,14 +104,18 @@ def mentions_table(annotated_df):
 
 
 def tokens_table(annotated_df):
-    """Exploded token context: (url, idx, word, pos) — the input of the
-    learned-statistics builds and the neighbor-evidence scoring
-    (requires annotate_pages(..., with_tokens=True))."""
+    """Exploded token context: (url, idx, word, pos, begin, end) — the
+    input of the learned-statistics builds, the neighbor-evidence
+    scoring, and the char-span BIO alignment (requires
+    annotate_pages(..., with_tokens=True)).  Downstream operators
+    select subsets; column pruning drops the rest."""
     from pyspark.sql import functions as F
     return (annotated_df
             .select("url", F.posexplode("tokens").alias("idx", "t"))
             .select("url", "idx", F.col("t.word").alias("word"),
-                    F.col("t.pos").alias("pos")))
+                    F.col("t.pos").alias("pos"),
+                    F.col("t.begin").alias("begin"),
+                    F.col("t.end").alias("end")))
 
 
 def spans_table(annotated_df):

@@ -74,6 +74,22 @@ KG_MENTIONS_TOTAL = 2299
 # no pyref twin by design — its gates are the operator goldens in
 # test_linking_stats.py); pins the full 5-level ladder firing
 KG_LINK_LEVELS = {0: 1430, 1: 297, 2: 188, 3: 105, 4: 64}
+# pyref-computed BIO-writeback histogram over the same corpus
+# (tokenize + pyref mentions + reference infer extension + kernel
+# bio_vector, no Spark — the engine's mentions table is
+# post-infer_extend)
+KG_BIO_BY_LABEL = {
+    "B-ner_example_body": 3,
+    "B-ner_example_fastfood": 173, "B-ner_example_fruit": 310,
+    "B-ner_example_location_country": 172,
+    "B-ner_example_location_tour": 646,
+    "B-ner_example_music_singer": 467, "B-ner_example_music_song": 314,
+    "I-ner_example_body": 15,
+    "I-ner_example_fastfood": 117, "I-ner_example_fruit": 650,
+    "I-ner_example_location_country": 22,
+    "I-ner_example_location_tour": 1219,
+    "I-ner_example_music_singer": 167, "I-ner_example_music_song": 360,
+    "O": 6935}
 
 
 def test_kg_goldens_pyref():
@@ -107,6 +123,9 @@ def test_kg_goldens_spark(spark):
                g["linked"].groupBy("link_level")
                .agg(F.count("*").alias("n")).collect()}
     assert got_lvl == KG_LINK_LEVELS
+    got_bio = {r.bio: r.n_tokens for r in
+               entry.kg_bio_by_label(spark, None).collect()}
+    assert got_bio == KG_BIO_BY_LABEL
 
 
 def test_run_stage_executes_fn_once(spark, tmp_path):
