@@ -664,6 +664,25 @@ def kg_bio_by_label(spark, sf_dir):
     return out.groupBy("bio").agg(F.count("*").alias("n_tokens"))
 
 
+def kg_posseq_candidates(spark, sf_dir):
+    """L7 POS-sequence candidate generation (reference
+    get_pos_seq_category + contains()): learn the POS sequences of the
+    corpus' own mentions (one aggregate, broadcast), scan every
+    sentence with the compiled automaton, count candidates per
+    sequence — the recall path for surfaces no gazetteer contains."""
+    from python_mecab_ner_spark.operators.posseq import (
+        learn_posseq_patterns, posseq_candidates)
+    g = _kg_graph(spark)
+    pats = [r.pos_seq for r in
+            learn_posseq_patterns(g["context"], g["mentions"],
+                                  min_count=2).collect()]
+    bc = spark.sparkContext.broadcast(pats)
+    cand = posseq_candidates(g["annotated"], bc)
+    return (cand.groupBy("pos_seq")
+            .agg(F.count("*").alias("n_candidates"),
+                 F.countDistinct("surface").alias("n_surfaces")))
+
+
 def kg_extracted_text(spark, sf_dir):
     """The byte-identity anchor: per-url extracted text fingerprints."""
     g = _kg_graph(spark)
@@ -715,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_levels": kg_link_levels,
         "kg_edges_by_pred": kg_edges_by_pred,
         "kg_bio_by_label": kg_bio_by_label,
+        "kg_posseq_candidates": kg_posseq_candidates,
         "kg_extracted_text": kg_extracted_text,
     }
 

@@ -255,13 +255,19 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
     if with_stats:
         # level 3 NEIGHBOR candidates: only for spans no earlier level
         # touched — jamo-suffix aliases across categories; the floor
-        # filter below rejects candidates without neighbor evidence
+        # filter below rejects candidates without neighbor evidence.
+        # The suffix match is keyed on the last-2-jamo equi-key so the
+        # join plans as a broadcast HASH join (a raw endswith condition
+        # would be a nested loop: O(|unlinked| x |entities|)
+        # comparisons, which dies when both grow).
         un1 = (m.join(candidates.select(*SPAN_KEY).distinct(),
                       SPAN_KEY, "left_anti"))
-        l3cand = (un1.join(F.broadcast(ent),
-                           (F.length(F.col("e_jamo")) >= 2)
-                           & (F.col("m_jamo") != F.col("e_jamo"))
-                           & F.col("m_jamo").endswith(F.col("e_jamo")))
+        ent_sfx = ent.withColumn("_sfx", F.substring(F.col("e_jamo"), -2, 2))
+        l3cand = (un1.withColumn("_sfx", F.substring(F.col("m_jamo"), -2, 2))
+                  .join(F.broadcast(ent_sfx), "_sfx")
+                  .where((F.length(F.col("e_jamo")) >= 2)
+                         & (F.col("m_jamo") != F.col("e_jamo"))
+                         & F.col("m_jamo").endswith(F.col("e_jamo")))
                   .select(*MENTION_COLS, F.col("e_id").alias("entity_id"),
                           F.lit(3).alias("link_level"),
                           F.lit(0).cast("bigint").alias("link_score"),

@@ -315,7 +315,15 @@ overhead dominates.
 Reproduce: `python scripts/bench_scaling.py --docs 400000 --levels 8,32`
 (and `--docs 100000 --levels 2,8`). Per-round operator timings:
 `bench.py` -> `BENCH_r{{N}}.json`.
-"""
+""" + _extras()
+
+
+def _extras() -> str:
+    """Hand-maintained sections (ANN recall, per-round notes) live in
+    BENCH_EXTRAS.md so regenerating the scaling tables never drops
+    them."""
+    p = REPO / "BENCH_EXTRAS.md"
+    return "\n" + p.read_text() if p.exists() else ""
 
 
 if __name__ == "__main__":

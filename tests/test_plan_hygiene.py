@@ -90,6 +90,28 @@ def test_q16_shingle_cap_in_plan(spark, sf01):
     assert "LeftSemi" in plan, plan
 
 
+def test_linking_suffix_join_is_hash_not_nested_loop(spark):
+    """Level-3 suffix candidates must plan as a broadcast HASH join on
+    the last-2-jamo equi-key; a raw endswith theta-join would be a
+    BroadcastNestedLoopJoin — O(|unlinked| x |entities|) comparisons
+    at scale."""
+    from python_mecab_ner_spark.operators.linking import (canonical_entities,
+                                                          link_mentions)
+    gaz = spark.createDataFrame([("FOOD", "f", "버거")],
+                                "large string, small string, surface string")
+    mentions = spark.createDataFrame(
+        [("u1", 0, 1, "수제버거", "FOOD", "f")],
+        "url string, start int, end int, surface string, large string, small string")
+    ctx = spark.createDataFrame([("u1", 1, "먹", "VV")],
+                                "url string, idx int, word string, pos string")
+    nstats = spark.createDataFrame([("FOOD", "먹", "VV", 5)],
+                                   "label string, word string, pos string, cnt long")
+    linked = link_mentions(mentions, canonical_entities(gaz),
+                           context_df=ctx, neighbor_stats_df=nstats)
+    plan = _plan(linked)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_annotate_stage_is_shuffle_free(spark):
     from python_mecab_ner_spark.operators.annotate import annotate_pages
     from python_mecab_ner_spark.sources.corpus import pages_dataframe
