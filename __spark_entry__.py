@@ -554,6 +554,54 @@ def q34_context_argmax(spark, sf_dir):
                     F.col("n_label").alias("best_label")))
 
 
+def q38_tfidf_topk(spark, sf_dir):
+    """L16 TF-IDF (reference main.py:101-117 sklearn experiment) with
+    an EXACT integer formulation: idf = 1 + floor(log2(N / df))
+    computed as bit-length arithmetic (no float log anywhere, so the
+    cross-engine hash matches bit-for-bit); top-3 terms per document
+    by tf * idf, ties term-asc."""
+    from pyspark.sql import Window as W
+    ctx = _doc_context(spark, sf_dir)
+    n_docs = F.lit(spark.read.parquet(f"{sf_dir}/documents.parquet").count())
+    tf = (ctx.groupBy("url", "word").agg(F.count("*").alias("tf")))
+    df_ = (ctx.select("url", "word").distinct()
+           .groupBy("word").agg(F.count("*").alias("df")))
+    # idf = 1 + floor(log2(N/df)) == length(bin(floor(N/df))) for
+    # N/df >= 1 (exact integer arithmetic; explicit floor because
+    # double->bigint CAST truncates in Spark but rounds in DuckDB)
+    idf = F.length(F.bin(F.floor(n_docs / F.col("df")).cast("bigint"))) \
+        .cast("bigint")
+    scored = (tf.join(F.broadcast(df_), "word")
+              .withColumn("tfidf", (F.col("tf") * idf).cast("bigint")))
+    w = W.partitionBy("url").orderBy(F.col("tfidf").desc(),
+                                     F.col("word").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter("rnk <= 3")
+            .select(F.col("url").alias("doc_id"), "word", "tfidf", "rnk"))
+
+
+def q39_clean_corpus(spark, sf_dir):
+    """Composed C4-style cleaning pipeline from the engine's own
+    pieces: language gate (lang_id) + quality gate (quality_score) +
+    exact-dedup rank-1 per fingerprint — the keep-list a pretraining
+    corpus build emits."""
+    from pyspark.sql import Window as W
+
+    from python_mecab_ner_spark.functions import text as TX2
+    d = _loadp(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        TX2.lang_id(F.col("text")).alias("lang_pred"),
+        TX2.quality_score(F.col("text")).alias("quality"),
+        TX2.fingerprint(F.col("text")).alias("fp"))
+    kept = scored.where((F.col("lang_pred") == "en")
+                        & (F.col("quality") >= 60))
+    w = W.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (kept.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select("doc_id", "quality", "fp"))
+
+
 KLUE_FIXTURE = "/root/repo/tests/data/klue_fixture.json"
 
 
@@ -729,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_regex_entities": q35_regex_entities,
         "q36_bio_export": q36_bio_export,
         "q37_klue_ner": q37_klue_ner,
+        "q38_tfidf_topk": q38_tfidf_topk,
+        "q39_clean_corpus": q39_clean_corpus,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1155,6 +1205,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n.begin AS INT) AS ne_begin,
                    CAST(n."end" AS INT) AS ne_end
             FROM ne
+        """,
+        "q38_tfidf_topk": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            n AS (SELECT count(*) AS nd FROM documents),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM c2 GROUP BY 1, 2),
+            dfx AS (SELECT word, count(*) AS df FROM
+                    (SELECT DISTINCT doc_id, word FROM c2) GROUP BY 1),
+            scored AS (
+              SELECT tf.doc_id, tf.word,
+                     CAST(tf.tf * length(bin(CAST(floor(n.nd * 1.0 / dfx.df)
+                          AS BIGINT))) AS BIGINT) AS tfidf
+              FROM tf JOIN dfx USING (word), n),
+            r AS (SELECT doc_id, word, tfidf,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, word ASC) AS INT) AS rnk
+                  FROM scored)
+            SELECT doc_id, word, tfidf, rnk FROM r WHERE rnk <= 3
+        """,
+        "q39_clean_corpus": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     {lang_sql} AS lang_pred,
+                     {qual_sql} AS quality,
+                     {fp_sql} AS fp
+              FROM documents),
+            kept AS (SELECT * FROM scored
+                     WHERE lang_pred = 'en' AND quality >= 60),
+            r AS (SELECT doc_id, quality, fp,
+                         ROW_NUMBER() OVER (PARTITION BY fp
+                             ORDER BY doc_id ASC) AS rn
+                  FROM kept)
+            SELECT doc_id, quality, fp FROM r WHERE rn = 1
         """,
         "q22_salt_distribution": f"""
             WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),

@@ -70,6 +70,21 @@ def windowed_pred_counts(triples_stream: DataFrame,
                     "n_triples"))
 
 
+def stream_dedup(pages_stream: DataFrame,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup: keep the FIRST arrival per normalized
+    text fingerprint, with state bounded by the watermark horizon
+    (dropDuplicatesWithinWatermark — the streaming twin of
+    operators.dedup.exact_dedup).  A crawler re-fetching the same page
+    within the horizon emits it once; state size is O(distinct
+    fingerprints inside the watermark window), not O(corpus)."""
+    from ..functions.text import fingerprint
+    return (pages_stream
+            .withColumn("fp", fingerprint(F.col("text")))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["fp"]))
+
+
 def run_ingest(spark: SparkSession, input_dir: str, out_dir: str,
                checkpoint_dir: str, gazetteer_rows_bc,
                available_now: bool = True):

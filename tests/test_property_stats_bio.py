@@ -1,0 +1,114 @@
+"""Hypothesis property tests for the round-2 kernel modules
+(stats scoring, BIO writeback, POS-seq scan) — the §5 test-pyramid
+layer that pins invariants no golden can cover exhaustively."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from python_mecab_ner_spark.kernel.bio import bio_vector
+from python_mecab_ner_spark.kernel.posseq import PosSeqScanner
+from python_mecab_ner_spark.kernel.stats import (SCORE_CAP, best_label,
+                                                 neighbor_counts, score_label)
+
+POS = st.sampled_from(["NNG", "NNP", "VV", "JKB", "EC", "SY"])
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=3)
+
+
+spans_strategy = st.lists(
+    st.tuples(st.integers(0, 10), st.integers(1, 6),
+              st.sampled_from(["X", "Y", "Z"])),
+    max_size=5).map(lambda xs: [(s, s + l, lab) for s, l, lab in xs])
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(0, 20), spans=spans_strategy)
+def test_bio_vector_invariants(n, spans):
+    labels = bio_vector(n, spans)
+    assert len(labels) == n
+    for i, lab in enumerate(labels):
+        if lab == "O":
+            assert not any(s <= i < e for s, e, _ in spans if s < n)
+        else:
+            # every labeled position is explained by a covering span
+            # with the right B/I role relative to THAT span's start
+            prefix, name = lab[:2], lab[2:]
+            assert any(s <= i < e and name == l
+                       and (prefix == "B-") == (i == s)
+                       for s, e, l in spans)
+    # NOTE orphan I- CAN appear for overlapping input spans — that is
+    # reference-faithful (set_mecab_label stamps I- at any non-start
+    # position, and the first-writer guard only skips taken tokens,
+    # mecab_category_storage.py:157-169); non-overlapping spans below
+    # produce well-formed BIO
+    if not any(set(range(s1, e1)) & set(range(s2, e2))
+               for i1, (s1, e1, _) in enumerate(spans)
+               for (s2, e2, _) in spans[i1 + 1:]):
+        for i, lab in enumerate(labels):
+            if lab.startswith("I-"):
+                assert i > 0 and labels[i - 1] in (f"B-{lab[2:]}",
+                                                   f"I-{lab[2:]}")
+
+
+@settings(max_examples=150, deadline=None)
+@given(tags=st.lists(POS, max_size=15),
+       pats=st.lists(st.lists(POS, min_size=1, max_size=3),
+                     min_size=1, max_size=6))
+def test_posseq_scan_invariants(tags, pats):
+    sc = PosSeqScanner(pats)
+    spans = sc.scan(tags)
+    seen = set()
+    for s, e, seq in spans:
+        assert 0 <= s < e <= len(tags)
+        # the reported sequence matches the tags exactly
+        assert "+".join(tags[s:e]) == seq
+        # spans never overlap (reference CK masking)
+        for i in range(s, e):
+            assert i not in seen
+            seen.add(i)
+    # every unigram pattern position is covered by SOME span
+    unigrams = {p[0] for p in pats if len(p) == 1}
+    for i, t in enumerate(tags):
+        if t in unigrams:
+            assert i in seen
+
+
+@settings(max_examples=150, deadline=None)
+@given(tokens=st.lists(st.tuples(WORD, POS), min_size=1, max_size=12),
+       start=st.integers(0, 5), length=st.integers(1, 4))
+def test_neighbor_counts_window_bounds(tokens, start, length):
+    end = min(len(tokens), start + length)
+    if start >= len(tokens):
+        return
+    counts = neighbor_counts(tokens, [(start, end, "L")])
+    # every counted (word, pos) occurs within +-3 of the span and
+    # outside it
+    window = [tokens[i] for i in range(max(0, start - 3),
+                                       min(len(tokens), end + 3))
+              if not (start <= i < end)]
+    assert sum(counts.values()) == len(window)
+    for (lab, w, p), c in counts.items():
+        assert lab == "L" and c >= 1
+        assert (w, p) in window
+
+
+@settings(max_examples=150, deadline=None)
+@given(ctx=st.lists(st.tuples(WORD, POS), max_size=6),
+       extra=st.tuples(WORD, POS), cnt=st.integers(1, SCORE_CAP))
+def test_score_monotone_in_evidence(ctx, extra, cnt):
+    """Adding evidence for a label never lowers its score (the
+    property that makes the capped product an argmax twin of the
+    reference's log-smoothed sum)."""
+    base = {("A", w, p): 1 for w, p in ctx}
+    s0 = score_label(base, "A", ctx)
+    more = dict(base)
+    more[("A", extra[0], extra[1])] = more.get(("A",) + extra, 0) + cnt
+    s1 = score_label(more, "A", ctx)
+    assert s1 >= s0
+    # and the winner flips toward the label with strictly more
+    # evidence on a shared context token
+    if ctx:
+        w, p = ctx[0]
+        counts = {("A", w, p): 2, ("B", w, p): 1}
+        win = best_label(["A", "B"],
+                         lambda lab: score_label(counts, lab, [ctx[0]]))
+        assert win is not None and win[0] == "A"

@@ -89,3 +89,38 @@ def test_windowed_pred_counts_rollup(spark, bc, tmp_path):
                     "n_triples"))
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in want.collect()}
+
+
+def test_stream_dedup_first_arrival_wins(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per fingerprint
+    across micro-batches within the horizon (streaming twin of
+    exact_dedup)."""
+    import datetime as dt
+
+    from python_mecab_ner_spark.streaming.ingest import (stream_dedup,
+                                                         stream_pages)
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    rows1 = [("u1", t0, "same text here", "en"),
+             ("u2", t0, "other text", "en")]
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src)
+
+    def drain():
+        q = (stream_dedup(stream_pages(spark, src)).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        assert q.awaitTermination(120)
+
+    drain()
+    # batch 2: a duplicate of u1's text (different url, later ts,
+    # inside the watermark) and one genuinely new text
+    rows2 = [("u3", t0 + dt.timedelta(minutes=5), "same text here", "en"),
+             ("u4", t0 + dt.timedelta(minutes=6), "brand new", "en")]
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    drain()
+
+    got = {r.url for r in spark.read.parquet(out).collect()}
+    assert got == {"u1", "u2", "u4"}, got
