@@ -602,6 +602,23 @@ def q39_clean_corpus(spark, sf_dir):
             .select("doc_id", "quality", "fp"))
 
 
+def q40_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (operators.graph.pagerank_int) on
+    the part<->supplier bipartite graph from lineitem (node ids
+    disjoint via even/odd encoding); exact cross-engine because every
+    step is 64-bit integer arithmetic."""
+    from python_mecab_ner_spark.operators.graph import pagerank_int
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return pagerank_int(edges, iters=3).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("pr").alias("pr"))
+
+
 KLUE_FIXTURE = "/root/repo/tests/data/klue_fixture.json"
 
 
@@ -731,6 +748,27 @@ def kg_posseq_candidates(spark, sf_dir):
                  F.countDistinct("surface").alias("n_surfaces")))
 
 
+def kg_entity_rank(spark, sf_dir):
+    """Entity centrality over the extracted KG: integer PageRank on
+    the edges table, top-10 canonical entities — the 'which entities
+    matter' query a KG consumer runs first."""
+    from python_mecab_ner_spark.operators.graph import pagerank_int
+    g = _kg_graph(spark)
+    # localCheckpoint truncates the (deep) extraction lineage before
+    # the iterative plan references it per iteration — without it the
+    # unrolled loop replicates the whole linking join tree ~3x/iter
+    # and planning alone exhausts the driver heap
+    edges = (g["edges"].select(F.col("src_id").alias("src"),
+                               F.col("dst_id").alias("dst"))
+             .localCheckpoint())
+    pr = pagerank_int(edges, iters=3)
+    v = g["vertices"].select(F.col("entity_id").alias("node"), "canonical")
+    return (pr.join(v, "node")
+            .orderBy(F.col("pr").desc(), F.col("node").asc())
+            .limit(10)
+            .select("canonical", "pr"))
+
+
 def kg_extracted_text(spark, sf_dir):
     """The byte-identity anchor: per-url extracted text fingerprints."""
     g = _kg_graph(spark)
@@ -779,12 +817,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_klue_ner": q37_klue_ner,
         "q38_tfidf_topk": q38_tfidf_topk,
         "q39_clean_corpus": q39_clean_corpus,
+        "q40_pagerank": q40_pagerank,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
         "kg_edges_by_pred": kg_edges_by_pred,
         "kg_bio_by_label": kg_bio_by_label,
         "kg_posseq_candidates": kg_posseq_candidates,
+        "kg_entity_rank": kg_entity_rank,
         "kg_extracted_text": kg_extracted_text,
     }
 
@@ -1241,6 +1281,38 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY doc_id ASC) AS rn
                   FROM kept)
             SELECT doc_id, quality, fp FROM r WHERE rn = 1
+        """,
+        "q40_pagerank": """
+            WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                  l_suppkey * 2 + 1 AS s FROM lineitem),
+            e AS (SELECT p AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s, p FROM pairs),
+            nodes AS (SELECT DISTINCT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+            pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+            m1 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+                   FROM e JOIN pr0 p ON p.node = e.src
+                   JOIN od o ON o.src = e.src GROUP BY 1),
+            pr1 AS (SELECT n.node,
+                           CAST(150000 + (85 * coalesce(m1.m, 0)) // 100
+                                AS BIGINT) AS pr
+                    FROM nodes n LEFT JOIN m1 ON m1.node = n.node),
+            m2 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+                   FROM e JOIN pr1 p ON p.node = e.src
+                   JOIN od o ON o.src = e.src GROUP BY 1),
+            pr2 AS (SELECT n.node,
+                           CAST(150000 + (85 * coalesce(m2.m, 0)) // 100
+                                AS BIGINT) AS pr
+                    FROM nodes n LEFT JOIN m2 ON m2.node = n.node),
+            m3 AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+                   FROM e JOIN pr2 p ON p.node = e.src
+                   JOIN od o ON o.src = e.src GROUP BY 1),
+            pr3 AS (SELECT n.node,
+                           CAST(150000 + (85 * coalesce(m3.m, 0)) // 100
+                                AS BIGINT) AS pr
+                    FROM nodes n LEFT JOIN m3 ON m3.node = n.node)
+            SELECT CAST(node AS BIGINT) AS node, pr FROM pr3
         """,
         "q22_salt_distribution": f"""
             WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),

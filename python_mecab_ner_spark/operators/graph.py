@@ -110,6 +110,49 @@ def add_salt(edges: DataFrame, head_keys: DataFrame, key: str = "src_id",
             .drop("_is_head"))
 
 
+def pagerank_int(edges: DataFrame, iters: int = 3,
+                 scale: int = 1_000_000, damping_num: int = 85,
+                 damping_den: int = 100,
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """Integer fixed-point PageRank over (src, dst) edges:
+
+        pr0(v)  = scale
+        pr'(v)  = (1-d)*scale + (d_num * sum_{u->v} (pr(u) div od(u)))
+                  div d_den
+
+    ALL arithmetic is 64-bit integer (div = floor division), so the
+    result is bit-exact across engines regardless of summation order —
+    float PageRank can never hash-match a SQL oracle, quantized
+    PageRank always does.  Dangling mass is dropped (documented
+    divergence from the normalized formulation; ranking order is
+    preserved for the connected case).
+
+    Scale shape: each iteration is one join edges x ranks on the
+    high-cardinality src key + one partial-aggregable groupBy on dst;
+    at production scale localCheckpoint every few iterations truncates
+    the lineage exactly like operators/canonicalize.py (here the
+    3-iteration unrolled lazy plan is bounded and cheap)."""
+    base = (scale * (damping_den - damping_num)) // damping_den
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    pr = nodes.withColumn("pr", F.lit(scale).cast("bigint"))
+    for _ in range(iters):
+        contrib = (e.join(pr.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("pr div od").alias("c")))
+        inmass = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        pr = (nodes.join(inmass, "node", "left")
+              .select("node",
+                      (F.lit(base)
+                       + F.expr(f"({damping_num} * coalesce(m, 0)) "
+                                f"div {damping_den}"))
+                      .cast("bigint").alias("pr")))
+    return pr
+
+
 def materialize_graph(edges: DataFrame, vertices: DataFrame, out_dir: str,
                       n_salt: int = 16, n_buckets: int = 32) -> dict:
     """Salted, bucketed Parquet write of the graph tables.

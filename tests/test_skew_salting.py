@@ -43,3 +43,16 @@ def test_salting_spreads_only_head_keys(spark):
     # cold keys untouched (single salt 0)
     assert all(n == 1 for k, (n, _) in dist.items() if k != 1)
     assert salted.filter("src_id != 1 AND salt != 0").count() == 0
+
+
+def test_pagerank_int_star_graph(spark):
+    """Center of a star gets the highest rank; leaves tie exactly
+    (integer arithmetic -> bit-exact equality, no float fuzz)."""
+    from python_mecab_ner_spark.operators.graph import pagerank_int
+    edges = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r.node: r.pr for r in pagerank_int(e, iters=3).collect()}
+    assert len(pr) == 6
+    leaves = {pr[i] for i in range(1, 6)}
+    assert len(leaves) == 1          # exact tie
+    assert pr[0] > leaves.pop()      # hub dominates
