@@ -372,6 +372,29 @@ def q25_frame_sample(spark, sf_dir):
     return sample_frames(video, every_k=4)
 
 
+def q41_audio_features(spark, sf_dir):
+    """Audio twin of q24: Arrow-batched fake decode (sample_rate,
+    n_samples, rms) over the audio-mime blobs."""
+    from python_mecab_ner_spark.operators.multimodal import (audio_features,
+                                                             synthesize_blobs)
+    d = _loadp(spark, sf_dir, "documents")
+    audio = synthesize_blobs(d).filter("meta.mime = 'audio/wav'")
+    return audio_features(audio)
+
+
+def q42_image_resize(spark, sf_dir):
+    """Aspect-preserving resize plan over the decoded image features:
+    exact integer target-box fit (the numbers a vision pipeline's
+    resample step consumes), pure codegen."""
+    from python_mecab_ner_spark.operators.multimodal import (image_features,
+                                                             resize_plan,
+                                                             synthesize_blobs)
+    d = _loadp(spark, sf_dir, "documents")
+    imgs = synthesize_blobs(d).filter("meta.mime = 'image/png'")
+    return (resize_plan(image_features(imgs), target=224)
+            .select("doc_id", "width", "height", "new_width", "new_height"))
+
+
 def q26_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via banded corpus-scaled
     sign-LSH self-join (the dedup family's ANN member; output pairs are
@@ -818,6 +841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_tfidf_topk": q38_tfidf_topk,
         "q39_clean_corpus": q39_clean_corpus,
         "q40_pagerank": q40_pagerank,
+        "q41_audio_features": q41_audio_features,
+        "q42_image_resize": q42_image_resize,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1066,6 +1091,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
                    ('0x' || substr(md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)), 1, 15))::bigint AS frame_sig
             FROM f
+        """,
+        "q41_audio_features": """
+            WITH h AS (SELECT doc_id, text,
+                              ('0x' || substr(md5(text), 1, 15))::bigint AS hv
+                       FROM documents WHERE doc_id % 3 = 1)
+            SELECT doc_id,
+                   CAST(([8000, 16000, 22050, 44100])[(hv % 4) + 1] AS INT)
+                       AS sample_rate,
+                   CAST(octet_length(encode(text)) * 4 AS BIGINT) AS n_samples,
+                   CAST(hv % 1024 AS INT) AS rms
+            FROM h
+        """,
+        "q42_image_resize": """
+            WITH h AS (SELECT doc_id,
+                              ('0x' || substr(md5(text), 1, 15))::bigint AS hv
+                       FROM documents WHERE doc_id % 3 = 0),
+            dims AS (SELECT doc_id,
+                            CAST(32 + hv % 480 AS INT) AS width,
+                            CAST(32 + (hv >> 9) % 480 AS INT) AS height
+                     FROM h)
+            SELECT doc_id, width, height,
+                   CAST(width * 224 // greatest(width, height) AS INT)
+                       AS new_width,
+                   CAST(height * 224 // greatest(width, height) AS INT)
+                       AS new_height
+            FROM dims
         """,
         "q26_embedding_neardup": _embedding_neardup_sql(),
         "q31_asof_join": f"""

@@ -126,6 +126,66 @@ def image_features(df: DataFrame, blob_col: str = "blob",
         extract, schema=IMAGE_FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("rms", IntegerType()),
+])
+
+_SAMPLE_RATES = (8000, 16000, 22050, 44100)
+
+
+def decode_audio_real(blob: bytes):  # pragma: no cover - stub
+    """Real codec hook (soundfile/librosa).  Not available in this
+    container; swap in when the audio libs exist on executors."""
+    raise NotImplementedError(
+        "audio codec not available in this environment; "
+        "use fake_audio_features (deterministic stand-in)")
+
+
+def fake_audio_features(blob: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decode (md5-derived, SQL-reproducible):
+    (sample_rate, n_samples, rms)."""
+    h = int(hashlib.md5(blob).hexdigest()[:15], 16)
+    rate = _SAMPLE_RATES[h % 4]
+    return (rate, len(blob) * 4, h % 1024)
+
+
+def audio_features(df: DataFrame, blob_col: str = "blob",
+                   use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched audio decode + feature extraction (mapInPandas) —
+    the audio twin of image_features, same batch-shape contract."""
+    decode = decode_audio_real if use_real_codec else fake_audio_features
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+        for pdf in batches:
+            feats = [decode(b) for b in pdf[blob_col]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "sample_rate": pd.Series([f[0] for f in feats], dtype="int32"),
+                "n_samples": pd.Series([f[1] for f in feats], dtype="int64"),
+                "rms": pd.Series([f[2] for f in feats], dtype="int32"),
+            })
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        extract, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def resize_plan(df: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize PLAN for decoded images: new dims
+    fitting the target box, computed with exact integer arithmetic
+    (w * target div max(w, h)) — pure codegen, no Python.  The actual
+    pixel resample belongs to the stubbed codec; this operator carries
+    the numbers every downstream vision pipeline needs (and at 100 TB
+    the planning projection costs nothing)."""
+    return df.withColumn(
+        "new_width", F.expr(f"int(width * {target} div greatest(width, height))")
+    ).withColumn(
+        "new_height", F.expr(f"int(height * {target} div greatest(width, height))"))
+
+
 def sample_frames(df: DataFrame, blob_col: str = "blob",
                   every_k: int = 4) -> DataFrame:
     """Frame sampling for video blobs: treat the blob as fixed-size

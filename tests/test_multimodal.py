@@ -149,3 +149,32 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact_pos = {v: i for i, v in enumerate(exact)}
     shared = [v for v in ivf if v in exact_pos]
     assert shared == sorted(shared, key=lambda v: exact_pos[v])
+
+
+def test_audio_features_deterministic(spark, sf_dir):
+    from python_mecab_ner_spark.operators.multimodal import (
+        audio_features, fake_audio_features, synthesize_blobs)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    audio = synthesize_blobs(d).filter("meta.mime = 'audio/wav'")
+    rows = audio_features(audio).collect()
+    assert rows
+    blobs = {r.doc_id: bytes(r.blob) for r in audio.collect()}
+    for r in rows:
+        rate, n, rms = fake_audio_features(blobs[r.doc_id])
+        assert (r.sample_rate, r.n_samples, r.rms) == (rate, n, rms)
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+
+
+def test_resize_plan_fits_box(spark):
+    from python_mecab_ner_spark.operators.multimodal import resize_plan
+    df = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 400), (3, 224, 224), (4, 50, 50)],
+        "doc_id long, width int, height int")
+    out = {r.doc_id: r for r in resize_plan(df, target=224).collect()}
+    for r in out.values():
+        # the longest side hits the box exactly, nothing exceeds it
+        assert max(r.new_width, r.new_height) == 224
+    assert (out[1].new_width, out[1].new_height) == (224, 168)
+    assert (out[2].new_width, out[2].new_height) == (56, 224)
+    assert (out[3].new_width, out[3].new_height) == (224, 224)
+    assert (out[4].new_width, out[4].new_height) == (224, 224)
