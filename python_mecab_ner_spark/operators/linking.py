@@ -219,8 +219,11 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
         F.col("surface").alias("alias"),
         F.col("jamo_key").alias("e_jamo"))
 
+    # persist the jamo-keyed mention table: it anchors four candidate
+    # branches (l0/l1/l2/un1) and the jamo pandas UDF would otherwise
+    # re-run per branch over the whole mention set
     m = mentions_df.select(*MENTION_COLS) \
-        .withColumn("m_jamo", _jamo_key_udf(F.col("surface")))
+        .withColumn("m_jamo", _jamo_key_udf(F.col("surface"))).persist()
 
     l0 = (m.join(F.broadcast(ent),
                  (m.surface == F.col("alias")) & (m.large == F.col("e_large")))

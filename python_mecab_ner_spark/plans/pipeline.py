@@ -79,10 +79,15 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
             F.pmod(md5_int(F.col("surface")), F.lit(kb_holdout_mod)) != 0)
     context = nstats = cstats = None
     if learned_stats:
-        context = tokens_table(annotated)
+        # context feeds 5 scoring/stats passes; persist the exploded
+        # token table once instead of re-exploding per pass
+        context = tokens_table(annotated).persist()
         train = _training_mentions(mentions)
-        nstats = build_neighbor_stats(context, train)
-        cstats = build_core_stats(context, train)
+        # the stats are TINY aggregates (|labels| x vocab) over a
+        # corpus-sized join — persist them or every broadcast in the
+        # ladder re-runs that join
+        nstats = build_neighbor_stats(context, train).persist()
+        cstats = build_core_stats(context, train).persist()
     # link the resolved NER spans (the final entities of a page);
     # the spans' word column is the mention surface for linking
     linked = link_mentions(
