@@ -126,6 +126,9 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4,
     doubles left-to-right) and the comparison uses a 6-dp rounded
     cosine so any residual last-ulp divergence cannot flip a row."""
     if bits is None:
+        # one count action to size the LSH (parquet footer metadata for
+        # raw tables); callers that already know the corpus size should
+        # pass bits= explicitly to skip it
         bits = adaptive_bits(df.count(), target_bucket_size)
     dbl = F.transform(F.col(emb_col), lambda x: x.cast("double"))
     banded = banded_sign_buckets(df.select(id_col, emb_col), bits, n_bands,

@@ -29,6 +29,10 @@ def bio_from_mentions(tokens_df: DataFrame, mentions_df: DataFrame,
     lab = (mentions_df
            .select("url", "start", "end",
                    F.col(label_col).alias("_lab"))
+           # guard degenerate spans: sequence(s, s-1) would otherwise
+           # auto-step DOWNWARD and stamp the token before the span
+           # (kernel twin emits nothing for empty spans)
+           .where(F.col("end") > F.col("start"))
            .withColumn("idx", F.explode(
                F.sequence(F.col("start"), F.col("end") - 1)))
            .withColumn("_bio",

@@ -169,6 +169,7 @@ def lsh_verified_pairs(df: DataFrame, text_col: str, id_col: str,
     restricted to the LSH candidate set.
     """
     cand = lsh_candidate_pairs(df, text_col, id_col, k, n_hashes, bands)
+    cand_release = cand.unpersist_input  # the sig table persisted inside
     sh = shingles(df, text_col, id_col, k).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (cand
@@ -185,7 +186,11 @@ def lsh_verified_pairs(df: DataFrame, text_col: str, id_col: str,
            .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
            .where(F.col("inter") >= min_shared)
            .select("doc_a", "doc_b", "inter", "uni"))
-    out.unpersist_input = sh.unpersist
+
+    def _release():
+        cand_release()
+        sh.unpersist()
+    out.unpersist_input = _release
     return out
 
 

@@ -20,11 +20,19 @@ from ..functions.hashing import md5_int
 
 
 def build_vertices(linked_mentions: DataFrame, entities_df: DataFrame,
-                   canonical: DataFrame | None = None) -> DataFrame:
+                   canonical: DataFrame | None = None,
+                   label_universe: DataFrame | None = None) -> DataFrame:
     """(entity_id, canonical, large, small) for every linked entity.
     Level-4 (BRUTE) links target label pseudo-entities — those become
     type-level vertices (canonical = the label, small = '*') so no
-    edge dangles."""
+    edge dangles.
+
+    label_universe: one-column (large) DataFrame of every label the
+    brute level can PREDICT.  Defaults to entities_df's larges, but
+    when the KB is a filtered subset of the mention detector (the
+    kb_holdout case) callers must pass the detector-side larges —
+    brute labels come from the full-gazetteer stats, and a label whose
+    every alias is held out would otherwise have no vertex row."""
     from ..operators.linking import label_entity_id
     dict_v = (linked_mentions.where(F.col("entity_id").isNotNull()
                                     & (F.col("link_level") < 4))
@@ -35,7 +43,9 @@ def build_vertices(linked_mentions: DataFrame, entities_df: DataFrame,
     # label pseudo-ids -> (label) via the tiny label-id dimension
     # (entity_id encodes the PREDICTED label, which can differ from
     # the mention's own large)
-    label_dim = (entities_df.select(F.col("large").alias("canonical"))
+    lu = label_universe if label_universe is not None \
+        else entities_df.select("large")
+    label_dim = (lu.select(F.col("large").alias("canonical"))
                  .distinct()
                  .select(label_entity_id(F.col("canonical")).alias("entity_id"),
                          "canonical", F.col("canonical").alias("large"),

@@ -331,4 +331,15 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
     out = linked_parts[0]
     for p in linked_parts[1:]:
         out = out.unionByName(p)
+
+    def _release():
+        for df in (m, candidates, best, remainder):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    # release hook for callers that loop over corpora (the persisted
+    # working set otherwise stays in the SQL CacheManager for the
+    # session lifetime — same contract as dedup.py's unpersist_input)
+    out.unpersist_working_set = _release
     return out

@@ -96,7 +96,11 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
         core_stats_df=cstats)
 
     canonical = canonical_map(entities) if canonicalize else None
-    vertices = build_vertices(linked, entities, canonical)
+    # label universe = the DETECTOR-side gazetteer larges (brute
+    # labels come from full-gazetteer stats, not the possibly
+    # holdout-filtered KB)
+    vertices = build_vertices(linked, entities, canonical,
+                              label_universe=gaz_df.select("large"))
     edges = build_edges(triples, linked, canonical)
     return {
         "annotated": annotated, "mentions": mentions, "spans": spans,
@@ -136,7 +140,11 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
                            core_stats_df=build_core_stats(context, train))
     triples = triples_table(annotated)
     canonical = canonical_map(entities) if canonicalize else None
-    vertices = build_vertices(linked, entities, canonical)
+    # label universe = the DETECTOR-side gazetteer larges (brute
+    # labels come from full-gazetteer stats, not the possibly
+    # holdout-filtered KB)
+    vertices = build_vertices(linked, entities, canonical,
+                              label_universe=gaz_df.select("large"))
     edges = build_edges(triples, linked, canonical)
     info = materialize_graph(edges, vertices, out_dir)
     info["annotated_rows"] = annotated.count()

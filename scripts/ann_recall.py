@@ -45,9 +45,6 @@ def main(sf_dir: str, n_queries: int = 8, k: int = 10) -> int:
                bucketed_topk(e, qvec, k=k, bits=bits).collect()}
         ivf = {x.vec_id for x in
                ivf_topk(e, qvec, k=k, n_cells=16, n_probe=4).collect()}
-        qkeys = [(b, key) for b, key in enumerate(
-            banded.filter(F.col("vec_id") == r.vec_id)
-            .select("band_idx", "band_key").collect())]
         cand = (banded.join(
             banded.filter(F.col("vec_id") == r.vec_id)
             .select(F.col("band_idx").alias("qb"),

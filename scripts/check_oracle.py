@@ -55,6 +55,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     qs = entrymod.queries()
     if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []

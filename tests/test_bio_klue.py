@@ -46,6 +46,20 @@ def test_char_span_alignment_kernel():
     assert all(l == "O" for l in labels[e:])
 
 
+def test_bio_zero_width_span_emits_nothing(spark):
+    """A degenerate start==end mention stamps no token (Spark sequence
+    would otherwise auto-step DOWNWARD and label the token before the
+    span; the kernel twin emits nothing)."""
+    from python_mecab_ner_spark.operators.bio import bio_from_mentions
+    toks = spark.createDataFrame([("u", 0, "a"), ("u", 1, "b")],
+                                 "url string, idx int, word string")
+    m = spark.createDataFrame([("u", 1, 1, "X")],
+                              "url string, start int, end int, label string")
+    out = {r.idx: r.bio for r in bio_from_mentions(toks, m).collect()}
+    assert out == {0: "O", 1: "O"}
+    assert bio_vector(2, [(1, 1, "X")]) == ["O", "O"]
+
+
 def test_klue_ingest(spark):
     from python_mecab_ner_spark.sources.klue import klue_ner, klue_sentences
     sents = klue_sentences(spark, KLUE_FIXTURE).collect()
