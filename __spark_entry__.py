@@ -38,7 +38,7 @@ MINI_GAZ = ["hash join", "table scan", "window agg", "spark", "query"]
 # ceil(log2(n_vectors / LSH_TARGET_BUCKET)), so bucket size (and with
 # it per-bucket self-join work) stays ~constant as the corpus grows
 LSH_TARGET_BUCKET = 64
-LSH_BANDS = 4
+LSH_BANDS = 8
 
 # shingle document-frequency cap for the exact-jaccard path (q16):
 # bounds self-join fan-out per shingle key at MAX_SH_DF^2 at ANY corpus
@@ -309,14 +309,14 @@ def q20_ann_bruteforce(spark, sf_dir):
 
 def q21_ann_lsh(spark, sf_dir):
     """Banded sign-LSH ANN (the scale path): top-10 among vectors
-    colliding with the query in ANY of 4 bands; bits per band are
+    colliding with the query in ANY of LSH_BANDS bands; bits per band are
     CORPUS-SCALED (ceil(log2(n / target_bucket))) so candidate count
     stays ~constant per probe at any corpus size."""
     from python_mecab_ner_spark.operators.ann import bucketed_topk
     e = _load(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             e.filter("vec_id = 0").select("embedding").first()[0]]
-    return bucketed_topk(e, qvec, k=10, n_bands=4,
+    return bucketed_topk(e, qvec, k=10, n_bands=LSH_BANDS,
                          target_bucket_size=LSH_TARGET_BUCKET)
 
 
@@ -401,7 +401,7 @@ def q26_embedding_neardup(spark, sf_dir):
     float-free; membership gated on a bit-stable rounded cosine)."""
     from python_mecab_ner_spark.operators.ann import embedding_neardup_pairs
     e = _loadp(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, threshold=0.4, n_bands=4,
+    return embedding_neardup_pairs(e, threshold=0.4, n_bands=LSH_BANDS,
                                    target_bucket_size=LSH_TARGET_BUCKET)
 
 

@@ -167,7 +167,11 @@ def bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10,
     for band in range(n_bands):
         qkey = 0
         for i in range(bits):
-            if qvec[band + i * n_bands] >= 0:
+            idx = band + i * n_bands
+            # dims beyond the embedding length contribute bit 0 — the
+            # exact semantics of the Column expression (element_at
+            # returns NULL, NULL >= 0 is not true) and the SQL twin
+            if idx < len(qvec) and qvec[idx] >= 0:
                 qkey |= 1 << i
         preds.append(_band_key(F.col(emb_col), band, bits, n_bands) == qkey)
     pred = preds[0]

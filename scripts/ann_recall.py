@@ -35,14 +35,14 @@ def main(sf_dir: str, n_queries: int = 8, k: int = 10) -> int:
 
     # candidate-set size of the banded LSH per query = vectors sharing
     # any band with the query
-    banded = banded_sign_buckets(e.select("vec_id", "embedding"), bits, 4)
+    banded = banded_sign_buckets(e.select("vec_id", "embedding"), bits, 8)
 
     lsh_recall, lsh_cand, ivf_recall = [], [], []
     for r in qrows:
         qvec = [float(x) for x in r.embedding]
         exact = {x.vec_id for x in brute_force_topk(e, qvec, k=k).collect()}
         lsh = {x.vec_id for x in
-               bucketed_topk(e, qvec, k=k, bits=bits).collect()}
+               bucketed_topk(e, qvec, k=k, bits=bits, n_bands=8).collect()}
         ivf = {x.vec_id for x in
                ivf_topk(e, qvec, k=k, n_cells=16, n_probe=4).collect()}
         cand = (banded.join(
@@ -61,7 +61,7 @@ def main(sf_dir: str, n_queries: int = 8, k: int = 10) -> int:
     print("|---|---|---|---|---|")
     print(f"| brute force | 1.000 | {n} | {n} | exact baseline |")
     print(f"| banded sign-LSH | {mean(lsh_recall):.3f} | "
-          f"{mean(lsh_cand):.0f} | {n} | bits={bits} (adaptive), bands=4 |")
+          f"{mean(lsh_cand):.0f} | {n} | bits={bits} (adaptive), bands=8 |")
     print(f"| IVF | {mean(ivf_recall):.3f} | ~{n * 4 // 16} | {n} | "
           f"cells=16, probe=4 |")
     spark.stop()
