@@ -792,6 +792,25 @@ def kg_entity_rank(spark, sf_dir):
             .select("canonical", "pr"))
 
 
+def kg_canonical_clusters(spark, sf_dir):
+    """Surface-form canonicalization over the full gazetteer entity
+    dimension (MinHash-LSH blocking over jamo shingles + CC): alias
+    clusters of size >= 2 with their canonical surface — the
+    alias-merging step of KG construction."""
+    from python_mecab_ner_spark.operators.canonicalize import canonical_map
+    from python_mecab_ner_spark.operators.linking import canonical_entities
+    from python_mecab_ner_spark.sources.gazetteer import gazetteer_df_from_tsv
+    ents = canonical_entities(gazetteer_df_from_tsv(spark))
+    cm = canonical_map(ents)
+    sizes = (cm.groupBy("canonical_id")
+             .agg(F.count("*").alias("n_aliases"))
+             .where("n_aliases >= 2"))
+    canon_surface = ents.select(F.col("entity_id").alias("canonical_id"),
+                                F.col("surface").alias("canonical"))
+    return (sizes.join(canon_surface, "canonical_id")
+            .select("canonical", "n_aliases"))
+
+
 def kg_extracted_text(spark, sf_dir):
     """The byte-identity anchor: per-url extracted text fingerprints."""
     g = _kg_graph(spark)
@@ -850,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bio_by_label": kg_bio_by_label,
         "kg_posseq_candidates": kg_posseq_candidates,
         "kg_entity_rank": kg_entity_rank,
+        "kg_canonical_clusters": kg_canonical_clusters,
         "kg_extracted_text": kg_extracted_text,
     }
 
