@@ -118,6 +118,38 @@ def build_core_stats(context_df: DataFrame, mentions_df: DataFrame) -> DataFrame
             .agg(F.count("*").alias("cnt")))
 
 
+def build_stats(context_df: DataFrame, mentions_df: DataFrame,
+                window: int = NEIGHBOR_DISTANCE):
+    """(neighbor_stats, core_stats) from ONE mention-context join +
+    ONE aggregation: each joined row is tagged neighbor (inside the
+    +-window, outside the span) and/or core (the span's last token),
+    then a single groupBy sums both tags — halving the corpus-join
+    cost of building the two counters separately (they are identical
+    in semantics to build_neighbor_stats / build_core_stats)."""
+    m = mentions_df.select("url", "start", "end",
+                           F.col("large").alias("label"))
+    ctx = context_df.select("url", "idx", "word", "pos")
+    j = (m.join(ctx, "url")
+         .where((F.col("idx") >= F.col("start") - window)
+                & (F.col("idx") < F.col("end") + window)))
+    is_neighbor = ((F.col("idx") < F.col("start"))
+                   | (F.col("idx") >= F.col("end"))).cast("long")
+    is_core = (F.col("idx") == F.col("end") - 1).cast("long")
+    # the combined aggregate is vocab-sized (tiny); persisting IT means
+    # the corpus join runs exactly once no matter how many broadcasts
+    # read either stats table downstream
+    agg = (j.groupBy("label", "word", "pos")
+           .agg(F.sum(is_neighbor).alias("n_cnt"),
+                F.sum(is_core).alias("c_cnt"))
+           .persist())
+    nstats = (agg.where("n_cnt > 0")
+              .select("label", "word", "pos", F.col("n_cnt").alias("cnt")))
+    cstats = (agg.where("c_cnt > 0")
+              .select("label", "word", "pos", F.col("c_cnt").alias("cnt")))
+    nstats.unpersist_input = cstats.unpersist_input = agg.unpersist
+    return nstats, cstats
+
+
 def _window_tokens(keyed: DataFrame, context_df: DataFrame,
                    lo_off: int, hi_off: int, exclude_span: bool) -> DataFrame:
     """keyed (url, start, end, ...) x context -> one row per context

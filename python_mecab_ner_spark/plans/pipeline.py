@@ -16,8 +16,8 @@ from ..operators.annotate import (annotate_pages, mentions_table,
                                   spans_table, tokens_table, triples_table)
 from ..operators.canonicalize import canonical_map
 from ..operators.graph import build_edges, build_vertices, materialize_graph
-from ..operators.linking import (build_core_stats, build_neighbor_stats,
-                                 canonical_entities, link_mentions)
+from ..operators.linking import (build_stats, canonical_entities,
+                                 link_mentions)
 from ..sources.gazetteer import broadcast_rows, gazetteer_df_from_tsv
 
 
@@ -83,11 +83,9 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
         # token table once instead of re-exploding per pass
         context = tokens_table(annotated).persist()
         train = _training_mentions(mentions)
-        # the stats are TINY aggregates (|labels| x vocab) over a
-        # corpus-sized join — persist them or every broadcast in the
-        # ladder re-runs that join
-        nstats = build_neighbor_stats(context, train).persist()
-        cstats = build_core_stats(context, train).persist()
+        # ONE fused mention-context join builds both counters; the
+        # vocab-sized combined aggregate is persisted inside
+        nstats, cstats = build_stats(context, train)
     # link the resolved NER spans (the final entities of a page);
     # the spans' word column is the mention surface for linking
     linked = link_mentions(
@@ -134,10 +132,11 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
     context = tokens_table(annotated)
     mentions = mentions_table(annotated)
     train = _training_mentions(mentions)
+    nstats, cstats = build_stats(context, train)
     linked = link_mentions(spans.withColumnRenamed("word", "surface"), entities,
                            context_df=context,
-                           neighbor_stats_df=build_neighbor_stats(context, train),
-                           core_stats_df=build_core_stats(context, train))
+                           neighbor_stats_df=nstats,
+                           core_stats_df=cstats)
     triples = triples_table(annotated)
     canonical = canonical_map(entities) if canonicalize else None
     # label universe = the DETECTOR-side gazetteer larges (brute
