@@ -703,9 +703,17 @@ def _kg_graph(spark, canonicalize=False):
     from python_mecab_ner_spark.sources.corpus import pages_dataframe
     # memoized per session: the 5 kg_* queries share one graph build
     # (extract_graph persists its annotate stage + linking working set,
-    # so rebuilding per query would stack duplicate cache entries)
-    key = (id(spark), canonicalize)
+    # so rebuilding per query would stack duplicate cache entries).
+    # Keyed by applicationId, NOT id(spark): CPython can reuse a GC'd
+    # session's id and silently serve DataFrames bound to a stopped
+    # session (same hazard class as annotate.py's broadcast cache key).
+    key = (spark.sparkContext.applicationId, canonicalize)
     if key not in _KG_GRAPHS:
+        # entries from other (stopped) sessions can never be served
+        # again — drop the references so their pinned DataFrames are
+        # collectable (their JVM-side cache died with the session)
+        for stale in [k for k in _KG_GRAPHS if k[0] != key[0]]:
+            _KG_GRAPHS.pop(stale, None)
         pages = pages_dataframe(spark, N_KG_DOCS, seed=42)
         # kb_holdout_mod=20: the canonical KB lacks ~5% of detector
         # aliases (deterministic hash holdout) — the KB-coverage-gap

@@ -81,10 +81,13 @@ def brute_score(counts, label, window_tokens) -> int:
     return sum(counts.get((label, w, p), 0) for w, p in window_tokens)
 
 
-def best_label(labels, scorer, floor: int = 1) -> tuple | None:
+def best_label(labels, scorer, *, floor: int) -> tuple | None:
     """argmax with the deterministic tiebreaker (score desc, label
-    asc); None when every score is at the no-evidence floor (1 for the
-    multiplicative neighbor score, 0 for the additive brute score)."""
+    asc); None when every score is at the no-evidence floor.  `floor`
+    is keyword-REQUIRED because the right value depends on the scorer:
+    1 for the multiplicative neighbor score (score_label), 0 for the
+    additive brute/duplicate scores — a defaulted floor silently drops
+    score-1 labels for additive callers."""
     best = None
     for label in sorted(labels):
         s = scorer(label)

@@ -314,8 +314,12 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
     # without materialization each reference replays the whole
     # candidate-generation subtree and the plan grows multiplicatively
     # (the linking working set is the one table the reference holds in
-    # RAM; persisting it is the distributed equivalent)
-    candidates = candidates.persist()
+    # RAM; persisting it is the distributed equivalent).  The persisted
+    # HANDLE is captured in its own name: `candidates` is rebound to
+    # derived frames below, and unpersist() on a derived frame is a
+    # silent no-op (the round-2 working-set leak).
+    cand_ws = candidates.persist()
+    candidates = cand_ws
 
     if with_stats:
         # ONE neighbor-scoring pass over every candidate: scores both
@@ -344,9 +348,10 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
             .persist())
 
     linked_parts = [best.select(OUT_COLS)]
-    remainder = (mentions_df.select(*MENTION_COLS)
-                 .join(best.select(*SPAN_KEY).distinct(), SPAN_KEY,
-                       "left_anti").persist())
+    rem_ws = (mentions_df.select(*MENTION_COLS)
+              .join(best.select(*SPAN_KEY).distinct(), SPAN_KEY,
+                    "left_anti").persist())
+    remainder = rem_ws
 
     if with_stats and core_stats_df is not None:
         l4 = brute_link(remainder, context_df, core_stats_df)
@@ -365,7 +370,7 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
         out = out.unionByName(p)
 
     def _release():
-        for df in (m, candidates, best, remainder):
+        for df in (m, cand_ws, best, rem_ws):
             try:
                 df.unpersist()
             except Exception:

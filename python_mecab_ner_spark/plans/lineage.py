@@ -41,11 +41,11 @@ def _data_path(out_dir: str, stage: str) -> str:
 
 
 def completed_parts(spark, out_dir: str, stage: str) -> DataFrame | None:
-    p = _manifest_path(out_dir, stage)
-    if not Path(p).exists():
-        return None
+    # probe by reading, not by local-FS existence: the production
+    # out_dir is object storage where Path() semantics don't apply
     try:
-        return spark.read.parquet(p).select("part_key").distinct()
+        return spark.read.parquet(_manifest_path(out_dir, stage)) \
+            .select("part_key").distinct()
     except Exception:
         return None
 
@@ -65,7 +65,15 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
     todo = inp if done is None else inp.join(done, "part_key", "left_anti")
 
     t0 = time.time()
-    if todo.limit(1).count() > 0:
+    # one cheap action on the INPUT scan (not the stage fn): the part
+    # keys this run will complete.  part_key is a pure function of the
+    # input key, so every todo part materializes a partition dir — the
+    # manifest can be derived from the input side without listing the
+    # output (Path.iterdir is a local-FS assumption; the 100 TB
+    # deployment writes to object storage).
+    todo_parts = sorted(r[0] for r in
+                        todo.select("part_key").distinct().collect())
+    if todo_parts:
         out = fn(todo)
         if "part_key" not in out.columns:
             out = with_part_key(out, key_col, n_parts)
@@ -74,16 +82,10 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
          .parquet(_data_path(out_dir, stage)))
         wall_ms = int((time.time() - t0) * 1000)
         # the stage fn's plan executes exactly ONCE (the write above):
-        # newly completed part keys come from the written partition
-        # directories (a pure listing — part_key is a function of the
-        # input key, so every todo part materializes a dir), never from
-        # re-running `out`; the checksum pass below then reads back
-        # ONLY those dirs via partition pruning.
-        part_dirs = {
-            int(d.name.split("=", 1)[1])
-            for d in Path(_data_path(out_dir, stage)).iterdir()
-            if d.name.startswith("part_key=")}
-        new_parts = sorted(part_dirs - done_set)
+        # newly completed part keys come from todo's input-side key
+        # set, never from re-running `out`; the checksum pass below
+        # reads back ONLY those partitions via partition pruning.
+        new_parts = sorted(set(todo_parts) - done_set)
         written = spark.read.parquet(_data_path(out_dir, stage))
         manifest = (written
                     .filter(F.col("part_key").isin(new_parts))

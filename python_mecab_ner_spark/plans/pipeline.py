@@ -100,11 +100,31 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
     vertices = build_vertices(linked, entities, canonical,
                               label_universe=gaz_df.select("large"))
     edges = build_edges(triples, linked, canonical)
+
+    def release():
+        """Unpersist every working set this graph pinned in the SQL
+        CacheManager (annotate stage, exploded context, the fused
+        stats aggregate, the linking candidate/remainder tables).
+        Call when done with the graph — a long session building many
+        graphs otherwise accumulates pinned cache entries.  Idempotent;
+        the DataFrames remain usable (they just recompute)."""
+        for hook in (getattr(linked, "unpersist_working_set", None),
+                     getattr(nstats, "unpersist_input", None) if nstats is not None else None,
+                     context.unpersist if context is not None else None,
+                     annotated.unpersist if learned_stats else None):
+            if hook is None:
+                continue
+            try:
+                hook()
+            except Exception:
+                pass
+
     return {
         "annotated": annotated, "mentions": mentions, "spans": spans,
         "triples": triples, "entities": entities, "linked": linked,
         "context": context, "neighbor_stats": nstats, "core_stats": cstats,
         "canonical": canonical, "vertices": vertices, "edges": edges,
+        "release": release,
     }
 
 

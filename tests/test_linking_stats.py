@@ -40,13 +40,13 @@ def test_homonym_golden_kernel():
     ctx = [SENT_DRINK[i] for i in range(len(SENT_DRINK))
            if not (SPAN[0] <= i < SPAN[1])][:3]  # +-3 window after span
     win = best_label(["food", "product"],
-                     lambda lab: score_label(counts, lab, ctx))
+                     lambda lab: score_label(counts, lab, ctx), floor=1)
     assert win is not None and win[0] == "food"
     # and the drive context picks product symmetrically
     ctx2 = [SENT_DRIVE[i] for i in range(len(SENT_DRIVE))
             if not (SPAN[0] <= i < SPAN[1])][:3]
     win2 = best_label(["food", "product"],
-                      lambda lab: score_label(counts, lab, ctx2))
+                      lambda lab: score_label(counts, lab, ctx2), floor=1)
     assert win2 is not None and win2[0] == "product"
 
 

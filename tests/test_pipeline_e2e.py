@@ -128,6 +128,27 @@ def test_kg_goldens_spark(spark):
     assert got_bio == KG_BIO_BY_LABEL
 
 
+def test_extract_graph_release(spark):
+    """g['release']() must drop every cache entry the graph build
+    pinned: persistent-RDD count returns to the pre-build level (the
+    round-2 leak was unpersist() called on rebound, never-persisted
+    derived frames — a silent no-op)."""
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    pages = pages_dataframe(spark, 40, seed=7, partitions=2)
+    g = extract_graph(spark, pages, canonicalize=False)
+    g["linked"].count()  # materialize the working sets
+    assert n_persistent() > before
+    g["release"]()
+    assert n_persistent() == before
+    # idempotent + graph still usable (recomputes)
+    g["release"]()
+    assert g["linked"].count() > 0
+
+
 def test_run_stage_executes_fn_once(spark, tmp_path):
     """The stage fn's plan must execute exactly once (the write): the
     manifest is derived from written partition dirs, never by

@@ -110,5 +110,6 @@ def test_score_monotone_in_evidence(ctx, extra, cnt):
         w, p = ctx[0]
         counts = {("A", w, p): 2, ("B", w, p): 1}
         win = best_label(["A", "B"],
-                         lambda lab: score_label(counts, lab, [ctx[0]]))
+                         lambda lab: score_label(counts, lab, [ctx[0]]),
+                         floor=1)
         assert win is not None and win[0] == "A"
