@@ -766,6 +766,7 @@ def kg_posseq_candidates(spark, sf_dir):
     corpus' own mentions (one aggregate, broadcast), scan every
     sentence with the compiled automaton, count candidates per
     sequence — the recall path for surfaces no gazetteer contains."""
+    from python_mecab_ner_spark.operators.annotate import tokenize_pages
     from python_mecab_ner_spark.operators.posseq import (
         learn_posseq_patterns, posseq_candidates)
     g = _kg_graph(spark)
@@ -773,7 +774,10 @@ def kg_posseq_candidates(spark, sf_dir):
             learn_posseq_patterns(g["context"], g["mentions"],
                                   min_count=2).collect()]
     bc = spark.sparkContext.broadcast(pats)
-    cand = posseq_candidates(g["annotated"], bc)
+    # the graph's annotated table carries the slim context-token struct;
+    # posseq restores surfaces from token slices, so it re-tokenizes
+    # with the FULL struct (tokenize-only — cheaper than annotate)
+    cand = posseq_candidates(tokenize_pages(g["pages"]), bc)
     return (cand.groupBy("pos_seq")
             .agg(F.count("*").alias("n_candidates"),
                  F.countDistinct("surface").alias("n_surfaces")))

@@ -40,6 +40,9 @@ def _executor_gazetteer(rows_bc, bc_id, search_category) -> CompiledGazetteer:
     return gaz
 
 
+_CTX_FIELDS = ("word", "pos", "begin", "end")
+
+
 def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
                    infer=True, with_tokens=False, with_triples=True):
     """pages (url, warc_ts, text, lang[, html]) -> annotated DataFrame.
@@ -47,8 +50,15 @@ def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
     gazetteer_rows_bc: sc.broadcast([(large, small, surface, tokenized)]).
     Returns one row per page with mention/span/triple arrays; explode
     with mentions_table()/triples_table() for relational downstream.
+
+    with_tokens: False | True | "context".  "context" emits the slim
+    4-field CONTEXT_TOKEN_STRUCT — everything tokens_table consumers
+    need at ~1/3 the Arrow/cache payload of the full 11-field struct;
+    pass True only for paths that restore surfaces from token slices
+    (posseq; see tokenize_pages).
     """
     schema = annotated_schema(with_tokens)
+    slim = with_tokens == "context"
     cols = [c for c in ("url", "warc_ts", "text", "lang") if c in pages_df.columns]
     bc_id = gazetteer_rows_bc._jbroadcast.id()  # stable unique cache key
 
@@ -84,7 +94,9 @@ def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
                 out["lang"].append(getattr(row, "lang", None))
                 out["extracted_text"].append(" ".join(words(toks)))
                 if with_tokens:
-                    out["tokens"].append(toks)
+                    out["tokens"].append(
+                        [{f: t[f] for f in _CTX_FIELDS} for t in toks]
+                        if slim else toks)
                 out["mentions"].append(mentions_kept)
                 out["spans"].append(spans)
                 out["triples"].append(triples)
@@ -92,6 +104,34 @@ def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
             yield pd.DataFrame(out)
 
     return pages_df.select(*cols).mapInPandas(process, schema=schema)
+
+
+def tokenize_pages(pages_df):
+    """pages (url, text) -> (url, tokens) with the FULL token struct —
+    the input of surface-restoring consumers (posseq_candidates needs
+    reading/type/space for restore_tokens).  Tokenize-only: no
+    gazetteer, no matching — a strictly cheaper narrow stage than
+    annotate_pages for paths that only need token arrays."""
+    from pyspark.sql import types as T
+
+    from .schemas import TOKEN_STRUCT
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(TOKEN_STRUCT), True),
+    ])
+
+    def process(batches):
+        from ..kernel.lexicon import default_lexicon
+        from ..kernel.tokenizer import tokenize
+        lex = default_lexicon()
+        for pdf in batches:
+            out = {"url": [], "tokens": []}
+            for row in pdf.itertuples(index=False):
+                out["url"].append(row.url)
+                out["tokens"].append(tokenize(row.text or "", lex))
+            yield pd.DataFrame(out)
+
+    return pages_df.select("url", "text").mapInPandas(process, schema=schema)
 
 
 def mentions_table(annotated_df):
@@ -107,7 +147,7 @@ def tokens_table(annotated_df):
     """Exploded token context: (url, idx, word, pos, begin, end) — the
     input of the learned-statistics builds, the neighbor-evidence
     scoring, and the char-span BIO alignment (requires
-    annotate_pages(..., with_tokens=True)).  Downstream operators
+    annotate_pages(..., with_tokens=True or "context")).  Downstream operators
     select subsets; column pruning drops the rest."""
     from pyspark.sql import functions as F
     return (annotated_df

@@ -284,7 +284,22 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
                   F.lit(2).alias("link_level"), "link_score",
                   F.col("e_large").alias("n_label")))
 
-    candidates = l0.unionByName(l1).unionByName(l2)
+    # persist the mention-scale level-0..2 candidate working set FIRST:
+    # it anchors the level-3 anti-join, the scoring join, the rank
+    # window, and the remainder anti-joins — without materialization
+    # each reference replays the whole candidate-generation subtree and
+    # the plan grows multiplicatively (the linking working set is the
+    # one table the reference holds in RAM; persisting it is the
+    # distributed equivalent).  Persisting BEFORE the level-3 anti-join
+    # matters: round 2 persisted the l0..l3 union, whose l3 branch
+    # itself anti-joins the l0..l2 union — so materializing the cache
+    # computed l0..l2 twice.  The persisted HANDLES are captured in
+    # dedicated names: `candidates` is rebound to derived frames below,
+    # and unpersist() on a derived frame is a silent no-op (the round-2
+    # working-set leak).
+    cand_ws = l0.unionByName(l1).unionByName(l2).persist()
+    candidates = cand_ws
+    l3_ws = None
     with_stats = (context_df is not None and neighbor_stats_df is not None)
 
     if with_stats:
@@ -295,31 +310,20 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
         # join plans as a broadcast HASH join (a raw endswith condition
         # would be a nested loop: O(|unlinked| x |entities|)
         # comparisons, which dies when both grow).
-        un1 = (m.join(candidates.select(*SPAN_KEY).distinct(),
+        un1 = (m.join(cand_ws.select(*SPAN_KEY).distinct(),
                       SPAN_KEY, "left_anti"))
         ent_sfx = ent.withColumn("_sfx", F.substring(F.col("e_jamo"), -2, 2))
-        l3cand = (un1.withColumn("_sfx", F.substring(F.col("m_jamo"), -2, 2))
-                  .join(F.broadcast(ent_sfx), "_sfx")
-                  .where((F.length(F.col("e_jamo")) >= 2)
-                         & (F.col("m_jamo") != F.col("e_jamo"))
-                         & F.col("m_jamo").endswith(F.col("e_jamo")))
-                  .select(*MENTION_COLS, F.col("e_id").alias("entity_id"),
-                          F.lit(3).alias("link_level"),
-                          F.lit(0).cast("bigint").alias("link_score"),
-                          F.col("e_large").alias("n_label")))
-        candidates = candidates.unionByName(l3cand)
-
-    # persist the mention-scale candidate working set: it anchors the
-    # scoring join, the rank window, and the remainder anti-joins —
-    # without materialization each reference replays the whole
-    # candidate-generation subtree and the plan grows multiplicatively
-    # (the linking working set is the one table the reference holds in
-    # RAM; persisting it is the distributed equivalent).  The persisted
-    # HANDLE is captured in its own name: `candidates` is rebound to
-    # derived frames below, and unpersist() on a derived frame is a
-    # silent no-op (the round-2 working-set leak).
-    cand_ws = candidates.persist()
-    candidates = cand_ws
+        l3_ws = (un1.withColumn("_sfx", F.substring(F.col("m_jamo"), -2, 2))
+                 .join(F.broadcast(ent_sfx), "_sfx")
+                 .where((F.length(F.col("e_jamo")) >= 2)
+                        & (F.col("m_jamo") != F.col("e_jamo"))
+                        & F.col("m_jamo").endswith(F.col("e_jamo")))
+                 .select(*MENTION_COLS, F.col("e_id").alias("entity_id"),
+                         F.lit(3).alias("link_level"),
+                         F.lit(0).cast("bigint").alias("link_score"),
+                         F.col("e_large").alias("n_label"))
+                 .persist())  # anti-join + suffix join run once, not 3x
+        candidates = cand_ws.unionByName(l3_ws)
 
     if with_stats:
         # ONE neighbor-scoring pass over every candidate: scores both
@@ -370,7 +374,9 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
         out = out.unionByName(p)
 
     def _release():
-        for df in (m, cand_ws, best, rem_ws):
+        for df in (m, cand_ws, l3_ws, best, rem_ws):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:

@@ -28,6 +28,17 @@ TOKEN_STRUCT = T.StructType([
     T.StructField("label", T.StringType(), True),
 ])
 
+# slim projection of TOKEN_STRUCT: exactly the fields every
+# context-table consumer reads (stats builds, neighbor scoring, BIO
+# char alignment).  The full struct is ~3x the Arrow/cache payload and
+# only the posseq surface-restore path needs it (reading/type/space).
+CONTEXT_TOKEN_STRUCT = T.StructType([
+    T.StructField("word", T.StringType(), False),
+    T.StructField("pos", T.StringType(), False),
+    T.StructField("begin", T.IntegerType(), True),
+    T.StructField("end", T.IntegerType(), True),
+])
+
 MENTION_STRUCT = T.StructType([
     T.StructField("start", T.IntegerType(), False),
     T.StructField("end", T.IntegerType(), False),
@@ -56,7 +67,9 @@ TRIPLE_STRUCT = T.StructType([
 ])
 
 
-def annotated_schema(with_tokens: bool = False) -> T.StructType:
+def annotated_schema(with_tokens=False) -> T.StructType:
+    """with_tokens: False (no token column), True (full TOKEN_STRUCT),
+    or "context" (slim CONTEXT_TOKEN_STRUCT)."""
     fields = [
         T.StructField("url", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampType(), True),
@@ -68,5 +81,6 @@ def annotated_schema(with_tokens: bool = False) -> T.StructType:
         T.StructField("n_tokens", T.IntegerType(), True),
     ]
     if with_tokens:
-        fields.insert(4, T.StructField("tokens", T.ArrayType(TOKEN_STRUCT), True))
+        struct = CONTEXT_TOKEN_STRUCT if with_tokens == "context" else TOKEN_STRUCT
+        fields.insert(4, T.StructField("tokens", T.ArrayType(struct), True))
     return T.StructType(fields)

@@ -55,10 +55,15 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
     gaz_df = gazetteer_df if gazetteer_df is not None else gazetteer_df_from_tsv(spark)
     bc = broadcast_rows(spark, df=gaz_df)
 
+    # "context": the slim 4-field token struct — every consumer of the
+    # graph's context table (stats builds, scoring, BIO) reads only
+    # (word, pos, begin, end); the full struct is ~3x the cache/Arrow
+    # payload.  Surface-restoring paths (posseq) re-tokenize via
+    # annotate.tokenize_pages from g["pages"] instead.
     annotated = annotate_pages(
         pages_df.select("url", "warc_ts", "text", "lang"),
         bc, search_category=search_category, infer=infer,
-        with_tokens=learned_stats)
+        with_tokens="context" if learned_stats else False)
     if learned_stats:
         # the annotate stage feeds ~10 downstream subplans (stats
         # builds, context joins, level-3/4 scoring, spans, triples);
@@ -124,7 +129,7 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
         "triples": triples, "entities": entities, "linked": linked,
         "context": context, "neighbor_stats": nstats, "core_stats": cstats,
         "canonical": canonical, "vertices": vertices, "edges": edges,
-        "release": release,
+        "pages": pages_df, "release": release,
     }
 
 
@@ -142,7 +147,7 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
     def annotate_fn(pages_part):
         return annotate_pages(
             pages_part.select("url", "warc_ts", "text", "lang"), bc,
-            with_tokens=True)
+            with_tokens="context")
 
     annotated = run_stage(spark, "annotate", pages_df, annotate_fn,
                           out_dir, key_col="url", n_parts=n_parts)

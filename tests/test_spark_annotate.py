@@ -53,6 +53,34 @@ def test_projections(annotated):
     assert m.count() > 0 and t.count() > 0
 
 
+def test_context_tokens_slim_agreement(spark):
+    """with_tokens='context' emits exactly the 4-field slim struct and
+    tokens_table over it equals tokens_table over the full struct; the
+    tokenize-only path (tokenize_pages) reproduces the full token
+    arrays bit-for-bit (the posseq restore contract)."""
+    from python_mecab_ner_spark.kernel.tokenizer import TOKEN_FIELDS
+    from python_mecab_ner_spark.operators.annotate import (tokenize_pages,
+                                                           tokens_table)
+
+    pages = pages_dataframe(spark, 40, seed=13, partitions=2).cache()
+    bc = broadcast_rows(spark)
+    slim = annotate_pages(pages, bc, with_tokens="context")
+    full = annotate_pages(pages, bc, with_tokens=True)
+    assert [f.name for f in slim.schema["tokens"].dataType.elementType] == \
+        ["word", "pos", "begin", "end"]
+    key = ["url", "idx", "word", "pos", "begin", "end"]
+    a = sorted(map(tuple, tokens_table(slim).select(*key).collect()))
+    b = sorted(map(tuple, tokens_table(full).select(*key).collect()))
+    assert a == b and a
+
+    tok_only = {r.url: r.tokens for r in tokenize_pages(pages).collect()}
+    for r in full.select("url", "tokens").collect():
+        got = [tuple(t[f] for f in TOKEN_FIELDS) for t in tok_only[r.url]]
+        want = [tuple(t[f] for f in TOKEN_FIELDS) for t in r.tokens]
+        assert got == want
+    pages.unpersist()
+
+
 def test_en_rows_pass_through(annotated):
     en = annotated.filter("lang = 'en'").collect()
     assert en, "expected some en rows"
