@@ -63,7 +63,7 @@ def run_kg_pipeline(spark, n_docs: int) -> dict:
     from python_mecab_ner_spark.sources.corpus import pages_dataframe
     from python_mecab_ner_spark.sources.gazetteer import broadcast_rows
 
-    corpus = f"{tempfile.gettempdir()}/kg_bench_corpus_v2_{n_docs}"  # v2: corpus templates changed in round 2
+    corpus = f"{tempfile.gettempdir()}/kg_bench_corpus_v3_{n_docs}"  # v3: level-5 novel-compound docs added in round 3
     t0 = time.time()
     if not Path(corpus, "_SUCCESS").exists():
         (pages_dataframe(spark, n_docs, seed=42,

@@ -66,6 +66,37 @@ class CorpusSpec:
             if len(k) >= 2 and k not in surfaces and len(grps) == 1
             and len(grps[0][2]) == 1 and grps[0][2][0][1] == "NNP")[:20] \
             or ["신촌"]
+        # zero-evidence novel compound (the linking ladder's UNLINKED
+        # rung): TWO non-alias NNP chunks fused with an alias that is
+        # nested-ambiguous everywhere in the corpus ('네팔' country
+        # contains '팔' body at the same extended span, so the span
+        # trains NO statistics), emitted as a whole single-eojeol doc.
+        # The resulting span surface ('의창네팔') matches no alias,
+        # levels 0-2 fail; no context outside the eojeol -> level 3 has
+        # no neighbor evidence; none of the window tokens is ever a
+        # TRAINING-mention last token -> level 4 brute finds nothing ->
+        # entity_id NULL at level 5.
+        self.novel_ambiguous = "네팔" if "네팔" in self.countries else None
+        if self.novel_ambiguous:
+            # starve the evidence: drop from the template pools any
+            # alias sharing a token with the novel compound's alias
+            # ('팔공산' segments with a bare 팔 token, and the nested
+            # '팔' body mention there is UNambiguous -> it would train
+            # a core count that lets the brute level link the novel
+            # span at level 4 instead of leaving it unlinked)
+            novel_toks = {t for _l, _s, s, tok in rows
+                          if s == self.novel_ambiguous
+                          for t in tok.split()}
+            by_surface = {s: set(tok.split())
+                          for _l, _s, s, tok in rows}
+            for attr in ("singers", "songs", "fruits", "tours",
+                         "countries", "foods"):
+                pool = getattr(self, attr)
+                setattr(self, attr,
+                        [s for s in pool
+                         if s == self.novel_ambiguous
+                         or not (by_surface.get(s, set()) & novel_toks)])
+            self.heads = [c for c in self.heads if c in self.countries]
 
 
 def _sentence(rng: random.Random, spec: CorpusSpec) -> str:
@@ -106,10 +137,20 @@ def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dic
     """Deterministic page row for a given (seed, doc_id)."""
     spec = spec or _default_spec()
     rng = random.Random((seed << 32) ^ doc_id)
-    if rng.random() < 0.05:
+    r = rng.random()
+    if r < 0.05:
         lang = "en"
         n = rng.randint(8, 30)
         text = " ".join(rng.choice(_EN_WORDS) for _ in range(n))
+    elif r < 0.08 and spec.novel_ambiguous and len(spec.nnp_prefixes) >= 2:
+        # ~3% novel-vocabulary docs: a single fused eojeol with zero
+        # statistical evidence anywhere in the corpus — the spans that
+        # land on the linking ladder's UNLINKED rung (level 5).  A
+        # whole doc (not a mid-doc sentence) so no adjacent-sentence
+        # token can leak core-stat evidence into the brute window.
+        lang = "ko"
+        p1, p2 = rng.sample(spec.nnp_prefixes[:2], 2)
+        text = f"{p1}{p2}{spec.novel_ambiguous}"
     else:
         lang = "ko"
         n = rng.randint(1, 5)

@@ -200,7 +200,7 @@ def main() -> int:
         "levels must be N,4N"
     n, n4 = levels
 
-    corpus = f"/tmp/kg_scaling_corpus_v2_{args.docs}_{args.corpus_parts}"  # v2: corpus templates changed in round 2
+    corpus = f"/tmp/kg_scaling_corpus_v3_{args.docs}_{args.corpus_parts}"  # v3: level-5 novel-compound docs added in round 3
     print(f"materializing corpus ({args.docs:,} docs) ...", flush=True)
     materialize_corpus(args.docs, corpus, partitions=args.corpus_parts)
 

@@ -67,29 +67,31 @@ def test_run_pipeline_resume(spark, tmp_path):
 # seed=42): computed by the single-process pyref oracle (kernel only,
 # no Spark), so the Spark kg_* queries are pinned to exact VALUES, not
 # just row counts.
-KG_TRIPLES_BY_PRED = {"노래하": 57, "듣": 253, "먹": 47,
-                      "방문하": 45, "있": 65, "좋": 56}
-KG_MENTIONS_TOTAL = 2299
+KG_TRIPLES_BY_PRED = {"노래하": 55, "듣": 234, "먹": 42,
+                      "방문하": 44, "있": 64, "좋": 56}
+KG_MENTIONS_TOTAL = 2212
 # link-level histogram: Spark-computed regression golden (linking has
 # no pyref twin by design — its gates are the operator goldens in
-# test_linking_stats.py); pins the full 5-level ladder firing
-KG_LINK_LEVELS = {0: 1430, 1: 297, 2: 188, 3: 105, 4: 64}
+# test_linking_stats.py); pins the full SIX-level ladder firing,
+# including level 5 UNLINKED (the round-3 novel-compound corpus docs:
+# 16 docs x 2 ambiguous span rows with zero stats evidence)
+KG_LINK_LEVELS = {0: 1375, 1: 280, 2: 171, 3: 104, 4: 52, 5: 32}
 # pyref-computed BIO-writeback histogram over the same corpus
 # (tokenize + pyref mentions + reference infer extension + kernel
 # bio_vector, no Spark — the engine's mentions table is
 # post-infer_extend)
 KG_BIO_BY_LABEL = {
-    "B-ner_example_body": 3,
-    "B-ner_example_fastfood": 173, "B-ner_example_fruit": 310,
-    "B-ner_example_location_country": 172,
-    "B-ner_example_location_tour": 646,
-    "B-ner_example_music_singer": 467, "B-ner_example_music_song": 314,
-    "I-ner_example_body": 15,
-    "I-ner_example_fastfood": 117, "I-ner_example_fruit": 650,
+    "B-ner_example_body": 18,
+    "B-ner_example_fastfood": 166, "B-ner_example_fruit": 295,
+    "B-ner_example_location_country": 167,
+    "B-ner_example_location_tour": 615,
+    "B-ner_example_music_singer": 443, "B-ner_example_music_song": 294,
+    "I-ner_example_body": 42,
+    "I-ner_example_fastfood": 113, "I-ner_example_fruit": 610,
     "I-ner_example_location_country": 22,
-    "I-ner_example_location_tour": 1219,
-    "I-ner_example_music_singer": 167, "I-ner_example_music_song": 360,
-    "O": 6935}
+    "I-ner_example_location_tour": 1176,
+    "I-ner_example_music_singer": 156, "I-ner_example_music_song": 347,
+    "O": 6619}
 
 
 def test_kg_goldens_pyref():
@@ -123,6 +125,10 @@ def test_kg_goldens_spark(spark):
                g["linked"].groupBy("link_level")
                .agg(F.count("*").alias("n")).collect()}
     assert got_lvl == KG_LINK_LEVELS
+    assert set(got_lvl) == {0, 1, 2, 3, 4, 5}  # every ladder rung fires
+    # the unlinked rung carries NULL entity ids by contract
+    assert g["linked"].where("link_level = 5"). \
+        where("entity_id is not null").count() == 0
     got_bio = {r.bio: r.n_tokens for r in
                entry.kg_bio_by_label(spark, None).collect()}
     assert got_bio == KG_BIO_BY_LABEL
