@@ -693,6 +693,43 @@ def q37_klue_ner(spark, sf_dir):
     return klue_ner(spark, KLUE_FIXTURE)
 
 
+def q43_dup_argmax(spark, sf_dir):
+    """The reference's SECOND homonym-disambiguation policy
+    (delete_duplicate: +-5 raw core+neighbor SUM, anchor excluded,
+    mecab_category_storage.py:619-656) as operators.linking
+    .add_duplicate_scores over the documents table: additive argmax
+    per occurrence of the target word.  The POS gate is disabled here
+    (the whitespace corpus carries a constant tag); the gate itself is
+    pinned by the kernel goldens in test_linking_stats.py."""
+    from pyspark.sql import Window as W
+
+    from python_mecab_ner_spark.operators.linking import (
+        add_duplicate_scores, build_core_stats, build_neighbor_stats)
+    ctx = _doc_context(spark, sf_dir)
+    mentions = (ctx.where(F.col("word").isin(STAT_LABELS))
+                .select("url", F.col("idx").alias("start"),
+                        (F.col("idx") + 1).alias("end"),
+                        F.col("word").alias("large")))
+    nstats = build_neighbor_stats(ctx, mentions, window=3)
+    cstats = build_core_stats(ctx, mentions)
+    targets = (ctx.where(F.col("word") == STAT_TARGET)
+               .select("url", F.col("idx").alias("start"),
+                       (F.col("idx") + 1).alias("end")))
+    labels = spark.createDataFrame([(s,) for s in STAT_LABELS],
+                                   "n_label string")
+    cand = targets.crossJoin(F.broadcast(labels))
+    scored = add_duplicate_scores(cand, ctx, nstats, cstats,
+                                  pos_filter=None)
+    w = W.partitionBy("url", "start").orderBy(
+        F.col("d_score").desc(), F.col("n_label").asc())
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select(F.col("url").alias("doc_id"),
+                    F.col("start").cast("bigint").alias("pos"),
+                    F.col("n_label").alias("best_label"),
+                    F.col("d_score").cast("bigint").alias("d_score")))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -874,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_pagerank": q40_pagerank,
         "q41_audio_features": q41_audio_features,
         "q42_image_resize": q42_image_resize,
+        "q43_dup_argmax": q43_dup_argmax,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1259,6 +1297,41 @@ def oracle_sql() -> dict[str, str]:
                   FROM cand)
             SELECT doc_id, CAST(s AS BIGINT) AS pos,
                    n_label AS best_label
+            FROM r WHERE rn = 1
+        """,
+        # additive +-5 core+neighbor sum argmax (reference
+        # delete_duplicate, the L12 second policy; anchor excluded)
+        "q43_dup_argmax": stats_cte + f"""
+            , cstats AS (SELECT label, label AS word, count(*) AS cnt
+                         FROM m GROUP BY label),
+            allstats AS (SELECT label, word, sum(cnt) AS cnt
+                         FROM (SELECT label, word, cnt FROM stats
+                               UNION ALL
+                               SELECT label, word, cnt FROM cstats)
+                         GROUP BY 1, 2),
+            tgt AS (SELECT doc_id, idx AS s FROM c2
+                    WHERE word = '{STAT_TARGET}'),
+            labels(n_label) AS (VALUES {stat_labels_values}),
+            wtok AS (SELECT g.doc_id, g.s, c.word FROM tgt g JOIN c2 c
+                      ON c.doc_id = g.doc_id
+                     AND c.idx >= g.s - 5 AND c.idx < g.s + 5
+                     AND c.idx <> g.s),
+            hits AS (SELECT w.doc_id, w.s, st.label AS n_label, st.cnt
+                     FROM wtok w JOIN allstats st ON st.word = w.word),
+            scores AS (SELECT doc_id, s, n_label, sum(cnt) AS score
+                       FROM hits GROUP BY 1, 2, 3),
+            cand AS (SELECT g.doc_id, g.s, l.n_label,
+                            coalesce(sc.score, 0) AS score
+                     FROM tgt g CROSS JOIN labels l
+                     LEFT JOIN scores sc
+                       ON sc.doc_id = g.doc_id AND sc.s = g.s
+                      AND sc.n_label = l.n_label),
+            r AS (SELECT doc_id, s, n_label, score,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                             ORDER BY score DESC, n_label) AS rn
+                  FROM cand)
+            SELECT doc_id, CAST(s AS BIGINT) AS pos,
+                   n_label AS best_label, CAST(score AS BIGINT) AS d_score
             FROM r WHERE rn = 1
         """,
         "q35_regex_entities": """

@@ -30,6 +30,9 @@ from __future__ import annotations
 NEIGHBOR_DISTANCE = 3   # reference mecab_category_storage.py:23
 BRUTE_DISTANCE = 2      # reference mecab_category_storage.py:577
 SCORE_CAP = 63
+DUPLICATE_DISTANCE = 5  # reference mecab_category_storage.py:621
+# reference mecab_category_storage.py:16 (duplicate_pos)
+DUPLICATE_POS = frozenset(["NNG", "NNP", "VV", "VA"])
 
 
 def neighbor_counts(token_rows, mention_spans, window: int = NEIGHBOR_DISTANCE):
@@ -79,6 +82,31 @@ def brute_score(counts, label, window_tokens) -> int:
     """Plain core-count sum over the widened window (reference brute
     branch: mecab_category_storage.py:577-581)."""
     return sum(counts.get((label, w, p), 0) for w, p in window_tokens)
+
+
+def duplicate_score(core_counts, neighbor_counts, label, token_rows,
+                    anchor: int, window: int = DUPLICATE_DISTANCE,
+                    pos_filter=DUPLICATE_POS) -> int:
+    """The reference's SECOND homonym-disambiguation policy
+    (delete_duplicate, mecab_category_storage.py:619-656): plain raw
+    SUM of core + neighbor counts of the label over the
+    [anchor-window, anchor+window) token window, the anchor position
+    itself excluded, restricted to tokens whose POS is in
+    duplicate_pos (NNG/NNP/VV/VA).  Additive — use floor=0 with
+    best_label.  pos_filter=None disables the POS gate (for corpora
+    without POS tags)."""
+    score = 0
+    lo = max(0, anchor - window)
+    hi = min(len(token_rows), anchor + window)
+    for i in range(lo, hi):
+        if i == anchor:
+            continue
+        w, p = token_rows[i]
+        if pos_filter is not None and p not in pos_filter:
+            continue
+        score += core_counts.get((label, w, p), 0) \
+            + neighbor_counts.get((label, w, p), 0)
+    return score
 
 
 def best_label(labels, scorer, *, floor: int) -> tuple | None:

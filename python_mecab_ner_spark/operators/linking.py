@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import md5_int
-from ..kernel.stats import BRUTE_DISTANCE, NEIGHBOR_DISTANCE, SCORE_CAP
+from ..kernel.stats import (BRUTE_DISTANCE, DUPLICATE_DISTANCE,
+                            DUPLICATE_POS, NEIGHBOR_DISTANCE, SCORE_CAP)
 
 MENTION_COLS = ["url", "start", "end", "surface", "large", "small"]
 OUT_COLS = MENTION_COLS + ["entity_id", "link_level", "link_score"]
@@ -202,6 +203,51 @@ def add_neighbor_scores(cand: DataFrame, context_df: DataFrame,
             .withColumn("n_score", F.coalesce("n_score", F.lit(1))))
 
 
+def add_duplicate_scores(cand: DataFrame, context_df: DataFrame,
+                         neighbor_stats_df: DataFrame,
+                         core_stats_df: DataFrame,
+                         window: int = DUPLICATE_DISTANCE,
+                         pos_filter=DUPLICATE_POS) -> DataFrame:
+    """cand (url, start, end, n_label, ...) -> + d_score bigint: the
+    reference's SECOND disambiguation policy (delete_duplicate,
+    mecab_category_storage.py:619-656) as the additive Spark twin of
+    kernel.stats.duplicate_score: raw SUM of core + neighbor counts of
+    the candidate's label over [anchor-window, anchor+window), anchor
+    excluded, POS-gated to DUPLICATE_POS (pos_filter=None disables the
+    gate for untagged corpora).
+
+    anchor = end - 1, the mention's core (last) token — the reference
+    anchors the window on the candidate's matched-token index, and its
+    candidate generation matches on the LAST token (L8).
+
+    Plan twin of add_neighbor_scores: distinct (span, label) keys,
+    url-keyed window-token join, ONE broadcast join against the
+    summed core+neighbor stats table, additive aggregate, join back."""
+    keys = SPAN_KEY + ["n_label"]
+    base = cand.select(*keys).distinct()
+    anchor = F.col("end") - 1
+    ctx = context_df.select("url", "idx",
+                            F.col("word").alias("c_word"),
+                            F.col("pos").alias("c_pos"))
+    toks = (base.join(ctx, "url")
+            .where((F.col("idx") >= anchor - window)
+                   & (F.col("idx") < anchor + window)
+                   & (F.col("idx") != anchor)))
+    if pos_filter is not None:
+        toks = toks.where(F.col("c_pos").isin(*sorted(pos_filter)))
+    both = (_stats_for_join(neighbor_stats_df)
+            .unionByName(_stats_for_join(core_stats_df))
+            .groupBy("s_label", "c_word", "c_pos")
+            .agg(F.sum("s_cnt").alias("s_cnt")))
+    hits = toks.join(
+        F.broadcast(both.withColumnRenamed("s_label", "n_label")),
+        on=["n_label", "c_word", "c_pos"], how="inner")
+    scores = (hits.groupBy(*keys)
+              .agg(F.sum("s_cnt").cast("bigint").alias("d_score")))
+    return (cand.join(scores, keys, "left")
+            .withColumn("d_score", F.coalesce("d_score", F.lit(0))))
+
+
 def brute_link(unlinked: DataFrame, context_df: DataFrame,
                core_stats_df: DataFrame,
                window: int = BRUTE_DISTANCE) -> DataFrame:
@@ -236,15 +282,26 @@ def brute_link(unlinked: DataFrame, context_df: DataFrame,
 def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
                   context_df: DataFrame | None = None,
                   neighbor_stats_df: DataFrame | None = None,
-                  core_stats_df: DataFrame | None = None) -> DataFrame:
+                  core_stats_df: DataFrame | None = None,
+                  disambig: str = "neighbor") -> DataFrame:
     """mentions (url, start, end, surface, large, small) ->
     + (entity_id, link_level, link_score); unlinkable mentions keep
     entity_id NULL at level LEVEL_UNLINKED.
 
     Without context/stats the ladder is levels 0-2 (+ NULL); with them
-    the full 6-level ladder runs and neighbor evidence disambiguates
-    multi-candidate spans inside the final window (the reference's
-    delete_duplicate_value as a rank-1 ordering key)."""
+    the full 6-level ladder runs and learned evidence disambiguates
+    multi-candidate spans inside the final rank-1 window.  `disambig`
+    selects WHICH of the reference's two homonym policies orders that
+    window:
+      "neighbor"  — delete_duplicate_value: +-3 capped-product
+                    neighbor score (mecab_category_storage.py:39-63);
+      "duplicate" — delete_duplicate: +-5 raw core+neighbor sum,
+                    POS-gated (mecab_category_storage.py:619-656).
+    The level-3 evidence GATE always uses the neighbor score (that is
+    the NEIGHBOR level's acceptance criterion, independent of the
+    rank-1 policy)."""
+    if disambig not in ("neighbor", "duplicate"):
+        raise ValueError(f"unknown disambig policy: {disambig!r}")
     ent = entities_df.select(
         F.col("entity_id").alias("e_id"),
         F.col("large").alias("e_large"),
@@ -338,14 +395,22 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
                           F.when(F.col("link_level") == 3,
                                  F.col("n_score"))
                           .otherwise(F.col("link_score"))))
+        if disambig == "duplicate" and core_stats_df is not None:
+            candidates = add_duplicate_scores(candidates, context_df,
+                                              neighbor_stats_df,
+                                              core_stats_df)
     else:
         candidates = candidates.withColumn("n_score",
                                            F.lit(1).cast("bigint"))
 
-    # rank-1 per mention: best level, then neighbor evidence (the
-    # reference's homonym disambiguation), then level score, stable id
+    # rank-1 per mention: best level, then the selected homonym
+    # evidence (the reference's disambiguation), then level score,
+    # stable id
+    rank_score = F.col("d_score") \
+        if (with_stats and disambig == "duplicate"
+            and core_stats_df is not None) else F.col("n_score")
     w = Window.partitionBy(*SPAN_KEY).orderBy(
-        F.col("link_level").asc(), F.col("n_score").desc(),
+        F.col("link_level").asc(), rank_score.desc(),
         F.col("link_score").desc(), F.col("entity_id").asc())
     best = (candidates.withColumn("_rn", F.row_number().over(w))
             .filter("_rn = 1").drop("_rn", "n_score", "n_label")

@@ -13,7 +13,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from python_mecab_ner_spark.kernel.stats import (best_label, brute_score,
-                                                 core_counts, neighbor_counts,
+                                                 core_counts,
+                                                 duplicate_score,
+                                                 neighbor_counts,
                                                  score_label)
 
 # hand-built morpheme rows mirroring the reference's MeCab output for
@@ -82,6 +84,67 @@ def test_homonym_golden_spark(spark):
     assert scored["food"] > scored["product"]
 
 
+def test_duplicate_score_kernel():
+    """The reference's SECOND disambiguation policy (delete_duplicate,
+    mecab_category_storage.py:619-656): +-5 raw core+neighbor sum,
+    POS-gated to NNG/NNP/VV/VA, anchor position excluded.  Same
+    training corpus as the ported test_duplicate_filter golden — the
+    '좋은 차' homonym must STILL resolve to food under this policy."""
+    nc = _train_counts()
+    cc = core_counts({"food": [SENT_DRINK[0:3]],
+                      "product": [SENT_DRIVE[0:3]]})
+    anchor = 2  # 차 — the mention's core (last) token
+    # POS gate keeps only 좋/VA and 마시/VV from the query window;
+    # food's neighbor counter holds 마시 -> 1; product's holds 몰 -> 0
+    assert duplicate_score(cc, nc, "food", SENT_DRINK, anchor) == 1
+    assert duplicate_score(cc, nc, "product", SENT_DRINK, anchor) == 0
+    win = best_label(["food", "product"],
+                     lambda lab: duplicate_score(cc, nc, lab,
+                                                 SENT_DRINK, anchor),
+                     floor=0)
+    assert win == ("food", 1)
+    # ungated: 를/JKO and 었/EP evidence now counts for both labels
+    assert duplicate_score(cc, nc, "food", SENT_DRINK, anchor,
+                           pos_filter=None) == 3
+    assert duplicate_score(cc, nc, "product", SENT_DRINK, anchor,
+                           pos_filter=None) == 1
+    # anchor exclusion: the core counter's own (차, NNG) never scores
+    cc2 = {("food", "차", "NNG"): 7}
+    assert duplicate_score(cc2, {}, "food", SENT_DRINK, anchor) == 0
+
+
+def test_duplicate_score_spark_agreement(spark):
+    """operators.linking.add_duplicate_scores == kernel
+    duplicate_score on the golden corpus (both labels, both gates)."""
+    from python_mecab_ner_spark.operators.linking import (
+        add_duplicate_scores, build_core_stats, build_neighbor_stats)
+
+    rows = ([("u1", i, w, p) for i, (w, p) in enumerate(SENT_DRINK)]
+            + [("u2", i, w, p) for i, (w, p) in enumerate(SENT_DRIVE)])
+    ctx = spark.createDataFrame(rows, "url string, idx int, word string, pos string")
+    mentions = spark.createDataFrame(
+        [("u1", SPAN[0], SPAN[1], "food"), ("u2", SPAN[0], SPAN[1], "product")],
+        "url string, start int, end int, large string")
+    nstats = build_neighbor_stats(ctx, mentions)
+    cstats = build_core_stats(ctx, mentions)
+    cand = spark.createDataFrame(
+        [("u1", SPAN[0], SPAN[1], lab) for lab in ("food", "product")],
+        "url string, start int, end int, n_label string")
+    # Spark anchor = end - 1 == kernel anchor 2
+    got = {r.n_label: r.d_score
+           for r in add_duplicate_scores(cand, ctx, nstats, cstats).collect()}
+    nc, cc = _train_counts(), core_counts({"food": [SENT_DRINK[0:3]],
+                                           "product": [SENT_DRIVE[0:3]]})
+    assert got == {lab: duplicate_score(cc, nc, lab, SENT_DRINK, 2)
+                   for lab in ("food", "product")}
+    ungated = {r.n_label: r.d_score
+               for r in add_duplicate_scores(cand, ctx, nstats, cstats,
+                                             pos_filter=None).collect()}
+    assert ungated == {lab: duplicate_score(cc, nc, lab, SENT_DRINK, 2,
+                                            pos_filter=None)
+                       for lab in ("food", "product")}
+
+
 def test_core_counts_and_brute():
     counts = core_counts({"food": [SENT_DRINK[0:3]],
                           "drink": [[("콜라", "NNG")]]})
@@ -135,6 +198,46 @@ def test_ladder_levels_3_4_5(ladder, spark):
     assert rows["u2"].entity_id == expected_drink
     assert rows["u3"].link_level == 5          # unlinked
     assert rows["u3"].entity_id is None
+
+
+def test_disambig_policy_selects_winner(spark):
+    """The two reference homonym policies can disagree, and `disambig`
+    selects which one orders the rank-1 window: neighbor evidence at
+    +-3 favors label A, while heavy CORE evidence at distance 4 (inside
+    the +-5 duplicate window, outside the +-3 neighbor window) favors
+    label B."""
+    from python_mecab_ner_spark.operators.linking import (canonical_entities,
+                                                          link_mentions)
+    gaz = spark.createDataFrame(
+        [("A", "x", "콜라"), ("B", "y", "콜라")],
+        "large string, small string, surface string")
+    entities = canonical_entities(gaz)
+    # the ambiguous span: one row per detected category (the engine's
+    # span table shape for multi-category spans)
+    mentions = spark.createDataFrame(
+        [("u1", 2, 3, "콜라", "A", "x"), ("u1", 2, 3, "콜라", "B", "y")],
+        "url string, start int, end int, surface string, large string, small string")
+    ctx = spark.createDataFrame(
+        [("u1", 1, "먹", "VV"), ("u1", 6, "마시", "VV")],
+        "url string, idx int, word string, pos string")
+    nstats = spark.createDataFrame(
+        [("A", "먹", "VV", 5)],
+        "label string, word string, pos string, cnt long")
+    cstats = spark.createDataFrame(
+        [("B", "마시", "VV", 100)],
+        "label string, word string, pos string, cnt long")
+
+    def winner(policy):
+        out = link_mentions(mentions, entities, context_df=ctx,
+                            neighbor_stats_df=nstats, core_stats_df=cstats,
+                            disambig=policy).collect()
+        assert len(out) == 1 and out[0].link_level == 0
+        return out[0].large
+
+    assert winner("neighbor") == "A"
+    assert winner("duplicate") == "B"
+    with pytest.raises(ValueError):
+        link_mentions(mentions, entities, disambig="bogus")
 
 
 def test_ladder_backcompat_without_stats(spark):
