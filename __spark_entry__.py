@@ -1594,19 +1594,56 @@ def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 4, iters: int = 2,
 
 
 def _ann_lsh_sql() -> str:
-    # multi-probe twin of operators.ann.bucketed_topk: candidates
-    # collide with the query in ANY band; bits are corpus-scaled
+    # query-directed multi-probe twin of operators.ann.bucketed_topk:
+    # per band, probe the query's key + single flips of the T1
+    # lowest-|margin| bits + pair flips among the T2 lowest (exact
+    # probe_keys() semantics incl. the (|margin| asc, bit asc)
+    # tie-break); bits are scaled UP by the probe count and capped at
+    # dim / n_bands (strided band independence)
+    from python_mecab_ner_spark.operators.ann import (MULTIPROBE_PAIRS,
+                                                      MULTIPROBE_SINGLES,
+                                                      probes_per_band)
+    t1, t2 = MULTIPROBE_SINGLES, MULTIPROBE_PAIRS
+    ppb = probes_per_band(t1, t2)
+    bits_mp = (f"p AS (SELECT greatest(1, least(least(16, "
+               f"CAST((SELECT len(embedding) FROM embeddings "
+               f"WHERE vec_id = 0) AS INT) // {LSH_BANDS}), "
+               f"CAST(ceil(log2(greatest(count(*), 1) * {ppb} "
+               f"/ {LSH_TARGET_BUCKET}.0)) AS INT))) AS bits "
+               f"FROM embeddings)")
     return f"""
-        WITH {_BITS_CTE},
+        WITH {bits_mp},
         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        qb AS (SELECT band_idx, {_band_key_sql('qe')} AS band_key
-               FROM q, p, (VALUES {_BAND_IDX_VALUES}) b(band_idx)),
+        bands(band_idx) AS (VALUES {_BAND_IDX_VALUES}),
+        bi AS (SELECT band_idx, CAST(unnest(range(0, bits)) AS INT) AS i
+               FROM bands, p),
+        mg AS (SELECT band_idx, i,
+                      ROW_NUMBER() OVER (PARTITION BY band_idx
+                          ORDER BY abs(qe[band_idx + i * {LSH_BANDS} + 1]),
+                                   i) AS rk
+               FROM bi, q),
+        qk AS (SELECT band_idx, {_band_key_sql('qe')} AS key
+               FROM q, p, bands),
+        flips AS (
+          SELECT band_idx, CAST(1 << i AS INT) AS f FROM mg
+          WHERE rk <= {t1}
+          UNION
+          SELECT a.band_idx, CAST(xor(1 << a.i, 1 << b2.i) AS INT) AS f
+          FROM mg a JOIN mg b2
+            ON a.band_idx = b2.band_idx AND a.rk < b2.rk
+          WHERE b2.rk <= {t2}),
+        probe AS (
+          SELECT band_idx, key FROM qk
+          UNION
+          SELECT qk.band_idx, CAST(xor(qk.key, fl.f) AS INT) AS key
+          FROM qk JOIN flips fl USING (band_idx)),
         eb AS (SELECT vec_id, embedding, band_idx,
                       {_band_key_sql('embedding')} AS band_key
-               FROM embeddings, p, (VALUES {_BAND_IDX_VALUES}) b(band_idx)),
+               FROM embeddings, p, bands),
         cand AS (SELECT DISTINCT e.vec_id, e.embedding
-                 FROM eb e JOIN qb
-                   ON e.band_idx = qb.band_idx AND e.band_key = qb.band_key)
+                 FROM eb e JOIN probe
+                   ON e.band_idx = probe.band_idx
+                  AND e.band_key = probe.key)
         SELECT vec_id FROM cand, q
         ORDER BY list_cosine_similarity(embedding, qe) DESC, vec_id
         LIMIT 10

@@ -151,32 +151,73 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.4,
             .select("vec_a", "vec_b"))
 
 
+MULTIPROBE_SINGLES = 6   # flip each of the T1 lowest-|margin| bits
+MULTIPROBE_PAIRS = 4     # flip pairs among the T2 lowest-|margin| bits
+
+
+def probe_keys(qvec: list[float], band: int, bits: int, n_bands: int,
+               t_singles: int = MULTIPROBE_SINGLES,
+               t_pairs: int = MULTIPROBE_PAIRS) -> list[int]:
+    """Query-directed multi-probe key set for one band (Lv et al.,
+    'Multi-Probe LSH', VLDB'07 adapted to sign bits): the query's own
+    key, plus single flips of the t_singles bits whose dimensions lie
+    closest to the separating hyperplane (smallest |value| — most
+    likely to disagree for a true neighbor), plus pair flips among the
+    t_pairs lowest.  Deterministic tie-break (|margin| asc, bit asc)
+    so the SQL twin reproduces the exact set."""
+    from itertools import combinations
+    qkey = 0
+    margins = []
+    for i in range(bits):
+        idx = band + i * n_bands
+        if idx >= len(qvec):
+            continue
+        if qvec[idx] >= 0:
+            qkey |= 1 << i
+        margins.append((abs(qvec[idx]), i))
+    margins.sort()
+    singles = [i for _, i in margins[:t_singles]]
+    pair_bits = [i for _, i in margins[:t_pairs]]
+    keys = {qkey}
+    keys.update(qkey ^ (1 << i) for i in singles)
+    keys.update(qkey ^ (1 << i) ^ (1 << j)
+                for i, j in combinations(pair_bits, 2))
+    return sorted(keys)
+
+
+def probes_per_band(t_singles: int = MULTIPROBE_SINGLES,
+                    t_pairs: int = MULTIPROBE_PAIRS) -> int:
+    return 1 + t_singles + t_pairs * (t_pairs - 1) // 2
+
+
 def bucketed_topk(df: DataFrame, qvec: list[float], k: int = 10,
                   bits: int | None = None, n_bands: int = 4,
                   target_bucket_size: int = 64,
+                  multiprobe: tuple | None = (MULTIPROBE_SINGLES,
+                                              MULTIPROBE_PAIRS),
                   id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
     """ANN top-k over the query's banded sign-LSH candidates: vectors
-    colliding with the query in ANY band (multi-probe recall), exact
-    cosine top-k among them.  The band predicates are plain filters ->
-    partition-prunable when the table is written partitioned by a band
-    key; candidate count stays ~n_bands x target_bucket_size at any
-    corpus size because bits is corpus-scaled."""
+    colliding with the query in ANY band, exact cosine top-k among
+    them.  With `multiprobe=(T1, T2)` each band probes the
+    query-directed Hamming neighborhood (probe_keys) instead of one
+    bucket — recall rises steeply at near-constant scan fraction
+    because bits are scaled UP by the probe count (the corpus-scaled
+    width keeps candidates ~n_bands x probes x n / 2^bits).  The band
+    predicates are plain filters -> partition-prunable when the table
+    is written partitioned by a band key."""
+    t1, t2 = multiprobe if multiprobe else (0, 0)
     if bits is None:
-        bits = adaptive_bits(df.count(), target_bucket_size)
-    preds = []
+        # probe-aware width: candidates/band ~ probes * n / 2^bits, so
+        # solve 2^bits ~ probes * n / target; the strided band layout
+        # caps bits at dim / n_bands (bands must stay independent)
+        p = probes_per_band(t1, t2)
+        bits = adaptive_bits(df.count() * p, target_bucket_size,
+                             max_bits=max(1, min(16, len(qvec) // n_bands)))
+    pred = None
     for band in range(n_bands):
-        qkey = 0
-        for i in range(bits):
-            idx = band + i * n_bands
-            # dims beyond the embedding length contribute bit 0 — the
-            # exact semantics of the Column expression (element_at
-            # returns NULL, NULL >= 0 is not true) and the SQL twin
-            if idx < len(qvec) and qvec[idx] >= 0:
-                qkey |= 1 << i
-        preds.append(_band_key(F.col(emb_col), band, bits, n_bands) == qkey)
-    pred = preds[0]
-    for p in preds[1:]:
-        pred = pred | p
+        keys = probe_keys(qvec, band, bits, n_bands, t1, t2)
+        p_band = _band_key(F.col(emb_col), band, bits, n_bands).isin(keys)
+        pred = p_band if pred is None else (pred | p_band)
     cand = df.filter(pred)
     scored = cand.select(F.col(id_col),
                          cosine_to(F.col(emb_col), qvec).alias("cos"))

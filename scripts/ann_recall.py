@@ -1,9 +1,10 @@
-"""ANN recall@k report: banded sign-LSH (corpus-scaled bits) and IVF
-vs the exact brute-force top-k, over several query vectors.
+"""ANN recall@k report: banded sign-LSH (single-probe and
+query-directed multi-probe) and IVF vs the exact brute-force top-k,
+over several query vectors.
 
 Usage: python scripts/ann_recall.py [sf_dir] [n_queries] [k]
 Prints a markdown table (pasted into BENCH.md) with per-method mean
-recall@k and mean candidate-set size (the scan-pruning factor).
+recall@k and mean candidate-set size / scan fraction.
 """
 
 from __future__ import annotations
@@ -19,51 +20,72 @@ def main(sf_dir: str, n_queries: int = 8, k: int = 10) -> int:
     from pyspark.sql import functions as F
 
     from python_mecab_ner_spark.operators.ann import (
-        adaptive_bits, banded_sign_buckets, brute_force_topk, bucketed_topk,
-        ivf_topk)
+        MULTIPROBE_PAIRS, MULTIPROBE_SINGLES, adaptive_bits,
+        banded_sign_buckets, brute_force_topk, bucketed_topk, ivf_topk,
+        probe_keys, probes_per_band)
 
     spark = (SparkSession.builder.master("local[8]")
              .appName("ann-recall")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spark.sparkContext.setLogLevel("ERROR")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n = e.count()
-    bits = adaptive_bits(n)
+    n_bands = 8
+    dim = len(e.select("embedding").first()[0])
+    bits1 = adaptive_bits(n)                       # single-probe width
+    ppb = probes_per_band()
+    bits_mp = adaptive_bits(n * ppb,               # probe-aware width
+                            max_bits=max(1, min(16, dim // n_bands)))
+
     qrows = (e.filter(F.col("vec_id") < n_queries)
              .select("vec_id", "embedding").collect())
 
-    # candidate-set size of the banded LSH per query = vectors sharing
-    # any band with the query
-    banded = banded_sign_buckets(e.select("vec_id", "embedding"), bits, 8)
+    def cand_count(qvec, bits, multiprobe):
+        """vectors colliding with the query in ANY probed bucket"""
+        banded = banded_sign_buckets(e.select("vec_id", "embedding"),
+                                     bits, n_bands)
+        t1, t2 = multiprobe if multiprobe else (0, 0)
+        probes = [(b, key) for b in range(n_bands)
+                  for key in probe_keys(qvec, b, bits, n_bands, t1, t2)]
+        pdf = spark.createDataFrame(probes, "band_idx int, band_key int")
+        return (banded.join(F.broadcast(pdf), ["band_idx", "band_key"])
+                .select("vec_id").distinct().count())
 
-    lsh_recall, lsh_cand, ivf_recall = [], [], []
+    res = {"lsh1": [], "lshmp": [], "ivf": []}
+    cands = {"lsh1": [], "lshmp": []}
     for r in qrows:
         qvec = [float(x) for x in r.embedding]
         exact = {x.vec_id for x in brute_force_topk(e, qvec, k=k).collect()}
-        lsh = {x.vec_id for x in
-               bucketed_topk(e, qvec, k=k, bits=bits, n_bands=8).collect()}
+        one = {x.vec_id for x in
+               bucketed_topk(e, qvec, k=k, bits=bits1, n_bands=n_bands,
+                             multiprobe=None).collect()}
+        mp = {x.vec_id for x in
+              bucketed_topk(e, qvec, k=k, bits=bits_mp,
+                            n_bands=n_bands).collect()}
         ivf = {x.vec_id for x in
                ivf_topk(e, qvec, k=k, n_cells=16, n_probe=4).collect()}
-        cand = (banded.join(
-            banded.filter(F.col("vec_id") == r.vec_id)
-            .select(F.col("band_idx").alias("qb"),
-                    F.col("band_key").alias("qk")),
-            (F.col("band_idx") == F.col("qb"))
-            & (F.col("band_key") == F.col("qk")))
-            .select("vec_id").distinct().count())
-        lsh_recall.append(len(lsh & exact) / k)
-        ivf_recall.append(len(ivf & exact) / k)
-        lsh_cand.append(cand)
+        res["lsh1"].append(len(one & exact) / k)
+        res["lshmp"].append(len(mp & exact) / k)
+        res["ivf"].append(len(ivf & exact) / k)
+        cands["lsh1"].append(cand_count(qvec, bits1, None))
+        cands["lshmp"].append(cand_count(qvec, bits_mp,
+                                         (MULTIPROBE_SINGLES,
+                                          MULTIPROBE_PAIRS)))
 
     mean = lambda xs: sum(xs) / len(xs)
-    print(f"| method | recall@{k} | mean candidates | corpus | params |")
+    c1, cmp_ = mean(cands["lsh1"]), mean(cands["lshmp"])
+    print(f"| method | recall@{k} | mean candidates (scan frac) | corpus | params |")
     print("|---|---|---|---|---|")
-    print(f"| brute force | 1.000 | {n} | {n} | exact baseline |")
-    print(f"| banded sign-LSH | {mean(lsh_recall):.3f} | "
-          f"{mean(lsh_cand):.0f} | {n} | bits={bits} (adaptive), bands=8 |")
-    print(f"| IVF | {mean(ivf_recall):.3f} | ~{n * 4 // 16} | {n} | "
-          f"cells=16, probe=4 |")
+    print(f"| brute force | 1.000 | {n} (1.00) | {n} | exact baseline |")
+    print(f"| banded sign-LSH single-probe | {mean(res['lsh1']):.3f} | "
+          f"{c1:.0f} ({c1 / n:.2f}) | {n} | bits={bits1} (adaptive), bands={n_bands} |")
+    print(f"| banded sign-LSH multi-probe | {mean(res['lshmp']):.3f} | "
+          f"{cmp_:.0f} ({cmp_ / n:.2f}) | {n} | bits={bits_mp} (probe-aware), "
+          f"bands={n_bands}, T1={MULTIPROBE_SINGLES}, T2={MULTIPROBE_PAIRS} |")
+    print(f"| IVF (seeded k-means codebook) | {mean(res['ivf']):.3f} | "
+          f"~{n * 4 // 16} ({4 / 16:.2f}) | {n} | cells=16, probe=4 |")
     spark.stop()
     return 0
 
