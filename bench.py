@@ -47,6 +47,15 @@ def build_spark(cpus: int):
             .getOrCreate())
 
 
+REPEATS = 3
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def run_kg_pipeline(spark, n_docs: int) -> dict:
     """Headline: pages (from storage) -> annotate -> triple counts.
 
@@ -54,7 +63,9 @@ def run_kg_pipeline(spark, n_docs: int) -> dict:
     as gen_sec): the production job reads Iceberg, it does not
     synthesize input, and measuring from storage keeps the annotate
     stage a single Python-worker layer (chained mapInPandas would
-    double the Python processes per task slot)."""
+    double the Python processes per task slot).  Median of REPEATS
+    runs, each on fresh lineage (a no-op filter salt defeats
+    shuffle-stage reuse across repeats)."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -82,13 +93,18 @@ def run_kg_pipeline(spark, n_docs: int) -> dict:
     # so the measured run is steady-state (matches bench_scaling.py)
     annotate_pages(pages.limit(2000).repartition(par), bc) \
         .agg(F.count("*")).collect()
-    t0 = time.time()
-    ann = annotate_pages(pages, bc)
-    agg = ann.agg(F.count("*").alias("docs"),
-                  F.sum(F.size("triples")).alias("triples"),
-                  F.sum(F.size("mentions")).alias("mentions")).collect()[0]
-    wall = time.time() - t0
-    return {"sec": wall, "gen_sec": gen_sec, "docs": int(agg.docs),
+    walls, agg = [], None
+    for i in range(REPEATS):
+        p = pages.where(F.col("url") != F.lit(f"zz{i}"))
+        t0 = time.time()
+        ann = annotate_pages(p, bc)
+        agg = ann.agg(F.count("*").alias("docs"),
+                      F.sum(F.size("triples")).alias("triples"),
+                      F.sum(F.size("mentions")).alias("mentions")).collect()[0]
+        walls.append(time.time() - t0)
+    wall = _median(walls)
+    return {"sec": wall, "spread": round(max(walls) - min(walls), 3),
+            "gen_sec": gen_sec, "docs": int(agg.docs),
             "triples": int(agg.triples), "mentions": int(agg.mentions),
             "docs_per_sec": agg.docs / wall,
             "triples_per_sec": agg.triples / wall}
@@ -111,19 +127,21 @@ def main() -> int:
     for name in BENCH_QUERIES:
         qs[name](spark, SF_DIR.replace(f"sf{SF}", "sf0.001")) \
             .write.format("noop").mode("overwrite").save()
-    # best-of-2 per query: this box is a shared host with heavy
-    # run-to-run variance (observed 4x swings on UNCHANGED queries);
-    # the minimum of two warmed passes is the steady-state cost the
-    # plan actually has
+    # median-of-REPEATS per query with a dispersion field: this box is
+    # a shared host with heavy run-to-run variance (observed 4x swings
+    # on UNCHANGED queries; the round-2 driver artifact inverted the
+    # q16 story on a single noisy pass).  The median is robust to one
+    # outlier and the spread makes a noisy run visible IN the artifact.
+    spread: dict[str, float] = {"kg_pipeline": kg["spread"]}
     for name in BENCH_QUERIES:
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(REPEATS):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(_median(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -131,6 +149,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "repeats": REPEATS,
         "sf": SF,
         "kg_gen_sec": round(kg["gen_sec"], 3),
         "kg_docs": kg["docs"],
