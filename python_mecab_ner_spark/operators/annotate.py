@@ -44,7 +44,8 @@ _CTX_FIELDS = ("word", "pos", "begin", "end")
 
 
 def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
-                   infer=True, with_tokens=False, with_triples=True):
+                   infer=True, with_tokens=False, with_triples=True,
+                   tokenizer=None):
     """pages (url, warc_ts, text, lang[, html]) -> annotated DataFrame.
 
     gazetteer_rows_bc: sc.broadcast([(large, small, surface, tokenized)]).
@@ -56,6 +57,12 @@ def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
     need at ~1/3 the Arrow/cache payload of the full 11-field struct;
     pass True only for paths that restore surfaces from token slices
     (posseq; see tokenize_pages).
+
+    tokenizer: optional `text -> [token dict]` callable replacing the
+    pinned-lexicon kernel tokenizer — the real-MeCab swap seam
+    (kernel.tagger_adapter.tokens_from_tagger wraps a real tagger into
+    this shape).  Must be picklable (ships to executors); the
+    gazetteer rows must have been tokenized by the SAME tokenizer.
     """
     schema = annotated_schema(with_tokens)
     slim = with_tokens == "context"
@@ -64,13 +71,14 @@ def annotate_pages(pages_df, gazetteer_rows_bc, search_category=None,
 
     def process(batches):
         from ..kernel.matcher import find_mentions, infer_extend, ner_spans
-        lex = default_lexicon()
+        lex = default_lexicon() if tokenizer is None else None
         gaz = _executor_gazetteer(gazetteer_rows_bc, bc_id, search_category)
         for pdf in batches:
             out = {k: [] for k in schema.fieldNames()}
             for row in pdf.itertuples(index=False):
                 text = row.text or ""
-                toks = tokenize(text, lex)
+                toks = tokenize(text, lex) if tokenizer is None \
+                    else tokenizer(text)
                 mentions_kept, spans, triples = [], [], []
                 if toks:
                     raw = find_mentions(toks, gaz)
