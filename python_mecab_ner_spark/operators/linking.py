@@ -382,23 +382,46 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
                  .persist())  # anti-join + suffix join run once, not 3x
         candidates = cand_ws.unionByName(l3_ws)
 
+    with_dup = (with_stats and disambig == "duplicate"
+                and core_stats_df is not None)
     if with_stats:
-        # ONE neighbor-scoring pass over every candidate: scores both
-        # the level-3 evidence floor AND the in-window homonym
+        # Evidence scoring is only DECISIVE for (a) level-3 candidates
+        # (the n_score > 1 acceptance gate) and (b) spans whose
+        # candidates carry MORE THAN ONE label — scores are keyed by
+        # (span, label), so on a single-label span every row shares
+        # one score and the rank-1 ordering is unchanged by it.  Most
+        # web-corpus spans are single-label exact matches, so scoring
+        # ONLY the ambiguous/level-3 subset removes the bulk of the
+        # window-token join and the score join-back at identical
+        # output (the pinned kg link-level histogram is the regression
+        # gate).  The label-count window shuffles by SPAN_KEY — the
+        # same key the final rank window uses.
+        wspan = Window.partitionBy(*SPAN_KEY)
+        cand_n = candidates.withColumn(
+            "_nl", F.size(F.collect_set("n_label").over(wspan)))
+        need = (cand_n.where((F.col("_nl") > 1)
+                             | (F.col("link_level") == 3)).drop("_nl"))
+        solo = (cand_n.where((F.col("_nl") == 1)
+                             & (F.col("link_level") != 3)).drop("_nl")
+                .withColumn("n_score", F.lit(1).cast("bigint")))
+        # ONE neighbor-scoring pass over the decisive subset: scores
+        # both the level-3 evidence floor AND the in-window homonym
         # disambiguation (reference delete_duplicate_value)
-        candidates = (add_neighbor_scores(candidates, context_df,
-                                          neighbor_stats_df)
-                      .where((F.col("link_level") != 3)
-                             | (F.col("n_score") > 1))
-                      .withColumn(
-                          "link_score",
-                          F.when(F.col("link_level") == 3,
-                                 F.col("n_score"))
-                          .otherwise(F.col("link_score"))))
-        if disambig == "duplicate" and core_stats_df is not None:
-            candidates = add_duplicate_scores(candidates, context_df,
-                                              neighbor_stats_df,
-                                              core_stats_df)
+        scored = (add_neighbor_scores(need, context_df,
+                                      neighbor_stats_df)
+                  .where((F.col("link_level") != 3)
+                         | (F.col("n_score") > 1))
+                  .withColumn(
+                      "link_score",
+                      F.when(F.col("link_level") == 3,
+                             F.col("n_score"))
+                      .otherwise(F.col("link_score"))))
+        if with_dup:
+            scored = add_duplicate_scores(scored, context_df,
+                                          neighbor_stats_df,
+                                          core_stats_df)
+            solo = solo.withColumn("d_score", F.lit(0).cast("bigint"))
+        candidates = scored.unionByName(solo)
     else:
         candidates = candidates.withColumn("n_score",
                                            F.lit(1).cast("bigint"))
@@ -406,14 +429,14 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
     # rank-1 per mention: best level, then the selected homonym
     # evidence (the reference's disambiguation), then level score,
     # stable id
-    rank_score = F.col("d_score") \
-        if (with_stats and disambig == "duplicate"
-            and core_stats_df is not None) else F.col("n_score")
+    rank_score = F.col("d_score") if with_dup else F.col("n_score")
     w = Window.partitionBy(*SPAN_KEY).orderBy(
         F.col("link_level").asc(), rank_score.desc(),
         F.col("link_score").desc(), F.col("entity_id").asc())
+    drop_cols = ["_rn", "n_score", "n_label"] + \
+        (["d_score"] if with_dup else [])
     best = (candidates.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1").drop("_rn", "n_score", "n_label")
+            .filter("_rn = 1").drop(*drop_cols)
             .persist())
 
     linked_parts = [best.select(OUT_COLS)]
