@@ -34,7 +34,7 @@ def _training_mentions(mentions):
 
 def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
                   infer=True, canonicalize=True, learned_stats=True,
-                  kb_holdout_mod=None):
+                  kb_holdout_mod=None, disambig="neighbor"):
     """Returns a dict of lazily-planned DataFrames:
     annotated, mentions, spans, triples, entities, linked, vertices,
     edges (+ canonical when canonicalize=True; + context/neighbor_stats
@@ -96,7 +96,7 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
     linked = link_mentions(
         spans.withColumnRenamed("word", "surface"), entities,
         context_df=context, neighbor_stats_df=nstats,
-        core_stats_df=cstats)
+        core_stats_df=cstats, disambig=disambig)
 
     canonical = canonical_map(entities) if canonicalize else None
     # label universe = the DETECTOR-side gazetteer larges (brute
@@ -134,7 +134,7 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
 
 
 def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
-                 canonicalize: bool = True) -> dict:
+                 canonicalize: bool = True, disambig: str = "neighbor") -> dict:
     """Execute with lineage + resume: the annotate stage (the heavy
     scan) is checkpointed per part_key; downstream relational stages
     re-derive from the persisted annotation (cheap relative to the
@@ -161,7 +161,7 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
     linked = link_mentions(spans.withColumnRenamed("word", "surface"), entities,
                            context_df=context,
                            neighbor_stats_df=nstats,
-                           core_stats_df=cstats)
+                           core_stats_df=cstats, disambig=disambig)
     triples = triples_table(annotated)
     canonical = canonical_map(entities) if canonicalize else None
     # label universe = the DETECTOR-side gazetteer larges (brute

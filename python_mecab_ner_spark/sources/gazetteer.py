@@ -80,6 +80,78 @@ def compile_gazetteer(df):
     return df.withColumn("tokenized", tok("surface"))
 
 
+def gazetteer_txt_lines(df, sort: bool = True):
+    """S3 formatting as a plan: (large, small, surface, tokenized) ->
+    (large, line) rows of the reference's compiled mecab micro-format
+    ('#small' header lines followed by 'surface,tokenized' entries;
+    reference write_category, mecab_reader.py:221-241, ITEM_BOUNDARY
+    ',' at :111), in the exact file order the format requires.
+
+    sort=True emits entries length-desc within each small category —
+    the reference sorts entries longest-first at READ time
+    (mecab_reader.py:178,188, and DataUtility.write_txt(is_sort=True)
+    at :88-97); baking the order into the sink makes the
+    OS/dict-order-dependent behavior explicit (SURVEY.md §7.4)."""
+    headers = (df.select("large", "small").distinct()
+               .select("large", "small",
+                       F.lit(0).alias("_hdr"),
+                       F.lit(0).alias("_len"),
+                       F.concat(F.lit("#"), F.col("small")).alias("line")))
+    order_len = (-F.length("surface")).cast("long") if sort else F.lit(0).cast("long")
+    entries = df.select(
+        "large", "small", F.lit(1).alias("_hdr"),
+        order_len.alias("_len"),
+        F.concat_ws(",", "surface", "tokenized").alias("line"))
+    return (headers.unionByName(entries)
+            .select("large", "small", "_hdr", "_len", "line"))
+
+
+def write_ner_dir(df, out_dir: str, sort: bool = True) -> list:
+    """S3 sink: compiled gazetteer DataFrame -> reference-format dir of
+    '<large>.txt' files.  The ordering/formatting is the Spark plan
+    above (deterministic total order: small asc, header first, length
+    desc, line asc); the final file emit is a driver-side loop because
+    the target is a local-dir micro-format and the gazetteer is a
+    broadcast-scale dimension (collecting it is the same cost every
+    annotate job already pays).  Returns the written file paths."""
+    from pathlib import Path
+    rows = (gazetteer_txt_lines(df, sort)
+            .orderBy(F.col("large").asc(), F.col("small").asc(),
+                     F.col("_hdr").asc(), F.col("_len").asc(),
+                     F.col("line").asc())
+            .select("large", "line").collect())
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths, handle, cur = [], None, None
+    try:
+        for r in rows:
+            if r.large != cur:
+                if handle:
+                    handle.close()
+                cur = r.large
+                p = out / f"{cur}.txt"
+                paths.append(str(p))
+                handle = open(p, "w", encoding="utf-8")
+            handle.write(r.line + "\n")
+    finally:
+        if handle:
+            handle.close()
+    return paths
+
+
+def ingest_mecab_dir(spark, path: str):
+    """Read twin of write_ner_dir: the reference's COMPILED dir format
+    ('surface,tokenized' body lines; gen_all_mecab_category_data with
+    use_mecab_parser=False reads these, mecab_reader.py:190-219) ->
+    (large, small, surface, tokenized) DataFrame."""
+    base = ingest_ner_dir(spark, path)
+    return base.select(
+        "large", "small",
+        F.split("surface", ",").getItem(0).alias("surface"),
+        F.coalesce(F.split("surface", ",").getItem(1),
+                   F.split("surface", ",").getItem(0)).alias("tokenized"))
+
+
 def broadcast_rows(spark, df=None, path=None):
     """Driver-side collect of the (tiny) gazetteer + sc.broadcast.
     Returns the broadcast handle consumed by operators.annotate."""

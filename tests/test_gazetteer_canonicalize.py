@@ -74,3 +74,47 @@ def test_alias_pairs_and_canonical_map(spark):
             for r in canonical_map(ents, jaccard_min=0.6).collect()}
     assert cmap[ids["경복궁|loc"]] == cmap[ids["경복궁역|loc"]] == \
         min(ids["경복궁|loc"], ids["경복궁역|loc"])
+
+
+def test_write_ner_dir_roundtrip(spark, tmp_path):
+    """S3 sink round-trip: compiled gazetteer -> reference-format txt
+    dir -> read twin -> identical rows AND identical canonical matcher
+    order (the byte-identity contract survives the sink)."""
+    from python_mecab_ner_spark.kernel.matcher import CompiledGazetteer
+    from python_mecab_ner_spark.sources.gazetteer import (
+        gazetteer_df_from_tsv, ingest_mecab_dir, write_ner_dir)
+
+    df = gazetteer_df_from_tsv(spark)
+    out = str(tmp_path / "mecab_dir")
+    paths = write_ner_dir(df, out)
+    larges = {r.large for r in df.select("large").distinct().collect()}
+    import os
+    assert {os.path.basename(p) for p in paths} == \
+        {f"{lg}.txt" for lg in larges}
+
+    # file shape: '#small' headers, 'surface,tokenized' entries sorted
+    # length-desc within each small block
+    lines = open(paths[0], encoding="utf-8").read().splitlines()
+    assert lines[0].startswith("#")
+    block: list = []
+    for ln in lines:
+        if ln.startswith("#"):
+            block = []
+            continue
+        surface = ln.split(",", 1)[0]
+        if block:
+            assert len(surface) <= len(block[-1])
+        block.append(surface)
+
+    back = ingest_mecab_dir(spark, out)
+    orig = {tuple(r) for r in df.collect()}
+    got = {tuple(r) for r in back.collect()}
+    assert got == orig
+
+    rows_a = [tuple(r) for r in df.collect()]
+    rows_b = [tuple(r) for r in back.collect()]
+    ga = CompiledGazetteer([(r[0], r[1], r[2], r[3]) for r in rows_a])
+    gb = CompiledGazetteer([(r[0], r[1], r[2], r[3]) for r in rows_b])
+    assert [(e.large, e.small, e.surface, e.pattern)
+            for e in ga.entries] == \
+        [(e.large, e.small, e.surface, e.pattern) for e in gb.entries]
