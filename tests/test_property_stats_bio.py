@@ -113,3 +113,67 @@ def test_score_monotone_in_evidence(ctx, extra, cnt):
                          lambda lab: score_label(counts, lab, [ctx[0]]),
                          floor=1)
         assert win is not None and win[0] == "A"
+
+
+@settings(max_examples=200, deadline=None)
+@given(qvec=st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                     min_size=8, max_size=64),
+       band=st.integers(0, 7), bits=st.integers(1, 8),
+       t1=st.integers(0, 8), t2=st.integers(0, 8))
+def test_probe_keys_properties(qvec, band, bits, t1, t2):
+    """Multi-probe key-set invariants: contains the query's own key,
+    size is exactly 1 + min(t1, b) + C(min(t2, b), 2) minus XOR
+    collisions (pair flips are distinct from single flips and the base
+    by construction, so no collisions: exact size), every key within
+    Hamming distance 2 of the base, and the set is deterministic."""
+    from python_mecab_ner_spark.operators.ann import probe_keys
+    n_bands = 8
+    keys = probe_keys(qvec, band, bits, n_bands, t1, t2)
+    assert keys == sorted(set(keys))
+    b_eff = len([i for i in range(bits) if band + i * n_bands < len(qvec)])
+    qkey = 0
+    for i in range(bits):
+        idx = band + i * n_bands
+        if idx < len(qvec) and qvec[idx] >= 0:
+            qkey |= 1 << i
+    assert qkey in keys
+    s1 = min(t1, b_eff)
+    s2 = min(t2, b_eff)
+    assert len(keys) == 1 + s1 + s2 * (s2 - 1) // 2
+    for k in keys:
+        assert bin(k ^ qkey).count("1") <= 2
+    assert probe_keys(qvec, band, bits, n_bands, t1, t2) == keys
+
+
+@settings(max_examples=200, deadline=None)
+@given(tokens=st.lists(st.tuples(WORD, POS), max_size=12),
+       anchor=st.integers(0, 11),
+       cnts=st.dictionaries(st.tuples(st.sampled_from(["A", "B"]), WORD, POS),
+                            st.integers(0, 9), max_size=8))
+def test_duplicate_score_properties(tokens, anchor, cnts):
+    """delete_duplicate twin invariants: additive and non-negative,
+    never counts the anchor position, POS-gated sum <= ungated sum,
+    and splitting counts between the core and neighbor maps never
+    changes the total (the reference adds counter_dict +
+    counter_near_dict)."""
+    from python_mecab_ner_spark.kernel.stats import duplicate_score
+    s_gated = duplicate_score(cnts, {}, "A", tokens, anchor)
+    s_open = duplicate_score(cnts, {}, "A", tokens, anchor,
+                             pos_filter=None)
+    assert 0 <= s_gated <= s_open
+    # split invariance: core+neighbor maps sum, they don't interact
+    half = {k: v // 2 for k, v in cnts.items()}
+    rest = {k: v - half[k] for k, v in cnts.items()}
+    assert duplicate_score(half, rest, "A", tokens, anchor,
+                           pos_filter=None) == s_open
+    # anchor exclusion: inflating evidence AT the anchor changes nothing
+    if 0 <= anchor < len(tokens):
+        w, p = tokens[anchor]
+        boosted = dict(cnts)
+        boosted[("A", w, p)] = boosted.get(("A", w, p), 0) + 100
+        others = [i for i in range(len(tokens))
+                  if i != anchor and tokens[i] == (w, p)
+                  and abs(i - anchor) <= 5]
+        if not others:
+            assert duplicate_score(boosted, {}, "A", tokens, anchor,
+                                   pos_filter=None) == s_open

@@ -124,3 +124,50 @@ def test_stream_dedup_first_arrival_wins(spark, tmp_path):
 
     got = {r.url for r in spark.read.parquet(out).collect()}
     assert got == {"u1", "u2", "u4"}, got
+
+
+def test_stream_link_equals_batch_levels01(spark, bc, tmp_path):
+    """Stateless stream-side linking: for spans the batch ladder links
+    at level 0/1, the streaming operator links the SAME entity at the
+    SAME level; batch evidence levels come out UNLINKED (the periodic
+    batch re-link's contract)."""
+    from python_mecab_ner_spark.operators.annotate import spans_table
+    from python_mecab_ner_spark.operators.linking import (
+        canonical_entities, link_mentions)
+    from python_mecab_ner_spark.sources.gazetteer import \
+        gazetteer_df_from_tsv
+    from python_mecab_ner_spark.streaming.ingest import stream_pages
+    from python_mecab_ner_spark.streaming.link import stream_linked_spans
+
+    pages = pages_dataframe(spark, 50, seed=9).select(
+        "url", "warc_ts", "text", "lang")
+    src = str(tmp_path / "pages_link")
+    pages.write.parquet(src)
+    entities = canonical_entities(gazetteer_df_from_tsv(spark))
+
+    out = str(tmp_path / "linked_out")
+    q = (stream_linked_spans(stream_pages(spark, src), bc, entities)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_link"))
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.url, r.start, r.end): (r.entity_id, r.link_level)
+           for r in spark.read.parquet(out).collect()}
+
+    spans = spans_table(annotate_pages(pages, bc)) \
+        .withColumnRenamed("word", "surface")
+    batch = {(r.url, r.start, r.end): (r.entity_id, r.link_level)
+             for r in link_mentions(spans, entities).collect()}
+
+    assert set(got) == set(batch)
+    n01 = 0
+    for key, (b_ent, b_lvl) in batch.items():
+        s_ent, s_lvl = got[key]
+        if b_lvl in (0, 1):
+            assert (s_ent, s_lvl) == (b_ent, b_lvl), key
+            n01 += 1
+        elif s_lvl != 5:
+            # the stream may only ever link levels 0/1
+            assert s_lvl in (0, 1)
+    assert n01 > 0, "corpus produced no level-0/1 spans"
