@@ -20,7 +20,6 @@ re-runs of a partition can be verified byte-equivalent.
 from __future__ import annotations
 
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,16 +102,11 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
 
 def metrics_table(spark, out_dir: str) -> DataFrame:
     """Union of all stage manifests: the pipeline metrics table
-    (stage, part_key, rows_out, checksum, wall_ms, completed_ts)."""
-    root = Path(out_dir)
-    frames = []
-    for stage_dir in sorted(root.iterdir()):
-        m = stage_dir / "_manifest"
-        if m.exists():
-            frames.append(spark.read.parquet(str(m)))
-    if not frames:
-        raise FileNotFoundError(f"no manifests under {out_dir}")
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    (stage, part_key, rows_out, checksum, wall_ms, completed_ts).
+    One wildcard read — manifests share a schema and the glob goes
+    through the Hadoop FS layer, so this works on object storage
+    (no local-FS directory iteration)."""
+    try:
+        return spark.read.parquet(f"{out_dir}/*/_manifest")
+    except Exception as e:
+        raise FileNotFoundError(f"no manifests under {out_dir}") from e
