@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "q01_pricing_summary", "q02_region_revenue", "q04_event_islands",
     "q05_nearest_click", "q08_word_freq", "q09_neighbor_window",
     "q16_jaccard_pairs", "q17_lsh_pairs", "q18_simhash",
-    "q20_ann_bruteforce",
+    "q20_ann_bruteforce", "q21_ann_lsh", "q43_dup_argmax",
 ]
 
 

@@ -183,3 +183,22 @@ def test_run_stage_executes_fn_once(spark, tmp_path):
                     key_col="url", n_parts=4)
     assert out.count() == n_rows
     assert acc.value == n_rows, f"stage fn processed {acc.value} rows, expected {n_rows}"
+
+
+def test_extract_graph_duplicate_policy(spark):
+    """extract_graph(disambig='duplicate') runs the full build with the
+    second reference policy: same span coverage as the neighbor policy
+    (the policy only reorders the rank-1 window), every level present
+    in both, and the UNLINKED contract holds."""
+    pages = pages_dataframe(spark, 80, seed=3, partitions=2).cache()
+    ga = extract_graph(spark, pages, canonicalize=False)
+    gb = extract_graph(spark, pages, canonicalize=False,
+                       disambig="duplicate")
+    a = {(r.url, r.start, r.end) for r in ga["linked"].collect()}
+    b = {(r.url, r.start, r.end) for r in gb["linked"].collect()}
+    assert a == b and a
+    for g in (ga, gb):
+        assert g["linked"].where(
+            "link_level = 5 and entity_id is not null").count() == 0
+        g["release"]()
+    pages.unpersist()

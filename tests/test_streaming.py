@@ -171,3 +171,28 @@ def test_stream_link_equals_batch_levels01(spark, bc, tmp_path):
             # the stream may only ever link levels 0/1
             assert s_lvl in (0, 1)
     assert n01 > 0, "corpus produced no level-0/1 spans"
+
+
+def test_stream_link_plan_is_stateless(spark, bc, tmp_path):
+    """The stream-side linker must stay stateless: no state-store
+    operator anywhere in the streaming plan (the design contract that
+    makes it watermark-free and unbounded-safe)."""
+    from python_mecab_ner_spark.operators.linking import canonical_entities
+    from python_mecab_ner_spark.sources.gazetteer import \
+        gazetteer_df_from_tsv
+    from python_mecab_ner_spark.streaming.ingest import stream_pages
+    from python_mecab_ner_spark.streaming.link import stream_linked_spans
+
+    pages = pages_dataframe(spark, 10, seed=4).select(
+        "url", "warc_ts", "text", "lang")
+    src = str(tmp_path / "pages_plan")
+    pages.write.parquet(src)
+    entities = canonical_entities(gazetteer_df_from_tsv(spark))
+    linked = stream_linked_spans(stream_pages(spark, src), bc, entities)
+    q = (linked.writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ckpt_plan"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    progress = q.lastProgress
+    assert progress is not None
+    assert progress["stateOperators"] == [], progress["stateOperators"]
