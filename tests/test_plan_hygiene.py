@@ -119,3 +119,21 @@ def test_annotate_stage_is_shuffle_free(spark):
     ann = annotate_pages(pages_dataframe(spark, 10), broadcast_rows(spark))
     plan = _plan(ann)
     assert "Exchange" not in plan, plan
+
+
+def test_q21_multiprobe_no_cartesian(spark, sf01):
+    """Multi-probe candidate selection is a FILTER over band-key
+    membership, not a join: no cartesian/nested-loop anywhere, and the
+    top-k is TakeOrderedAndProject (never a global sort)."""
+    plan = _plan(entry.q21_ann_lsh(spark, sf01))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q43_stats_joins_broadcast(spark, sf01):
+    """The additive-argmax scoring joins its (vocab-sized) stats table
+    broadcast — a shuffle join on the stats side would shuffle the
+    corpus-scale window-token table by word."""
+    plan = _plan(entry.q43_dup_argmax(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
