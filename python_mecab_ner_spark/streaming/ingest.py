@@ -85,6 +85,27 @@ def stream_dedup(pages_stream: DataFrame,
             .dropDuplicatesWithinWatermark(["fp"]))
 
 
+def stream_neardup(pages_stream: DataFrame,
+                   watermark: str = "2 hours") -> DataFrame:
+    """Streaming NEAR-duplicate suppression: keep the first arrival
+    per 16-bit SimHash bucket within the watermark horizon.  A crawler
+    re-fetching boilerplate-shifted copies of a page (timestamps,
+    counters, ad slots) produces texts whose SimHashes collide even
+    though their exact fingerprints differ — the streaming counterpart
+    of operators.dedup.simhash near-dup detection, with state bounded
+    exactly like stream_dedup (O(distinct simhashes in the horizon)).
+
+    Coarser than the batch path by design: a single 16-bit bucket
+    equality (no Hamming-neighbor probing) — streaming state lookups
+    are exact-key only; the batch near-dup pass downstream applies the
+    full banded comparison."""
+    from ..functions.text import simhash16
+    return (pages_stream
+            .withColumn("sh", simhash16(F.col("text")))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["sh"]))
+
+
 def run_ingest(spark: SparkSession, input_dir: str, out_dir: str,
                checkpoint_dir: str, gazetteer_rows_bc,
                available_now: bool = True):

@@ -196,3 +196,52 @@ def test_stream_link_plan_is_stateless(spark, bc, tmp_path):
     progress = q.lastProgress
     assert progress is not None
     assert progress["stateOperators"] == [], progress["stateOperators"]
+
+
+def test_simhash16_rowlocal_equals_batch(spark):
+    """functions.text.simhash16 (row-local array expressions) must
+    reproduce operators.dedup.simhash64(n_bits=16) (explode+groupBy)
+    bit-for-bit — the streaming near-dup key is the batch key."""
+    from python_mecab_ner_spark.functions.text import simhash16
+    from python_mecab_ner_spark.operators.dedup import simhash64
+
+    pages = pages_dataframe(spark, 40, seed=21).select(
+        F.col("url").alias("doc_id"), "text")
+    a = {r.doc_id: r.sh for r in
+         pages.select("doc_id", simhash16(F.col("text")).alias("sh"))
+         .collect()}
+    b = {r.doc_id: r.simhash for r in
+         simhash64(pages, "text", "doc_id", n_bits=16).collect()}
+    assert a == b and a
+
+
+def test_stream_neardup_first_arrival_wins(spark, tmp_path):
+    """stream_neardup keeps exactly one page per simhash bucket within
+    the watermark: boilerplate-identical near-copies are suppressed,
+    distinct texts pass through."""
+    from python_mecab_ner_spark.functions.text import simhash16
+    from python_mecab_ner_spark.streaming.ingest import (stream_neardup,
+                                                         stream_pages)
+
+    pages = pages_dataframe(spark, 40, seed=22).select(
+        "url", "warc_ts", "text", "lang")
+    # append exact re-fetches of 10 pages (same simhash by construction)
+    dupes = (pages.limit(10)
+             .withColumn("url", F.concat(F.col("url"), F.lit("#refetch")))
+             .withColumn("warc_ts",
+                         F.col("warc_ts") + F.expr("INTERVAL 5 MINUTES")))
+    src = str(tmp_path / "pages_nd")
+    pages.unionByName(dupes).write.parquet(src)
+
+    out = str(tmp_path / "nd_out")
+    q = (stream_neardup(stream_pages(spark, src))
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_nd"))
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_buckets = (pages.unionByName(dupes)
+                 .select(simhash16(F.col("text")).alias("sh"))
+                 .distinct().count())
+    assert got.count() == n_buckets
+    assert got.select("sh").distinct().count() == n_buckets
