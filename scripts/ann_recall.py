@@ -86,6 +86,25 @@ def main(sf_dir: str, n_queries: int = 8, k: int = 10) -> int:
           f"bands={n_bands}, T1={MULTIPROBE_SINGLES}, T2={MULTIPROBE_PAIRS} |")
     print(f"| IVF (seeded k-means codebook) | {mean(res['ivf']):.3f} | "
           f"~{n * 4 // 16} ({4 / 16:.2f}) | {n} | cells=16, probe=4 |")
+
+    # IVF recall-vs-probe sweep (same trained codebook, the n_probe
+    # knob buys recall linearly in scan fraction)
+    from python_mecab_ner_spark.operators.ann import kmeans_codebook
+    cb = kmeans_codebook(e, 16)
+    print()
+    print("| IVF n_probe | recall@10 | scan frac |")
+    print("|---|---|---|")
+    for npr in (2, 4, 6, 8):
+        rec = []
+        for r in qrows:
+            qvec = [float(x) for x in r.embedding]
+            exact = {x.vec_id for x in
+                     brute_force_topk(e, qvec, k=k).collect()}
+            ivf = {x.vec_id for x in
+                   ivf_topk(e, qvec, k=k, n_cells=16, n_probe=npr,
+                            codebook=cb).collect()}
+            rec.append(len(ivf & exact) / k)
+        print(f"| {npr} | {mean(rec):.3f} | {npr / 16:.2f} |")
     spark.stop()
     return 0
 
