@@ -108,13 +108,26 @@ class AhoCorasick:
                 self.out[child].extend(self.out[self.fail[child]])
 
     def find(self, seq):
+        # hot path: bound locals + root fast path (on web text most
+        # symbols stay at the root, where the while/fail walk and the
+        # empty-out scan are pure overhead)
+        goto = self.goto
+        out = self.out
+        fail = self.fail
+        root = goto[0]
         node = 0
         for i, sym in enumerate(seq):
-            while node and sym not in self.goto[node]:
-                node = self.fail[node]
-            node = self.goto[node].get(sym, 0)
-            for pid in self.out[node]:
-                yield i + 1, pid
+            if node:
+                g = goto[node]
+                while node and sym not in g:
+                    node = fail[node]
+                    g = goto[node]
+                node = g.get(sym, 0)
+            else:
+                node = root.get(sym, 0)
+            if node:
+                for pid in out[node]:
+                    yield i + 1, pid
 
 
 class CompiledGazetteer:
