@@ -299,14 +299,31 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
                     POS-gated (mecab_category_storage.py:619-656).
     The level-3 evidence GATE always uses the neighbor score (that is
     the NEIGHBOR level's acceptance criterion, independent of the
-    rank-1 policy)."""
+    rank-1 policy).
+
+    Deliberately ONE lazy job: the consumer's single action computes
+    every persisted working set with full stage overlap.  The
+    alternative (materializing each working set with its own eager
+    count) was measured 56% SLOWER at 50k docs (36.3s vs 23.3s
+    median, local[32]) because the per-set barriers forfeit
+    inter-branch stage overlap; its only benefit — shrinking the
+    ~15 MiB per-stage task binaries the monolithic plan serializes —
+    buys nothing at scale, since task-binary size is bounded by PLAN
+    size (a constant), not by data."""
     if disambig not in ("neighbor", "duplicate"):
         raise ValueError(f"unknown disambig policy: {disambig!r}")
+    # persist the entity-dim projection: it is referenced by FOUR
+    # candidate branches (l0/l1/l2/l3) which the ladder's windows,
+    # scoring joins, and anti-joins then re-reference — un-cached, the
+    # jamo-UDF subtree replicates ~150x in the physical plan and its
+    # pandas UDF re-executes once per reference.  The dim is KB-sized
+    # (entities, not corpus), so the cache cost is negligible at any
+    # scale.
     ent = entities_df.select(
         F.col("entity_id").alias("e_id"),
         F.col("large").alias("e_large"),
         F.col("surface").alias("alias"),
-        F.col("jamo_key").alias("e_jamo"))
+        F.col("jamo_key").alias("e_jamo")).persist()
 
     # persist the jamo-keyed mention table: it anchors four candidate
     # branches (l0/l1/l2/un1) and the jamo pandas UDF would otherwise
@@ -462,7 +479,7 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
         out = out.unionByName(p)
 
     def _release():
-        for df in (m, cand_ws, l3_ws, best, rem_ws):
+        for df in (ent, m, cand_ws, l3_ws, best, rem_ws):
             if df is None:
                 continue
             try:
