@@ -520,13 +520,23 @@ STAT_TARGET = "join"               # the "homonym" word q34 disambiguates
 
 def _doc_context(spark, sf_dir):
     """documents -> (url, idx, word, pos) whitespace-token context
-    (pos is a constant tag: the English corpus has no POS)."""
+    (pos is a constant tag: the English corpus has no POS).
+
+    Persisted: the stats-family queries (q33/q34/q36/q38/q43) each
+    reference this identical subtree from 2-3 join branches, and the
+    driver runs them back-to-back in one session — the CacheManager
+    dedups every reference (same plan -> same entry) so the explode
+    runs once per (session, sf_dir) instead of once per branch.  The
+    token table is corpus-bounded (it is the same working set
+    extract_graph persists as g["context"])."""
+    from pyspark import StorageLevel
     d = _loadp(spark, sf_dir, "documents")
     return (d.select(F.col("doc_id").alias("url"),
                      F.posexplode(F.split(F.lower(F.trim("text")), r"\s+"))
                      .alias("idx", "word"))
             .where("word <> ''")
-            .withColumn("pos", F.lit("W")))
+            .withColumn("pos", F.lit("W"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def q33_neighbor_stats(spark, sf_dir):
@@ -704,14 +714,16 @@ def q43_dup_argmax(spark, sf_dir):
     from pyspark.sql import Window as W
 
     from python_mecab_ner_spark.operators.linking import (
-        add_duplicate_scores, build_core_stats, build_neighbor_stats)
+        add_duplicate_scores, build_stats)
     ctx = _doc_context(spark, sf_dir)
     mentions = (ctx.where(F.col("word").isin(STAT_LABELS))
                 .select("url", F.col("idx").alias("start"),
                         (F.col("idx") + 1).alias("end"),
                         F.col("word").alias("large")))
-    nstats = build_neighbor_stats(ctx, mentions, window=3)
-    cstats = build_core_stats(ctx, mentions)
+    # ONE fused mention-context join builds both counters (identical
+    # values to the separate build_neighbor_stats/build_core_stats,
+    # half the corpus-join cost — same plan shape extract_graph uses)
+    nstats, cstats = build_stats(ctx, mentions, window=3)
     targets = (ctx.where(F.col("word") == STAT_TARGET)
                .select("url", F.col("idx").alias("start"),
                        (F.col("idx") + 1).alias("end")))
