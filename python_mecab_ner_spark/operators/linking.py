@@ -248,6 +248,78 @@ def add_duplicate_scores(cand: DataFrame, context_df: DataFrame,
             .withColumn("d_score", F.coalesce("d_score", F.lit(0))))
 
 
+def add_evidence_scores(cand: DataFrame, context_df: DataFrame,
+                        neighbor_stats_df: DataFrame,
+                        core_stats_df: DataFrame,
+                        n_window: int = NEIGHBOR_DISTANCE,
+                        d_window: int = DUPLICATE_DISTANCE,
+                        pos_filter=DUPLICATE_POS) -> DataFrame:
+    """Fused twin of add_neighbor_scores + add_duplicate_scores: ONE
+    window-token context join + ONE broadcast stats join + ONE
+    aggregate computing BOTH evidence columns (n_score, d_score) —
+    the two stepwise passes each join the corpus-scale context table,
+    so when the rank-1 policy is "duplicate" (which needs both
+    scores: the level-3 gate is always the neighbor score) fusion
+    halves the corpus-join cost of evidence scoring.
+
+    Exactness vs the stepwise pair (pinned by
+    tests/test_linking_stats.py::test_fused_evidence_scores_agree):
+    the joined window is the UNION of the two policies' windows and
+    each row is TAGGED per policy instead of filtered —
+      n: idx in [start-n_window, end+n_window), span excluded,
+         factor min(cnt, CAP)+1 over NEIGHBOR stats hits only;
+      d: idx in [anchor-d_window, anchor+d_window) for anchor=end-1,
+         anchor excluded, POS-gated, additive over core+neighbor sums.
+    The broadcast side is the vocab-sized outer merge of the two
+    stats tables, so a token hitting either table joins once and
+    contributes factor 1 / addend 0 to the policy it has no evidence
+    for (identical to the stepwise inner joins + coalesce floors)."""
+    keys = SPAN_KEY + ["n_label"]
+    base = cand.select(*keys).distinct()
+    ctx = context_df.select("url", "idx",
+                            F.col("word").alias("c_word"),
+                            F.col("pos").alias("c_pos"))
+    anchor = F.col("end") - 1
+    lo = F.least(F.col("start") - n_window, anchor - d_window)
+    hi = F.greatest(F.col("end") + n_window, anchor + d_window)
+    toks = (base.join(ctx, "url")
+            .where((F.col("idx") >= lo) & (F.col("idx") < hi)))
+    in_n = ((F.col("idx") >= F.col("start") - n_window)
+            & (F.col("idx") < F.col("end") + n_window)
+            & ((F.col("idx") < F.col("start"))
+               | (F.col("idx") >= F.col("end"))))
+    in_d = ((F.col("idx") >= anchor - d_window)
+            & (F.col("idx") < anchor + d_window)
+            & (F.col("idx") != anchor))
+    if pos_filter is not None:
+        in_d = in_d & F.col("c_pos").isin(*sorted(pos_filter))
+    nst = (neighbor_stats_df
+           .select("label", F.col("word").alias("c_word"),
+                   F.col("pos").alias("c_pos"),
+                   F.col("cnt").alias("n_cnt")))
+    cst = (core_stats_df
+           .select("label", F.col("word").alias("c_word"),
+                   F.col("pos").alias("c_pos"),
+                   F.col("cnt").alias("c_cnt")))
+    merged = (nst.join(cst, ["label", "c_word", "c_pos"], "outer")
+              .withColumn("d_cnt", F.coalesce("n_cnt", F.lit(0))
+                          + F.coalesce("c_cnt", F.lit(0)))
+              .withColumnRenamed("label", "n_label"))
+    hits = toks.join(F.broadcast(merged),
+                     on=["n_label", "c_word", "c_pos"], how="inner")
+    n_factor = F.when(in_n & F.col("n_cnt").isNotNull(),
+                      F.least(F.col("n_cnt"), F.lit(SCORE_CAP)) + F.lit(1)
+                      ).otherwise(F.lit(1))
+    d_addend = F.when(in_d, F.col("d_cnt")).otherwise(F.lit(0))
+    scores = (hits.groupBy(*keys)
+              .agg(F.product(n_factor).cast("bigint").alias("n_score"),
+                   F.sum(d_addend).cast("bigint").alias("d_score")))
+    return (cand.join(scores, keys, "left")
+            .withColumn("n_score", F.coalesce("n_score", F.lit(1)))
+            .withColumn("d_score", F.coalesce("d_score",
+                                              F.lit(0).cast("bigint"))))
+
+
 def brute_link(unlinked: DataFrame, context_df: DataFrame,
                core_stats_df: DataFrame,
                window: int = BRUTE_DISTANCE) -> DataFrame:
@@ -421,11 +493,20 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
         solo = (cand_n.where((F.col("_nl") == 1)
                              & (F.col("link_level") != 3)).drop("_nl")
                 .withColumn("n_score", F.lit(1).cast("bigint")))
-        # ONE neighbor-scoring pass over the decisive subset: scores
-        # both the level-3 evidence floor AND the in-window homonym
-        # disambiguation (reference delete_duplicate_value)
-        scored = (add_neighbor_scores(need, context_df,
-                                      neighbor_stats_df)
+        # ONE evidence-scoring pass over the decisive subset: scores
+        # the level-3 evidence floor AND the in-window homonym
+        # disambiguation (reference delete_duplicate_value).  When the
+        # rank policy is "duplicate" BOTH scores are needed (the gate
+        # is always the neighbor score), so the fused scorer computes
+        # them from a single context join instead of two.
+        if with_dup:
+            scored = add_evidence_scores(need, context_df,
+                                         neighbor_stats_df,
+                                         core_stats_df)
+        else:
+            scored = add_neighbor_scores(need, context_df,
+                                         neighbor_stats_df)
+        scored = (scored
                   .where((F.col("link_level") != 3)
                          | (F.col("n_score") > 1))
                   .withColumn(
@@ -434,9 +515,6 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
                              F.col("n_score"))
                       .otherwise(F.col("link_score"))))
         if with_dup:
-            scored = add_duplicate_scores(scored, context_df,
-                                          neighbor_stats_df,
-                                          core_stats_df)
             solo = solo.withColumn("d_score", F.lit(0).cast("bigint"))
         candidates = scored.unionByName(solo)
     else:

@@ -39,6 +39,8 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=50_000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--disambig", default="neighbor",
+                    choices=["neighbor", "duplicate"])
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -71,7 +73,8 @@ def main() -> int:
     def run_once(i):
         p = pages.where(F.col("url") != F.lit(f"zz{i}"))  # fresh lineage
         t0 = time.time()
-        g = extract_graph(spark, p, canonicalize=False, kb_holdout_mod=20)
+        g = extract_graph(spark, p, canonicalize=False, kb_holdout_mod=20,
+                          disambig=args.disambig)
         hist = {r.link_level: r.n for r in
                 g["linked"].groupBy("link_level")
                 .agg(F.count("*").alias("n")).collect()}
@@ -96,6 +99,7 @@ def main() -> int:
 
     print(json.dumps({
         "metric": "full_6level_link_wall",
+        "disambig": args.disambig,
         "docs": args.docs,
         "cpus": args.cpus,
         "wall_sec_median": statistics.median(walls),

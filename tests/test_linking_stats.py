@@ -145,6 +145,53 @@ def test_duplicate_score_spark_agreement(spark):
                        for lab in ("food", "product")}
 
 
+def test_fused_evidence_scores_agree(spark):
+    """add_evidence_scores (one fused context join) == the stepwise
+    add_neighbor_scores + add_duplicate_scores composition, on a
+    corpus engineered so the two policy windows genuinely differ:
+    tokens at distance 4 from the anchor sit inside the +-5 duplicate
+    window but outside the +-3 neighbor window, a POS-gated token
+    (JKO) contributes to n but never d, and one span has no evidence
+    at all (both floors must fire)."""
+    from python_mecab_ner_spark.operators.linking import (
+        add_duplicate_scores, add_evidence_scores, add_neighbor_scores)
+
+    ctx = spark.createDataFrame(
+        [("u1", 1, "먹", "VV"), ("u1", 4, "를", "JKO"),
+         ("u1", 6, "마시", "VV"), ("u1", 7, "몰", "VV"),
+         ("u2", 0, "zzz", "SY")],
+        "url string, idx int, word string, pos string")
+    nstats = spark.createDataFrame(
+        [("A", "먹", "VV", 5), ("A", "를", "JKO", 2), ("B", "마시", "VV", 7)],
+        "label string, word string, pos string, cnt long")
+    cstats = spark.createDataFrame(
+        [("B", "마시", "VV", 3), ("B", "몰", "VV", 100)],
+        "label string, word string, pos string, cnt long")
+    cand = spark.createDataFrame(
+        [("u1", 2, 3, "A", 0), ("u1", 2, 3, "B", 0),
+         ("u2", 0, 1, "A", 3), ("u2", 0, 1, "B", 3)],
+        "url string, start int, end int, n_label string, link_level int")
+
+    def by_key(df):
+        return {(r.url, r.start, r.end, r.n_label): (r.n_score, r.d_score)
+                for r in df.collect()}
+
+    for pos_filter in (None, frozenset(["NNG", "NNP", "VV", "VA"])):
+        stepwise = by_key(add_duplicate_scores(
+            add_neighbor_scores(cand, ctx, nstats), ctx, nstats, cstats,
+            pos_filter=pos_filter))
+        fused = by_key(add_evidence_scores(cand, ctx, nstats, cstats,
+                                           pos_filter=pos_filter))
+        assert fused == stepwise
+    # sanity on the gated fused run — the engineered differences fired:
+    # A: 먹(6) x 를(3) in the neighbor product; 를 POS-gated out of d
+    assert fused[("u1", 2, 3, "A")] == (6 * 3, 5)
+    # B: 마시 at anchor-distance 4 is duplicate-only evidence (7+3);
+    # 몰 at idx 7 is outside BOTH windows (union upper bound)
+    assert fused[("u1", 2, 3, "B")] == (1, 10)
+    assert fused[("u2", 0, 1, "A")] == (1, 0)   # both floors
+
+
 def test_core_counts_and_brute():
     counts = core_counts({"food": [SENT_DRINK[0:3]],
                           "drink": [[("콜라", "NNG")]]})
