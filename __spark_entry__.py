@@ -742,6 +742,38 @@ def q43_dup_argmax(spark, sf_dir):
                     F.col("d_score").cast("bigint").alias("d_score")))
 
 
+def q44_evidence_scores(spark, sf_dir):
+    """The FUSED evidence scorer (operators.linking
+    .add_evidence_scores): BOTH homonym policies' scores — the +-3
+    capped-product neighbor score (delete_duplicate_value,
+    mecab_category_storage.py:39-63) and the +-5 additive
+    core+neighbor sum (delete_duplicate, :619-656) — for every
+    (target occurrence, label) pair, from ONE context join.  Pins the
+    fusion's exactness in the driver's oracle, not just pytest: the
+    SQL twin computes each score via its own window CTE."""
+    from python_mecab_ner_spark.operators.linking import (
+        add_evidence_scores, build_stats)
+    ctx = _doc_context(spark, sf_dir)
+    mentions = (ctx.where(F.col("word").isin(STAT_LABELS))
+                .select("url", F.col("idx").alias("start"),
+                        (F.col("idx") + 1).alias("end"),
+                        F.col("word").alias("large")))
+    nstats, cstats = build_stats(ctx, mentions, window=3)
+    targets = (ctx.where(F.col("word") == STAT_TARGET)
+               .select("url", F.col("idx").alias("start"),
+                       (F.col("idx") + 1).alias("end")))
+    labels = spark.createDataFrame([(s,) for s in STAT_LABELS],
+                                   "n_label string")
+    cand = targets.crossJoin(F.broadcast(labels))
+    out = add_evidence_scores(cand, ctx, nstats, cstats,
+                              pos_filter=None)
+    return out.select(F.col("url").alias("doc_id"),
+                      F.col("start").cast("bigint").alias("pos"),
+                      F.col("n_label").alias("label"),
+                      F.col("n_score").cast("bigint").alias("n_score"),
+                      F.col("d_score").cast("bigint").alias("d_score"))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -924,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_audio_features": q41_audio_features,
         "q42_image_resize": q42_image_resize,
         "q43_dup_argmax": q43_dup_argmax,
+        "q44_evidence_scores": q44_evidence_scores,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1345,6 +1378,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(s AS BIGINT) AS pos,
                    n_label AS best_label, CAST(score AS BIGINT) AS d_score
             FROM r WHERE rn = 1
+        """,
+        # fused evidence scorer: BOTH scores per (target, label) — the
+        # +-3 capped product over NEIGHBOR stats and the +-5 additive
+        # sum over core+neighbor stats (anchor excluded in both)
+        "q44_evidence_scores": stats_cte + f"""
+            , cstats AS (SELECT label, label AS word, count(*) AS cnt
+                         FROM m GROUP BY label),
+            allstats AS (SELECT label, word, sum(cnt) AS cnt
+                         FROM (SELECT label, word, cnt FROM stats
+                               UNION ALL
+                               SELECT label, word, cnt FROM cstats)
+                         GROUP BY 1, 2),
+            tgt AS (SELECT doc_id, idx AS s FROM c2
+                    WHERE word = '{STAT_TARGET}'),
+            labels(n_label) AS (VALUES {stat_labels_values}),
+            wtokn AS (SELECT g.doc_id, g.s, c.word FROM tgt g JOIN c2 c
+                       ON c.doc_id = g.doc_id
+                      AND c.idx >= g.s - 3 AND c.idx < g.s + 1 + 3
+                      AND c.idx <> g.s),
+            nhits AS (SELECT w.doc_id, w.s, st.label AS n_label,
+                             least(st.cnt, 63) + 1 AS f
+                      FROM wtokn w JOIN stats st ON st.word = w.word),
+            nscores AS (SELECT doc_id, s, n_label, product(f) AS n_score
+                        FROM nhits GROUP BY 1, 2, 3),
+            wtokd AS (SELECT g.doc_id, g.s, c.word FROM tgt g JOIN c2 c
+                       ON c.doc_id = g.doc_id
+                      AND c.idx >= g.s - 5 AND c.idx < g.s + 5
+                      AND c.idx <> g.s),
+            dhits AS (SELECT w.doc_id, w.s, st.label AS n_label, st.cnt
+                      FROM wtokd w JOIN allstats st ON st.word = w.word),
+            dscores AS (SELECT doc_id, s, n_label, sum(cnt) AS d_score
+                        FROM dhits GROUP BY 1, 2, 3)
+            SELECT g.doc_id, CAST(g.s AS BIGINT) AS pos,
+                   l.n_label AS label,
+                   CAST(coalesce(ns.n_score, 1) AS BIGINT) AS n_score,
+                   CAST(coalesce(ds.d_score, 0) AS BIGINT) AS d_score
+            FROM tgt g CROSS JOIN labels l
+            LEFT JOIN nscores ns
+              ON ns.doc_id = g.doc_id AND ns.s = g.s
+             AND ns.n_label = l.n_label
+            LEFT JOIN dscores ds
+              ON ds.doc_id = g.doc_id AND ds.s = g.s
+             AND ds.n_label = l.n_label
         """,
         "q35_regex_entities": """
             WITH tagged AS (
