@@ -192,6 +192,65 @@ def test_fused_evidence_scores_agree(spark):
     assert fused[("u2", 0, 1, "A")] == (1, 0)   # both floors
 
 
+def test_fused_evidence_scores_random_kernel_agreement(spark):
+    """Randomized (seeded) engine-vs-kernel agreement for the fused
+    scorer: 30 docs x 15 tokens, random stats, random spans — the
+    Spark add_evidence_scores must match kernel score_label (neighbor
+    product over the +-3 window) and kernel duplicate_score (+-5
+    additive, POS-gated and ungated) row-for-row."""
+    import random
+
+    from python_mecab_ner_spark.kernel.stats import DUPLICATE_POS
+    from python_mecab_ner_spark.operators.linking import add_evidence_scores
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(12)]
+    poses = ["NNG", "VV", "JKO", "SY"]
+    labels = ["A", "B", "C"]
+    token_rows, ctx_rows, cand_rows = {}, [], []
+    for d in range(30):
+        url = f"u{d}"
+        toks = [(rng.choice(words), rng.choice(poses)) for _ in range(15)]
+        token_rows[url] = toks
+        ctx_rows += [(url, i, w, p) for i, (w, p) in enumerate(toks)]
+        start = rng.randint(0, 12)
+        end = start + rng.randint(1, 3)
+        cand_rows += [(url, start, end, lab) for lab in labels]
+    nc, cc = {}, {}
+    for lab in labels:
+        for _ in range(20):
+            k = (lab, rng.choice(words), rng.choice(poses))
+            nc[k] = nc.get(k, 0) + rng.randint(1, 5)
+        for _ in range(10):
+            k = (lab, rng.choice(words), rng.choice(poses))
+            cc[k] = cc.get(k, 0) + rng.randint(1, 5)
+
+    ctx = spark.createDataFrame(ctx_rows,
+                                "url string, idx int, word string, pos string")
+    nstats = spark.createDataFrame([(l, w, p, c) for (l, w, p), c in nc.items()],
+                                   "label string, word string, pos string, cnt long")
+    cstats = spark.createDataFrame([(l, w, p, c) for (l, w, p), c in cc.items()],
+                                   "label string, word string, pos string, cnt long")
+    cand = spark.createDataFrame(cand_rows,
+                                 "url string, start int, end int, n_label string")
+
+    for pos_filter in (DUPLICATE_POS, None):
+        got = {(r.url, r.start, r.end, r.n_label): (r.n_score, r.d_score)
+               for r in add_evidence_scores(cand, ctx, nstats, cstats,
+                                            pos_filter=pos_filter).collect()}
+        assert len(got) == len(cand_rows)
+        for url, start, end, lab in cand_rows:
+            toks = token_rows[url]
+            win = [toks[i] for i in range(max(0, start - 3),
+                                          min(len(toks), end + 3))
+                   if not (start <= i < end)]
+            exp_n = score_label(nc, lab, win)
+            exp_d = duplicate_score(cc, nc, lab, toks, end - 1,
+                                    pos_filter=pos_filter)
+            assert got[(url, start, end, lab)] == (exp_n, exp_d), \
+                (url, start, end, lab, pos_filter)
+
+
 def test_core_counts_and_brute():
     counts = core_counts({"food": [SENT_DRINK[0:3]],
                           "drink": [[("콜라", "NNG")]]})
