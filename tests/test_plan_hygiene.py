@@ -130,6 +130,39 @@ def test_q21_multiprobe_no_cartesian(spark, sf01):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_fused_evidence_scoring_joins_context_once(spark):
+    """The POINT of add_evidence_scores: the corpus-scale context
+    table enters the physical plan exactly ONCE (one window-token
+    join computing both scores), where the stepwise
+    add_neighbor_scores + add_duplicate_scores composition scans it
+    twice.  The context table is the only input carrying `idx`, so
+    its scan node is identifiable in the formatted plan."""
+    import re
+
+    from python_mecab_ner_spark.operators.linking import (
+        add_duplicate_scores, add_evidence_scores, add_neighbor_scores)
+
+    ctx = spark.createDataFrame([("u1", 1, "먹", "VV")],
+                                "url string, idx int, word string, pos string")
+    nstats = spark.createDataFrame([("A", "먹", "VV", 5)],
+                                   "label string, word string, pos string, cnt long")
+    cstats = spark.createDataFrame([("B", "먹", "VV", 3)],
+                                   "label string, word string, pos string, cnt long")
+    cand = spark.createDataFrame([("u1", 2, 3, "A")],
+                                 "url string, start int, end int, n_label string")
+
+    def ctx_scans(df):
+        plan = _plan(df)
+        return len(re.findall(
+            r"Scan ExistingRDD\s*\nOutput[^\n]*idx#", plan))
+
+    assert ctx_scans(add_evidence_scores(cand, ctx, nstats, cstats)) == 1
+    # sanity: the stepwise pair really does scan it twice
+    stepwise = add_duplicate_scores(
+        add_neighbor_scores(cand, ctx, nstats), ctx, nstats, cstats)
+    assert ctx_scans(stepwise) == 2
+
+
 def test_q43_stats_joins_broadcast(spark, sf01):
     """The additive-argmax scoring joins its (vocab-sized) stats table
     broadcast — a shuffle join on the stats side would shuffle the
