@@ -774,6 +774,35 @@ def q44_evidence_scores(spark, sf_dir):
                       F.col("d_score").cast("bigint").alias("d_score"))
 
 
+def q45_repetition_ppm(spark, sf_dir):
+    """Within-document repetition quality rule (Gopher duplicate
+    2-gram fraction): integer ppm per document, pure per-row array
+    expressions — the corpus-cleaning gate that catches templated/
+    boilerplate pages exact dedup misses."""
+    d = _loadp(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    TX.duplicate_ngram_ppm(F.col("text"), n=2)
+                    .alias("rep_ppm"))
+
+
+DECON_BENCH_MOD = 97   # deterministic held-out "benchmark" slice
+
+
+def q46_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators.dedup.ngram_collisions):
+    the docs with doc_id % DECON_BENCH_MOD == 0 act as the held-out
+    eval set; every other doc is screened for exact 3-gram collisions
+    with it.  Output: the contaminated docs and their distinct
+    colliding-gram counts."""
+    from python_mecab_ner_spark.operators.dedup import ngram_collisions
+    d = _loadp(spark, sf_dir, "documents")
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0)
+    rest = d.where(F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) != 0)
+    return (ngram_collisions(rest, bench, "text", "doc_id", k=3)
+            .select("doc_id", F.col("n_collide").cast("bigint")
+                    .alias("n_collide")))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -957,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_image_resize": q42_image_resize,
         "q43_dup_argmax": q43_dup_argmax,
         "q44_evidence_scores": q44_evidence_scores,
+        "q45_repetition_ppm": q45_repetition_ppm,
+        "q46_decontaminate": q46_decontaminate,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1421,6 +1452,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN dscores ds
               ON ds.doc_id = g.doc_id AND ds.s = g.s
              AND ds.n_label = l.n_label
+        """,
+        "q45_repetition_ppm": f"""
+            SELECT doc_id,
+                   {TX.duplicate_ngram_ppm_sql('text', n=2)} AS rep_ppm
+            FROM documents
+        """,
+        # exact 3-gram collision screening against the deterministic
+        # held-out slice (doc_id % 97 == 0): reuses the q16 shingle
+        # semantics (same tokenization, tail truncation, distinct set)
+        "q46_decontaminate": shingle_cte + """
+            , bench AS (SELECT DISTINCT shingle FROM sh
+                        WHERE doc_id % 97 = 0)
+            SELECT s.doc_id, count(*) AS n_collide
+            FROM sh s JOIN bench USING (shingle)
+            WHERE s.doc_id % 97 <> 0
+            GROUP BY 1
         """,
         "q35_regex_entities": """
             WITH tagged AS (

@@ -157,3 +157,43 @@ def simhash16(col) -> Column:
     for t in bit_terms[1:]:
         out = out + t
     return out.cast("int")
+
+
+def duplicate_ngram_ppm(col, n: int = 2) -> Column:
+    """Within-document repetition score (the Gopher-family
+    duplicate-n-gram quality rule, Rae et al. 2021 §A1.1): the
+    fraction of word n-gram OCCURRENCES that are repeats of an
+    earlier n-gram in the same document, in integer parts-per-million
+    (floats never cross the oracle boundary).  Templated/boilerplate
+    web text scores high; natural prose scores near 0.
+
+    Pure array expressions (split -> transform/slice -> array_distinct)
+    — per-row, codegen-side, no explode and no shuffle: at 100 TB this
+    is a linear scan column like quality_score."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    sz = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
+    grams = F.filter(
+        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        lambda g: g != "")
+    total = F.size(grams)
+    dis = F.size(F.array_distinct(grams))
+    return (F.when(total > 0,
+                   F.floor((total - dis) * F.lit(1_000_000) / total))
+            .otherwise(F.lit(0)).cast("bigint"))
+
+
+def duplicate_ngram_ppm_sql(expr: str, n: int = 2) -> str:
+    """DuckDB twin of duplicate_ngram_ppm (same slice truncation at
+    the array tail, same empty-gram filter, integer floor division)."""
+    w = (f"regexp_split_to_array(regexp_replace(lower(trim({expr})), "
+         f"'\\s+', ' ', 'g'), ' ')")
+    grams = (f"list_filter(list_transform("
+             f"range(0, greatest(len({w}) - {n}, 0) + 1), "
+             f"i -> array_to_string({w}[i + 1 : least(i + {n}, len({w}))], ' ')), "
+             f"g -> g <> '')")
+    total = f"len({grams})"
+    dis = f"len(list_distinct({grams}))"
+    return (f"CASE WHEN {total} > 0 THEN "
+            f"CAST(({total} - {dis}) * 1000000 // {total} AS BIGINT) "
+            f"ELSE 0 END")

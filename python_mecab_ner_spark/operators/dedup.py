@@ -102,6 +102,33 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return pairs
 
 
+def ngram_collisions(df: DataFrame, bench_df: DataFrame,
+                     text_col: str, id_col: str, k: int = 3,
+                     broadcast_bench: bool = True) -> DataFrame:
+    """Benchmark decontamination (exact n-gram collision screening,
+    the GPT-3/PaLM-style eval-set contamination check): per corpus
+    document, the count of DISTINCT word k-grams that also occur
+    anywhere in the benchmark corpus.  Docs with n_collide > 0 are
+    the contamination candidates a training pipeline drops or audits.
+
+    Scale shape: the benchmark gram set is benchmark-sized (eval
+    suites are tiny relative to a 100 TB corpus) -> distinct bench
+    grams are BROADCAST against the exploded corpus grams, so the
+    corpus side never shuffles; the only exchange is the final
+    per-doc count (map-side combinable).  Per-gram fan-out is the
+    number of corpus docs containing that gram x1 (an equi-join into
+    a set, never a self-join), so there is no quadratic key.  Set
+    broadcast_bench=False for an oversized benchmark (falls back to a
+    shuffle join on the gram key)."""
+    corpus = shingles(df, text_col, id_col, k)        # distinct per doc
+    bench = (shingles(bench_df, text_col, id_col, k)
+             .select("shingle").distinct())
+    b = F.broadcast(bench) if broadcast_bench else bench
+    return (corpus.join(b, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_collide")))
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        k: int = 3, n_hashes: int = 16) -> DataFrame:
     """Wide minhash signature: (doc_id, mh0..mh{n-1}).
