@@ -163,6 +163,17 @@ def test_fused_evidence_scoring_joins_context_once(spark):
     assert ctx_scans(stepwise) == 2
 
 
+def test_q46_decontaminate_broadcasts_bench_grams(spark, sf01):
+    """Decontamination screening must broadcast the benchmark gram
+    set against the corpus grams — a shuffle join would exchange the
+    whole exploded corpus by gram key; and no self-join / cartesian
+    may appear anywhere."""
+    plan = _plan(entry.q46_decontaminate(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_q43_stats_joins_broadcast(spark, sf01):
     """The additive-argmax scoring joins its (vocab-sized) stats table
     broadcast — a shuffle join on the stats side would shuffle the
