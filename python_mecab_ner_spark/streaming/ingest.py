@@ -106,6 +106,26 @@ def stream_neardup(pages_stream: DataFrame,
             .dropDuplicatesWithinWatermark(["sh"]))
 
 
+def stream_quality_gate(pages_stream: DataFrame, lang: str = "en",
+                        min_quality: int = 60,
+                        max_rep_ppm: int = 200_000) -> DataFrame:
+    """Row-local corpus-cleaning gate for streams: the STATELESS
+    subset of the batch cleaning pipeline (the q39 lang + quality
+    gates plus the Gopher duplicate-n-gram repetition rule) as pure
+    per-row filters — no watermark, no state, no shuffle.  Compose it
+    BEFORE stream_dedup / stream_neardup so the stateful stages hold
+    state only for pages that survive the gates (state size tracks
+    the CLEAN rate, not the crawl rate).  The batch twin of each
+    filter is oracled (q12 / q13 / q45); the exact-dedup rank-1 of
+    q39 stays batch/stateful by nature (stream_dedup)."""
+    from ..functions.text import (duplicate_ngram_ppm, lang_id,
+                                  quality_score)
+    return (pages_stream
+            .where(lang_id(F.col("text")) == lang)
+            .where(quality_score(F.col("text")) >= min_quality)
+            .where(duplicate_ngram_ppm(F.col("text"), n=2) <= max_rep_ppm))
+
+
 def run_ingest(spark: SparkSession, input_dir: str, out_dir: str,
                checkpoint_dir: str, gazetteer_rows_bc,
                available_now: bool = True):

@@ -245,3 +245,41 @@ def test_stream_neardup_first_arrival_wins(spark, tmp_path):
                  .distinct().count())
     assert got.count() == n_buckets
     assert got.select("sh").distinct().count() == n_buckets
+
+
+def test_stream_quality_gate_rowlocal(spark, tmp_path):
+    """The streaming quality gate filters exactly like the batch
+    gates, row-locally: non-en, low-quality, and highly repetitive
+    pages drop; a clean page survives.  The plan must stay stateless
+    (no stateful operator in the explain)."""
+    import datetime as dt
+
+    from python_mecab_ner_spark.streaming.ingest import (stream_pages,
+                                                         stream_quality_gate)
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    clean = "the quick brown fox jumps over the lazy dog and keeps " \
+            "running through the quiet field toward a distant warm " \
+            "farm house near the old river bank before sunset tonight " \
+            "while birds circle slowly overhead in the evening air"
+    rows = [
+        ("keep", t0, clean, "en"),
+        ("kor", t0, "한국어 문장 " * 30, "ko"),          # lang gate
+        ("short", t0, "tiny", "en"),                      # quality gate
+        ("rep", t0, "spam spam " * 60, "en"),             # repetition gate
+    ]
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    gated = stream_quality_gate(stream_pages(spark, src))
+    q = (gated.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+    assert got == {"keep"}, got
+    # statelessness: batch twin of the same plan has no state store
+    batch = stream_quality_gate(spark.read.parquet(src))
+    plan = batch._sc._jvm.PythonSQLUtils.explainString(
+        batch._jdf.queryExecution(), "formatted")
+    assert "StateStore" not in plan and "Exchange" not in plan, plan
