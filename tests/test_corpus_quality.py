@@ -65,3 +65,30 @@ def test_ngram_collisions_counts_distinct_grams_once(spark):
                ngram_collisions(corpus, bench, "text", "doc_id", k=3,
                                 broadcast_bench=bc).collect()}
         assert got == {1: 1}
+
+
+def test_duplicate_ngram_ppm_cross_engine_random(spark):
+    """Seeded random texts (varied token counts incl. sub-n docs,
+    repeated runs, irregular whitespace) — Spark and the DuckDB twin
+    must agree on every row, pinning the tail-truncation and
+    empty-gram semantics across engines."""
+    import random
+    rng = random.Random(11)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        sep = rng.choice([" ", "  ", " \t "])
+        rows.append((i, sep.join(words)))
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r.ppm for r in
+           d.select("doc_id", duplicate_ngram_ppm(F.col("text"), n=2)
+                    .alias("ppm")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    exp = dict(con.execute(
+        f"SELECT doc_id, {duplicate_ngram_ppm_sql('text', n=2)} "
+        f"FROM documents").fetchall())
+    assert got == exp
