@@ -803,6 +803,90 @@ def q46_decontaminate(spark, sf_dir):
                     .alias("n_collide")))
 
 
+# DuckDB twin of _pii_text() below — identical injected bytes
+_PII_TEXT_SQL = (
+    "(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' tel 010-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-5678'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' id 900101-1234567'"
+    " ELSE '' END)")
+
+
+def _pii_text():
+    """Deterministic synthetic PII appended per doc (the testdata
+    corpus is PII-free by construction): every doc an email, every 3rd
+    a phone, every 5th a resident-ID — same expression in the oracle."""
+    email = F.concat(F.lit(" contact: user"),
+                     F.col("doc_id").cast("string"), F.lit("@example.com"))
+    phone = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.lit(" tel 010-"),
+                 F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                        4, "0"),
+                 F.lit("-5678"))).otherwise(F.lit(""))
+    rrn = F.when(F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+                 F.lit(" id 900101-1234567")).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, rrn)
+
+
+def q47_pii_redact(spark, sf_dir):
+    """PII scrubbing gate (functions.text.pii_redact / pii_counts):
+    resident-ID -> phone -> email redaction as a sequential JVM
+    regexp_replace chain, per-type hit counts, and the md5 fingerprint
+    of the redacted text (pins the replacement bytes, not just the
+    counts).  Per-row codegen map — zero shuffle at any scale."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    d = _load(spark, sf_dir, "documents")
+    withpii = d.select("doc_id", _pii_text().alias("text"))
+    return withpii.select(
+        "doc_id", *TX.pii_counts(F.col("text")),
+        md5_int(TX.pii_redact(F.col("text"))).alias("red_fp"))
+
+
+def q48_line_dedup(spark, sf_dir):
+    """Corpus-level frequent-line removal (operators.dedup
+    .frequent_line_dedup, the CCNet boilerplate rule): line df via one
+    partial-distinct aggregate, frequent survivors broadcast back,
+    per-doc kept/dropped counts.  The testdata corpus has no newlines,
+    so the pluggable splitter runs in 2-token-chunk mode (production
+    uses the default '\\n' split)."""
+    from python_mecab_ner_spark.operators.dedup import frequent_line_dedup
+    d = _loadp(spark, sf_dir, "documents")
+    return (frequent_line_dedup(d, "text", "doc_id", min_df=25, chunk=2)
+            .select(F.col("doc_id"), "n_lines", "n_dropped"))
+
+
+def q49_khop(spark, sf_dir):
+    """2-hop neighborhood size per node (operators.graph
+    .khop_neighbors) over the q40 part<->supplier bipartite graph:
+    the KG expansion primitive ("entities within two relations"),
+    iterative frontier join with localCheckpoint per round."""
+    from python_mecab_ner_spark.operators.graph import khop_neighbors
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return (khop_neighbors(edges, k=2)
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("n_khop"))
+            .select(F.col("node").cast("bigint").alias("node"), "n_khop"))
+
+
+def q50_bigram_pmi(spark, sf_dir):
+    """Collocation mining (operators.colloc.bigram_pmi): adjacent-pair
+    PMI in integer parts-per-million over the documents token stream —
+    the new-vocabulary / gazetteer-candidate discovery statistic.
+    Exact 64-bit integer arithmetic end-to-end (the integer ratio
+    preserves log-PMI order), so the oracle hash-matches."""
+    from python_mecab_ner_spark.operators.colloc import bigram_pmi
+    ctx = _doc_context(spark, sf_dir)
+    return bigram_pmi(ctx, min_count=5).select(
+        "w1", "w2", "c_xy", "pmi_ppm")
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -988,6 +1072,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_evidence_scores": q44_evidence_scores,
         "q45_repetition_ppm": q45_repetition_ppm,
         "q46_decontaminate": q46_decontaminate,
+        "q47_pii_redact": q47_pii_redact,
+        "q48_line_dedup": q48_line_dedup,
+        "q49_khop": q49_khop,
+        "q50_bigram_pmi": q50_bigram_pmi,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1468,6 +1556,85 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s JOIN bench USING (shingle)
             WHERE s.doc_id % 97 <> 0
             GROUP BY 1
+        """,
+        # sequential ID -> phone -> email redaction on the same
+        # synthetic-PII injection expression the Spark side builds
+        "q47_pii_redact": f"""
+            WITH withpii AS (SELECT doc_id, {_PII_TEXT_SQL} AS text
+                             FROM documents)
+            SELECT doc_id,
+                   {', '.join(f'{sql} AS {name}'
+                              for sql, name in TX.pii_counts_sql('text'))},
+                   {md5_int_sql(TX.pii_redact_sql('text'))} AS red_fp
+            FROM withpii
+        """,
+        # 2-token-chunk "lines" (same slice truncation as the Spark
+        # splitter), line df >= 25 across distinct docs -> dropped
+        "q48_line_dedup": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(trim(text)), '\\s+'),
+                                  x -> x <> '') AS w
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         list_filter(list_transform(
+                             range(0, greatest((len(w) - 1) // 2, 0) + 1),
+                             i -> array_to_string(
+                                 w[i * 2 + 1 : least(i * 2 + 2, len(w))],
+                                 ' ')),
+                             g -> g <> '') AS lines
+                  FROM t),
+            l AS (SELECT doc_id, unnest(lines) AS line FROM c),
+            f AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df
+                                    FROM l GROUP BY 1) q
+                  WHERE df >= 25)
+            SELECT l.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN f.line IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dropped
+            FROM l LEFT JOIN f USING (line) GROUP BY 1
+        """,
+        # exactly-1..2-hop distinct reach per node, self excluded
+        "q49_khop": """
+            WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                           l_suppkey * 2 + 1 AS s
+                           FROM lineitem),
+            e AS (SELECT p AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s, p FROM pairs),
+            r1 AS (SELECT DISTINCT src AS node, dst AS nbr FROM e),
+            r2 AS (SELECT DISTINCT r1.node, e.dst AS nbr
+                   FROM r1 JOIN e ON e.src = r1.nbr
+                   WHERE e.dst <> r1.node),
+            reach AS (SELECT node, nbr FROM r1
+                      UNION SELECT node, nbr FROM r2)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS n_khop
+            FROM reach WHERE nbr <> node GROUP BY 1
+        """,
+        # integer fixed-point PMI: (c_xy * N * 1e6) div (c_x * c_y)
+        "q50_bigram_pmi": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word,
+                           generate_subscripts(w, 1) - 1 AS idx
+                    FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            p AS (SELECT doc_id, word AS w1,
+                         lead(word) OVER (PARTITION BY doc_id
+                                          ORDER BY idx) AS w2
+                  FROM c2),
+            b AS (SELECT w1, w2, count(*) AS c_xy FROM p
+                  WHERE w2 IS NOT NULL GROUP BY 1, 2
+                  HAVING count(*) >= 5),
+            u AS (SELECT word, count(*) AS c FROM c2 GROUP BY 1),
+            n AS (SELECT count(*) AS n_tok FROM c2)
+            SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+                   CAST((b.c_xy * n.n_tok * 1000000) // (ux.c * uy.c)
+                        AS BIGINT) AS pmi_ppm
+            FROM b CROSS JOIN n
+            JOIN u ux ON ux.word = b.w1
+            JOIN u uy ON uy.word = b.w2
         """,
         "q35_regex_entities": """
             WITH tagged AS (

@@ -159,6 +159,62 @@ def simhash16(col) -> Column:
     return out.cast("int")
 
 
+# PII patterns (applied in THIS order — the resident-ID pattern must
+# run before the phone pattern so its 6-digit prefix is never eaten
+# by a partial phone match).  Plain RE2-compatible syntax so the Java
+# regex engine (Spark) and DuckDB's RE2 agree byte-for-byte.
+PII_PATTERNS = (
+    ("n_id", r"\b\d{6}-\d{7}\b", "<ID>"),
+    ("n_phone", r"\b0\d{1,2}-\d{3,4}-\d{4}\b", "<PHONE>"),
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+)
+
+
+def pii_redact(col) -> Column:
+    """PII scrubbing for pretraining corpora: resident-ID / phone /
+    email occurrences replaced by typed placeholder tokens, applied
+    sequentially in PII_PATTERNS order.  Pure JVM regexp_replace
+    chain — per-row, codegen-side, no shuffle: at 100 TB this is a
+    linear map over the text column like quality_score."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col) -> list:
+    """Per-type PII hit counts as aliased int Columns
+    (n_id, n_phone, n_email).  Each pattern is counted on the text
+    AFTER the earlier patterns were redacted — identical to the
+    sequential-replace semantics of pii_redact, so
+    sum(counts) == number of placeholders in the redacted text."""
+    cols = []
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+                    .cast("int").alias(name))
+        cur = F.regexp_replace(cur, pat, repl)
+    return cols
+
+
+def pii_redact_sql(expr: str) -> str:
+    out = expr
+    for _, pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+def pii_counts_sql(expr: str) -> list:
+    """DuckDB twins of pii_counts: (sql, alias) pairs in order."""
+    out = []
+    cur = expr
+    for name, pat, repl in PII_PATTERNS:
+        out.append((f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT)",
+                    name))
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    return out
+
+
 def duplicate_ngram_ppm(col, n: int = 2) -> Column:
     """Within-document repetition score (the Gopher-family
     duplicate-n-gram quality rule, Rae et al. 2021 §A1.1): the

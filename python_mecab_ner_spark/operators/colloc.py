@@ -1,0 +1,58 @@
+"""Collocation statistics over token-context tables: integer-exact
+PMI scoring of adjacent word pairs.
+
+The KG vocabulary-mining primitive (which surface bigrams behave like
+single lexical units — candidate gazetteer entries / new-entity
+discovery) and the classic corpus-stats counterpart of the linking
+module's neighbor evidence.  Everything is 64-bit integer arithmetic
+(`div` = floor division) so the DuckDB oracle hash-matches exactly;
+float log-PMI could never cross the engine boundary bit-stably, and
+the integer ratio preserves the PMI ORDER (log is monotone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PMI_SCALE = 1_000_000
+
+
+def bigram_pmi(ctx: DataFrame, min_count: int = 2,
+               id_col: str = "url", idx_col: str = "idx",
+               word_col: str = "word") -> DataFrame:
+    """Adjacent-pair PMI over a (doc, idx, word) context table:
+
+        score = (c_xy * n_tok * PMI_SCALE) div (c_x * c_y)
+
+    i.e. the pointwise-mutual-information ratio p(x,y)/(p(x)p(y)) in
+    fixed-point parts-per-million; > PMI_SCALE means the pair
+    co-occurs more than independence predicts.  Returns
+    (w1, w2, c_xy, score) for pairs with c_xy >= min_count.
+
+    Scale shape: the bigram build is ONE window pass per doc
+    partition (lead), both count aggregates are map-side combinable,
+    and the unigram table (vocabulary-sized, heavy-tailed small) is
+    BROADCAST twice — no corpus-scale shuffle beyond the two
+    aggregates.  Overflow bound: c_xy * n_tok * PMI_SCALE must stay
+    under 2^63 — at corpora beyond ~3e6 tokens drop PMI_SCALE or
+    pre-divide n_tok (ordering is preserved under any common scale).
+    """
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    pairs = (ctx.select(F.col(word_col).alias("w1"),
+                        F.lead(word_col).over(w).alias("w2"))
+             .where(F.col("w2").isNotNull()))
+    big = (pairs.groupBy("w1", "w2")
+           .agg(F.count("*").alias("c_xy"))
+           .where(F.col("c_xy") >= min_count))
+    uni = ctx.groupBy(word_col).agg(F.count("*").alias("c"))
+    n_tok = ctx.select(F.count("*").alias("n_tok"))
+    return (big
+            .join(F.broadcast(uni.select(F.col(word_col).alias("w1"),
+                                         F.col("c").alias("c_x"))), "w1")
+            .join(F.broadcast(uni.select(F.col(word_col).alias("w2"),
+                                         F.col("c").alias("c_y"))), "w2")
+            .crossJoin(F.broadcast(n_tok))
+            .select("w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"),
+                    F.expr(f"(c_xy * n_tok * {PMI_SCALE}) div (c_x * c_y)")
+                    .cast("bigint").alias("pmi_ppm")))

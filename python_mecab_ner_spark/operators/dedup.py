@@ -243,3 +243,65 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> Da
                .otherwise(F.lit(0).cast("bigint")) for i in range(n_bits)),
               F.lit(0).cast("bigint"))
     return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+def doc_lines(df: DataFrame, text_col: str, id_col: str,
+              chunk: int | None = None) -> DataFrame:
+    """(id, line) rows for line-granular dedup: newline split by
+    default (the CCNet / web-corpus unit); `chunk=N` switches to
+    non-overlapping N-token chunks for corpora without line structure
+    (the testdata documents are single-line word streams).
+
+    One projection + one explode — the chunk build (split ->
+    transform/slice -> array_join) is per-row array code, fully
+    codegen-side.  Keep `chunk` a power of two: the chunk-count
+    arithmetic then stays binary-exact in BOTH engines (the DuckDB
+    twin uses integer division)."""
+    if chunk is None:
+        lines_arr = F.filter(F.split(F.col(text_col), "\n"),
+                             lambda l: F.trim(l) != "")
+    else:
+        toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                        lambda w: w != "")
+        sz = F.size(toks)
+        # last chunk index = (sz-1) div chunk; the double division is
+        # exact for any int sz < 2^53 so floor() matches DuckDB's `//`
+        last = F.greatest(F.floor((sz - F.lit(1)) / F.lit(chunk)),
+                          F.lit(0)).cast("int")
+        idxs = F.sequence(F.lit(0), last)
+        lines_arr = F.filter(
+            F.transform(idxs, lambda i: F.array_join(
+                F.slice(toks, i * chunk + 1, chunk), " ")),
+            lambda g: g != "")
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(lines_arr).alias("line")))
+
+
+def frequent_line_dedup(df: DataFrame, text_col: str, id_col: str,
+                        min_df: int = 2,
+                        chunk: int | None = None) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet pretraining-cleanup
+    rule: drop every occurrence of a line that appears in >= min_df
+    distinct documents — boilerplate headers/footers/nav text).
+
+    Returns per-doc (doc_id, n_lines, n_dropped).
+
+    Scale shape: ONE map-side-combinable aggregate computes per-line
+    document frequency (two-phase partial distinct — never a
+    dropDuplicates shuffle of the full line set), the frequent-line
+    survivor set is tiny at any corpus size (boilerplate is by
+    definition heavy-tailed) and is BROADCAST back, so the per-doc
+    re-aggregate needs no second corpus-wide shuffle of line text.
+    At 100 TB raise min_df with the corpus (or swap the broadcast for
+    a shuffle join if the survivor set outgrows the driver)."""
+    lines = doc_lines(df, text_col, id_col, chunk=chunk)
+    freq = (lines.groupBy("line")
+            .agg(F.countDistinct("doc_id").alias("line_df"))
+            .where(F.col("line_df") >= min_df)
+            .select("line"))
+    return (lines.join(F.broadcast(freq.withColumn("_hit", F.lit(1))),
+                       "line", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_lines"),
+                 F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_dropped")))

@@ -1,0 +1,105 @@
+"""Round-3 late additions: PII scrubbing, corpus-level frequent-line
+dedup, k-hop graph expansion, integer-PMI collocations — hand-computed
+goldens + cross-engine twins where the function has one."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from python_mecab_ner_spark.functions.text import (pii_counts,
+                                                   pii_counts_sql,
+                                                   pii_redact,
+                                                   pii_redact_sql)
+from python_mecab_ner_spark.operators.colloc import bigram_pmi
+from python_mecab_ner_spark.operators.dedup import (doc_lines,
+                                                    frequent_line_dedup)
+from python_mecab_ner_spark.operators.graph import khop_neighbors
+
+PII_DOCS = [
+    (1, "call 010-123-4567 or mail a.b@x.co id 900101-1234567 end"),
+    (2, "no pii here at all"),
+    # digit run glued to a word char: \b forbids the ID match
+    (3, "serial x123456-1234567 stays"),
+    # two emails, back to back phone styles
+    (4, "a@b.com c.d@e.org tel 02-555-0100"),
+]
+
+PII_GOLD = {
+    1: (1, 1, 1, "call <PHONE> or mail <EMAIL> id <ID> end"),
+    2: (0, 0, 0, "no pii here at all"),
+    3: (0, 0, 0, "serial x123456-1234567 stays"),
+    4: (0, 1, 2, "<EMAIL> <EMAIL> tel <PHONE>"),
+}
+
+
+def test_pii_spark_golden(spark):
+    d = spark.createDataFrame(PII_DOCS, "doc_id int, text string")
+    rows = d.select("doc_id", *pii_counts(F.col("text")),
+                    pii_redact(F.col("text")).alias("red")).collect()
+    got = {r.doc_id: (r.n_id, r.n_phone, r.n_email, r.red) for r in rows}
+    assert got == PII_GOLD
+
+
+def test_pii_duckdb_twin():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in PII_DOCS)
+                + ") v(doc_id, text)")
+    counts = ", ".join(f"{sql} AS {name}"
+                       for sql, name in pii_counts_sql("text"))
+    rows = con.execute(
+        f"SELECT doc_id, {counts}, {pii_redact_sql('text')} AS red "
+        f"FROM documents ORDER BY doc_id").fetchall()
+    got = {r[0]: tuple(r[1:]) for r in rows}
+    assert got == PII_GOLD
+
+
+def test_frequent_line_dedup_newline_mode(spark):
+    d = spark.createDataFrame(
+        [(1, "foo\nbar\nbaz"), (2, "foo\nqux"), (3, "foo\nbar")],
+        "doc_id int, text string")
+    got = {r.doc_id: (r.n_lines, r.n_dropped) for r in
+           frequent_line_dedup(d, "text", "doc_id", min_df=2).collect()}
+    # df: foo=3, bar=2, baz=1, qux=1 -> frequent {foo, bar}
+    assert got == {1: (3, 2), 2: (2, 1), 3: (2, 2)}
+
+
+def test_doc_lines_chunk_mode(spark):
+    d = spark.createDataFrame([(1, "a b c d e"), (2, ""), (3, "  x  ")],
+                              "doc_id int, text string")
+    rows = doc_lines(d, "text", "doc_id", chunk=2).collect()
+    got = sorted((r.doc_id, r.line) for r in rows)
+    # non-overlapping 2-token chunks, ragged tail kept, empty docs drop
+    assert got == [(1, "a b"), (1, "c d"), (1, "e"), (3, "x")]
+
+
+def test_khop_two_hops_distinct(spark):
+    # 1->2, 2->3, 1->3: the direct edge must not double-count node 3
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)],
+                              "src bigint, dst bigint")
+    rows = khop_neighbors(e, k=2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.node, set()).add(r.nbr)
+    assert got == {1: {2, 3}, 2: {3}}
+
+
+def test_khop_cycle_excludes_self(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                              "src bigint, dst bigint")
+    rows = khop_neighbors(e, k=2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.node, set()).add(r.nbr)
+    # 2 hops around a 3-cycle reaches both other nodes, never self
+    assert got == {1: {2, 3}, 2: {3, 1}, 3: {1, 2}}
+
+
+def test_bigram_pmi_golden(spark):
+    ctx = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "b"),
+         (2, 0, "a"), (2, 1, "b")],
+        "url int, idx int, word string")
+    rows = bigram_pmi(ctx, min_count=1).collect()
+    got = {(r.w1, r.w2): (r.c_xy, r.pmi_ppm) for r in rows}
+    # N=6, c_a=3, c_b=3; (a,b) 3x -> 3*6e6/9; (b,a) 1x -> 6e6/9
+    assert got == {("a", "b"): (3, 2000000), ("b", "a"): (1, 666666)}
