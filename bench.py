@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "q05_nearest_click", "q08_word_freq", "q09_neighbor_window",
     "q16_jaccard_pairs", "q17_lsh_pairs", "q18_simhash",
     "q20_ann_bruteforce", "q21_ann_lsh", "q43_dup_argmax",
-    "q44_evidence_scores",
+    "q44_evidence_scores", "q48_line_dedup", "q50_bigram_pmi",
 ]
 
 

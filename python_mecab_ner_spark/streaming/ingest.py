@@ -108,7 +108,8 @@ def stream_neardup(pages_stream: DataFrame,
 
 def stream_quality_gate(pages_stream: DataFrame, lang: str = "en",
                         min_quality: int = 60,
-                        max_rep_ppm: int = 200_000) -> DataFrame:
+                        max_rep_ppm: int = 200_000,
+                        redact_pii: bool = False) -> DataFrame:
     """Row-local corpus-cleaning gate for streams: the STATELESS
     subset of the batch cleaning pipeline (the q39 lang + quality
     gates plus the Gopher duplicate-n-gram repetition rule) as pure
@@ -118,12 +119,17 @@ def stream_quality_gate(pages_stream: DataFrame, lang: str = "en",
     the CLEAN rate, not the crawl rate).  The batch twin of each
     filter is oracled (q12 / q13 / q45); the exact-dedup rank-1 of
     q39 stays batch/stateful by nature (stream_dedup)."""
-    from ..functions.text import (duplicate_ngram_ppm, lang_id,
+    from ..functions.text import (duplicate_ngram_ppm, lang_id, pii_redact,
                                   quality_score)
-    return (pages_stream
-            .where(lang_id(F.col("text")) == lang)
-            .where(quality_score(F.col("text")) >= min_quality)
-            .where(duplicate_ngram_ppm(F.col("text"), n=2) <= max_rep_ppm))
+    out = (pages_stream
+           .where(lang_id(F.col("text")) == lang)
+           .where(quality_score(F.col("text")) >= min_quality)
+           .where(duplicate_ngram_ppm(F.col("text"), n=2) <= max_rep_ppm))
+    if redact_pii:
+        # PII scrubbing is per-row regexp (q47's oracled batch twin):
+        # stateless, so it composes into the gate at zero state cost
+        out = out.withColumn("text", pii_redact(F.col("text")))
+    return out
 
 
 def run_ingest(spark: SparkSession, input_dir: str, out_dir: str,

@@ -181,3 +181,27 @@ def test_q43_stats_joins_broadcast(spark, sf01):
     plan = _plan(entry.q43_dup_argmax(spark, sf01))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_line_dedup_broadcasts_frequent_set(spark, sf01):
+    plan = _plan(entry.q48_line_dedup(spark, sf01))
+    # the frequent-line survivor set must come back as a broadcast
+    # join (boilerplate is tiny at any corpus size); the only
+    # corpus-scale exchanges are the two aggregates
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2
+
+
+def test_bigram_pmi_broadcasts_vocab(spark, sf01):
+    plan = _plan(entry.q50_bigram_pmi(spark, sf01))
+    # both unigram joins + the scalar n_tok join are broadcasts;
+    # no corpus-scale sort-merge join anywhere
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row n_tok cross
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_redact_is_shuffle_free(spark, sf01):
+    plan = _plan(entry.q47_pii_redact(spark, sf01))
+    # pure per-row regexp map: scan -> project, zero exchanges
+    assert "Exchange" not in plan, plan

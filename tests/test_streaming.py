@@ -283,3 +283,32 @@ def test_stream_quality_gate_rowlocal(spark, tmp_path):
     plan = batch._sc._jvm.PythonSQLUtils.explainString(
         batch._jdf.queryExecution(), "formatted")
     assert "StateStore" not in plan and "Exchange" not in plan, plan
+
+
+def test_stream_quality_gate_pii_redaction(spark, tmp_path):
+    """redact_pii=True scrubs surviving pages in-stream: same
+    stateless plan, text rewritten by the per-row regexp chain
+    (q47's oracled batch twin)."""
+    import datetime as dt
+
+    from python_mecab_ner_spark.streaming.ingest import (stream_pages,
+                                                         stream_quality_gate)
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    clean = "the quick brown fox jumps over the lazy dog and keeps " \
+            "running through the quiet field toward a distant warm " \
+            "farm house near the old river bank before sunset tonight " \
+            "and you can reach the farmer at farmer@example.com or " \
+            "010-123-4567 for a visit"
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    spark.createDataFrame([("keep", t0, clean, "en")], schema) \
+        .coalesce(1).write.parquet(src)
+
+    gated = stream_quality_gate(stream_pages(spark, src), redact_pii=True)
+    q = (gated.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    [row] = spark.read.parquet(out).collect()
+    assert "<EMAIL>" in row.text and "<PHONE>" in row.text, row.text
+    assert "@" not in row.text and "010-123-4567" not in row.text
