@@ -803,6 +803,46 @@ def q46_decontaminate(spark, sf_dir):
                     .alias("n_collide")))
 
 
+def q51_quantized_ann(spark, sf_dir):
+    """Int8-quantized ANN (operators.ann.quantized_topk): clip(floor(
+    x*127)) symmetric quantization + exact integer dot-product top-k —
+    the 4x-compression scan path for billion-vector corpora, with a
+    hash-exact oracle (integer scores, unlike float cosine)."""
+    from python_mecab_ner_spark.operators.ann import quantized_topk
+    e = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.where("vec_id = 0").select("embedding").first()[0]]
+    return quantized_topk(e, qvec, k=10)
+
+
+def q52_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators.graph.triangle_counts,
+    degree-oriented wedge join) over the parts-co-purchased graph
+    (parts sharing an order): the KG cohesion statistic.  The oracle
+    enumerates x<y<z triangles naively — orientation independence of
+    the per-node counts is exactly what the hash match certifies."""
+    from python_mecab_ner_spark.operators.graph import triangle_counts
+    li = _load(spark, sf_dir, "lineitem")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("src"),
+                     F.col("l2.l_partkey").alias("dst"))
+             .distinct())
+    return (triangle_counts(edges)
+            .select(F.col("node").cast("bigint").alias("node"), "n_tri"))
+
+
+def q53_surprisal(spark, sf_dir):
+    """Unigram-LM rarity quality score (operators.colloc
+    .doc_surprisal): integer bit-length idf summed per doc, mean in
+    milli-bits — the perplexity-filter stand-in with an exact oracle."""
+    from python_mecab_ner_spark.operators.colloc import doc_surprisal
+    ctx = _doc_context(spark, sf_dir)
+    return doc_surprisal(ctx).select(F.col("url").alias("doc_id"),
+                                     "n_toks", "sum_idf", "rarity_milli")
+
+
 # DuckDB twin of _pii_text() below — identical injected bytes
 _PII_TEXT_SQL = (
     "(text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'"
@@ -1076,6 +1116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_line_dedup": q48_line_dedup,
         "q49_khop": q49_khop,
         "q50_bigram_pmi": q50_bigram_pmi,
+        "q51_quantized_ann": q51_quantized_ann,
+        "q52_triangles": q52_triangles,
+        "q53_surprisal": q53_surprisal,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1609,6 +1652,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(count(*) AS BIGINT) AS n_khop
             FROM reach WHERE nbr <> node GROUP BY 1
+        """,
+        # int8 clip(floor(x*127)) quantization + exact integer dot
+        "q51_quantized_ann": """
+            WITH qz AS (SELECT vec_id,
+                               list_transform(embedding,
+                                   x -> CAST(greatest(-128, least(127,
+                                        floor(CAST(x AS DOUBLE) * 127)))
+                                        AS BIGINT)) AS qe
+                        FROM embeddings),
+            q AS (SELECT qe AS qq FROM qz WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         list_sum(list_transform(range(1, len(qe) + 1),
+                                                 i -> qe[i] * qq[i])) AS qdot
+                  FROM qz, q)
+            SELECT vec_id, CAST(qdot AS BIGINT) AS qdot,
+                   CAST(ROW_NUMBER() OVER (ORDER BY qdot DESC, vec_id)
+                        AS INT) AS rank
+            FROM s ORDER BY qdot DESC, vec_id LIMIT 10
+        """,
+        # naive x<y<z triangle enumeration; per-node counts are
+        # orientation-independent, so this certifies the Spark side's
+        # degree-oriented wedge join
+        "q52_triangles": """
+            WITH e AS (SELECT DISTINCT l1.l_partkey AS a,
+                                       l2.l_partkey AS b
+                       FROM lineitem l1 JOIN lineitem l2
+                         ON l1.l_orderkey = l2.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS n_tri
+            FROM corners GROUP BY 1
+        """,
+        # bit-length idf rarity (same integer log2 family as q38)
+        "q53_surprisal": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            u AS (SELECT word, count(*) AS c FROM c2 GROUP BY 1),
+            n AS (SELECT count(*) AS n_tok FROM c2),
+            s AS (SELECT doc_id,
+                         length(bin(CAST(n.n_tok // u.c AS BIGINT))) AS idf
+                  FROM c2 JOIN u USING (word) CROSS JOIN n)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(idf) AS BIGINT) AS sum_idf,
+                   CAST((sum(idf) * 1000) // count(*) AS BIGINT)
+                       AS rarity_milli
+            FROM s GROUP BY 1
         """,
         # integer fixed-point PMI: (c_xy * N * 1e6) div (c_x * c_y)
         "q50_bigram_pmi": """

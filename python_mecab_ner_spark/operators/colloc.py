@@ -56,3 +56,36 @@ def bigram_pmi(ctx: DataFrame, min_count: int = 2,
             .select("w1", "w2", F.col("c_xy").cast("bigint").alias("c_xy"),
                     F.expr(f"(c_xy * n_tok * {PMI_SCALE}) div (c_x * c_y)")
                     .cast("bigint").alias("pmi_ppm")))
+
+
+def doc_surprisal(ctx: DataFrame, id_col: str = "url",
+                  word_col: str = "word") -> DataFrame:
+    """Unigram-LM rarity score per document — the integer-exact stand-in
+    for a perplexity quality filter (boilerplate/common-word soup
+    scores low, rare-vocabulary docs score high):
+
+        idf(w)        = bitlength(n_tok div c_w)   (~ floor(log2 1/p))
+        rarity_milli  = (sum_w idf(w)) * 1000 div n_doc_toks
+
+    Returns (id, n_toks, sum_idf, rarity_milli), all BIGINT: the same
+    bit-length log2 trick as the q38 TF-IDF keeps every step in 64-bit
+    integers, so the oracle hash-matches and the ORDERING equals the
+    float formulation's.
+
+    Scale shape: one unigram aggregate (map-side combinable), the
+    vocabulary broadcast back, one per-doc aggregate — no join on the
+    corpus-scale token stream beyond the broadcast lookup."""
+    uni = ctx.groupBy(word_col).agg(F.count("*").alias("c"))
+    n_tok = ctx.select(F.count("*").alias("n_tok"))
+    scored = (ctx.join(F.broadcast(uni), word_col)
+              .crossJoin(F.broadcast(n_tok))
+              .select(F.col(id_col),
+                      F.length(F.bin(F.expr("n_tok div c")))
+                      .cast("bigint").alias("idf")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_toks"),
+                 F.sum("idf").cast("bigint").alias("sum_idf"))
+            .select(id_col,
+                    "n_toks", "sum_idf",
+                    F.expr("sum_idf * 1000 div n_toks")
+                    .cast("bigint").alias("rarity_milli")))

@@ -214,3 +214,58 @@ def khop_neighbors(edges: DataFrame, k: int = 2,
                 .localCheckpoint(eager=True)
             reach = reach.unionByName(frontier)
     return reach.where(F.col("nbr") != F.col("node"))
+
+
+def triangle_counts(edges: DataFrame,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation count over an undirected edge
+    list (self-loops and duplicate/reverse edges tolerated): the KG
+    cohesion statistic behind clustering coefficients and community
+    seeds.
+
+    Degree-oriented wedge enumeration (the standard distributed
+    algorithm): canonical a<b edges are re-oriented from the
+    (degree, id)-SMALLER endpoint to the larger, wedges are built by
+    joining the oriented list with itself on the wedge center, and a
+    final join against the canonical edge set closes each wedge.
+    Orientation bounds the wedge fan-out per center by the MINIMUM
+    endpoint degree, so a head node of degree d contributes O(d)
+    wedges instead of O(d^2) — the skew lever that makes the join
+    survive power-law graphs at 100 TB.  Per-node counts are
+    orientation-independent (each triangle contributes exactly once
+    to each of its three corners)."""
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    # orient lo -> hi by (deg, id); broadcast degrees (vocabulary-of-
+    # nodes table is corpus-bounded; swap for shuffle join beyond it)
+    withdeg = (e.join(F.broadcast(deg.withColumnRenamed("node", "a")
+                                  .withColumnRenamed("deg", "da")), "a")
+               .join(F.broadcast(deg.withColumnRenamed("node", "b")
+                                 .withColumnRenamed("deg", "db")), "b"))
+    oriented = withdeg.select(
+        F.when((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+               F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when((F.col("da") < F.col("db"))
+               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+               F.col("b")).otherwise(F.col("a")).alias("hi"))
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (o1.join(o2, (F.col("o1.lo") == F.col("o2.lo"))
+                      & (F.col("o1.hi") < F.col("o2.hi")))
+              .select(F.col("o1.lo").alias("x"),
+                      F.col("o1.hi").alias("y"),
+                      F.col("o2.hi").alias("z")))
+    closed = wedges.join(
+        e, (F.least(F.col("y"), F.col("z")) == F.col("a"))
+        & (F.greatest(F.col("y"), F.col("z")) == F.col("b")))
+    corners = (closed.select(F.col("x").alias("node"))
+               .unionByName(closed.select(F.col("y").alias("node")))
+               .unionByName(closed.select(F.col("z").alias("node"))))
+    return corners.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_tri"))

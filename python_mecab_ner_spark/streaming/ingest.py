@@ -22,6 +22,10 @@ input directory grows unboundedly.
 
 from __future__ import annotations
 
+# module-level so pandas_udf type hints (strings under postponed
+# annotation evaluation) resolve in module globals
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (StringType, StructField, StructType,
@@ -149,3 +153,55 @@ def run_ingest(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bench_gram_broadcast(spark: SparkSession, bench_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 3):
+    """Collect the benchmark's distinct word k-gram set and broadcast
+    it to executors.  Eval suites are tiny relative to the corpus, so
+    this is the same broadcast-the-small-side move as the batch
+    ngram_collisions — built once per ingest job, reused by every
+    micro-batch."""
+    from ..operators.dedup import shingles
+    grams = [r.shingle for r in
+             (shingles(bench_df, text_col, id_col, k)
+              .select("shingle").distinct().collect())]
+    return spark.sparkContext.broadcast(frozenset(grams))
+
+
+def stream_decontaminate(pages_stream: DataFrame, bench_bc,
+                         k: int = 3, max_collide: int = 0,
+                         text_col: str = "text") -> DataFrame:
+    """Row-local streaming benchmark decontamination: per page, count
+    DISTINCT word k-grams colliding with the broadcast benchmark set
+    (identical gram semantics to operators.dedup.shingles — lower,
+    \\s+ normalize, tail-truncated k-grams, empties dropped) and keep
+    pages with n_collide <= max_collide.
+
+    STATELESS by construction — an Arrow-batched pandas UDF + filter,
+    no join, no watermark, no state store — so it composes into the
+    quality gate chain at any stream rate; the batch twin q46 is the
+    oracled reference for the gram/count semantics (pinned by the
+    batch-agreement test)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _n_collide(texts: pd.Series) -> pd.Series:
+        bset = bench_bc.value
+        out = []
+        for t in texts:
+            words = [w for w in re.split(r"\s+", (t or "").lower().strip())
+                     if w]
+            n = len(words)
+            grams = {" ".join(words[i:i + k])
+                     for i in range(max(n - k, 0) + 1)}
+            grams.discard("")
+            out.append(len(grams & bset))
+        return pd.Series(out, dtype="int64")
+
+    return (pages_stream
+            .withColumn("n_collide", _n_collide(F.col(text_col)))
+            .where(F.col("n_collide") <= max_collide))

@@ -103,3 +103,55 @@ def test_bigram_pmi_golden(spark):
     got = {(r.w1, r.w2): (r.c_xy, r.pmi_ppm) for r in rows}
     # N=6, c_a=3, c_b=3; (a,b) 3x -> 3*6e6/9; (b,a) 1x -> 6e6/9
     assert got == {("a", "b"): (3, 2000000), ("b", "a"): (1, 666666)}
+
+
+def test_quantize_embeddings_golden(spark):
+    from python_mecab_ner_spark.operators.ann import (quantize_embeddings,
+                                                      quantize_vec)
+    d = spark.createDataFrame([(1, [0.5, -0.5, 1.5, -1.5, 0.0])],
+                              "vec_id int, embedding array<float>")
+    [row] = quantize_embeddings(d).collect()
+    # floor(0.5*127)=63, floor(-0.5*127)=-64, clip at +-[127,-128]
+    assert row.qemb == [63, -64, 127, -128, 0]
+    assert quantize_vec([0.5, -0.5, 1.5, -1.5, 0.0]) == row.qemb
+
+
+def test_quantized_topk_golden(spark):
+    from python_mecab_ner_spark.operators.ann import quantized_topk
+    d = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0]),
+         (3, [0.0, 1.0])],
+        "vec_id int, embedding array<float>")
+    rows = quantized_topk(d, [1.0, 0.0], k=3).collect()
+    got = [(r.vec_id, r.qdot, r.rank) for r in rows]
+    # q=[127,0]; dots: v0=127*127, v1=floor(.9*127)=114*127, v3=0
+    assert got == [(0, 16129, 1), (1, 14478, 2), (3, 0, 3)]
+
+
+def test_triangle_counts_k4(spark):
+    from python_mecab_ner_spark.operators.graph import triangle_counts
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = spark.createDataFrame(k4, "src bigint, dst bigint")
+    got = {r.node: r.n_tri for r in triangle_counts(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_pendant_and_reverse_edges(spark):
+    from python_mecab_ner_spark.operators.graph import triangle_counts
+    # one triangle + a pendant; reverse duplicates must not double-count
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 4)],
+        "src bigint, dst bigint")
+    got = {r.node: r.n_tri for r in triangle_counts(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_doc_surprisal_golden(spark):
+    from python_mecab_ner_spark.operators.colloc import doc_surprisal
+    ctx = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "c")],
+        "url int, word string")
+    got = {r.url: (r.n_toks, r.sum_idf, r.rarity_milli)
+           for r in doc_surprisal(ctx).collect()}
+    # N=5: idf(a)=bitlen(5 div 3)=1, idf(b)=idf(c)=bitlen(5)=3
+    assert got == {1: (3, 5, 1666), 2: (2, 4, 2000)}

@@ -205,3 +205,26 @@ def test_pii_redact_is_shuffle_free(spark, sf01):
     plan = _plan(entry.q47_pii_redact(spark, sf01))
     # pure per-row regexp map: scan -> project, zero exchanges
     assert "Exchange" not in plan, plan
+
+
+def test_quantized_ann_uses_take_ordered(spark, sf01):
+    plan = _plan(entry.q51_quantized_ann(spark, sf01))
+    # integer dot-product scan -> distributed TakeOrderedAndProject;
+    # never a global sort of the full corpus
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_triangles_broadcast_degrees_no_cartesian(spark, sf01):
+    plan = _plan(entry.q52_triangles(spark, sf01))
+    # degree tables come back as broadcasts; the wedge/closure joins
+    # are equi-joins, never a cartesian product
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_surprisal_broadcasts_vocab(spark, sf01):
+    plan = _plan(entry.q53_surprisal(spark, sf01))
+    # the unigram vocabulary join is a broadcast; no corpus-scale
+    # sort-merge join of the token stream
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

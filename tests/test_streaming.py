@@ -312,3 +312,60 @@ def test_stream_quality_gate_pii_redaction(spark, tmp_path):
     [row] = spark.read.parquet(out).collect()
     assert "<EMAIL>" in row.text and "<PHONE>" in row.text, row.text
     assert "@" not in row.text and "010-123-4567" not in row.text
+
+
+def test_stream_decontaminate_agrees_with_batch(spark):
+    """The row-local pandas-UDF gram counter must reproduce the batch
+    ngram_collisions counts exactly (same tokenize/truncate/distinct
+    semantics) on a randomized corpus."""
+    import random
+
+    from python_mecab_ner_spark.operators.dedup import ngram_collisions
+    from python_mecab_ner_spark.streaming.ingest import (
+        bench_gram_broadcast, stream_decontaminate)
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(40)]
+    bench = [(100 + i, " ".join(rng.choice(vocab) for _ in range(8)))
+             for i in range(5)]
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    b = spark.createDataFrame(bench, "doc_id int, text string")
+
+    batch = {r.doc_id: r.n_collide for r in
+             ngram_collisions(d, b, "text", "doc_id", k=3).collect()}
+    bc = bench_gram_broadcast(spark, b, k=3)
+    # max_collide=10**9 keeps every row so we can compare raw counts
+    got = {r.doc_id: r.n_collide for r in
+           stream_decontaminate(d, bc, k=3, max_collide=10**9).collect()}
+    assert len(got) == len(docs)
+    for i, _ in docs:
+        assert got[i] == batch.get(i, 0), (i, got[i], batch.get(i))
+
+
+def test_stream_decontaminate_filters_in_stream(spark, tmp_path):
+    from python_mecab_ner_spark.streaming.ingest import (
+        bench_gram_broadcast, stream_decontaminate, stream_pages)
+    import datetime as dt
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    rows = [
+        ("clean", t0, "entirely fresh words nothing shared here", "en"),
+        ("contam", t0, "held out eval question one verbatim copy", "en"),
+    ]
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    bench = spark.createDataFrame(
+        [(1, "held out eval question one verbatim copy")],
+        "doc_id int, text string")
+    bc = bench_gram_broadcast(spark, bench, k=3)
+
+    gated = stream_decontaminate(stream_pages(spark, src), bc, k=3)
+    # stateless plan: no state store operator may appear
+    q = (gated.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+    assert got == {"clean"}, got
