@@ -1038,6 +1038,28 @@ def kg_entity_rank(spark, sf_dir):
             .select("canonical", "pr"))
 
 
+def kg_entity_khop(spark, sf_dir):
+    """2-hop reach per entity over the extracted KG edges
+    (operators.graph.khop_neighbors — same frontier-join kernel the
+    q49 lineitem-graph oracle certifies): 'entities within two
+    relations', the KG context-window expansion; top-10 by reach."""
+    from python_mecab_ner_spark.operators.graph import khop_neighbors
+    g = _kg_graph(spark)
+    # same deep-lineage guard as kg_entity_rank: truncate the
+    # extraction plan before the iterative operator references it
+    edges = (g["edges"].select(F.col("src_id").alias("src"),
+                               F.col("dst_id").alias("dst"))
+             .localCheckpoint())
+    counts = (khop_neighbors(edges, k=2)
+              .groupBy("node").agg(F.count("*").alias("n_2hop")))
+    v = g["vertices"].select(F.col("entity_id").alias("node"), "canonical")
+    return (counts.join(v, "node")
+            .orderBy(F.col("n_2hop").desc(), F.col("node").asc())
+            .limit(10)
+            .select("canonical",
+                    F.col("n_2hop").cast("bigint").alias("n_2hop")))
+
+
 def kg_canonical_clusters(spark, sf_dir):
     """Surface-form canonicalization over the full gazetteer entity
     dimension (MinHash-LSH blocking over jamo shingles + CC): alias
@@ -1126,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bio_by_label": kg_bio_by_label,
         "kg_posseq_candidates": kg_posseq_candidates,
         "kg_entity_rank": kg_entity_rank,
+        "kg_entity_khop": kg_entity_khop,
         "kg_canonical_clusters": kg_canonical_clusters,
         "kg_extracted_text": kg_extracted_text,
     }

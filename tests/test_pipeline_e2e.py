@@ -202,3 +202,39 @@ def test_extract_graph_duplicate_policy(spark):
             "link_level = 5 and entity_id is not null").count() == 0
         g["release"]()
     pages.unpersist()
+
+
+def test_kg_khop_matches_duckdb_on_real_edges(spark):
+    """khop_neighbors over the REAL extracted-KG edge table must
+    reproduce a naive 1..2-hop SQL computed by DuckDB on the same
+    collected edge list — the kg_entity_khop query's kernel, oracled
+    on the actual graph (not just the q49 lineitem graph)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from python_mecab_ner_spark.operators.graph import khop_neighbors
+
+    g = entry._kg_graph(spark)
+    e = (g["edges"].select(F.col("src_id").alias("src"),
+                           F.col("dst_id").alias("dst"))
+         .localCheckpoint())
+    got = {r.node: r.n for r in
+           khop_neighbors(e, k=2).groupBy("node")
+           .agg(F.count("*").alias("n")).collect()}
+
+    edges = [(r.src, r.dst) for r in e.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges)
+    rows = con.execute("""
+        WITH r1 AS (SELECT DISTINCT src AS node, dst AS nbr FROM e),
+        r2 AS (SELECT DISTINCT r1.node, e.dst AS nbr
+               FROM r1 JOIN e ON e.src = r1.nbr
+               WHERE e.dst <> r1.node),
+        reach AS (SELECT node, nbr FROM r1
+                  UNION SELECT node, nbr FROM r2)
+        SELECT node, count(*) FROM reach
+        WHERE nbr <> node GROUP BY 1""").fetchall()
+    assert got == {n: c for n, c in rows}
+    assert len(got) > 0
