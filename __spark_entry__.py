@@ -927,6 +927,95 @@ def q50_bigram_pmi(spark, sf_dir):
         "w1", "w2", "c_xy", "pmi_ppm")
 
 
+# per-language sampling numerators over denominator 16 (the corpus
+# mixture-reweighting config: downsample dominant en, keep all fr)
+SAMPLE_RATES = {"en": 2, "fr": 16, "es": 8, "de": 4, "zh": 1}
+SAMPLE_DENOM = 16
+
+from python_mecab_ner_spark.operators.sample import (  # noqa: E402
+    hash_stratified_sample_sql)
+
+SAMPLE_SQL_WHERE = hash_stratified_sample_sql(
+    "doc_id", "lang", SAMPLE_RATES, denom=SAMPLE_DENOM)
+
+
+def q54_window_dedup(spark, sf_dir):
+    """Cross-document duplicated-substring coverage (operators.dedup
+    .window_dup_stats, the Lee et al. 2022 exact-substring-dedup
+    statistic): per doc, distinct 5-token windows, windows recurring
+    in >= 2 docs, and the integer duplicated fraction — the signal
+    that catches syndicated/boilerplate text document-level dedup
+    misses."""
+    from python_mecab_ner_spark.operators.dedup import window_dup_stats
+    d = _loadp(spark, sf_dir, "documents")
+    return (window_dup_stats(d, "text", "doc_id", w=5, min_df=2)
+            .select("doc_id", "n_windows", "n_dup", "dup_ppm"))
+
+
+def q55_stratified_sample(spark, sf_dir):
+    """Deterministic hash-stratified sampling (operators.sample
+    .hash_stratified_sample): per-language mixture reweighting keyed
+    on a portable content hash — reproducible across runs, engines,
+    and cluster sizes.  Output pins exact membership (sum of kept
+    ids), not just counts."""
+    from python_mecab_ner_spark.operators.sample import hash_stratified_sample
+    d = _load(spark, sf_dir, "documents")
+    kept = hash_stratified_sample(d, "doc_id", "lang",
+                                  SAMPLE_RATES, denom=SAMPLE_DENOM)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("sum_ids")))
+
+
+def q56_quality_gate(spark, sf_dir):
+    """Exact per-language top-25% quality gate (operators.sample
+    .quality_percentile_gate): integer rank arithmetic — never a
+    float percentile compare — so the kept set is bit-identical
+    across engines.  The approx_percentile scale path is pytest-
+    checked against this exact gate."""
+    from python_mecab_ner_spark.operators.sample import quality_percentile_gate
+    d = _load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang",
+                      TX.quality_score(F.col("text")).alias("q"))
+    kept = quality_percentile_gate(scored, "q", "lang", "doc_id",
+                                   keep_num=1, keep_den=4)
+    return (kept.groupBy("lang")
+            .agg(F.count("*").cast("bigint").alias("n_kept"),
+                 F.min("q").cast("int").alias("min_q"),
+                 F.sum("doc_id").cast("bigint").alias("sum_ids")))
+
+
+def q57_source_profile(spark, sf_dir):
+    """Per-source reliability profile (operators.profile
+    .source_reliability): doc/distinct-content/duplicate counts plus
+    exact integer quality and token totals — the evidence behind
+    source-level KEEP/DROP curation decisions (RefinedWeb/FineWeb
+    drop whole domains on exactly these aggregates)."""
+    from python_mecab_ner_spark.operators.profile import source_reliability
+    d = _load(spark, sf_dir, "documents")
+    return source_reliability(d, "text", "doc_id", "source")
+
+
+def q58_neighbor_jaccard(spark, sf_dir):
+    """Structural node similarity (operators.graph.neighbor_jaccard):
+    integer-ppm Jaccard of neighbor sets over the q49 part<->supplier
+    bipartite graph, pairs generated only through shared neighbors
+    (wedge join, hub centers capped) — the KG link-prediction /
+    entity-merge-candidate primitive.  Top-100 by similarity with a
+    total-order tiebreak."""
+    from python_mecab_ner_spark.operators.graph import neighbor_jaccard
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return (neighbor_jaccard(edges, min_common=2, max_center_degree=256)
+            .orderBy(F.col("jac_ppm").desc(), F.col("n1").asc(),
+                     F.col("n2").asc())
+            .limit(100))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -1141,6 +1230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_quantized_ann": q51_quantized_ann,
         "q52_triangles": q52_triangles,
         "q53_surprisal": q53_surprisal,
+        "q54_window_dedup": q54_window_dedup,
+        "q55_stratified_sample": q55_stratified_sample,
+        "q56_quality_gate": q56_quality_gate,
+        "q57_source_profile": q57_source_profile,
+        "q58_neighbor_jaccard": q58_neighbor_jaccard,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1169,23 +1263,26 @@ def oracle_sql() -> dict[str, str]:
 
     # shared shingle CTE (matches operators.dedup.shingles semantics:
     # indices 0..max(n-k, 0), shingle = k words or the remainder tail)
-    shingle_cte = """
+    def _shingle_cte(k: int) -> str:
+        return f"""
         WITH t AS (
           SELECT doc_id,
                  regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
           FROM documents
         ),
         idx AS (
-          SELECT doc_id, w, unnest(range(0, greatest(len(w) - 3, 0) + 1)) AS i
+          SELECT doc_id, w, unnest(range(0, greatest(len(w) - {k}, 0) + 1)) AS i
           FROM t
         ),
         sh AS (
           SELECT DISTINCT doc_id,
-                 array_to_string(w[i + 1 : least(i + 3, len(w))], ' ') AS shingle
+                 array_to_string(w[i + 1 : least(i + {k}, len(w))], ' ') AS shingle
           FROM idx
-          WHERE array_to_string(w[i + 1 : least(i + 3, len(w))], ' ') <> ''
+          WHERE array_to_string(w[i + 1 : least(i + {k}, len(w))], ' ') <> ''
         )
     """
+
+    shingle_cte = _shingle_cte(3)
 
     minhash_cols = ", ".join(
         f"CAST(min({md5_int_sql('shingle', salt=f'mh{i}:')}) AS BIGINT) AS mh{i}"
@@ -1757,6 +1854,90 @@ def oracle_sql() -> dict[str, str]:
             FROM b CROSS JOIN n
             JOIN u ux ON ux.word = b.w1
             JOIN u uy ON uy.word = b.w2
+        """,
+        # 5-token duplicated-window coverage (Lee et al. exact
+        # substring dedup): same shingle semantics as q16 at k=5
+        "q54_window_dedup": _shingle_cte(5) + """
+            , dup AS (SELECT shingle
+                      FROM (SELECT shingle, count(*) AS w_df
+                            FROM sh GROUP BY 1) q
+                      WHERE w_df >= 2)
+            SELECT sh.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN dup.shingle IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   CAST(sum(CASE WHEN dup.shingle IS NOT NULL
+                            THEN 1 ELSE 0 END) * 1000000 // count(*)
+                        AS BIGINT) AS dup_ppm
+            FROM sh LEFT JOIN dup USING (shingle)
+            GROUP BY 1
+        """,
+        # same portable hash, same per-language numerators
+        "q55_stratified_sample": f"""
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM documents
+            WHERE {SAMPLE_SQL_WHERE}
+            GROUP BY 1
+        """,
+        # exact integer-rank top-25% gate: rank*4 < n (0-based rank
+        # over score desc, doc_id asc — a total order in both engines)
+        "q56_quality_gate": f"""
+            WITH s AS (SELECT doc_id, lang, {qual_sql} AS q
+                       FROM documents),
+            r AS (SELECT doc_id, lang, q,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY q DESC, doc_id) - 1
+                             AS rk,
+                         count(*) OVER (PARTITION BY lang) AS n
+                  FROM s)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(min(q) AS INT) AS min_q,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM r WHERE rk * 4 < n GROUP BY 1
+        """,
+        "q57_source_profile": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT {fp_sql}) AS BIGINT) AS n_unique,
+                   CAST(sum({qual_sql}) AS BIGINT) AS sum_quality,
+                   CAST(sum({tok_sql}) AS BIGINT) AS sum_tokens,
+                   CAST(count(*) - count(DISTINCT {fp_sql}) AS BIGINT)
+                       AS n_dup
+            FROM documents
+            GROUP BY 1
+        """,
+        # wedge-join neighbor Jaccard over the q49 bipartite graph;
+        # the center-degree cap (256) is mirrored from the Spark side
+        "q58_neighbor_jaccard": """
+            WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                           l_suppkey * 2 + 1 AS s
+                           FROM lineitem),
+            e AS (SELECT p AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s, p FROM pairs),
+            adj1 AS (SELECT DISTINCT least(src, dst) AS node,
+                                     greatest(src, dst) AS nbr
+                     FROM e WHERE src <> dst),
+            adj AS (SELECT node, nbr FROM adj1
+                    UNION SELECT nbr, node FROM adj1),
+            deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+            ctr AS (SELECT a.nbr AS center, a.node AS leaf
+                    FROM adj a JOIN deg d ON d.node = a.nbr
+                    WHERE d.deg <= 256),
+            cm AS (SELECT a.leaf AS n1, b.leaf AS n2,
+                          count(*) AS common
+                   FROM ctr a JOIN ctr b
+                     ON a.center = b.center AND a.leaf < b.leaf
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT CAST(cm.n1 AS BIGINT) AS n1,
+                   CAST(cm.n2 AS BIGINT) AS n2,
+                   CAST(cm.common AS BIGINT) AS common,
+                   CAST(cm.common * 1000000
+                        // (d1.deg + d2.deg - cm.common) AS BIGINT)
+                       AS jac_ppm
+            FROM cm JOIN deg d1 ON d1.node = cm.n1
+                    JOIN deg d2 ON d2.node = cm.n2
+            ORDER BY jac_ppm DESC, n1, n2 LIMIT 100
         """,
         "q35_regex_entities": """
             WITH tagged AS (

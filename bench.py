@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "q16_jaccard_pairs", "q17_lsh_pairs", "q18_simhash",
     "q20_ann_bruteforce", "q21_ann_lsh", "q43_dup_argmax",
     "q44_evidence_scores", "q48_line_dedup", "q50_bigram_pmi",
+    "q54_window_dedup",
 ]
 
 

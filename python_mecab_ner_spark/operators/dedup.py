@@ -245,6 +245,47 @@ def simhash64(df: DataFrame, text_col: str, id_col: str, n_bits: int = 60) -> Da
     return per_doc.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+def window_dup_stats(df: DataFrame, text_col: str, id_col: str,
+                     w: int = 5, min_df: int = 2) -> DataFrame:
+    """Cross-document duplicated-substring coverage (the exact
+    substring-dedup statistic of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": a token window that
+    recurs verbatim in another document marks copied boilerplate /
+    syndicated text that document-level near-dup misses).
+
+    Per document: n_windows = distinct w-token windows, n_dup = those
+    occurring in >= min_df distinct documents, dup_ppm = integer
+    duplicated-window fraction.  Pipelines drop or trim docs above a
+    dup_ppm threshold.
+
+    Scale shape: windows reuse the shingle builder (per-row array
+    exprs + one explode); window document-frequency is ONE map-side-
+    combinable aggregate keyed by the window (high-cardinality, no
+    skew: the shingle's df is what's being measured, and the join
+    back is keyed the same way).  Unlike frequent_line_dedup the
+    duplicated-window set is corpus-sized, so the join back is a
+    SHUFFLE join, not a broadcast — both sides arrive hash-
+    partitioned by the window key from the same prior exchange, so
+    AQE reuses the partitioning.  The window table feeds both the
+    df aggregate and the join, hence the persist (released via
+    .unpersist_input)."""
+    sh = shingles(df, text_col, id_col, k=w).persist()
+    dup = (sh.groupBy("shingle")
+           .agg(F.count("*").alias("w_df"))
+           .where(F.col("w_df") >= min_df)
+           .select("shingle"))
+    out = (sh.join(dup.withColumn("_dup", F.lit(1)), "shingle", "left")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_windows"),
+                F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_dup"))
+           .withColumn("dup_ppm",
+                       F.floor(F.col("n_dup") * F.lit(1_000_000)
+                               / F.col("n_windows")).cast("bigint")))
+    out.unpersist_input = sh.unpersist
+    return out
+
+
 def doc_lines(df: DataFrame, text_col: str, id_col: str,
               chunk: int | None = None) -> DataFrame:
     """(id, line) rows for line-granular dedup: newline split by

@@ -216,6 +216,64 @@ def khop_neighbors(edges: DataFrame, k: int = 2,
     return reach.where(F.col("nbr") != F.col("node"))
 
 
+def neighbor_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
+                     min_common: int = 2,
+                     max_center_degree: int | None = None) -> DataFrame:
+    """Structural node similarity over an undirected edge list:
+    for every node pair sharing >= min_common neighbors, the Jaccard
+    of their neighbor sets in integer parts-per-million — the KG
+    link-prediction / entity-merge-candidate primitive ("entities
+    related to mostly the same things are probably the same or
+    should be linked").
+
+    Columns: (n1, n2, common, jac_ppm) with n1 < n2 and
+    jac_ppm = common * 1e6 div (d1 + d2 - common) — pure 64-bit
+    integer arithmetic, so the DuckDB oracle hash-matches.
+
+    Scale shape: pairs are generated ONLY through shared neighbors
+    (a wedge self-join on the center node), never an all-pairs
+    product; per-center fan-out is O(deg^2), which is why
+    max_center_degree exists — a hub center (a supplier serving
+    every part, a stopword entity) contributes quadratic wedges but
+    near-zero similarity signal, so the standard move at 100 TB is
+    to drop centers above a degree cap BEFORE the wedge join (the
+    documented approximation: common-counts through dropped hubs
+    are forgone; degrees stay exact).  The cap must be mirrored in
+    any oracle."""
+    adj = (edges.select(F.least(F.col(src), F.col(dst)).alias("node"),
+                        F.greatest(F.col(src), F.col(dst)).alias("nbr"))
+           .where(F.col("node") != F.col("nbr")))
+    adj = (adj.unionByName(adj.select(F.col("nbr").alias("node"),
+                                      F.col("node").alias("nbr")))
+           .distinct())
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    centers = adj.select(F.col("nbr").alias("center"),
+                         F.col("node").alias("leaf"))
+    if max_center_degree is not None:
+        ok = (deg.where(F.col("deg") <= max_center_degree)
+              .select(F.col("node").alias("center")))
+        centers = centers.join(ok, "center", "left_semi")
+    a, b = centers.alias("a"), centers.alias("b")
+    common = (a.join(b, (F.col("a.center") == F.col("b.center"))
+                     & (F.col("a.leaf") < F.col("b.leaf")))
+              .groupBy(F.col("a.leaf").alias("n1"),
+                       F.col("b.leaf").alias("n2"))
+              .agg(F.count("*").alias("common"))
+              .where(F.col("common") >= min_common))
+    # node-vocabulary dimension: corpus-bounded, broadcast both probes
+    d1 = F.broadcast(deg.select(F.col("node").alias("n1"),
+                                F.col("deg").alias("d1")))
+    d2 = F.broadcast(deg.select(F.col("node").alias("n2"),
+                                F.col("deg").alias("d2")))
+    return (common.join(d1, "n1").join(d2, "n2")
+            .select(F.col("n1").cast("bigint").alias("n1"),
+                    F.col("n2").cast("bigint").alias("n2"),
+                    F.col("common").cast("bigint").alias("common"),
+                    F.floor(F.col("common") * F.lit(1_000_000)
+                            / (F.col("d1") + F.col("d2") - F.col("common")))
+                    .cast("bigint").alias("jac_ppm")))
+
+
 def triangle_counts(edges: DataFrame,
                     src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle participation count over an undirected edge

@@ -1,0 +1,98 @@
+"""Deterministic corpus sampling and quality gating for the
+training-data pipeline:
+
+- hash_stratified_sample: per-stratum rate sampling keyed on a
+  portable content hash — reproducible across runs, engines, and
+  cluster sizes (no RNG state, no seed plumbing);
+- quality_percentile_gate: EXACT top-fraction-per-stratum filter via
+  integer rank arithmetic (the oracle-checkable form);
+- quality_gate_approx: the 100 TB path — approx_percentile thresholds
+  broadcast back, no global sort.
+
+The mixture-weighting step of corpus curation (C4 / The Pile /
+RefinedWeb all sample sources at tuned per-source rates) needs exactly
+these primitives, and at scale they must be deterministic so re-runs
+and backfills see the same sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int
+
+
+def hash_stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                           rates: dict[str, int], denom: int = 16,
+                           salt: str = "samp:") -> DataFrame:
+    """Keep a row iff pmod(md5(salt || id), denom) < rates[stratum].
+
+    rates maps stratum value -> integer numerator (kept fraction =
+    num/denom); strata absent from `rates` are dropped (rate 0).
+
+    Scale shape: the rate table is config-sized and BROADCAST, the
+    sample decision is a per-row hash + compare — zero shuffle, no
+    driver-side randomness, and (unlike df.sample) the verdict for a
+    given document is stable under repartitioning, retries, and
+    engine changes, which is what makes backfills reproducible."""
+    spark = df.sparkSession
+    rate_rows = [(k, int(v)) for k, v in sorted(rates.items())]
+    rdf = spark.createDataFrame(rate_rows, f"{strata_col} string, _rate int")
+    h = F.pmod(md5_int(F.col(id_col).cast("string"), salt=salt),
+               F.lit(denom))
+    return (df.join(F.broadcast(rdf), strata_col, "inner")
+            .where(h < F.col("_rate"))
+            .drop("_rate"))
+
+
+def hash_stratified_sample_sql(id_expr: str, strata_expr: str,
+                               rates: dict[str, int], denom: int = 16,
+                               salt: str = "samp:") -> str:
+    """DuckDB WHERE-clause twin of hash_stratified_sample (same hash,
+    same per-stratum numerators; strata missing from `rates` fail the
+    CASE and are dropped via rate -1)."""
+    from ..functions.hashing import md5_int_sql
+    h = f"({md5_int_sql(f'CAST({id_expr} AS VARCHAR)', salt=salt)} % {denom})"
+    cases = " ".join(f"WHEN '{k}' THEN {int(v)}"
+                     for k, v in sorted(rates.items()))
+    return f"{h} < (CASE {strata_expr} {cases} ELSE -1 END)"
+
+
+def quality_percentile_gate(df: DataFrame, score_col: str, strata_col: str,
+                            id_col: str, keep_num: int,
+                            keep_den: int) -> DataFrame:
+    """EXACT per-stratum top-fraction filter: keep a row iff its
+    0-based rank (score desc, id asc — a total order) satisfies
+    rank * keep_den < n_stratum * keep_num, i.e. the top
+    keep_num/keep_den fraction, decided in pure 64-bit integer
+    arithmetic so both engines agree bit-for-bit (a float
+    percent_rank <= 0.2 compare is NOT cross-engine stable).
+
+    Scale note: the window sorts each stratum — fine when strata are
+    many and individually bounded (per-source gating), wrong for one
+    giant stratum; use quality_gate_approx there."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    cw = Window.partitionBy(strata_col)
+    return (df.withColumn("_rk", F.row_number().over(w) - 1)
+            .withColumn("_n", F.count("*").over(cw))
+            .where(F.col("_rk") * keep_den < F.col("_n") * keep_num)
+            .drop("_rk", "_n"))
+
+
+def quality_gate_approx(df: DataFrame, score_col: str, strata_col: str,
+                        keep_frac: float, accuracy: int = 10_000) -> DataFrame:
+    """The 100 TB variant of quality_percentile_gate: per-stratum
+    approx_percentile (one partial-aggregable pass, no sort) computes
+    the score threshold; thresholds are a strata-sized dimension and
+    get BROADCAST back; the gate is then a per-row compare.  Keeps
+    rows with score >= the (1 - keep_frac) quantile.  Approximate at
+    the boundary (ties + sketch error), hence pytest-checked against
+    the exact gate rather than oracled."""
+    thr = (df.groupBy(strata_col)
+           .agg(F.percentile_approx(score_col, 1.0 - keep_frac, accuracy)
+                .alias("_thr")))
+    return (df.join(F.broadcast(thr), strata_col, "inner")
+            .where(F.col(score_col) >= F.col("_thr"))
+            .drop("_thr"))
