@@ -25,7 +25,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_mecab_ner_spark.functions.hashing import md5_int, md5_int_sql
+from python_mecab_ner_spark.functions.hashing import (bucket_sql, md5_int,
+                                                      md5_int_sql)
 from python_mecab_ner_spark.functions import text as TX
 
 N_KG_DOCS = 400  # deterministic corpus size for kg_* queries
@@ -1016,6 +1017,40 @@ def q58_neighbor_jaccard(spark, sf_dir):
             .limit(100))
 
 
+BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
+PACK_BUDGET = 512                         # tokens per training sequence
+PACK_BUCKETS = 16
+
+
+def q59_bm25(spark, sf_dir):
+    """Integer fixed-point BM25 retrieval (operators.retrieval
+    .bm25_topk): top-20 documents for a fixed query bag — all
+    fractions cleared to 64-bit integers (k1=6/5, b=3/4, bit-length
+    idf), so ranking is bit-identical across engines.  The lexical
+    retrieval path next to the ANN family (q20/q21/q29/q51)."""
+    from python_mecab_ner_spark.operators.retrieval import bm25_topk
+    ctx = _doc_context(spark, sf_dir)
+    return (bm25_topk(ctx, BM25_TERMS, k=20)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "n_terms", "bm25_milli"))
+
+
+def q60_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (operators.pack.pack_sequences):
+    GPT-style concat-and-chunk inside deterministic hash buckets —
+    every doc gets its (bucket, bin, start-offset) slot in the fixed-budget
+    token stream, reproducible at any cluster size.  The corpus
+    assembly step between cleaning and tokenizer output."""
+    from python_mecab_ner_spark.operators.pack import pack_sequences
+    d = _load(spark, sf_dir, "documents")
+    sized = d.select("doc_id",
+                     TX.token_count(F.col("text")).alias("n_tokens"))
+    return (pack_sequences(sized, "doc_id", "n_tokens",
+                           budget=PACK_BUDGET, n_buckets=PACK_BUCKETS)
+            .select("doc_id", F.col("bucket").cast("int").alias("bucket"),
+                    "bin_id", "start_off", "spill_bins"))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -1235,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_quality_gate": q56_quality_gate,
         "q57_source_profile": q57_source_profile,
         "q58_neighbor_jaccard": q58_neighbor_jaccard,
+        "q59_bm25": q59_bm25,
+        "q60_pack_sequences": q60_pack_sequences,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1938,6 +1975,59 @@ def oracle_sql() -> dict[str, str]:
             FROM cm JOIN deg d1 ON d1.node = cm.n1
                     JOIN deg d2 ON d2.node = cm.n2
             ORDER BY jac_ppm DESC, n1, n2 LIMIT 100
+        """,
+        # integer-cleared BM25 (k1=6/5, b=3/4, bit-length idf):
+        # contrib = idf*tf*44000*avgdl // (20*avgdl*tf + 6*avgdl + 18*dl)
+        "q59_bm25": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM c2 GROUP BY 1),
+            tot AS (SELECT sum(dl) AS tot, count(*) AS n_docs FROM dl),
+            qt AS (SELECT doc_id, word FROM c2
+                   WHERE word IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM qt GROUP BY 1, 2),
+            dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM qt
+                    GROUP BY 1),
+            s AS (SELECT tf.doc_id,
+                         (length(bin(CAST(tot.n_docs // dfq.df AS BIGINT)))
+                          * tf.tf * 44000 * (tot.tot // tot.n_docs))
+                         // (20 * (tot.tot // tot.n_docs) * tf.tf
+                             + 6 * (tot.tot // tot.n_docs) + 18 * dl.dl)
+                             AS contrib
+                  FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id)
+                  CROSS JOIN tot)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS INT) AS n_terms,
+                   CAST(sum(contrib) AS BIGINT) AS bm25_milli
+            FROM s GROUP BY 1
+            ORDER BY bm25_milli DESC, doc_id LIMIT 20
+        """,
+        # concat-and-chunk packing: same hash bucket, same id-order
+        # running sum, same integer div/mod slots
+        "q60_pack_sequences": f"""
+            WITH n AS (SELECT doc_id, {tok_sql} AS n_tokens,
+                              {bucket_sql('CAST(doc_id AS VARCHAR)',
+                                          PACK_BUCKETS, salt='pack:')}
+                                  AS bucket
+                       FROM documents),
+            c AS (SELECT doc_id, bucket, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS prev
+                  FROM n)
+            SELECT doc_id, CAST(bucket AS INT) AS bucket,
+                   CAST(prev // {PACK_BUDGET} AS BIGINT) AS bin_id,
+                   CAST(prev % {PACK_BUDGET} AS BIGINT) AS start_off,
+                   CAST((CASE WHEN n_tokens > 0
+                         THEN (prev + n_tokens - 1) // {PACK_BUDGET}
+                         ELSE prev // {PACK_BUDGET} END)
+                        - prev // {PACK_BUDGET} AS BIGINT) AS spill_bins
+            FROM c
         """,
         "q35_regex_entities": """
             WITH tagged AS (
