@@ -1051,6 +1051,21 @@ def q60_pack_sequences(spark, sf_dir):
                     "bin_id", "start_off", "spill_bins"))
 
 
+SEMDEDUP_THRESHOLD = 6000   # int8-dot near-dup gate (self-dot ~16k)
+
+
+def q61_semdedup(spark, sf_dir):
+    """Semantic deduplication (operators.ann.semdedup_pairs, the
+    SemDeDup recipe): seeded-k-means clustering caps the pair search
+    at O(sum cell_size^2), int8 integer dots verify within cells —
+    composed entirely from oracled pieces (q29 codebook + q51
+    quantized kernel), and itself hash-exact against the unrolled
+    Lloyd + quantized-dot SQL twin."""
+    from python_mecab_ner_spark.operators.ann import semdedup_pairs
+    e = _load(spark, sf_dir, "embeddings")
+    return semdedup_pairs(e, threshold=SEMDEDUP_THRESHOLD, n_cells=16)
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -1272,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_neighbor_jaccard": q58_neighbor_jaccard,
         "q59_bm25": q59_bm25,
         "q60_pack_sequences": q60_pack_sequences,
+        "q61_semdedup": q61_semdedup,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1575,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q29_ann_ivf": _ann_ivf_sql(),
+        "q61_semdedup": _semdedup_sql(SEMDEDUP_THRESHOLD),
         "q30_rollup": f"""
             SELECT o_orderpriority, o_orderstatus,
                    count(*) AS n_orders,
@@ -2219,13 +2236,13 @@ def _embedding_neardup_sql() -> str:
     """
 
 
-def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 4, iters: int = 2,
-                 k: int = 10) -> str:
-    """DuckDB twin of operators.ann kmeans_codebook + ivf_topk: seeded
-    sample init (smallest md5('km:'||id)), `iters` unrolled Lloyd
-    iterations with 6-dp-rounded per-dimension means (absorbing
-    engine-order float summation), probe the query's nearest cells,
-    exact top-k inside them."""
+def _kmeans_assign_cte(n_cells: int = 16, iters: int = 2) -> tuple[str, str]:
+    """Shared DuckDB twin of operators.ann.kmeans_codebook +
+    ivf_cells: seeded sample init (smallest md5('km:'||id)), `iters`
+    unrolled Lloyd iterations with 6-dp-rounded per-dimension means
+    (absorbing engine-order float summation), final assignment `af`
+    (vec_id, e, cell_id).  Returns (cte_fragment, final_cents_name);
+    callers prepend WITH and append their own CTEs/SELECT."""
     seed_hash = md5_int_sql("CAST(vec_id AS VARCHAR)", salt="km:")
 
     def assign(cents: str, out: str) -> str:
@@ -2257,21 +2274,57 @@ def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 4, iters: int = 2,
         cents = f"c{i + 1}"
     chain = ",".join(iter_ctes)
 
-    return f"""
-        WITH v AS (SELECT vec_id,
-                          list_transform(embedding,
-                                         x -> round(x::DOUBLE, 6)) AS e
-                   FROM embeddings),
-        q AS (SELECT embedding AS qe,
+    frag = f"""
+        v AS (SELECT vec_id,
                      list_transform(embedding,
-                                    x -> round(x::DOUBLE, 6)) AS qr
-              FROM embeddings WHERE vec_id = 0),
+                                    x -> round(x::DOUBLE, 6)) AS e
+              FROM embeddings),
         seed AS (SELECT vec_id, e, {seed_hash} AS h FROM v),
         c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT)
                       AS cell_id, e AS cent
                FROM (SELECT * FROM seed ORDER BY h, vec_id LIMIT {n_cells})),
         {chain},
-        {assign(cents, 'af')},
+        {assign(cents, 'af')}"""
+    return frag, cents
+
+
+def _semdedup_sql(threshold: int, n_cells: int = 16, iters: int = 2) -> str:
+    """DuckDB twin of operators.ann.semdedup_pairs: k-means
+    assignment chain + int8 floor quantization of the 6-dp-rounded
+    vectors + exact integer dot over same-cell pairs."""
+    frag, _ = _kmeans_assign_cte(n_cells, iters)
+    return f"""
+        WITH {frag},
+        qz AS (SELECT vec_id, cell_id,
+                      list_transform(e, x -> CAST(greatest(-128,
+                          least(127, floor(x * 127))) AS BIGINT)) AS qe
+               FROM af),
+        pr AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                      a.cell_id AS cell_id,
+                      list_sum(list_transform(range(1, len(a.qe) + 1),
+                                              i -> a.qe[i] * b.qe[i]))
+                          AS qdot
+               FROM qz a JOIN qz b
+                 ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id)
+        SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+               CAST(cell_id AS INT) AS cell_id,
+               CAST(qdot AS BIGINT) AS qdot
+        FROM pr WHERE qdot >= {threshold}
+    """
+
+
+def _ann_ivf_sql(n_cells: int = 16, n_probe: int = 4, iters: int = 2,
+                 k: int = 10) -> str:
+    """DuckDB twin of operators.ann kmeans_codebook + ivf_topk:
+    the shared assignment chain, probe the query's nearest cells,
+    exact top-k inside them."""
+    frag, cents = _kmeans_assign_cte(n_cells, iters)
+    return f"""
+        WITH {frag},
+        q AS (SELECT embedding AS qe,
+                     list_transform(embedding,
+                                    x -> round(x::DOUBLE, 6)) AS qr
+              FROM embeddings WHERE vec_id = 0),
         probe AS (SELECT cell_id FROM (
           SELECT c.cell_id,
                  ROW_NUMBER() OVER (ORDER BY

@@ -404,3 +404,49 @@ def quantized_topk(df: DataFrame, qvec: list[float], k: int = 10,
     return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(id_col, F.col("qdot").cast("bigint").alias("qdot"),
                     "rank"))
+
+
+def semdedup_pairs(df: DataFrame, threshold: int, n_cells: int = 16,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   codebook: DataFrame | None = None,
+                   scale: int = QUANT_SCALE) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space with the seeded k-means codebook, then find
+    near-duplicate pairs ONLY within each cluster — the clustering
+    caps the quadratic pair term at O(sum cell_size^2) instead of
+    O(n^2), which is the entire scale story of semantic dedup on
+    billion-document corpora.  Within-cell similarity is the EXACT
+    int8-quantized integer dot product (the q51 kernel), so the
+    operator is hash-exact cross-engine end-to-end: deterministic
+    seeded k-means (6-dp-rounded Lloyd means) + floor quantization +
+    integer MACs.
+
+    Returns (a, b, cell_id, qdot) for same-cell pairs with
+    qdot >= threshold, a < b.
+
+    Recall caveat (inherent to SemDeDup): a near-dup pair split
+    across two cells is missed; raise n_cells more slowly than the
+    corpus or add a second codebook pass for higher recall.  Skew
+    guard at 100 TB: a mega-cell re-enters quadratic territory —
+    monitor cell sizes (one aggregate) and split outliers by a
+    secondary hash before the self-join."""
+    cells = ivf_cells(df, n_cells, id_col=id_col, emb_col=emb_col,
+                      codebook=codebook)
+    # the self-join reads this subtree twice; persist materializes the
+    # k-means assignment once (released via .unpersist_input)
+    qz = (quantize_embeddings(cells, emb_col, scale)
+          .select(F.col(id_col), F.col("cell_id"), F.col("qemb"))
+          .persist())
+    a, b = qz.alias("a"), qz.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qemb"), F.col("b.qemb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    out = (a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+           .select(F.col(f"a.{id_col}").cast("bigint").alias("a"),
+                   F.col(f"b.{id_col}").cast("bigint").alias("b"),
+                   F.col("a.cell_id").cast("int").alias("cell_id"),
+                   dot.alias("qdot"))
+           .where(F.col("qdot") >= threshold))
+    out.unpersist_input = qz.unpersist
+    return out
