@@ -1066,6 +1066,62 @@ def q61_semdedup(spark, sf_dir):
     return semdedup_pairs(e, threshold=SEMDEDUP_THRESHOLD, n_cells=16)
 
 
+PPR_SEEDS = [2, 4]   # part nodes 1 and 2 in the q40/q49 bipartite graph
+
+
+def q62_ppr(spark, sf_dir):
+    """Personalized PageRank (operators.graph.ppr_int): teleport mass
+    restricted to a seed set — the 'entities related to X' primitive
+    where global PageRank just returns hubs.  Same integer fixed-point
+    arithmetic as q40, certified by the same unrolled-SQL oracle
+    construction (generated, not hand-copied)."""
+    from python_mecab_ner_spark.operators.graph import ppr_int
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return (ppr_int(edges, PPR_SEEDS, iters=3)
+            .where(F.col("pr") > 0)
+            .select(F.col("node").cast("bigint").alias("node"), "pr"))
+
+
+def _ppr_sql(seeds, iters: int = 3, scale: int = 1_000_000,
+             dn: int = 85, dd: int = 100) -> str:
+    """Generated DuckDB twin of q62: the q40 unrolled-iteration CTE
+    chain with the teleport term gated on the seed IN-list."""
+    base = (scale * (dd - dn)) // dd
+    inlist = ", ".join(str(int(s)) for s in seeds)
+    parts = [f"""
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        e AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        pr0 AS (SELECT node,
+                       CAST(CASE WHEN node IN ({inlist})
+                            THEN {scale} ELSE 0 END AS BIGINT) AS pr
+                FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+        , m{i} AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+                   FROM e JOIN pr{i - 1} p ON p.node = e.src
+                   JOIN od o ON o.src = e.src GROUP BY 1)
+        , pr{i} AS (SELECT n.node,
+                           CAST(CASE WHEN n.node IN ({inlist})
+                                THEN {base} ELSE 0 END
+                                + ({dn} * coalesce(m{i}.m, 0)) // {dd}
+                                AS BIGINT) AS pr
+                    FROM nodes n LEFT JOIN m{i} ON m{i}.node = n.node)""")
+    parts.append(f"""
+        SELECT CAST(node AS BIGINT) AS node, pr FROM pr{iters}
+        WHERE pr > 0""")
+    return "".join(parts)
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -1199,6 +1255,26 @@ def kg_entity_khop(spark, sf_dir):
                     F.col("n_2hop").cast("bigint").alias("n_2hop")))
 
 
+def kg_entity_ppr(spark, sf_dir):
+    """Seed-personalized PageRank on the real extracted KG
+    (operators.graph.ppr_int — the q62-certified kernel): 'entities
+    related to the seed entity', the KG recommendation primitive.
+    Seed = the minimum entity id appearing as an edge source
+    (deterministic)."""
+    from python_mecab_ner_spark.operators.graph import ppr_int
+    g = _kg_graph(spark)
+    edges = (g["edges"].select(F.col("src_id").alias("src"),
+                               F.col("dst_id").alias("dst"))
+             .localCheckpoint())
+    seed = edges.agg(F.min("src")).first()[0]
+    pr = ppr_int(edges, [seed], iters=3).where(F.col("pr") > 0)
+    v = g["vertices"].select(F.col("entity_id").alias("node"), "canonical")
+    return (pr.join(v, "node")
+            .orderBy(F.col("pr").desc(), F.col("node").asc())
+            .limit(10)
+            .select("canonical", "pr"))
+
+
 def kg_canonical_clusters(spark, sf_dir):
     """Surface-form canonicalization over the full gazetteer entity
     dimension (MinHash-LSH blocking over jamo shingles + CC): alias
@@ -1288,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bm25": q59_bm25,
         "q60_pack_sequences": q60_pack_sequences,
         "q61_semdedup": q61_semdedup,
+        "q62_ppr": q62_ppr,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1296,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_posseq_candidates": kg_posseq_candidates,
         "kg_entity_rank": kg_entity_rank,
         "kg_entity_khop": kg_entity_khop,
+        "kg_entity_ppr": kg_entity_ppr,
         "kg_canonical_clusters": kg_canonical_clusters,
         "kg_extracted_text": kg_extracted_text,
     }
@@ -1592,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q29_ann_ivf": _ann_ivf_sql(),
         "q61_semdedup": _semdedup_sql(SEMDEDUP_THRESHOLD),
+        "q62_ppr": _ppr_sql(PPR_SEEDS),
         "q30_rollup": f"""
             SELECT o_orderpriority, o_orderstatus,
                    count(*) AS n_orders,

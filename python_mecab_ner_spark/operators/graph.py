@@ -163,6 +163,53 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
     return pr
 
 
+def ppr_int(edges: DataFrame, seeds: list, iters: int = 3,
+            scale: int = 1_000_000, damping_num: int = 85,
+            damping_den: int = 100,
+            src: str = "src", dst: str = "dst") -> DataFrame:
+    """Personalized PageRank, integer fixed-point (the pagerank_int
+    twin with teleport mass restricted to `seeds`):
+
+        pr0(v)  = scale        if v in seeds else 0
+        pr'(v)  = [v in seeds] * (1-d)*scale
+                  + (d_num * sum_{u->v} (pr(u) div od(u))) div d_den
+
+    The "entities related to X" KG primitive: mass diffuses outward
+    from the seed set, so high-PPR nodes are the seed's graph
+    neighborhood weighted by connectivity — what an entity-
+    recommendation or related-articles query wants, where global
+    PageRank just returns the hubs.  All arithmetic 64-bit integer
+    (bit-exact cross-engine, same as pagerank_int).
+
+    Scale shape identical to pagerank_int: one join + one partial-agg
+    groupBy per iteration; seeds are a literal IN-list (seed sets are
+    query-sized).  Callers must localCheckpoint deep edge inputs
+    first (the kg_entity_rank lesson)."""
+    base = (scale * (damping_den - damping_num)) // damping_den
+    seed_ids = [int(s) for s in seeds]
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    is_seed = F.col("node").isin(seed_ids)
+    pr = nodes.withColumn(
+        "pr", F.when(is_seed, F.lit(scale)).otherwise(F.lit(0))
+        .cast("bigint"))
+    for _ in range(iters):
+        contrib = (e.join(pr.withColumnRenamed("node", "src"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("pr div od").alias("c")))
+        inmass = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        pr = (nodes.join(inmass, "node", "left")
+              .select("node",
+                      (F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                       + F.expr(f"({damping_num} * coalesce(m, 0)) "
+                                f"div {damping_den}"))
+                      .cast("bigint").alias("pr")))
+    return pr
+
+
 def materialize_graph(edges: DataFrame, vertices: DataFrame, out_dir: str,
                       n_salt: int = 16, n_buckets: int = 32) -> dict:
     """Salted, bucketed Parquet write of the graph tables.

@@ -56,3 +56,30 @@ def test_pagerank_int_star_graph(spark):
     leaves = {pr[i] for i in range(1, 6)}
     assert len(leaves) == 1          # exact tie
     assert pr[0] > leaves.pop()      # hub dominates
+
+
+# ---- personalized PageRank (graph.ppr_int) --------------------------------
+
+def test_ppr_line_graph_hand_golden(spark):
+    """1 -> 2 -> 3, seeds=[1], 3 iterations, hand-unrolled:
+    pr1 = {1: 150000, 2: 850000, 3: 0}
+    pr2 = {1: 150000, 2: 127500, 3: 722500}
+    pr3 = {1: 150000, 2: 127500, 3: 108375}"""
+    from python_mecab_ner_spark.operators.graph import ppr_int
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    got = {r.node: r.pr for r in ppr_int(e, [1], iters=3).collect()}
+    assert got == {1: 150000, 2: 127500, 3: 108375}
+
+
+def test_ppr_localizes_vs_global_pagerank(spark):
+    """Two disconnected 3-cycles; seeding one component leaves the
+    other at exactly zero mass, while global PageRank ranks both
+    identically."""
+    from python_mecab_ner_spark.operators.graph import pagerank_int, ppr_int
+    cyc = [(1, 2), (2, 3), (3, 1), (11, 12), (12, 13), (13, 11)]
+    e = spark.createDataFrame(cyc, "src int, dst int")
+    ppr = {r.node: r.pr for r in ppr_int(e, [1], iters=4).collect()}
+    assert all(ppr[n] == 0 for n in (11, 12, 13))
+    assert all(ppr[n] > 0 for n in (1, 2, 3))
+    gpr = {r.node: r.pr for r in pagerank_int(e, iters=4).collect()}
+    assert gpr[1] == gpr[11] and gpr[2] == gpr[12]
