@@ -1122,6 +1122,54 @@ def _ppr_sql(seeds, iters: int = 3, scale: int = 1_000_000,
     return "".join(parts)
 
 
+def q63_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase) with
+    strict timestamp ordering: per user, the earliest view, the
+    earliest click AFTER it, the earliest purchase after THAT — not
+    the mere per-type existence a pivot would give.  Per-stage user
+    counts in one row.
+
+    Scale shape: each stage is a type-filtered scan (predicate pushed
+    to parquet) + a map-side-combinable min aggregate, chained by
+    equi-joins on the high-cardinality user key; AQE picks
+    broadcast for the shrinking stage dims."""
+    ev = _load(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(_MINUTE(F.col("ts"))).alias("t1")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where(_MINUTE(F.col("ts")) > F.col("t1"))
+         .groupBy("user_id").agg(F.min(_MINUTE(F.col("ts"))).alias("t2")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(_MINUTE(F.col("ts")) > F.col("t2"))
+         .groupBy("user_id").agg(F.min(_MINUTE(F.col("ts"))).alias("t3")))
+    return (v.agg(F.count("*").cast("bigint").alias("n_view_users"))
+            .crossJoin(c.agg(F.count("*").cast("bigint")
+                             .alias("n_click_users")))
+            .crossJoin(p.agg(F.count("*").cast("bigint")
+                             .alias("n_purchase_users"))))
+
+
+def q64_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct active users per (cohort_day, day_offset) — the
+    engagement decay table.  Day arithmetic in integer day-of-year
+    (no timezone ambiguity), distinct via one partial-aggregable
+    count-distinct per cell."""
+    ev = _load(spark, sf_dir, "events")
+    day = F.dayofyear(F.col("ts")).cast("int")
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (acts.join(cohort, "user_id")
+            .groupBy("cohort_day",
+                     (F.col("day") - F.col("cohort_day")).alias("day_off"))
+            .agg(F.count("*").cast("bigint").alias("n_users"))
+            .select(F.col("cohort_day").cast("int").alias("cohort_day"),
+                    F.col("day_off").cast("int").alias("day_off"),
+                    "n_users"))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -1365,6 +1413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_pack_sequences": q60_pack_sequences,
         "q61_semdedup": q61_semdedup,
         "q62_ppr": q62_ppr,
+        "q63_funnel": q63_funnel,
+        "q64_cohort_retention": q64_cohort_retention,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1671,6 +1721,37 @@ def oracle_sql() -> dict[str, str]:
         "q29_ann_ivf": _ann_ivf_sql(),
         "q61_semdedup": _semdedup_sql(SEMDEDUP_THRESHOLD),
         "q62_ppr": _ppr_sql(PPR_SEEDS),
+        # strict-order funnel: each stage's min time gates the next
+        "q63_funnel": f"""
+            WITH v AS (SELECT user_id, min({minute.format(c='ts')}) AS t1
+                       FROM events WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min({minute.format(c='e.ts')}) AS t2
+                  FROM events e JOIN v ON v.user_id = e.user_id
+                  WHERE e.event_type = 'click'
+                    AND {minute.format(c='e.ts')} > v.t1 GROUP BY 1),
+            p AS (SELECT e.user_id, min({minute.format(c='e.ts')}) AS t3
+                  FROM events e JOIN c ON c.user_id = e.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND {minute.format(c='e.ts')} > c.t2 GROUP BY 1)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v)
+                       AS n_view_users,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c)
+                       AS n_click_users,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p)
+                       AS n_purchase_users
+        """,
+        "q64_cohort_retention": """
+            WITH acts AS (SELECT DISTINCT user_id,
+                                 CAST(date_part('doy', ts) AS INT) AS day
+                          FROM events),
+            cohort AS (SELECT user_id, min(day) AS cohort_day
+                       FROM acts GROUP BY 1)
+            SELECT CAST(cohort_day AS INT) AS cohort_day,
+                   CAST(day - cohort_day AS INT) AS day_off,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM acts JOIN cohort USING (user_id)
+            GROUP BY 1, 2
+        """,
         "q30_rollup": f"""
             SELECT o_orderpriority, o_orderstatus,
                    count(*) AS n_orders,

@@ -228,3 +228,41 @@ def test_surprisal_broadcasts_vocab(spark, sf01):
     # sort-merge join of the token stream
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_topk_take_ordered_and_pruned_scan(spark, sf01):
+    plan = _plan(entry.q59_bm25(spark, sf01))
+    # top-k is TakeOrderedAndProject (no global sort materializes)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_stratified_sample_has_no_shuffle(spark, sf01):
+    from pyspark.sql import functions as F
+    from python_mecab_ner_spark.operators.sample import (
+        hash_stratified_sample)
+    d = spark.read.parquet(f"{sf01}/documents.parquet")
+    kept = hash_stratified_sample(d, "doc_id", "lang", entry.SAMPLE_RATES,
+                                  denom=entry.SAMPLE_DENOM)
+    plan = _plan(kept.select(F.col("doc_id")))
+    # the sample decision is per-row: broadcast rate dim only, never
+    # a hash repartition of the corpus
+    assert "hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pack_sequences_single_hash_exchange_no_global_sort(spark, sf01):
+    plan = _plan(entry.q60_pack_sequences(spark, sf01))
+    # one shuffle into hash buckets; a rangepartitioning exchange
+    # would mean an accidental global sort (formatted plans carry the
+    # partitioning in the Arguments detail line, not the node name)
+    assert plan.count("(") and plan.count("Exchange") >= 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_neighbor_jaccard_broadcasts_degree_dims(spark, sf01):
+    plan = _plan(entry.q58_neighbor_jaccard(spark, sf01))
+    # the two degree probes are broadcast (node vocabulary is
+    # corpus-bounded); the wedge join is the only corpus-sized join
+    assert plan.count("BroadcastHashJoin") >= 2, plan
