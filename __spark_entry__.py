@@ -1170,6 +1170,23 @@ def q64_cohort_retention(spark, sf_dir):
                     "n_users"))
 
 
+def q65_dedup_survivors(spark, sf_dir):
+    """Dedup survivor selection: q27's near-dup clusters + quality-
+    argmax keep-one-per-cluster (RefinedWeb keeps the best copy, not
+    an arbitrary one).  Ties broken by min doc_id via the packed-
+    integer max — ONE combinable aggregate over the cluster table, no
+    window (see operators/dedup.py::survivor_selection)."""
+    from python_mecab_ner_spark.operators.dedup import survivor_selection
+    d = _loadp(spark, sf_dir, "documents")
+    clusters = q27_neardup_clusters(spark, sf_dir)
+    members = clusters.join(
+        d.select("doc_id", TX.quality_score(F.col("text")).alias("q")),
+        "doc_id")
+    return (survivor_selection(members, "cluster_id", "doc_id", "q")
+            .select(F.col("cluster").alias("cluster_id"),
+                    "survivor_id", "best_score", "n_members"))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -1415,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_ppr": q62_ppr,
         "q63_funnel": q63_funnel,
         "q64_cohort_retention": q64_cohort_retention,
+        "q65_dedup_survivors": q65_dedup_survivors,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1471,6 +1489,33 @@ def oracle_sql() -> dict[str, str]:
     band_keys = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', mh{b*2}, mh{b*2+1})) AS band_key FROM sig"
         for b in range(4))
+
+    # shared connected-components fixpoint (q27 + q65): LSH-verified
+    # pairs -> transitive closure; `reach(n, m)` holds every (node,
+    # reachable node) — min(m) per n is the cluster id
+    cc_cte = shingle_cte.replace(
+        "WITH t AS", "WITH RECURSIVE t AS", 1) + f"""
+            , sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+            banded AS ({band_keys}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+            p0 AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2),
+            pairs AS (SELECT doc_a, doc_b FROM p0 WHERE inter >= 2),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach(n, m) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+    """
 
     simhash_votes = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
@@ -1784,29 +1829,29 @@ def oracle_sql() -> dict[str, str]:
         # of the candidates only, transitive closure, min reachable id
         # per node (the Spark side's iterative min-label propagation
         # converges to the same fixpoint)
-        "q27_neardup_clusters": shingle_cte.replace(
-            "WITH t AS", "WITH RECURSIVE t AS", 1) + f"""
-            , sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
-            banded AS ({band_keys}),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM banded a JOIN banded b
-                       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id),
-            p0 AS (
-              SELECT c.doc_a, c.doc_b, count(*) AS inter
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.doc_a
-              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-              GROUP BY 1, 2),
-            pairs AS (SELECT doc_a, doc_b FROM p0 WHERE inter >= 2),
-            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-                      UNION SELECT doc_b, doc_a FROM pairs),
-            nodes AS (SELECT DISTINCT a AS n FROM edges),
-            reach(n, m) AS (
-              SELECT n, n FROM nodes
-              UNION
-              SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+        "q27_neardup_clusters": cc_cte + """
             SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+        """,
+        # q27's component fixpoint + packed-integer quality argmax
+        # (score * 2^44 + (2^44-1 - id): max is (max score, min id) —
+        # the exact twin of dedup.survivor_selection's single combinable
+        # aggregate; 2^44 = 17592186044416)
+        "q65_dedup_survivors": cc_cte + f"""
+            , cc AS (SELECT n AS doc_id, min(m) AS cluster_id
+                     FROM reach GROUP BY n),
+            mem AS (SELECT cc.cluster_id, cc.doc_id, {qual_sql} AS q
+                    FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+            ag AS (SELECT cluster_id,
+                          max(q * 17592186044416
+                              + (17592186044415 - doc_id)) AS mx,
+                          CAST(count(*) AS BIGINT) AS n_members
+                   FROM mem GROUP BY 1)
+            SELECT cluster_id,
+                   CAST(17592186044415 - (mx & 17592186044415) AS BIGINT)
+                       AS survivor_id,
+                   CAST(mx >> 44 AS INT) AS best_score,
+                   n_members
+            FROM ag
         """,
         "q33_neighbor_stats": stats_cte + """
             SELECT label, word, CAST(cnt AS BIGINT) AS cnt FROM stats

@@ -346,3 +346,41 @@ def frequent_line_dedup(df: DataFrame, text_col: str, id_col: str,
             .agg(F.count("*").cast("bigint").alias("n_lines"),
                  F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_dropped")))
+
+
+def survivor_selection(members: DataFrame, cluster_col: str, id_col: str,
+                       score_col: str, id_bits: int = 44) -> DataFrame:
+    """Per-cluster survivor choice: after near-dup clustering, every
+    production dedup pipeline keeps exactly ONE member per cluster —
+    and which one matters (RefinedWeb/FineWeb keep the highest-quality
+    copy, not an arbitrary one).  Returns one row per cluster:
+    (cluster, survivor_id, best_score, n_members).
+
+    Survivor = argmax(score), ties broken by MIN id — encoded as a
+    single packed-integer max:  packed = score * 2^id_bits +
+    (2^id_bits - 1 - id), so ordering by packed is lexicographic on
+    (score asc, id desc) and the max is exactly (max score, min id).
+    Requires 0 <= id < 2^id_bits and 0 <= score < 2^(62 - id_bits) —
+    both engine-exact BIGINT, no floats, no argmax tie ambiguity
+    (DuckDB's arg_max tie order is unspecified; this is not).
+
+    Scale shape: ONE map-side-combinable hash aggregate keyed by the
+    cluster id (max + count both combine partially) — no window, no
+    second shuffle; output is cluster-cardinality (small).  A mega-
+    cluster is just a heavy key for a combinable agg, which AQE skew
+    splitting already handles."""
+    cap = 1 << id_bits
+    packed = (F.col(score_col).cast("bigint") * F.lit(cap)
+              + (F.lit(cap - 1) - F.col(id_col).cast("bigint")))
+    agg = (members
+           .select(F.col(cluster_col).alias("cluster"),
+                   packed.alias("_packed"))
+           .groupBy("cluster")
+           .agg(F.max("_packed").alias("_mx"),
+                F.count("*").cast("bigint").alias("n_members")))
+    return agg.select(
+        "cluster",
+        (F.lit(cap - 1) - F.col("_mx").bitwiseAND(F.lit(cap - 1)))
+        .cast("bigint").alias("survivor_id"),
+        F.shiftright(F.col("_mx"), id_bits).cast("int").alias("best_score"),
+        "n_members")

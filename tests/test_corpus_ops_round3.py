@@ -155,3 +155,34 @@ def test_doc_surprisal_golden(spark):
            for r in doc_surprisal(ctx).collect()}
     # N=5: idf(a)=bitlen(5 div 3)=1, idf(b)=idf(c)=bitlen(5)=3
     assert got == {1: (3, 5, 1666), 2: (2, 4, 2000)}
+
+
+# ---- survivor selection (packed-integer argmax) ---------------------------
+
+def test_survivor_selection_argmax_and_ties(spark):
+    from python_mecab_ner_spark.operators.dedup import survivor_selection
+    rows = [
+        # cluster 10: clear quality winner (id 7, q 90)
+        (10, 3, 50), (10, 7, 90), (10, 9, 40),
+        # cluster 20: tie at q 80 -> MIN id (4) wins, not max
+        (20, 8, 80), (20, 4, 80), (20, 6, 10),
+        # singleton cluster
+        (30, 5, 0),
+    ]
+    m = spark.createDataFrame(rows, "cluster_id long, doc_id long, q int")
+    got = {r.cluster: (r.survivor_id, r.best_score, r.n_members)
+           for r in survivor_selection(m, "cluster_id", "doc_id",
+                                       "q").collect()}
+    assert got == {10: (7, 90, 3), 20: (4, 80, 3), 30: (5, 0, 1)}
+
+
+def test_survivor_selection_is_single_aggregate_no_window(spark):
+    from python_mecab_ner_spark.operators.dedup import survivor_selection
+    m = spark.createDataFrame([(1, 2, 3)],
+                              "cluster_id long, doc_id long, q int")
+    plan = (survivor_selection(m, "cluster_id", "doc_id", "q")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    # partial (map-side) aggregation present: two HashAggregate levels,
+    # one Exchange
+    assert plan.count("Exchange") <= 1
