@@ -1187,6 +1187,53 @@ def q65_dedup_survivors(spark, sf_dir):
                     "survivor_id", "best_score", "n_members"))
 
 
+# DuckDB twin of _messy_url() below — identical bytes (the testdata
+# corpus has no URL column, so q66 synthesizes deterministic messy
+# URLs the same way q47 injects synthetic PII)
+_MESSY_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTP://' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'News.Example.COM' "
+    "ELSE 'news.example.com' END || "
+    "'/art/' || CAST(doc_id % 41 AS VARCHAR) || "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END || "
+    "CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed' "
+    "WHEN 1 THEN '?utm_a=1&utm_b=2' "
+    "WHEN 2 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) "
+    "ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_c=3' END || "
+    "CASE WHEN doc_id % 2 = 1 THEN '#sec' ELSE '' END)")
+
+
+def _messy_url():
+    did = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("http://")).otherwise(F.lit("HTTP://")),
+        F.when(did % 3 == 0, F.lit("News.Example.COM"))
+        .otherwise(F.lit("news.example.com")),
+        F.lit("/art/"), s(did % 41),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("?utm_source=feed"))
+        .when(did % 4 == 1, F.lit("?utm_a=1&utm_b=2"))
+        .when(did % 4 == 2, F.concat(F.lit("?id="), s(did % 7)))
+        .otherwise(F.concat(F.lit("?id="), s(did % 7), F.lit("&utm_c=3"))),
+        F.when(did % 2 == 1, F.lit("#sec")).otherwise(F.lit("")))
+
+
+def q66_url_canonical(spark, sf_dir):
+    """Crawl-frontier URL canonicalization + URL-level dedup: lowercase
+    scheme/authority, drop fragments, strip utm_* tracking params,
+    collapse slash-before-query and trailing slashes, then ONE
+    combinable aggregate per canonical URL (functions/text.py::
+    canonical_url — pure JVM regexp chain, RE2-safe so the DuckDB twin
+    is byte-identical).  At 100 TB this is the map-side-cheap dedup
+    every crawl ingest runs before fetching or storing a page twice."""
+    d = _loadp(spark, sf_dir, "documents")
+    return (d.select("doc_id", TX.canonical_url(_messy_url()).alias("url"))
+            .groupBy("url")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc")))
+
+
 # ---- KG pipeline queries (rows-only: not SQL-expressible) -----------------
 
 _KG_GRAPHS: dict = {}
@@ -1433,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_funnel": q63_funnel,
         "q64_cohort_retention": q64_cohort_retention,
         "q65_dedup_survivors": q65_dedup_survivors,
+        "q66_url_canonical": q66_url_canonical,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1852,6 +1900,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mx >> 44 AS INT) AS best_score,
                    n_members
             FROM ag
+        """,
+        "q66_url_canonical": f"""
+            WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS u
+                         FROM documents)
+            SELECT {TX.canonical_url_sql('u')} AS url,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS first_doc
+            FROM raw GROUP BY 1
         """,
         "q33_neighbor_stats": stats_cte + """
             SELECT label, word, CAST(cnt AS BIGINT) AS cnt FROM stats

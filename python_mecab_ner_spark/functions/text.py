@@ -253,3 +253,41 @@ def duplicate_ngram_ppm_sql(expr: str, n: int = 2) -> str:
     return (f"CASE WHEN {total} > 0 THEN "
             f"CAST(({total} - {dis}) * 1000000 // {total} AS BIGINT) "
             f"ELSE 0 END")
+
+
+# ---- URL canonicalization -------------------------------------------------
+# Crawl-frontier URL normalization (the WARC/CDX canonicalization every
+# Common-Crawl-style pipeline applies before URL-level dedup):
+#   1. lowercase scheme + authority (path/query stay case-sensitive)
+#   2. drop the #fragment
+#   3. strip utm_* tracking parameters (two bounded passes handle runs
+#      of up to 3 consecutive utm params; RE2-safe — no lookahead, so
+#      the DuckDB twin is byte-identical)
+#   4. collapse "/?": slash-before-query equals no-slash
+#   5. strip trailing slashes
+# All patterns avoid lookahead/backreference-in-pattern so Java regex
+# (Spark) and RE2 (DuckDB) agree byte-for-byte.
+
+_URL_SPLIT = "^([^:/?#]+://[^/?#]*)(.*)$"
+
+
+def canonical_url(col) -> Column:
+    lowered = F.concat(F.lower(F.regexp_extract(col, _URL_SPLIT, 1)),
+                       F.regexp_extract(col, _URL_SPLIT, 2))
+    no_frag = F.regexp_replace(lowered, "#.*", "")
+    u = F.regexp_replace(no_frag, "([?&])utm_[^&]*&", "$1")
+    u = F.regexp_replace(u, "([?&])utm_[^&]*&", "$1")
+    u = F.regexp_replace(u, "([?&])utm_[^&]*$", "")
+    u = F.regexp_replace(u, "/[?]", "?")
+    return F.regexp_replace(u, "/+$", "")
+
+
+def canonical_url_sql(expr: str) -> str:
+    lowered = (f"(lower(regexp_extract({expr}, '{_URL_SPLIT}', 1)) || "
+               f"regexp_extract({expr}, '{_URL_SPLIT}', 2))")
+    no_frag = f"regexp_replace({lowered}, '#.*', '', 'g')"
+    u = f"regexp_replace({no_frag}, '([?&])utm_[^&]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '([?&])utm_[^&]*&', '\\1', 'g')"
+    u = f"regexp_replace({u}, '([?&])utm_[^&]*$', '', 'g')"
+    u = f"regexp_replace({u}, '/[?]', '?', 'g')"
+    return f"regexp_replace({u}, '/+$', '', 'g')"

@@ -186,3 +186,54 @@ def test_survivor_selection_is_single_aggregate_no_window(spark):
     # partial (map-side) aggregation present: two HashAggregate levels,
     # one Exchange
     assert plan.count("Exchange") <= 1
+
+
+# ---- URL canonicalization -------------------------------------------------
+
+URL_GOLD = [
+    ("HTTP://News.Example.COM/art/3#sec", "http://news.example.com/art/3"),
+    # slash-before-query collapses; utm-only query drops entirely
+    ("http://a.com/p/?utm_source=x", "http://a.com/p"),
+    # utm run of 3 (two bounded passes + tail pass)
+    ("http://a.com/p?utm_a=1&utm_b=2&utm_c=3", "http://a.com/p"),
+    # utm interleaved with kept params
+    ("http://a.com/p?utm_a=1&id=2&utm_b=3", "http://a.com/p?id=2"),
+    ("http://a.com/p?id=2&utm_b=3#frag", "http://a.com/p?id=2"),
+    # path case preserved, host lowered, trailing slashes stripped
+    ("https://A.B.Com/Mixed/Case//", "https://a.b.com/Mixed/Case"),
+    ("http://a.com/", "http://a.com"),
+]
+
+
+def test_canonical_url_goldens(spark):
+    from python_mecab_ner_spark.functions.text import canonical_url
+    d = spark.createDataFrame(URL_GOLD, "u string, want string")
+    bad = (d.select("u", "want", canonical_url(F.col("u")).alias("got"))
+           .where(F.col("got") != F.col("want")).collect())
+    assert bad == [], bad
+
+
+def test_canonical_url_cross_engine_agreement(spark):
+    """Spark (Java regex) vs DuckDB (RE2) byte-agreement on a
+    generated messy-URL population — the patterns avoid every
+    dialect-divergent construct, so outputs must be identical."""
+    from python_mecab_ner_spark.functions.text import (canonical_url,
+                                                       canonical_url_sql)
+    urls = []
+    for i in range(300):
+        scheme = ["http://", "HTTP://", "https://"][i % 3]
+        host = ["Ex.COM", "ex.com", "sub.Ex.Org"][i % 3 if i % 2 else 0]
+        path = f"/p{i % 17}" + ("/" if i % 5 == 0 else "")
+        q = ["", "?utm_s=1", f"?id={i % 7}", f"?utm_a=1&id={i % 7}&utm_b=2",
+             "?utm_a=1&utm_b=2&utm_c=3"][i % 5]
+        frag = "#x" if i % 4 == 0 else ""
+        urls.append((i, scheme + host + path + q + frag))
+    d = spark.createDataFrame(urls, "i long, u string")
+    got = {r.i: r.c for r in
+           d.select("i", canonical_url(F.col("u")).alias("c")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", urls)
+    want = dict(con.execute(
+        f"SELECT i, {canonical_url_sql('u')} FROM t").fetchall())
+    assert got == want
