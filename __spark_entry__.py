@@ -1413,6 +1413,17 @@ def kg_extracted_text(spark, sf_dir):
         "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
+def kg_outlink_hosts(spark, sf_dir):
+    """Host-level web link graph from the pages' html (the hyperlink
+    half of a Common-Crawl page): href extraction is a pure JVM
+    regexp projection + explode, the (src_host, dst_host) edge
+    weights one combinable aggregate.  Pinned to the exact pyref
+    (re.findall) edge counts in tests/test_weblinks.py."""
+    from python_mecab_ner_spark.operators.weblinks import host_graph
+    g = _kg_graph(spark)
+    return host_graph(g["pages"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1492,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_ppr": kg_entity_ppr,
         "kg_canonical_clusters": kg_canonical_clusters,
         "kg_extracted_text": kg_extracted_text,
+        "kg_outlink_hosts": kg_outlink_hosts,
     }
 
 

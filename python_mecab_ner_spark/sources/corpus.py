@@ -155,14 +155,44 @@ def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dic
         lang = "ko"
         n = rng.randint(1, 5)
         text = ". ".join(_sentence(rng, spec) for _ in range(n))
-    url = f"https://example.org/{lang}/{doc_id:08d}"
+    # page hosts drawn from the same pool the outlinks target, with
+    # the head host holding half the pages: the host graph then has a
+    # real src side (5x5 weighted edges), and the src-host skew mirrors
+    # the dst-host skew real crawls show
+    host = LINK_HOSTS[0] if doc_id % 2 == 0 \
+        else LINK_HOSTS[1 + (doc_id // 2) % (len(LINK_HOSTS) - 1)]
+    url = f"https://{host}/{lang}/{doc_id:08d}"
     return {
         "url": url,
         "warc_ts": EPOCH + _dt.timedelta(minutes=doc_id),
-        "html": f"<html><body>{text}</body></html>".encode("utf-8"),
+        "html": (f"<html><body><p>{text}</p>"
+                 f"{_anchors(doc_id, seed, lang)}</body></html>"
+                 ).encode("utf-8"),
         "text": text,
         "lang": lang,
     }
+
+
+# dst-host pool for the embedded outlinks; index 0 (the page's own
+# host) is drawn with probability ~1/2 — the heavy-tailed host-degree
+# skew real crawl link graphs show
+LINK_HOSTS = ("example.org", "news.example.net", "blog.example.net",
+              "cdn.example-media.com", "portal.example.co.kr")
+
+
+def _anchors(doc_id: int, seed: int, lang: str) -> str:
+    """Deterministic <a href> anchors embedded in the page html (the
+    web-graph half of a Common-Crawl page).  SEPARATE rng stream from
+    the text sentences: text bytes (the byte-identity anchor of the
+    whole suite) are untouched."""
+    rng = random.Random((seed << 33) ^ (doc_id * 0x9E3779B1))
+    out = []
+    for j in range(rng.randrange(5)):
+        host = LINK_HOSTS[0] if rng.random() < 0.5 \
+            else LINK_HOSTS[rng.randrange(1, len(LINK_HOSTS))]
+        tgt = rng.randrange(100000)
+        out.append(f'<a href="https://{host}/{lang}/{tgt:08d}">l{j}</a>')
+    return "".join(out)
 
 
 _SPEC = None
