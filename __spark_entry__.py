@@ -1187,6 +1187,16 @@ def q65_dedup_survivors(spark, sf_dir):
                     "survivor_id", "best_score", "n_members"))
 
 
+def q67_chunk_overlap(spark, sf_dir):
+    """Overlapping fixed-size token chunks (32-token windows every 24
+    tokens — the RAG / long-context preprocessing unit).  Per-row
+    array code + one posexplode, zero shuffle, zero Python
+    (operators/pack.py::chunk_documents)."""
+    from python_mecab_ner_spark.operators.pack import chunk_documents
+    d = _loadp(spark, sf_dir, "documents")
+    return chunk_documents(d, "text", "doc_id", size=32, stride=24)
+
+
 # DuckDB twin of _messy_url() below — identical bytes (the testdata
 # corpus has no URL column, so q66 synthesizes deterministic messy
 # URLs the same way q47 injects synthetic PII)
@@ -1492,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_cohort_retention": q64_cohort_retention,
         "q65_dedup_survivors": q65_dedup_survivors,
         "q66_url_canonical": q66_url_canonical,
+        "q67_chunk_overlap": q67_chunk_overlap,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1912,6 +1923,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mx >> 44 AS INT) AS best_score,
                    n_members
             FROM ag
+        """,
+        "q67_chunk_overlap": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(regexp_replace(
+                                  lower(trim(text)), '\\s+', ' ', 'g'),
+                                  ' ') AS w
+                       FROM documents),
+            s AS (SELECT doc_id, w,
+                         unnest(range(0, greatest(len(w), 1), 24)) AS st
+                  FROM t),
+            c AS (SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+                         array_to_string(
+                             w[st + 1 : least(st + 32, len(w))], ' ') AS ct
+                  FROM s WHERE st < len(w))
+            SELECT doc_id, chunk_idx,
+                   CAST(len(regexp_split_to_array(ct, ' ')) AS INT)
+                       AS chunk_toks,
+                   {md5_int_sql('ct')} AS chunk_fp
+            FROM c WHERE ct <> ''
         """,
         "q66_url_canonical": f"""
             WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS u

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import bucket as hash_bucket
+from ..functions.hashing import md5_int
 
 
 def pack_sequences(df: DataFrame, id_col: str, n_tokens_col: str,
@@ -54,3 +55,38 @@ def pack_sequences(df: DataFrame, id_col: str, n_tokens_col: str,
                        f"ELSE prev div {budget} END) - (prev div {budget})")
                 .cast("bigint"))
             .drop("prev"))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    size: int = 32, stride: int = 24) -> DataFrame:
+    """Overlapping fixed-size token chunking (the RAG / long-context
+    preprocessing unit: windows of `size` tokens starting every
+    `stride`, overlap = size - stride carried across boundaries).
+
+    Returns (doc_id, chunk_idx, chunk_toks, chunk_fp) — the
+    fingerprint stands in for the chunk payload so the operator's
+    output is integer-exact cross-engine; downstream embedders read
+    the text via the same slice.
+
+    Scale shape: per-row array code only (split -> filtered start
+    sequence -> posexplode -> slice/join) — zero shuffle, zero Python;
+    chunk fan-out is ~n_toks/stride per document, the same
+    row-multiplier class as the shingle explode."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n)
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      toks.alias("_w"),
+                      F.posexplode(starts).alias("chunk_idx", "_s"))
+            .select("doc_id",
+                    F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                    F.array_join(F.slice("_w", F.col("_s") + 1, size), " ")
+                    .alias("_ct"))
+            .where(F.col("_ct") != "")
+            .select("doc_id", "chunk_idx",
+                    (F.size(F.split(F.col("_ct"), " "))).cast("int")
+                    .alias("chunk_toks"),
+                    md5_int(F.col("_ct")).alias("chunk_fp")))

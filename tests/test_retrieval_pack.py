@@ -66,3 +66,32 @@ def test_pack_sequences_partitioning_invariant(spark):
         bucket = a[doc_id][0]
         firsts.setdefault(bucket, a[doc_id][1:])
     assert all(v == (0, 0) for v in firsts.values())
+
+
+# ---- overlapping chunking -------------------------------------------------
+
+def test_chunk_documents_golden(spark):
+    from python_mecab_ner_spark.operators.pack import chunk_documents
+    docs = [
+        (1, "a b c d e f g h i j"),   # 10 toks, size 4 stride 3
+        (2, "x"),                      # single token -> one chunk
+        (3, "   "),                    # whitespace-only -> no chunks
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = chunk_documents(d, "text", "doc_id", size=4, stride=3).collect()
+    got = {(r.doc_id, r.chunk_idx): r.chunk_toks for r in rows}
+    # starts 0,3,6,9 -> lengths 4,4,4,1; overlap of 1 token per step
+    assert got == {(1, 0): 4, (1, 1): 4, (1, 2): 4, (1, 3): 1,
+                   (2, 0): 1}
+    # fingerprints of overlapping chunks differ (content differs)
+    fps = [r.chunk_fp for r in rows if r.doc_id == 1]
+    assert len(set(fps)) == 4
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    from python_mecab_ner_spark.operators.pack import chunk_documents
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (chunk_documents(d, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode row-multiplier
