@@ -1187,6 +1187,54 @@ def q65_dedup_survivors(spark, sf_dir):
                     "survivor_id", "best_score", "n_members"))
 
 
+def q68_weighted_rank(spark, sf_dir):
+    """Weighted integer PageRank (operators.graph.pagerank_weighted_int)
+    on the part<->supplier graph with edge weight = lineitem count:
+    the crawl-prioritization form of q40 — mass splits by edge weight,
+    all arithmetic 64-bit integer so the unrolled-SQL oracle is
+    bit-exact."""
+    from python_mecab_ner_spark.operators.graph import \
+        pagerank_weighted_int
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = (li.groupBy((F.col("l_partkey") * 2).alias("p"),
+                        (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .agg(F.count("*").cast("bigint").alias("w")))
+    edges = (pairs.select(F.col("p").alias("src"),
+                          F.col("s").alias("dst"), "w")
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"), "w")))
+    return pagerank_weighted_int(edges, iters=3).select(
+        F.col("node").cast("bigint").alias("node"), "pr")
+
+
+def _wpr_oracle_sql(iters: int = 3, scale: int = 1_000_000,
+                    dn: int = 85, dd: int = 100) -> str:
+    """Unrolled weighted-PageRank SQL twin of q68 (same integer
+    recurrence per iteration, generated instead of hand-repeated)."""
+    base = (scale * (dd - dn)) // dd
+    s = f"""
+        WITH pairs AS (SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s,
+                              CAST(count(*) AS BIGINT) AS w
+                       FROM lineitem GROUP BY 1, 2),
+        e AS (SELECT p AS src, s AS dst, w FROM pairs
+              UNION ALL SELECT s, p, w FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        wt AS (SELECT src, sum(w) AS wt FROM e GROUP BY 1),
+        pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    for k in range(1, iters + 1):
+        s += f""",
+        m{k} AS (SELECT e.dst AS node, SUM((p.pr * e.w) // t.wt) AS m
+                 FROM e JOIN pr{k - 1} p ON p.node = e.src
+                 JOIN wt t ON t.src = e.src GROUP BY 1),
+        pr{k} AS (SELECT n.node,
+                         CAST({base} + ({dn} * coalesce(m{k}.m, 0)) // {dd}
+                              AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN m{k} ON m{k}.node = n.node)"""
+    return s + f"""
+        SELECT CAST(node AS BIGINT) AS node, pr FROM pr{iters}"""
+
+
 def q67_chunk_overlap(spark, sf_dir):
     """Overlapping fixed-size token chunks (32-token windows every 24
     tokens — the RAG / long-context preprocessing unit).  Per-row
@@ -1423,6 +1471,26 @@ def kg_extracted_text(spark, sf_dir):
         "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
+def kg_host_rank(spark, sf_dir):
+    """Host authority over the extracted web link graph: weighted
+    integer PageRank (mass split by link count) — the crawl-
+    prioritization signal.  Same localCheckpoint-before-iterating
+    contract as kg_entity_rank; exact pyref pinning in
+    tests/test_weblinks.py."""
+    from python_mecab_ner_spark.operators.graph import \
+        pagerank_weighted_int
+    from python_mecab_ner_spark.operators.weblinks import host_graph
+    g = _kg_graph(spark)
+    edges = (host_graph(g["pages"])
+             .select(F.col("src_host").alias("src"),
+                     F.col("dst_host").alias("dst"),
+                     F.col("n_links").alias("w"))
+             .localCheckpoint())
+    return (pagerank_weighted_int(edges, iters=3)
+            .orderBy(F.col("pr").desc(), F.col("node").asc())
+            .select(F.col("node").alias("host"), "pr"))
+
+
 def kg_outlink_hosts(spark, sf_dir):
     """Host-level web link graph from the pages' html (the hyperlink
     half of a Common-Crawl page): href extraction is a pure JVM
@@ -1503,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_dedup_survivors": q65_dedup_survivors,
         "q66_url_canonical": q66_url_canonical,
         "q67_chunk_overlap": q67_chunk_overlap,
+        "q68_weighted_rank": q68_weighted_rank,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1515,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_clusters": kg_canonical_clusters,
         "kg_extracted_text": kg_extracted_text,
         "kg_outlink_hosts": kg_outlink_hosts,
+        "kg_host_rank": kg_host_rank,
     }
 
 
@@ -1924,6 +1994,7 @@ def oracle_sql() -> dict[str, str]:
                    n_members
             FROM ag
         """,
+        "q68_weighted_rank": _wpr_oracle_sql(iters=3),
         "q67_chunk_overlap": f"""
             WITH t AS (SELECT doc_id,
                               regexp_split_to_array(regexp_replace(

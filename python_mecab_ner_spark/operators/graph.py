@@ -374,3 +374,45 @@ def triangle_counts(edges: DataFrame,
                .unionByName(closed.select(F.col("z").alias("node"))))
     return corners.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_tri"))
+
+
+def pagerank_weighted_int(edges: DataFrame, iters: int = 3,
+                          scale: int = 1_000_000, damping_num: int = 85,
+                          damping_den: int = 100, src: str = "src",
+                          dst: str = "dst",
+                          weight: str = "w") -> DataFrame:
+    """Weighted integer fixed-point PageRank — mass splits by edge
+    weight instead of uniformly over out-edges:
+
+        pr'(v) = (1-d)*scale
+                 + (d_num * sum_{u->v} ((pr(u) * w(u,v)) div W(u)))
+                   div d_den,   W(u) = total out-weight of u
+
+    The crawl-prioritization form: a host linked 500 times from a hub
+    outranks one linked once.  Same 64-bit-integer bit-exactness
+    contract as pagerank_int (floor division everywhere, no floats,
+    summation-order-independent), same per-iteration shape (one join
+    on src + one partial-aggregable groupBy on dst); pr*w stays well
+    inside int64 for scale=1e6 and realistic edge weights.  Deep
+    inputs must be localCheckpoint'ed by the caller before iterating
+    (see kg_entity_rank)."""
+    base = (scale * (damping_den - damping_num)) // damping_den
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("bigint").alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    outw = e.groupBy("src").agg(F.sum("w").alias("wt"))
+    pr = nodes.withColumn("pr", F.lit(scale).cast("bigint"))
+    for _ in range(iters):
+        contrib = (e.join(pr.withColumnRenamed("node", "src"), "src")
+                   .join(outw, "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("(pr * w) div wt").alias("c")))
+        inmass = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        pr = (nodes.join(inmass, "node", "left")
+              .select("node",
+                      (F.lit(base)
+                       + F.expr(f"({damping_num} * coalesce(m, 0)) "
+                                f"div {damping_den}"))
+                      .cast("bigint").alias("pr")))
+    return pr

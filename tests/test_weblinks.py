@@ -60,3 +60,32 @@ def test_text_bytes_unchanged_by_anchor_stream():
         body = re.sub(r"<a href=.*?</a>", "",
                       p["html"].decode("utf-8"))
         assert body == f"<html><body><p>{p['text']}</p></body></html>"
+
+
+def _pyref_weighted_pr(edges, iters=3, scale=1_000_000, dn=85, dd=100):
+    """Python reference of the integer weighted-PageRank recurrence."""
+    base = (scale * (dd - dn)) // dd
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    wt = Counter()
+    for s, _, w in edges:
+        wt[s] += w
+    pr = {n: scale for n in nodes}
+    for _ in range(iters):
+        m = Counter()
+        for s, d, w in edges:
+            m[d] += (pr[s] * w) // wt[s]
+        pr = {n: base + (dn * m.get(n, 0)) // dd for n in nodes}
+    return pr
+
+
+def test_weighted_pagerank_matches_pyref_on_host_graph(spark):
+    from python_mecab_ner_spark.operators.graph import \
+        pagerank_weighted_int
+    want_edges, _ = _pyref_edges()
+    edges = [(s, d, int(w)) for (s, d), w in want_edges.items()]
+    e = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r.node: r.pr
+           for r in pagerank_weighted_int(e, iters=3).collect()}
+    assert got == _pyref_weighted_pr(edges)
+    # weighting matters: the head host out-ranks every other host
+    assert max(got, key=got.get) == LINK_HOSTS[0]
