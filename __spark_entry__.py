@@ -1187,6 +1187,27 @@ def q65_dedup_survivors(spark, sf_dir):
                     "survivor_id", "best_score", "n_members"))
 
 
+def q69_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: content-hash bucket of the
+    doc id (NOT row order — stable under re-partitioning, backfills,
+    and cluster-size changes), 80/10/10 by md5 mod 10.  One narrow
+    projection + one combinable aggregate; per-split doc counts, token
+    mass, and quality mass are the sanity dashboard every dataset
+    release ships."""
+    from python_mecab_ner_spark.functions.hashing import bucket
+    d = _loadp(spark, sf_dir, "documents")
+    b = bucket(F.col("doc_id").cast("string"), 10, salt="split:")
+    split = (F.when(b <= 7, "train").when(b == 8, "val")
+             .otherwise("test"))
+    return (d.select(split.alias("split"),
+                     TX.token_count(F.col("text")).alias("_t"),
+                     TX.quality_score(F.col("text")).alias("_q"))
+            .groupBy("split")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("_t").cast("bigint").alias("sum_tokens"),
+                 F.sum("_q").cast("bigint").alias("sum_quality")))
+
+
 def q68_weighted_rank(spark, sf_dir):
     """Weighted integer PageRank (operators.graph.pagerank_weighted_int)
     on the part<->supplier graph with edge weight = lineitem count:
@@ -1233,6 +1254,57 @@ def _wpr_oracle_sql(iters: int = 3, scale: int = 1_000_000,
                   FROM nodes n LEFT JOIN m{k} ON m{k}.node = n.node)"""
     return s + f"""
         SELECT CAST(node AS BIGINT) AS node, pr FROM pr{iters}"""
+
+
+def q70_communities(spark, sf_dir):
+    """Label-propagation communities (operators.graph.
+    label_propagation_int) on the weighted part<->supplier graph:
+    deterministic synchronous LPA, packed-integer argmax tie-break —
+    bit-exact vs the generated unrolled-SQL oracle."""
+    from python_mecab_ner_spark.operators.graph import \
+        label_propagation_int
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = (li.groupBy((F.col("l_partkey") * 2).alias("p"),
+                        (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .agg(F.count("*").cast("bigint").alias("w")))
+    edges = (pairs.select(F.col("p").alias("src"),
+                          F.col("s").alias("dst"), "w")
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"), "w")))
+    return (label_propagation_int(edges, iters=2, weight="w")
+            .select(F.col("node").cast("bigint").alias("node"),
+                    "community"))
+
+
+def _lpa_oracle_sql(iters: int = 2, id_bits: int = 44) -> str:
+    """Unrolled synchronous-LPA SQL twin of q70 (same packed-integer
+    argmax per round, generated per iteration)."""
+    cap = 1 << id_bits
+    s = f"""
+        WITH pairs AS (SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s,
+                              CAST(count(*) AS BIGINT) AS w
+                       FROM lineitem GROUP BY 1, 2),
+        e AS (SELECT p AS src, s AS dst, w FROM pairs
+              UNION ALL SELECT s, p, w FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        lab0 AS (SELECT node, CAST(node AS BIGINT) AS lab FROM nodes)"""
+    for k in range(1, iters + 1):
+        s += f""",
+        s{k} AS (SELECT e.dst AS node, l.lab AS lab, sum(e.w) AS sw
+                 FROM e JOIN lab{k - 1} l ON l.node = e.src
+                 GROUP BY 1, 2),
+        p{k} AS (SELECT node,
+                        max(sw * {cap} + ({cap - 1} - lab)) AS mx
+                 FROM s{k} GROUP BY 1),
+        lab{k} AS (SELECT n.node,
+                          CAST(coalesce({cap - 1} - (mx & {cap - 1}),
+                                        n.lab) AS BIGINT) AS lab
+                   FROM lab{k - 1} n
+                   LEFT JOIN p{k} ON p{k}.node = n.node)"""
+    return s + f"""
+        SELECT CAST(node AS BIGINT) AS node, lab AS community
+        FROM lab{iters}"""
 
 
 def q67_chunk_overlap(spark, sf_dir):
@@ -1471,6 +1543,26 @@ def kg_extracted_text(spark, sf_dir):
         "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
+def kg_entity_communities(spark, sf_dir):
+    """Topical entity communities over the extracted KG: deterministic
+    synchronous LPA (the q70-certified operator) on the symmetrized
+    edge table; output is the community size histogram.  Same
+    localCheckpoint contract as kg_entity_rank."""
+    from python_mecab_ner_spark.operators.graph import \
+        label_propagation_int
+    g = _kg_graph(spark)
+    e = (g["edges"].select(F.col("src_id").alias("src"),
+                           F.col("dst_id").alias("dst"))
+         .localCheckpoint())
+    sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    lpa = label_propagation_int(sym, iters=2)
+    return (lpa.groupBy("community")
+            .agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .orderBy(F.col("n_nodes").desc(), F.col("community").asc())
+            .limit(10))
+
+
 def kg_host_rank(spark, sf_dir):
     """Host authority over the extracted web link graph: weighted
     integer PageRank (mass split by link count) — the crawl-
@@ -1572,6 +1664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_url_canonical": q66_url_canonical,
         "q67_chunk_overlap": q67_chunk_overlap,
         "q68_weighted_rank": q68_weighted_rank,
+        "q69_hash_split": q69_hash_split,
+        "q70_communities": q70_communities,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -1585,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extracted_text": kg_extracted_text,
         "kg_outlink_hosts": kg_outlink_hosts,
         "kg_host_rank": kg_host_rank,
+        "kg_entity_communities": kg_entity_communities,
     }
 
 
@@ -1995,6 +2090,20 @@ def oracle_sql() -> dict[str, str]:
             FROM ag
         """,
         "q68_weighted_rank": _wpr_oracle_sql(iters=3),
+        "q70_communities": _lpa_oracle_sql(iters=2),
+        "q69_hash_split": f"""
+            WITH b AS (SELECT {bucket_sql("CAST(doc_id AS VARCHAR)", 10,
+                                          salt="split:")} AS b,
+                              {TX.token_count_sql('text')} AS t,
+                              {qual_sql} AS q
+                       FROM documents)
+            SELECT CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(t) AS BIGINT) AS sum_tokens,
+                   CAST(sum(q) AS BIGINT) AS sum_quality
+            FROM b GROUP BY 1
+        """,
         "q67_chunk_overlap": f"""
             WITH t AS (SELECT doc_id,
                               regexp_split_to_array(regexp_replace(

@@ -416,3 +416,53 @@ def pagerank_weighted_int(edges: DataFrame, iters: int = 3,
                                 f"div {damping_den}"))
                       .cast("bigint").alias("pr")))
     return pr
+
+
+def label_propagation_int(edges: DataFrame, iters: int = 2,
+                          src: str = "src", dst: str = "dst",
+                          weight: str | None = None,
+                          id_bits: int = 44) -> DataFrame:
+    """Synchronous label-propagation community detection, fully
+    deterministic: every node starts labeled with its own id; each
+    round it adopts the incoming-neighbor label with the highest total
+    edge weight, ties broken by SMALLEST label via the packed-integer
+    max (weight * 2^id_bits + (2^id_bits-1 - label) — the same
+    tie-break encoding as dedup.survivor_selection, so the SQL oracle
+    has zero argmax ambiguity).  Callers wanting undirected semantics
+    pass symmetrized edges.
+
+    Integer-only arithmetic -> bit-exact cross-engine; synchronous
+    updates (not GraphX's async) -> run-order independent, which is
+    what makes the unrolled-SQL oracle possible.  Known sync-LPA
+    caveat: bipartite structures can oscillate — iters is small and
+    fixed, the fixpoint is not awaited.
+
+    Scale shape per iteration: one join edges x labels on src + one
+    combinable (node, label) weight sum + one combinable packed max
+    per node — the same join/agg silhouette as pagerank_int, so the
+    same localCheckpoint-before-iterating contract applies to deep
+    inputs."""
+    cap = 1 << id_bits
+    w = (F.col(weight).cast("bigint") if weight is not None
+         else F.lit(1).cast("bigint"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    lab = nodes.withColumn("lab", F.col("node").cast("bigint"))
+    for _ in range(iters):
+        votes = (e.join(lab.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"), "lab")
+                 .agg(F.sum("w").alias("s")))
+        best = (votes
+                .select("node",
+                        (F.col("s") * F.lit(cap)
+                         + (F.lit(cap - 1) - F.col("lab"))).alias("_p"))
+                .groupBy("node").agg(F.max("_p").alias("_mx")))
+        lab = (lab.join(best, "node", "left")
+               .select("node",
+                       F.coalesce(
+                           F.lit(cap - 1) - F.col("_mx")
+                           .bitwiseAND(F.lit(cap - 1)),
+                           F.col("lab")).cast("bigint").alias("lab")))
+    return lab.select("node", F.col("lab").alias("community"))

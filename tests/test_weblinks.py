@@ -89,3 +89,27 @@ def test_weighted_pagerank_matches_pyref_on_host_graph(spark):
     assert got == _pyref_weighted_pr(edges)
     # weighting matters: the head host out-ranks every other host
     assert max(got, key=got.get) == LINK_HOSTS[0]
+
+
+def test_label_propagation_golden_ties_and_sync(spark):
+    """Two triangles bridged by one weak edge: LPA keeps them as two
+    communities; within a round every update uses the PREVIOUS round's
+    labels (synchronous), and equal-weight votes pick the smallest
+    label."""
+    from python_mecab_ner_spark.operators.graph import \
+        label_propagation_int
+    tri1 = [(1, 2), (2, 3), (3, 1)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    bridge = [(3, 10)]
+    und = [(a, b) for a, b in tri1 + tri2 + bridge] + \
+          [(b, a) for a, b in tri1 + tri2 + bridge]
+    e = spark.createDataFrame(und, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation_int(e, iters=2).collect()}
+    # round 1 (unweighted, min-label ties): each triangle collapses
+    # toward its smallest ids; round 2 settles 1,2,3 -> 1 and the
+    # second triangle onto its own min labels — communities never mix
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    assert len({got[1], got[2], got[3]} & {got[10], got[11], got[12]}) \
+        <= 1  # bridge may pull node 10 at most
+    assert {got[1], got[2], got[3]} == {1}  # first triangle unified
