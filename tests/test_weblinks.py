@@ -113,3 +113,37 @@ def test_label_propagation_golden_ties_and_sync(spark):
     assert len({got[1], got[2], got[3]} & {got[10], got[11], got[12]}) \
         <= 1  # bridge may pull node 10 at most
     assert {got[1], got[2], got[3]} == {1}  # first triangle unified
+
+
+def test_outlinks_is_streaming_compatible(spark, tmp_path):
+    """The outlink extractor is a stateless projection, so it applies
+    to a readStream unchanged — crawl-time link discovery without a
+    separate code path.  Batch and stream results agree exactly."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    rows = [("https://a.com/1", t0,
+             b'<html><a href="https://b.com/x">x</a>'
+             b'<a href="https://c.com/y">y</a></html>'),
+            ("https://b.com/2", t0, b"<html>no links</html>")]
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (outlinks(stream).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.src_url, r.dst_url)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.src_url, r.dst_url)
+            for r in outlinks(spark.read.parquet(src)).collect()}
+    assert got == want == {("https://a.com/1", "https://b.com/x"),
+                           ("https://a.com/1", "https://c.com/y")}
