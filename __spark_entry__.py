@@ -1543,6 +1543,20 @@ def kg_extracted_text(spark, sf_dir):
         "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
+def kg_anchor_profile(spark, sf_dir):
+    """Inbound anchor-text profile per target host (weblinks.
+    inbound_anchor_profile): how the web describes each host —
+    gazetteer-surface anchors dominate, tying the link graph back to
+    the entity vocabulary.  Pinned to exact pyref (re.findall) counts
+    in tests/test_weblinks.py; mention-bearing terms only (the
+    navigation filler 'l0..l4' is filtered like a stopword list)."""
+    from python_mecab_ner_spark.operators.weblinks import \
+        inbound_anchor_profile
+    g = _kg_graph(spark)
+    return (inbound_anchor_profile(g["pages"])
+            .where(~F.col("term").rlike(r"^l\d$")))
+
+
 def kg_entity_communities(spark, sf_dir):
     """Topical entity communities over the extracted KG: deterministic
     synchronous LPA (the q70-certified operator) on the symmetrized
@@ -1680,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_outlink_hosts": kg_outlink_hosts,
         "kg_host_rank": kg_host_rank,
         "kg_entity_communities": kg_entity_communities,
+        "kg_anchor_profile": kg_anchor_profile,
     }
 
 

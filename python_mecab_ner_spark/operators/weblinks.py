@@ -53,3 +53,41 @@ def host_graph(pages: DataFrame, html_col: str = "html",
                      host_of(F.col("dst_url")).alias("dst_host"))
             .groupBy("src_host", "dst_host")
             .agg(F.count("*").cast("bigint").alias("n_links")))
+
+
+ANCHOR_PATTERN = r'href="([^"]+)"[^>]*>([^<]*)</a>'
+
+
+def anchor_texts(pages: DataFrame, html_col: str = "html",
+                 url_col: str = "url") -> DataFrame:
+    """(src_url, dst_url, anchor) rows — href + its anchor text.
+
+    Same narrow-projection shape as outlinks: two regexp_extract_all
+    passes over the decoded html zipped positionally (the
+    regex_entities trick, functions/text.py) + one explode."""
+    h = F.col(html_col).cast("string")
+    z = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 1).alias("dst_url"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 2).alias("anchor"))
+    return (pages.select(F.col(url_col).alias("src_url"),
+                         F.explode(z).alias("a"))
+            .select("src_url", F.col("a.dst_url").alias("dst_url"),
+                    F.col("a.anchor").alias("anchor")))
+
+
+def inbound_anchor_profile(pages: DataFrame, html_col: str = "html",
+                           url_col: str = "url") -> DataFrame:
+    """Per-target-host inbound anchor-text term counts: (dst_host,
+    term, n) — how the web DESCRIBES each host.  Anchor text is the
+    classic external-description signal for entity canonicalization
+    in web KGs (a surface form used by many independent source pages
+    is strong alias evidence, and it lives outside the page being
+    described).
+
+    Scale shape: ONE combinable aggregate keyed by (host, term) —
+    cardinality is hosts x vocabulary, dimension-sized next to the
+    page set; the head-host key skew dies in partial aggregation."""
+    at = anchor_texts(pages, html_col, url_col)
+    return (at.groupBy(host_of(F.col("dst_url")).alias("dst_host"),
+                       F.col("anchor").alias("term"))
+            .agg(F.count("*").cast("bigint").alias("n")))

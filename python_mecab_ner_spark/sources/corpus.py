@@ -166,7 +166,7 @@ def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dic
         "url": url,
         "warc_ts": EPOCH + _dt.timedelta(minutes=doc_id),
         "html": (f"<html><body><p>{text}</p>"
-                 f"{_anchors(doc_id, seed, lang)}</body></html>"
+                 f"{_anchors(doc_id, seed, lang, spec)}</body></html>"
                  ).encode("utf-8"),
         "text": text,
         "lang": lang,
@@ -180,18 +180,33 @@ LINK_HOSTS = ("example.org", "news.example.net", "blog.example.net",
               "cdn.example-media.com", "portal.example.co.kr")
 
 
-def _anchors(doc_id: int, seed: int, lang: str) -> str:
+def _anchors(doc_id: int, seed: int, lang: str,
+             spec: CorpusSpec | None = None) -> str:
     """Deterministic <a href> anchors embedded in the page html (the
     web-graph half of a Common-Crawl page).  SEPARATE rng stream from
     the text sentences: text bytes (the byte-identity anchor of the
-    whole suite) are untouched."""
+    whole suite) are untouched.
+
+    Anchor TEXT is a gazetteer surface about half the time — inbound
+    anchor text is the classic external-description signal web KGs
+    feed into entity canonicalization, and drawing it from the same
+    pinned vocabulary lets the anchor-profile operator be checked
+    against the entity dimension."""
     rng = random.Random((seed << 33) ^ (doc_id * 0x9E3779B1))
+    pools = []
+    if spec is not None:
+        pools = [p for p in (spec.countries, spec.tours, spec.singers)
+                 if p]
     out = []
     for j in range(rng.randrange(5)):
         host = LINK_HOSTS[0] if rng.random() < 0.5 \
             else LINK_HOSTS[rng.randrange(1, len(LINK_HOSTS))]
         tgt = rng.randrange(100000)
-        out.append(f'<a href="https://{host}/{lang}/{tgt:08d}">l{j}</a>')
+        if pools and rng.random() < 0.5:
+            text = rng.choice(rng.choice(pools))
+        else:
+            text = f"l{j}"
+        out.append(f'<a href="https://{host}/{lang}/{tgt:08d}">{text}</a>')
     return "".join(out)
 
 

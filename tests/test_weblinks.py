@@ -147,3 +147,22 @@ def test_outlinks_is_streaming_compatible(spark, tmp_path):
             for r in outlinks(spark.read.parquet(src)).collect()}
     assert got == want == {("https://a.com/1", "https://b.com/x"),
                            ("https://a.com/1", "https://c.com/y")}
+
+
+def test_anchor_profile_matches_pyref(spark):
+    """Anchor-text extraction (href + text zipped) vs re.findall on
+    the same generated pages — exact (host, term) count agreement;
+    gazetteer-surface anchors actually occur."""
+    from python_mecab_ner_spark.operators.weblinks import (
+        ANCHOR_PATTERN, inbound_anchor_profile)
+    want = Counter()
+    for p in gen_pages(N, seed=42):
+        for dst, txt in re.findall(ANCHOR_PATTERN,
+                                   p["html"].decode("utf-8")):
+            want[(urlsplit(dst).netloc.lower(), txt)] += 1
+    pages = pages_dataframe(spark, N, seed=42)
+    got = {(r.dst_host, r.term): r.n
+           for r in inbound_anchor_profile(pages).collect()}
+    assert got == dict(want)
+    # real vocabulary anchors present (not just the l0..l4 filler)
+    assert any(not t.startswith("l") for _, t in got)
