@@ -1307,6 +1307,28 @@ def _lpa_oracle_sql(iters: int = 2, id_bits: int = 44) -> str:
         FROM lab{iters}"""
 
 
+def q71_cm_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (operators/sketch.py): a d=4 x
+    w=256 integer sketch built in one combinable aggregate, probed for
+    the exact top-20 words — output shows exact count next to the CM
+    estimate, making the sketch's overestimate bias auditable instead
+    of float-hidden.  At 100 TB the sketch is the only state whose
+    size does not grow with vocabulary."""
+    from python_mecab_ner_spark.operators.sketch import (cm_estimate,
+                                                         cm_sketch)
+    d = _loadp(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        .where("word <> ''"))
+    top = (toks.groupBy("word").agg(F.count("*").alias("n"))
+           .orderBy(F.col("n").desc(), F.col("word").asc()).limit(20))
+    sk = cm_sketch(toks, "word", d=4, w=256)
+    est = cm_estimate(top, sk, "word", d=4, w=256)
+    return (top.join(est, top["word"] == est["term"])
+            .select("word", F.col("n").cast("bigint").alias("exact_n"),
+                    "cm_est"))
+
+
 def q67_chunk_overlap(spark, sf_dir):
     """Overlapping fixed-size token chunks (32-token windows every 24
     tokens — the RAG / long-context preprocessing unit).  Per-row
@@ -1680,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_weighted_rank": q68_weighted_rank,
         "q69_hash_split": q69_hash_split,
         "q70_communities": q70_communities,
+        "q71_cm_heavy_hitters": q71_cm_heavy_hitters,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2105,6 +2128,30 @@ def oracle_sql() -> dict[str, str]:
             FROM ag
         """,
         "q68_weighted_rank": _wpr_oracle_sql(iters=3),
+        # d=4 x w=256 count-min sketch: same salted md5 bucket hashes,
+        # same min-over-rows probe as operators/sketch.py
+        "q71_cm_heavy_hitters": f"""
+            WITH wtok AS (SELECT unnest(regexp_split_to_array(
+                                  lower(trim(text)), '\\s+')) AS word
+                          FROM documents),
+            wt AS (SELECT word FROM wtok WHERE word <> ''),
+            top AS (SELECT word, CAST(count(*) AS BIGINT) AS exact_n
+                    FROM wt GROUP BY 1
+                    ORDER BY exact_n DESC, word LIMIT 20),
+            cells AS ({" UNION ALL ".join(
+                f"SELECT {r} AS r, ({md5_int_sql('word', salt=f'cm{r}:')})"
+                f" % 256 AS b FROM wt" for r in range(4))}),
+            sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+                   FROM cells GROUP BY 1, 2),
+            keys AS ({" UNION ALL ".join(
+                f"SELECT word, {r} AS r, "
+                f"({md5_int_sql('word', salt=f'cm{r}:')}) % 256 AS b "
+                f"FROM top" for r in range(4))}),
+            est AS (SELECT word, min(cnt) AS cm_est
+                    FROM keys JOIN sk USING (r, b) GROUP BY 1)
+            SELECT t.word, t.exact_n, CAST(e.cm_est AS BIGINT) AS cm_est
+            FROM top t JOIN est e USING (word)
+        """,
         "q70_communities": _lpa_oracle_sql(iters=2),
         "q69_hash_split": f"""
             WITH b AS (SELECT {bucket_sql("CAST(doc_id AS VARCHAR)", 10,

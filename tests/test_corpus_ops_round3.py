@@ -237,3 +237,34 @@ def test_canonical_url_cross_engine_agreement(spark):
     want = dict(con.execute(
         f"SELECT i, {canonical_url_sql('u')} FROM t").fetchall())
     assert got == want
+
+
+# ---- count-min sketch -----------------------------------------------------
+
+def test_cm_sketch_overestimates_and_probes_exact(spark):
+    from python_mecab_ner_spark.operators.sketch import (cm_estimate,
+                                                         cm_sketch)
+    toks = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 7 + [(f"t{i}",) for i in range(40)],
+        "word string")
+    sk = cm_sketch(toks, "word", d=4, w=64)
+    # total mass preserved per row
+    per_row = {r.r: 0 for r in sk.collect()}
+    for r in sk.collect():
+        per_row[r.r] += r.cnt
+    assert set(per_row.values()) == {97}
+    terms = spark.createDataFrame([("a",), ("b",), ("zz",)],
+                                  "word string")
+    est = {r.term: r.cm_est
+           for r in cm_estimate(terms, sk, "word", d=4, w=64).collect()}
+    # CM guarantee: estimate >= true count; unseen term close to 0
+    assert est["a"] >= 50 and est["b"] >= 7
+    assert est["zz"] <= 40  # bounded by colliding tail mass
+
+
+def test_cm_sketch_is_single_aggregate(spark):
+    from python_mecab_ner_spark.operators.sketch import cm_sketch
+    toks = spark.createDataFrame([("a",)], "word string")
+    plan = (cm_sketch(toks, "word")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") <= 1  # one combinable agg, one scan
