@@ -205,3 +205,38 @@ def stream_decontaminate(pages_stream: DataFrame, bench_bc,
     return (pages_stream
             .withColumn("n_collide", _n_collide(F.col(text_col)))
             .where(F.col("n_collide") <= max_collide))
+
+
+def stream_host_link_counts(pages_stream: DataFrame,
+                            window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Crawl-time link discovery: watermarked windowed (src_host,
+    dst_host) link counts from the pages' html — the streaming twin
+    of weblinks.host_graph feeding a continuously-updated crawl
+    frontier (new hosts appear in the output the window their first
+    inbound link arrives).
+
+    Outlink extraction is the SAME stateless projection as batch
+    (weblinks.outlinks applies to streams unchanged); only the rollup
+    holds state, bounded by (windows in horizon) x |host pairs| —
+    host-dimension-sized, never page-sized."""
+    from ..operators.weblinks import host_of
+
+    return (outlinks_with_ts(pages_stream)
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"),
+                     host_of(F.col("src_url")).alias("src_host"),
+                     host_of(F.col("dst_url")).alias("dst_host"))
+            .agg(F.count("*").cast("bigint").alias("n_links"))
+            .select(F.col("w.start").alias("window_start"),
+                    "src_host", "dst_host", "n_links"))
+
+
+def outlinks_with_ts(pages_stream: DataFrame) -> DataFrame:
+    """outlinks projection that keeps warc_ts (event time) on every
+    link row — still a stateless narrow projection."""
+    from ..operators.weblinks import HREF_PATTERN
+    hrefs = F.regexp_extract_all(F.col("html").cast("string"),
+                                 F.lit(HREF_PATTERN), 1)
+    return pages_stream.select(F.col("url").alias("src_url"), "warc_ts",
+                               F.explode(hrefs).alias("dst_url"))

@@ -369,3 +369,44 @@ def test_stream_decontaminate_filters_in_stream(spark, tmp_path):
     assert q.awaitTermination(120)
     got = {r.url for r in spark.read.parquet(out).collect()}
     assert got == {"clean"}, got
+
+
+def test_stream_host_link_counts_windows_and_watermark(spark, tmp_path):
+    """Watermarked windowed host-graph rollup: link counts land in
+    their warc_ts window, per (src_host, dst_host); batch agreement on
+    the same files."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from python_mecab_ner_spark.streaming.ingest import \
+        stream_host_link_counts
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    t1 = dt.datetime(2026, 1, 1, 13, 30)
+    a = b'<html><a href="https://b.com/x">x</a>' \
+        b'<a href="https://b.com/y">y</a></html>'
+    c = b'<html><a href="https://d.com/z">z</a></html>'
+    rows = [("https://a.com/1", t0, a), ("https://a.com/2", t0, c),
+            ("https://a.com/3", t1, a)]
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    # complete mode + memory sink: append emits a window only once the
+    # watermark passes it, and a drained availableNow run never closes
+    # the newest window (same pattern as the pred-counts rollup test)
+    q = (stream_host_link_counts(stream).writeStream.format("memory")
+         .queryName("host_links").outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.window_start.hour, r.src_host, r.dst_host): r.n_links
+           for r in spark.sql("SELECT * FROM host_links").collect()}
+    assert got == {(12, "a.com", "b.com"): 2, (12, "a.com", "d.com"): 1,
+                   (13, "a.com", "b.com"): 2}
