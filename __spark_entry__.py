@@ -1565,6 +1565,26 @@ def kg_extracted_text(spark, sf_dir):
         "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
+def kg_recrawl_merge(spark, sf_dir):
+    """Recrawl upsert + change ledger (operators/crawl.py): a second
+    snapshot over a half-shifted url window merges latest-per-url via
+    one max_by aggregate; the status counts (added/changed/unchanged/
+    carried) are the incremental work list a 100 TB recrawl pays for
+    instead of the full corpus.  Pinned to exact pyref counts in
+    tests/test_crawl_merge.py."""
+    from python_mecab_ner_spark.operators.crawl import (merge_crawls,
+                                                        recrawl_stats)
+    from python_mecab_ner_spark.sources.corpus import (pages_dataframe,
+                                                       recrawl_pages)
+    old = pages_dataframe(spark, N_KG_DOCS, seed=42)
+    new = recrawl_pages(spark, N_KG_DOCS, seed=42)
+    stats = recrawl_stats(old, new)
+    merged_n = (merge_crawls(old, new)
+                .agg(F.count("*").cast("bigint").alias("n_urls"))
+                .select(F.lit("merged_total").alias("status"), "n_urls"))
+    return stats.unionByName(merged_n)
+
+
 def kg_anchor_profile(spark, sf_dir):
     """Inbound anchor-text profile per target host (weblinks.
     inbound_anchor_profile): how the web describes each host —
@@ -1718,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_host_rank": kg_host_rank,
         "kg_entity_communities": kg_entity_communities,
         "kg_anchor_profile": kg_anchor_profile,
+        "kg_recrawl_merge": kg_recrawl_merge,
     }
 
 

@@ -1,0 +1,63 @@
+"""Crawl-snapshot maintenance: the incremental half of a continuously
+re-crawled corpus.
+
+A recrawl delivers a new snapshot over an overlapping url universe;
+the table of record wants the LATEST page per url (upsert semantics —
+what Iceberg MERGE INTO does downstream) plus the change ledger
+(added / changed / unchanged / carried) that drives incremental
+reprocessing: only `added` + `changed` pages re-enter the annotate ->
+link -> graph pipeline, everything else reuses its lineage partition
+(plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+
+def merge_crawls(old: DataFrame, new: DataFrame, key: str = "url",
+                 ts: str = "warc_ts") -> DataFrame:
+    """Latest-per-key snapshot merge: union + ONE combinable max_by
+    aggregate ordered by (ts, snapshot-rank) — new wins ties.  No
+    window, no second shuffle; the upsert a 100 TB table does as an
+    Iceberg MERGE expresses here as a single hash aggregate keyed by
+    url (high-cardinality, skew-free)."""
+    cols = [c for c in old.columns if c != key]
+    u = (old.withColumn("_src", F.lit(0))
+         .unionByName(new.withColumn("_src", F.lit(1))))
+    payload = F.struct(*[F.col(c) for c in cols])
+    return (u.groupBy(key)
+            .agg(F.max_by(payload, F.struct(F.col(ts), F.col("_src")))
+                 .alias("_p"))
+            .select(key, *[F.col(f"_p.{c}").alias(c) for c in cols]))
+
+
+def recrawl_stats(old: DataFrame, new: DataFrame, key: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """Change ledger between two snapshots: per-status url counts.
+
+    added     — url only in the new crawl
+    changed   — both crawls, content fingerprint differs
+    unchanged — both crawls, identical content
+    carried   — url not re-fetched (old content remains current)
+
+    One full-outer shuffled join on the url key (both sides projected
+    to (key, fingerprint) first — the join ships two thin columns, not
+    pages) + one combinable aggregate.  `added + changed` is the
+    incremental work list; its size, not the corpus size, is what the
+    recrawl pipeline pays."""
+    o = old.select(F.col(key).alias("k"),
+                   fingerprint(F.col(text_col)).alias("ofp"))
+    n = new.select(F.col(key).alias("k"),
+                   fingerprint(F.col(text_col)).alias("nfp"))
+    j = o.join(n, "k", "full_outer")
+    status = (F.when(F.col("nfp").isNull(), "carried")
+              .when(F.col("ofp").isNull(), "added")
+              .when(F.col("ofp") == F.col("nfp"), "unchanged")
+              .otherwise("changed"))
+    return (j.select(status.alias("status"))
+            .groupBy("status")
+            .agg(F.count("*").cast("bigint").alias("n_urls")))

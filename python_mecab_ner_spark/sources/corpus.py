@@ -252,3 +252,55 @@ def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None =
 
     rng_df = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     return rng_df.mapInPandas(gen, schema=schema)
+
+
+def recrawl_pages(spark, n_docs: int, seed: int = 42, alt_seed: int = 43,
+                  overlap_start: int | None = None,
+                  change_mod: int = 5, ts_shift_min: int = 1440,
+                  partitions: int | None = None):
+    """Second crawl snapshot over a half-shifted url window: doc ids
+    [overlap_start, overlap_start + n_docs) (default: n_docs//2 —
+    half the ids overlap crawl 1, half are newly discovered), with
+    warc_ts advanced by ts_shift_min and CHANGED content (alt_seed
+    regeneration) for doc_id % change_mod == 0.  Deterministic per
+    (seed, alt_seed, doc_id) like gen_page, so pyref tests can
+    recompute the exact merge outcome."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    start = n_docs // 2 if overlap_start is None else overlap_start
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ])
+
+    def gen(batches):
+        spec = _default_spec()
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rows.append(recrawl_page(int(i), seed, alt_seed,
+                                         change_mod, ts_shift_min, spec))
+            yield pd.DataFrame(rows)
+
+    rng_df = spark.range(start, start + n_docs,
+                         numPartitions=partitions
+                         or spark.sparkContext.defaultParallelism)
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
+def recrawl_page(doc_id: int, seed: int = 42, alt_seed: int = 43,
+                 change_mod: int = 5, ts_shift_min: int = 1440,
+                 spec: CorpusSpec | None = None) -> dict:
+    """One recrawl row: alt-seed content when changed, crawl-1 content
+    otherwise; url is ALWAYS the crawl-1 url (the page moved in time,
+    not in address), warc_ts advanced."""
+    base = gen_page(doc_id, seed, spec)
+    row = gen_page(doc_id,
+                   alt_seed if doc_id % change_mod == 0 else seed, spec)
+    row["url"] = base["url"]
+    row["warc_ts"] = base["warc_ts"] + _dt.timedelta(minutes=ts_shift_min)
+    return row
