@@ -1565,6 +1565,20 @@ def kg_extracted_text(spark, sf_dir):
         "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
+def kg_html_text(spark, sf_dir):
+    """WET-style text extraction from the raw html (functions/text.py
+    ::html_to_text): per-url fingerprint of the extracted text — the
+    step that turns a WARC crawl into the text column everything else
+    consumes.  Pinned to an exact python-re reference in
+    tests/test_weblinks.py."""
+    from python_mecab_ner_spark.functions.text import html_to_text
+    g = _kg_graph(spark)
+    return g["pages"].select(
+        "url",
+        md5_int(html_to_text(F.col("html").cast("string")))
+        .alias("wet_fp"))
+
+
 def kg_recrawl_merge(spark, sf_dir):
     """Recrawl upsert + change ledger (operators/crawl.py): a second
     snapshot over a half-shifted url window merges latest-per-url via
@@ -1739,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_communities": kg_entity_communities,
         "kg_anchor_profile": kg_anchor_profile,
         "kg_recrawl_merge": kg_recrawl_merge,
+        "kg_html_text": kg_html_text,
     }
 
 

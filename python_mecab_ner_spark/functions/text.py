@@ -291,3 +291,24 @@ def canonical_url_sql(expr: str) -> str:
     u = f"regexp_replace({u}, '([?&])utm_[^&]*$', '', 'g')"
     u = f"regexp_replace({u}, '/[?]', '?', 'g')"
     return f"regexp_replace({u}, '/+$', '', 'g')"
+
+
+# ---- html -> text extraction ----------------------------------------------
+
+_HTML_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def html_to_text(col) -> Column:
+    """Main-content text extraction from raw page html (the
+    Common-Crawl WET step, simplified): drop <script>/<style> blocks
+    wholesale, strip remaining tags to spaces, decode the common
+    entities (&amp; LAST so it cannot manufacture new entities),
+    collapse whitespace.  Pure JVM regexp chain — runs inside the same
+    codegen stage as the scan; the python twin used by tests is
+    tests/test_weblinks.py::_pyref_html_to_text."""
+    s = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))

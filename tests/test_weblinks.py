@@ -166,3 +166,49 @@ def test_anchor_profile_matches_pyref(spark):
     assert got == dict(want)
     # real vocabulary anchors present (not just the l0..l4 filler)
     assert any(not t.startswith("l") for _, t in got)
+
+
+def _pyref_html_to_text(html: str) -> str:
+    """Python twin of functions.text.html_to_text (same chain, same
+    order)."""
+    s = re.sub(r"(?is)<(script|style)[^>]*>.*?</\1>", " ", html)
+    s = re.sub(r"<[^>]*>", " ", s)
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
+        s = s.replace(ent, rep)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def test_html_to_text_matches_pyref_on_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.functions.text import html_to_text
+    pages = pages_dataframe(spark, 100, seed=42)
+    got = {r.url: r.t for r in pages.select(
+        "url", html_to_text(F.col("html").cast("string")).alias("t"))
+        .collect()}
+    for p in gen_pages(100, seed=42):
+        want = _pyref_html_to_text(p["html"].decode("utf-8"))
+        assert got[p["url"]] == want
+        # the original text survives extraction verbatim
+        assert p["text"] in got[p["url"]]
+
+
+def test_html_to_text_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.functions.text import html_to_text
+    cases = [
+        ("<html><script>var x = '<p>';</script><p>kept</p></html>",
+         "kept"),
+        ("<style a=b>h1 {color: red}</style>text", "text"),
+        ("a &amp;lt; b", "a &lt; b"),   # &amp; decoded LAST, once
+        ("x&nbsp;&nbsp;y", "x y"),
+        ("<br/>line<BR>two", "line two"),
+    ]
+    d = spark.createDataFrame(cases, "h string, want string")
+    bad = (d.select("h", "want", html_to_text(F.col("h")).alias("got"))
+           .where(F.col("got") != F.col("want")).collect())
+    assert bad == [], bad
+    for h, want in cases:
+        assert _pyref_html_to_text(h) == want
