@@ -268,3 +268,52 @@ def test_cm_sketch_is_single_aggregate(spark):
     plan = (cm_sketch(toks, "word")
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") <= 1  # one combinable agg, one scan
+
+
+# ---- randomized agreement sweeps ------------------------------------------
+
+def test_chunk_documents_randomized_vs_python(spark):
+    """Random token counts (incl. the size/stride boundary cases) vs a
+    direct python chunker — exact (doc, idx, toks) agreement."""
+    import random
+
+    from python_mecab_ner_spark.operators.pack import chunk_documents
+    rng = random.Random(7)
+    docs = [(i, " ".join(f"w{rng.randrange(50)}"
+                         for _ in range(rng.choice(
+                             [0, 1, 23, 24, 25, 31, 32, 33, 100]))))
+            for i in range(60)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_idx): r.chunk_toks
+           for r in chunk_documents(d, "text", "doc_id",
+                                    size=32, stride=24).collect()}
+    want = {}
+    for i, text in docs:
+        toks = text.split()
+        for ci, s in enumerate(range(0, max(len(toks), 1), 24)):
+            chunk = toks[s:s + 32]
+            if chunk:
+                want[(i, ci)] = len(chunk)
+    assert got == want
+
+
+def test_survivor_selection_randomized_vs_python(spark):
+    import random
+
+    from python_mecab_ner_spark.operators.dedup import survivor_selection
+    rng = random.Random(11)
+    rows = [(rng.randrange(40), i, rng.randrange(5))  # dense score ties
+            for i in range(500)]
+    m = spark.createDataFrame(rows, "c long, id long, q int")
+    got = {r.cluster: (r.survivor_id, r.best_score, r.n_members)
+           for r in survivor_selection(m, "c", "id", "q").collect()}
+    want = {}
+    for c, i, q in rows:
+        cur = want.get(c)
+        if cur is None or (q, -i) > (cur[1], -cur[0]):
+            want[c] = (i, q, 0)
+    counts = {}
+    for c, *_ in rows:
+        counts[c] = counts.get(c, 0) + 1
+    want = {c: (i, q, counts[c]) for c, (i, q, _) in want.items()}
+    assert got == want

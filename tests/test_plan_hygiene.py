@@ -266,3 +266,35 @@ def test_neighbor_jaccard_broadcasts_degree_dims(spark, sf01):
     # the two degree probes are broadcast (node vocabulary is
     # corpus-bounded); the wedge join is the only corpus-sized join
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q71_sketch_probe_broadcasts(spark, sf01):
+    """The CM probe joins top terms against the d*w-row sketch — that
+    side must broadcast, never shuffle."""
+    plan = _plan(entry.q71_cm_heavy_hitters(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q66_canonical_url_single_aggregate(spark, sf01):
+    """URL canonicalization is projection-only before ONE combinable
+    aggregate: no join, no window; the regexp chain stays in the
+    scan-side stage."""
+    plan = _plan(entry.q66_url_canonical(spark, sf01))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_q65_survivors_no_window(spark, sf01):
+    """Survivor selection adds ONE aggregate on top of the q27
+    cluster plan — no window anywhere."""
+    plan = _plan(entry.q65_dedup_survivors(spark, sf01))
+    assert "Window" not in plan, plan
+
+
+def test_q68_weighted_rank_partial_aggregates(spark, sf01):
+    """Each weighted-PageRank iteration must keep map-side partial
+    aggregation on the inbound-mass groupBy (sum is combinable)."""
+    plan = _plan(entry.q68_weighted_rank(spark, sf01))
+    assert plan.count("HashAggregate") >= 6, plan  # 3 iters x partial+final
