@@ -1329,6 +1329,31 @@ def q71_cm_heavy_hitters(spark, sf_dir):
                     "cm_est"))
 
 
+def q72_training_prep(spark, sf_dir):
+    """End-to-end training-set preparation — the composition the
+    whole corpus-cleaning family exists for, as ONE plan: quality
+    gate (q13's scorer) -> PII redaction (q47's chain) -> overlapping
+    token chunking (q67) -> deterministic hash-bucket packing into
+    128-token bins (q60's arithmetic) -> per-bin occupancy.  Every
+    stage is individually oracled; this query certifies the
+    composition end-to-end with one more exact SQL twin."""
+    from python_mecab_ner_spark.operators.pack import (chunk_documents,
+                                                       pack_sequences)
+    d = _loadp(spark, sf_dir, "documents")
+    gated = (d.where(TX.quality_score(F.col("text")) >= 60)
+             .select("doc_id", TX.pii_redact(F.col("text")).alias("text")))
+    chunks = chunk_documents(gated, "text", "doc_id", size=32, stride=24)
+    sized = chunks.select(
+        (F.col("doc_id") * 1024 + F.col("chunk_idx")).alias("cid"),
+        F.col("chunk_toks").cast("bigint").alias("n_tokens"))
+    packed = pack_sequences(sized, "cid", "n_tokens",
+                            budget=128, n_buckets=8)
+    return (packed.groupBy(F.col("bucket").cast("int").alias("bucket"),
+                           F.col("bin_id"))
+            .agg(F.count("*").cast("bigint").alias("n_chunks"),
+                 F.sum("n_tokens").cast("bigint").alias("sum_tokens")))
+
+
 def q67_chunk_overlap(spark, sf_dir):
     """Overlapping fixed-size token chunks (32-token windows every 24
     tokens — the RAG / long-context preprocessing unit).  Per-row
@@ -1737,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_hash_split": q69_hash_split,
         "q70_communities": q70_communities,
         "q71_cm_heavy_hitters": q71_cm_heavy_hitters,
+        "q72_training_prep": q72_training_prep,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2201,6 +2227,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(t) AS BIGINT) AS sum_tokens,
                    CAST(sum(q) AS BIGINT) AS sum_quality
             FROM b GROUP BY 1
+        """,
+        # the composed cleaning->chunk->pack pipeline: same chunk CTE
+        # as q67 over the gated+redacted text, same prefix-sum packing
+        # arithmetic as q60 keyed by the composite chunk id
+        "q72_training_prep": f"""
+            WITH g AS (SELECT doc_id,
+                              {TX.pii_redact_sql('text')} AS rtext
+                       FROM documents WHERE {qual_sql} >= 60),
+            t AS (SELECT doc_id,
+                         regexp_split_to_array(regexp_replace(
+                             lower(trim(rtext)), '\\s+', ' ', 'g'),
+                             ' ') AS w
+                  FROM g),
+            s AS (SELECT doc_id, w,
+                         unnest(range(0, greatest(len(w), 1), 24)) AS st
+                  FROM t),
+            c AS (SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+                         array_to_string(
+                             w[st + 1 : least(st + 32, len(w))], ' ') AS ct
+                  FROM s WHERE st < len(w)),
+            ch AS (SELECT doc_id * 1024 + chunk_idx AS cid,
+                          CAST(len(regexp_split_to_array(ct, ' '))
+                               AS BIGINT) AS n_tokens
+                   FROM c WHERE ct <> ''),
+            n AS (SELECT cid, n_tokens,
+                         {bucket_sql("CAST(cid AS VARCHAR)", 8,
+                                     salt="pack:")} AS bucket
+                  FROM ch),
+            p AS (SELECT cid, bucket, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             PARTITION BY bucket ORDER BY cid
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS prev
+                  FROM n)
+            SELECT CAST(bucket AS INT) AS bucket,
+                   CAST(prev // 128 AS BIGINT) AS bin_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM p GROUP BY 1, 2
         """,
         "q67_chunk_overlap": f"""
             WITH t AS (SELECT doc_id,
