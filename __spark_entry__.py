@@ -1329,6 +1329,54 @@ def q71_cm_heavy_hitters(spark, sf_dir):
                     "cm_est"))
 
 
+def q73_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (operators/bpe.py): one
+    corpus pass to the weighted word-frequency table, then vocab-sized
+    merge rounds (pair explode -> combinable weight sum -> argmax ->
+    literal sentinel-replace).  The 3-round merge table is bit-exact
+    vs the generated unrolled-SQL twin."""
+    from python_mecab_ner_spark.operators.bpe import bpe_merge_table
+    d = _loadp(spark, sf_dir, "documents")
+    return bpe_merge_table(spark, d, "text", iters=3)
+
+
+def _bpe_oracle_sql(iters: int = 3) -> str:
+    """Unrolled SQL twin of q73: same symbol sentinels, same pair
+    weights, same bytewise tie-break, same 3-pass literal replace."""
+    s = """
+        WITH tok AS (SELECT unnest(regexp_split_to_array(
+                         lower(trim(text)), '\\s+')) AS word
+                     FROM documents),
+        wf AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok
+               WHERE word <> '' GROUP BY 1),
+        s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ',
+                                                 'g')) || ' ' AS sym, n
+               FROM wf)"""
+    for k in range(1, iters + 1):
+        s += f""",
+        a{k} AS (SELECT regexp_split_to_array(trim(sym), ' ') AS arr, n
+                 FROM s{k - 1}),
+        p{k} AS (SELECT arr[i + 1] || ' ' || arr[i + 2] AS pair,
+                        CAST(sum(n) AS BIGINT) AS cnt
+                 FROM (SELECT arr, n,
+                              unnest(range(0, greatest(len(arr) - 1, 0)))
+                                  AS i
+                       FROM a{k})
+                 GROUP BY 1),
+        b{k} AS (SELECT pair, cnt FROM p{k}
+                 ORDER BY cnt DESC, pair LIMIT 1),
+        s{k} AS (SELECT replace(replace(replace(s.sym, x.t, x.r),
+                                        x.t, x.r), x.t, x.r) AS sym, s.n
+                 FROM s{k - 1} s CROSS JOIN
+                      (SELECT ' ' || pair || ' ' AS t,
+                              ' ' || replace(pair, ' ', '') || ' ' AS r
+                       FROM b{k}) x)"""
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k - 1} AS INT) AS rank, pair, cnt FROM b{k}"
+        for k in range(1, iters + 1))
+    return s + f" {finals}"
+
+
 def q72_training_prep(spark, sf_dir):
     """End-to-end training-set preparation — the composition the
     whole corpus-cleaning family exists for, as ONE plan: quality
@@ -1763,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_communities": q70_communities,
         "q71_cm_heavy_hitters": q71_cm_heavy_hitters,
         "q72_training_prep": q72_training_prep,
+        "q73_bpe_merges": q73_bpe_merges,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2215,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
             FROM top t JOIN est e USING (word)
         """,
         "q70_communities": _lpa_oracle_sql(iters=2),
+        "q73_bpe_merges": _bpe_oracle_sql(iters=3),
         "q69_hash_split": f"""
             WITH b AS (SELECT {bucket_sql("CAST(doc_id AS VARCHAR)", 10,
                                           salt="split:")} AS b,

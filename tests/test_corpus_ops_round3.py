@@ -317,3 +317,31 @@ def test_survivor_selection_randomized_vs_python(spark):
         counts[c] = counts.get(c, 0) + 1
     want = {c: (i, q, counts[c]) for c, (i, q, _) in want.items()}
     assert got == want
+
+
+# ---- BPE vocabulary induction ---------------------------------------------
+
+def test_bpe_merge_table_golden(spark):
+    """Classic BPE toy corpus: weighted counts, bytewise tie-break
+    ('l o' beats 'o w' at equal weight), merges feed later rounds."""
+    from python_mecab_ner_spark.operators.bpe import bpe_merge_table
+    d = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string")
+    got = [(r.rank, r.pair, r.cnt)
+           for r in bpe_merge_table(spark, d, "text", iters=3)
+           .orderBy("rank").collect()]
+    assert got == [(0, "l o", 5), (1, "lo w", 5), (2, "e r", 2)]
+
+
+def test_bpe_merge_applies_across_repeat_runs(spark):
+    """The 3-pass literal replace merges EVERY occurrence in an
+    alternating run ('ababab' -> ab ab ab), not just the first — the
+    round-2 pair counts prove the application was complete."""
+    from python_mecab_ner_spark.operators.bpe import bpe_merge_table
+    d = spark.createDataFrame([(1, "ababab ababab")],
+                              "doc_id long, text string")
+    got = [(r.rank, r.pair, r.cnt)
+           for r in bpe_merge_table(spark, d, "text", iters=2)
+           .orderBy("rank").collect()]
+    assert got == [(0, "a b", 6), (1, "ab ab", 4)]
