@@ -1340,9 +1340,12 @@ def q73_bpe_merges(spark, sf_dir):
     return bpe_merge_table(spark, d, "text", iters=3)
 
 
-def _bpe_oracle_sql(iters: int = 3) -> str:
-    """Unrolled SQL twin of q73: same symbol sentinels, same pair
-    weights, same bytewise tie-break, same 3-pass literal replace."""
+def _bpe_cte(iters: int = 3, keep_word: bool = False) -> str:
+    """Shared unrolled BPE CTE chain (q73 + q74): same symbol
+    sentinels, same pair weights, same bytewise tie-break, same 3-pass
+    literal replace.  keep_word threads the word key through every
+    round (q74 needs word -> final segmentation)."""
+    w = ", word" if keep_word else ""
     s = """
         WITH tok AS (SELECT unnest(regexp_split_to_array(
                          lower(trim(text)), '\\s+')) AS word
@@ -1350,9 +1353,11 @@ def _bpe_oracle_sql(iters: int = 3) -> str:
         wf AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok
                WHERE word <> '' GROUP BY 1),
         s0 AS (SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ',
-                                                 'g')) || ' ' AS sym, n
-               FROM wf)"""
+                                                 'g')) || ' ' AS sym,
+                      n{w}
+               FROM wf)""".replace("{w}", w)
     for k in range(1, iters + 1):
+        sw = ", s.word" if keep_word else ""
         s += f""",
         a{k} AS (SELECT regexp_split_to_array(trim(sym), ' ') AS arr, n
                  FROM s{k - 1}),
@@ -1366,15 +1371,31 @@ def _bpe_oracle_sql(iters: int = 3) -> str:
         b{k} AS (SELECT pair, cnt FROM p{k}
                  ORDER BY cnt DESC, pair LIMIT 1),
         s{k} AS (SELECT replace(replace(replace(s.sym, x.t, x.r),
-                                        x.t, x.r), x.t, x.r) AS sym, s.n
+                                        x.t, x.r), x.t, x.r) AS sym,
+                        s.n{sw}
                  FROM s{k - 1} s CROSS JOIN
                       (SELECT ' ' || pair || ' ' AS t,
                               ' ' || replace(pair, ' ', '') || ' ' AS r
                        FROM b{k}) x)"""
+    return s
+
+
+def _bpe_oracle_sql(iters: int = 3) -> str:
     finals = " UNION ALL ".join(
         f"SELECT CAST({k - 1} AS INT) AS rank, pair, cnt FROM b{k}"
         for k in range(1, iters + 1))
-    return s + f" {finals}"
+    return _bpe_cte(iters) + f" {finals}"
+
+
+def q74_bpe_token_counts(spark, sf_dir):
+    """Apply the learned BPE (q73's merge table) to the corpus:
+    per-doc token counts under the induced vocabulary — segmentation
+    runs once per DISTINCT word (vocab-sized) and broadcasts back, so
+    corpus cost is one explode + one broadcast join + one combinable
+    sum."""
+    from python_mecab_ner_spark.operators.bpe import bpe_token_counts
+    d = _loadp(spark, sf_dir, "documents")
+    return bpe_token_counts(spark, d, "text", "doc_id", iters=3)
 
 
 def q72_training_prep(spark, sf_dir):
@@ -1812,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_cm_heavy_hitters": q71_cm_heavy_hitters,
         "q72_training_prep": q72_training_prep,
         "q73_bpe_merges": q73_bpe_merges,
+        "q74_bpe_token_counts": q74_bpe_token_counts,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2265,6 +2287,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q70_communities": _lpa_oracle_sql(iters=2),
         "q73_bpe_merges": _bpe_oracle_sql(iters=3),
+        "q74_bpe_token_counts": _bpe_cte(3, keep_word=True) + """,
+            v AS (SELECT word,
+                         CAST(len(regexp_split_to_array(trim(sym), ' '))
+                              AS BIGINT) AS n_tok
+                  FROM s3),
+            dtok AS (SELECT doc_id,
+                            unnest(regexp_split_to_array(
+                                lower(trim(text)), '\\s+')) AS word
+                     FROM documents)
+            SELECT doc_id, CAST(sum(v.n_tok) AS BIGINT) AS n_bpe_tokens
+            FROM dtok JOIN v USING (word)
+            WHERE dtok.word <> ''
+            GROUP BY 1
+        """,
         "q69_hash_split": f"""
             WITH b AS (SELECT {bucket_sql("CAST(doc_id AS VARCHAR)", 10,
                                           salt="split:")} AS b,

@@ -89,3 +89,33 @@ def bpe_merge_table(spark: SparkSession, df: DataFrame, text_col: str,
     out = spark.createDataFrame(merges, "rank int, pair string, cnt long")
     wf.unpersist()
     return out
+
+
+def bpe_token_counts(spark: SparkSession, df: DataFrame, text_col: str,
+                     id_col: str, iters: int = 3) -> DataFrame:
+    """Corpus token counts under the learned BPE — 'how many tokens is
+    my dataset', the first question every pretraining budget asks.
+
+    Scale decomposition mirrors training: segmentation happens per
+    DISTINCT word (vocab-sized — each word is segmented once, not once
+    per occurrence), the per-word token count is broadcast back, and
+    the per-doc count is one combinable sum.  Returns
+    (doc_id, n_bpe_tokens)."""
+    merges = [r.pair for r in
+              bpe_merge_table(spark, df, text_col, iters=iters)
+              .orderBy("rank").collect()]
+    words = (df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("word"))
+        .where("word <> ''"))
+    sym = _sym0(F.col("word"))
+    for pair in merges:
+        sym = _apply_merge(sym, pair)
+    vocab = (words.select("word").distinct()
+             .select("word",
+                     F.size(F.split(F.trim(sym), " "))
+                     .cast("bigint").alias("n_tok")))
+    return (words.join(F.broadcast(vocab), "word")
+            .groupBy("doc_id")
+            .agg(F.sum("n_tok").cast("bigint").alias("n_bpe_tokens")))

@@ -345,3 +345,16 @@ def test_bpe_merge_applies_across_repeat_runs(spark):
            for r in bpe_merge_table(spark, d, "text", iters=2)
            .orderBy("rank").collect()]
     assert got == [(0, "a b", 6), (1, "ab ab", 4)]
+
+
+def test_bpe_token_counts_golden(spark):
+    """low/lower/newest corpus after 3 merges (l o, lo w, e r):
+    low -> [low]=1, lower -> [low, er]=2, newest -> 6 chars."""
+    from python_mecab_ner_spark.operators.bpe import bpe_token_counts
+    d = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_bpe_tokens
+           for r in bpe_token_counts(spark, d, "text", "doc_id",
+                                     iters=3).collect()}
+    assert got == {1: 3, 2: 4, 3: 6}
