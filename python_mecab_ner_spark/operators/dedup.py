@@ -384,3 +384,16 @@ def survivor_selection(members: DataFrame, cluster_col: str, id_col: str,
         .cast("bigint").alias("survivor_id"),
         F.shiftright(F.col("_mx"), id_bits).cast("int").alias("best_score"),
         "n_members")
+
+
+def minhash_merge(a: DataFrame, b: DataFrame,
+                  n_hashes: int = 16) -> DataFrame:
+    """Merge per-doc minhash signatures across corpus slices by
+    elementwise MIN — signatures are mergeable exactly like the
+    underlying min aggregates, so a re-crawled/amended document's
+    signature folds into the standing one without re-shingling history:
+    sig(A ∪ B) == merge(sig(A), sig(B)) (proven by test).  One
+    combinable aggregate keyed by doc."""
+    u = a.unionByName(b)
+    aggs = [F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
+    return u.groupBy("doc_id").agg(*aggs)

@@ -57,3 +57,17 @@ def cm_estimate(terms: DataFrame, sketch: DataFrame, term_col: str,
     return (probes.join(F.broadcast(sketch), ["r", "b"])
             .groupBy("term")
             .agg(F.min("cnt").cast("bigint").alias("cm_est")))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CM sketches by cellwise addition — the algebraic property
+    that makes the sketch maintainable incrementally: sketch(A ∪ B) ==
+    merge(sketch(A), sketch(B)) exactly (proven by test).  A daily
+    crawl keeps one sketch per partition/day and folds them without
+    touching raw data; the merge is one combinable aggregate over
+    d*w-row inputs."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy("r", "b")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt")))

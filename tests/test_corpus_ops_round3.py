@@ -358,3 +358,44 @@ def test_bpe_token_counts_golden(spark):
            for r in bpe_token_counts(spark, d, "text", "doc_id",
                                      iters=3).collect()}
     assert got == {1: 3, 2: 4, 3: 6}
+
+
+# ---- sketch mergeability (incremental maintenance) ------------------------
+
+def test_cm_sketch_merge_equals_sketch_of_union(spark):
+    """sketch(A ∪ B) == cellwise-merge(sketch(A), sketch(B)) — the
+    property that lets a daily crawl fold per-day sketches without
+    re-reading history."""
+    from python_mecab_ner_spark.operators.sketch import cm_merge, cm_sketch
+    a = spark.createDataFrame([(w,) for w in "x y x z".split()],
+                              "word string")
+    b = spark.createDataFrame([(w,) for w in "y y q x".split()],
+                              "word string")
+    both = a.unionByName(b)
+    want = {(r.r, r.b): r.cnt
+            for r in cm_sketch(both, "word", d=3, w=32).collect()}
+    got = {(r.r, r.b): r.cnt
+           for r in cm_merge(cm_sketch(a, "word", d=3, w=32),
+                             cm_sketch(b, "word", d=3, w=32)).collect()}
+    assert got == want
+
+
+def test_minhash_merge_equals_signature_of_union(spark):
+    """sig over the union of two text slices == elementwise min of the
+    per-slice signatures (same doc split across slices)."""
+    from python_mecab_ner_spark.operators.dedup import (minhash_merge,
+                                                        minhash_signatures)
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "beta gamma epsilon zeta"), (2, "five six seven eight")],
+        "doc_id long, text string")
+    both = a.unionByName(b)
+    want = {r.doc_id: tuple(r[f"mh{i}"] for i in range(16))
+            for r in minhash_signatures(both, "text", "doc_id").collect()}
+    got = {r.doc_id: tuple(r[f"mh{i}"] for i in range(16))
+           for r in minhash_merge(
+               minhash_signatures(a, "text", "doc_id"),
+               minhash_signatures(b, "text", "doc_id")).collect()}
+    assert got == want
