@@ -171,5 +171,17 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
                               label_universe=gaz_df.select("large"))
     edges = build_edges(triples, linked, canonical)
     info = materialize_graph(edges, vertices, out_dir)
+    if "html" in pages_df.columns:
+        # web-graph side tables (host link graph + inbound anchor-text
+        # profiles): host-dimension-sized aggregates off a second
+        # narrow scan of the raw pages — cheap next to annotate, and
+        # the crawl-prioritization consumers read THESE, not pages
+        from ..operators.weblinks import host_graph, inbound_anchor_profile
+        (host_graph(pages_df).repartition(1)
+         .write.mode("overwrite").parquet(f"{out_dir}/hosts"))
+        (inbound_anchor_profile(pages_df).repartition(1)
+         .write.mode("overwrite").parquet(f"{out_dir}/anchors"))
+        info["hosts"] = f"{out_dir}/hosts"
+        info["anchors"] = f"{out_dir}/anchors"
     info["annotated_rows"] = annotated.count()
     return info

@@ -212,3 +212,21 @@ def test_html_to_text_edge_cases(spark):
     assert bad == [], bad
     for h, want in cases:
         assert _pyref_html_to_text(h) == want
+
+
+def test_pipeline_writes_web_graph_tables(spark, tmp_path):
+    from python_mecab_ner_spark.plans.pipeline import run_pipeline
+    out = str(tmp_path / "kg")
+    pages = pages_dataframe(spark, 80, seed=42)
+    info = run_pipeline(spark, pages, out, n_parts=4, canonicalize=False)
+    assert info["hosts"].endswith("/hosts")
+    hosts = spark.read.parquet(info["hosts"])
+    anchors = spark.read.parquet(info["anchors"])
+    assert set(hosts.columns) == {"src_host", "dst_host", "n_links"}
+    assert set(anchors.columns) == {"dst_host", "term", "n"}
+    # agrees with the direct operators on the same pages
+    from python_mecab_ner_spark.operators.weblinks import host_graph
+    want = {(r.src_host, r.dst_host): r.n_links
+            for r in host_graph(pages).collect()}
+    got = {(r.src_host, r.dst_host): r.n_links for r in hosts.collect()}
+    assert got == want
