@@ -272,8 +272,13 @@ _URL_SPLIT = "^([^:/?#]+://[^/?#]*)(.*)$"
 
 
 def canonical_url(col) -> Column:
-    lowered = F.concat(F.lower(F.regexp_extract(col, _URL_SPLIT, 1)),
-                       F.regexp_extract(col, _URL_SPLIT, 2))
+    # schemeless input: regexp_extract returns '' for BOTH groups on a
+    # no-match, which would erase the url — pass it through unchanged
+    # into the rest of the chain instead
+    lowered = F.when(
+        col.rlike("^[^:/?#]+://"),
+        F.concat(F.lower(F.regexp_extract(col, _URL_SPLIT, 1)),
+                 F.regexp_extract(col, _URL_SPLIT, 2))).otherwise(col)
     no_frag = F.regexp_replace(lowered, "#.*", "")
     u = F.regexp_replace(no_frag, "([?&])utm_[^&]*&", "$1")
     u = F.regexp_replace(u, "([?&])utm_[^&]*&", "$1")
@@ -283,8 +288,10 @@ def canonical_url(col) -> Column:
 
 
 def canonical_url_sql(expr: str) -> str:
-    lowered = (f"(lower(regexp_extract({expr}, '{_URL_SPLIT}', 1)) || "
-               f"regexp_extract({expr}, '{_URL_SPLIT}', 2))")
+    lowered = (f"(CASE WHEN regexp_matches({expr}, '^[^:/?#]+://') THEN "
+               f"lower(regexp_extract({expr}, '{_URL_SPLIT}', 1)) || "
+               f"regexp_extract({expr}, '{_URL_SPLIT}', 2) "
+               f"ELSE {expr} END)")
     no_frag = f"regexp_replace({lowered}, '#.*', '', 'g')"
     u = f"regexp_replace({no_frag}, '([?&])utm_[^&]*&', '\\1', 'g')"
     u = f"regexp_replace({u}, '([?&])utm_[^&]*&', '\\1', 'g')"

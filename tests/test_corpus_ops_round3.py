@@ -202,6 +202,8 @@ URL_GOLD = [
     # path case preserved, host lowered, trailing slashes stripped
     ("https://A.B.Com/Mixed/Case//", "https://a.b.com/Mixed/Case"),
     ("http://a.com/", "http://a.com"),
+    # schemeless input passes through the chain instead of erasing
+    ("Example.com/p/?utm_a=1#f", "Example.com/p"),
 ]
 
 
