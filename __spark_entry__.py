@@ -1398,6 +1398,21 @@ def q74_bpe_token_counts(spark, sf_dir):
     return bpe_token_counts(spark, d, "text", "doc_id", iters=3)
 
 
+def q75_hll_registers(spark, sf_dir):
+    """HyperLogLog register table over the corpus vocabulary
+    (operators/sketch.py::hll_registers): approximate-distinct state
+    that is integer-exact, mergeable, and 64 rows at ANY corpus size.
+    The float harmonic-mean estimate is a documented client-side
+    formula (hll_estimate) kept out of the engine so the oracle stays
+    bit-exact."""
+    from python_mecab_ner_spark.operators.sketch import hll_registers
+    d = _loadp(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        .where("word <> ''"))
+    return hll_registers(toks, "word", n_registers=64)
+
+
 def q72_training_prep(spark, sf_dir):
     """End-to-end training-set preparation — the composition the
     whole corpus-cleaning family exists for, as ONE plan: quality
@@ -1834,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_training_prep": q72_training_prep,
         "q73_bpe_merges": q73_bpe_merges,
         "q74_bpe_token_counts": q74_bpe_token_counts,
+        "q75_hll_registers": q75_hll_registers,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2263,6 +2279,20 @@ def oracle_sql() -> dict[str, str]:
         "q68_weighted_rank": _wpr_oracle_sql(iters=3),
         # d=4 x w=256 count-min sketch: same salted md5 bucket hashes,
         # same min-over-rows probe as operators/sketch.py
+        # bucket = h & 63, payload = h >> 6 (54 bits), rho = 55 -
+        # bit_length(payload) — the same length(bin(x)) idiom as q38
+        "q75_hll_registers": f"""
+            WITH tok AS (SELECT unnest(regexp_split_to_array(
+                             lower(trim(text)), '\\s+')) AS word
+                         FROM documents),
+            hh AS (SELECT {md5_int_sql('word', salt='hll:')} AS h
+                   FROM tok WHERE word <> '')
+            SELECT CAST(h & 63 AS INT) AS bucket,
+                   CAST(max(CASE WHEN (h >> 6) > 0
+                            THEN 55 - length(bin(h >> 6))
+                            ELSE 55 END) AS INT) AS max_rho
+            FROM hh GROUP BY 1
+        """,
         "q71_cm_heavy_hitters": f"""
             WITH wtok AS (SELECT unnest(regexp_split_to_array(
                                   lower(trim(text)), '\\s+')) AS word

@@ -71,3 +71,65 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
         u = u.unionByName(s)
     return (u.groupBy("r", "b")
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
+
+
+# 60-bit md5 hashes (functions.hashing md5_int) drive the HLL rho
+_HLL_HASH_BITS = 60
+
+
+def hll_registers(tokens: DataFrame, term_col: str,
+                  n_registers: int = 64) -> DataFrame:
+    """HyperLogLog register table for approximate distinct counts:
+    bucket = hash mod m, rho = 1 + leading-zero-count of the remaining
+    hash bits, register = MAX(rho) per bucket.  Integer-exact and
+    mergeable (max), so the register TABLE is the oracle-checkable
+    artifact; the float harmonic-mean estimate is a documented
+    client-side formula over these 64 integers (kept out of the
+    engine so nothing in the plan is float-ordered).
+
+    rho via int/bit arithmetic only (n_registers must be a power of
+    two): bucket = h & (m-1), payload h' = h >> log2(m) (54 bits at
+    m=64), rho = 55 - bit_length(h'), and bit_length(x) = length of
+    the base-2 string — the same bit-length idiom as the q38 idf.
+    Float division would lose bits of a 60-bit hash (double holds 53);
+    everything here is shift/mask.  ONE combinable max aggregate on a
+    64-key space; merge across slices = elementwise max (hll_merge)."""
+    shift = int(n_registers).bit_length() - 1
+    assert (1 << shift) == n_registers, "n_registers must be 2^k"
+    h = md5_int(F.col(term_col), salt="hll:")
+    bucket = h.bitwiseAND(F.lit(n_registers - 1))
+    hp = F.shiftright(h, shift)
+    payload_bits = _HLL_HASH_BITS - shift
+    # bit_length via base-2 string; hp == 0 -> full rho (all zeros)
+    bl = F.when(hp > 0, F.length(F.conv(hp.cast("string"), 10, 2))) \
+        .otherwise(F.lit(0))
+    rho = (F.lit(payload_bits + 1) - bl).cast("int")
+    return (tokens.select(bucket.cast("int").alias("bucket"),
+                          rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("max_rho")))
+
+
+def hll_merge(*tables: DataFrame) -> DataFrame:
+    """Elementwise register max — hll(A ∪ B) == merge(hll(A), hll(B))
+    exactly (tested), the incremental-maintenance property."""
+    u = tables[0]
+    for t in tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: list[int], n_registers: int = 64) -> float:
+    """Client-side harmonic-mean estimate (documented formula; floats
+    deliberately OUTSIDE the engine).  registers: max_rho per bucket,
+    0 for empty buckets."""
+    m = n_registers
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    z = sum(2.0 ** -r for r in registers)
+    est = alpha * m * m / z
+    if est <= 2.5 * m:
+        zeros = sum(1 for r in registers if r == 0)
+        if zeros:
+            import math
+            est = m * math.log(m / zeros)
+    return est
