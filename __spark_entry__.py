@@ -1413,6 +1413,19 @@ def q75_hll_registers(spark, sf_dir):
     return hll_registers(toks, "word", n_registers=64)
 
 
+def q76_source_vocab_hll(spark, sf_dir):
+    """Per-source vocabulary-richness sketches: one HLL register table
+    per source (the sketch-per-partition layout hll_merge folds into
+    the global q75 sketch) — the 'is this source template spam or real
+    language' curation signal, at 64 integers per source forever."""
+    from python_mecab_ner_spark.operators.sketch import hll_registers
+    d = _loadp(spark, sf_dir, "documents")
+    toks = (d.select("source", F.explode(
+        F.split(F.lower(F.trim("text")), r"\s+")).alias("word"))
+        .where("word <> ''"))
+    return hll_registers(toks, "word", n_registers=64, by=["source"])
+
+
 def q72_training_prep(spark, sf_dir):
     """End-to-end training-set preparation — the composition the
     whole corpus-cleaning family exists for, as ONE plan: quality
@@ -1850,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_bpe_merges": q73_bpe_merges,
         "q74_bpe_token_counts": q74_bpe_token_counts,
         "q75_hll_registers": q75_hll_registers,
+        "q76_source_vocab_hll": q76_source_vocab_hll,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2292,6 +2306,18 @@ def oracle_sql() -> dict[str, str]:
                             THEN 55 - length(bin(h >> 6))
                             ELSE 55 END) AS INT) AS max_rho
             FROM hh GROUP BY 1
+        """,
+        "q76_source_vocab_hll": f"""
+            WITH tok AS (SELECT source, unnest(regexp_split_to_array(
+                             lower(trim(text)), '\\s+')) AS word
+                         FROM documents),
+            hh AS (SELECT source, {md5_int_sql('word', salt='hll:')} AS h
+                   FROM tok WHERE word <> '')
+            SELECT source, CAST(h & 63 AS INT) AS bucket,
+                   CAST(max(CASE WHEN (h >> 6) > 0
+                            THEN 55 - length(bin(h >> 6))
+                            ELSE 55 END) AS INT) AS max_rho
+            FROM hh GROUP BY 1, 2
         """,
         "q71_cm_heavy_hitters": f"""
             WITH wtok AS (SELECT unnest(regexp_split_to_array(

@@ -78,7 +78,8 @@ _HLL_HASH_BITS = 60
 
 
 def hll_registers(tokens: DataFrame, term_col: str,
-                  n_registers: int = 64) -> DataFrame:
+                  n_registers: int = 64,
+                  by: list[str] | None = None) -> DataFrame:
     """HyperLogLog register table for approximate distinct counts:
     bucket = hash mod m, rho = 1 + leading-zero-count of the remaining
     hash bits, register = MAX(rho) per bucket.  Integer-exact and
@@ -104,9 +105,13 @@ def hll_registers(tokens: DataFrame, term_col: str,
     bl = F.when(hp > 0, F.length(F.conv(hp.cast("string"), 10, 2))) \
         .otherwise(F.lit(0))
     rho = (F.lit(payload_bits + 1) - bl).cast("int")
-    return (tokens.select(bucket.cast("int").alias("bucket"),
+    by = by or []
+    # `by` gives one sketch per group (per source/host/day — the
+    # sketch-per-partition layout hll_merge later folds); key space is
+    # groups x m, still dimension-sized
+    return (tokens.select(*by, bucket.cast("int").alias("bucket"),
                           rho.alias("rho"))
-            .groupBy("bucket")
+            .groupBy(*by, "bucket")
             .agg(F.max("rho").alias("max_rho")))
 
 
