@@ -1413,6 +1413,18 @@ def q75_hll_registers(spark, sf_dir):
     return hll_registers(toks, "word", n_registers=64)
 
 
+def q77_embedding_gram(spark, sf_dir):
+    """Integer Gram matrix of the int8-quantized embeddings
+    (operators/ann.py::gram_matrix): the exact second-moment statistic
+    behind whitening / dominant-component removal, reduced to a fixed
+    2080-key space regardless of corpus size.  The float eigen step is
+    client-side (dominant_component), keeping the plan and oracle
+    bit-exact."""
+    from python_mecab_ner_spark.operators.ann import gram_matrix
+    e = _load(spark, sf_dir, "embeddings")
+    return gram_matrix(e)
+
+
 def q76_source_vocab_hll(spark, sf_dir):
     """Per-source vocabulary-richness sketches: one HLL register table
     per source (the sketch-per-partition layout hll_merge folds into
@@ -1864,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_bpe_token_counts": q74_bpe_token_counts,
         "q75_hll_registers": q75_hll_registers,
         "q76_source_vocab_hll": q76_source_vocab_hll,
+        "q77_embedding_gram": q77_embedding_gram,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2306,6 +2319,21 @@ def oracle_sql() -> dict[str, str]:
                             THEN 55 - length(bin(h >> 6))
                             ELSE 55 END) AS INT) AS max_rho
             FROM hh GROUP BY 1
+        """,
+        # upper-triangle integer outer-product reduce over the q51
+        # quantization (list indexing is 1-based in DuckDB)
+        "q77_embedding_gram": """
+            WITH qz AS (SELECT list_transform(embedding,
+                            x -> CAST(greatest(-128, least(127,
+                                 floor(CAST(x AS DOUBLE) * 127)))
+                                 AS BIGINT)) AS qe
+                        FROM embeddings),
+            idx AS (SELECT qe, unnest(range(0, len(qe))) AS i FROM qz),
+            cell AS (SELECT qe, i, unnest(range(i, len(qe))) AS j
+                     FROM idx)
+            SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                   CAST(sum(qe[i + 1] * qe[j + 1]) AS BIGINT) AS s
+            FROM cell GROUP BY 1, 2
         """,
         "q76_source_vocab_hll": f"""
             WITH tok AS (SELECT source, unnest(regexp_split_to_array(

@@ -450,3 +450,44 @@ def semdedup_pairs(df: DataFrame, threshold: int, n_cells: int = 16,
            .where(F.col("qdot") >= threshold))
     out.unpersist_input = qz.unpersist
     return out
+
+
+def gram_matrix(df: DataFrame, emb_col: str = "embedding",
+                scale: int = QUANT_SCALE) -> DataFrame:
+    """Integer Gram (second-moment) matrix of the int8-quantized
+    embeddings: rows (i, j, s) for i <= j with s = sum over vectors of
+    q_i * q_j — the statistic behind embedding whitening /
+    'all-but-the-top' dominant-component removal.  Exact integers (the
+    quantization is the q51 bit-stable floor clip), so the DuckDB twin
+    hash-matches; the eigen step runs client-side on the dim x dim
+    matrix (dominant_component), like hll_estimate keeps floats out of
+    the engine.
+
+    Scale shape: per-row upper-triangle outer product (dim*(dim+1)/2
+    structs ride in one array, exploded) -> ONE combinable sum keyed
+    by (i, j) — a fixed 2080-key space at dim 64, so the reduce is
+    dimension-sized no matter how many vectors flow through."""
+    q = quantize_embeddings(df, emb_col).select("qemb")
+    cells = F.expr(
+        "flatten(transform(sequence(0, size(qemb) - 1), i -> "
+        "transform(sequence(i, size(qemb) - 1), j -> "
+        "struct(i AS i, j AS j, qemb[i] * qemb[j] AS p))))")
+    return (q.select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.i").cast("int").alias("i"),
+                     F.col("c.j").cast("int").alias("j"))
+            .agg(F.sum("c.p").cast("bigint").alias("s")))
+
+
+def dominant_component(gram_rows, dim: int, iters: int = 50):
+    """Client-side power iteration on the (i, j, s) Gram rows: the
+    dominant direction to remove ('all-but-the-top').  Floats by
+    design — outside the engine/oracle boundary."""
+    import numpy as np
+    g = np.zeros((dim, dim))
+    for i, j, s in gram_rows:
+        g[i][j] = g[j][i] = float(s)
+    v = np.ones(dim) / dim ** 0.5
+    for _ in range(iters):
+        v = g @ v
+        v /= np.linalg.norm(v) or 1.0
+    return v

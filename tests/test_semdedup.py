@@ -79,3 +79,31 @@ def test_semdedup_never_crosses_cells(spark):
     out.unpersist_input()
     # threshold disabled: exactly the within-cell pair count, no more
     assert len(rows) == 2 * (10 * 9 // 2)
+
+
+def test_gram_matrix_finds_planted_dominant_direction(spark):
+    """Gram reduce + client-side power iteration recover a planted
+    dominant component: vectors = strong multiples of u plus small
+    orthogonal noise -> the top eigenvector aligns with u."""
+    import math
+    import random
+
+    import numpy as np
+
+    from python_mecab_ner_spark.operators.ann import (dominant_component,
+                                                      gram_matrix)
+    dim = 8
+    u = np.array([1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.5])
+    u /= np.linalg.norm(u)
+    rng = random.Random(5)
+    rows = []
+    for _ in range(200):
+        coef = rng.uniform(0.5, 1.0)
+        noise = np.array([rng.uniform(-0.05, 0.05) for _ in range(dim)])
+        rows.append(([float(x) for x in coef * u + noise],))
+    d = spark.createDataFrame(rows, "embedding array<float>")
+    g = [(r.i, r.j, r.s) for r in gram_matrix(d).collect()]
+    assert len(g) == dim * (dim + 1) // 2
+    v = dominant_component(g, dim)
+    cos = abs(float(np.dot(v, u)))
+    assert cos > 0.99, cos
