@@ -1758,8 +1758,26 @@ def kg_entity_communities(spark, sf_dir):
     e = (g["edges"].select(F.col("src_id").alias("src"),
                            F.col("dst_id").alias("dst"))
          .localCheckpoint())
-    sym = e.unionByName(e.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst")))
+    # entity ids are 60-bit md5 ints — WIDER than the packed-argmax
+    # tie-break field (id_bits=44), which would let the label term
+    # cross weight-step boundaries and silently degrade LPA toward
+    # min-label propagation.  Dense-relabel first: the vertex DIM is
+    # small, so a one-time ordered row_number is a dimension-sized
+    # sort (at 10^12 docs the entity dimension is still ~10^7; for a
+    # corpus-sized node set use zipWithIndex-style relabeling).
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select("dst")).distinct()
+    dense = nodes.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1)
+        .cast("bigint").alias("nid"))
+    d = F.broadcast(dense)
+    sym0 = (e.join(d.withColumnRenamed("node", "src"), "src")
+            .select(F.col("nid").alias("s"), "dst")
+            .join(d.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("s").alias("src"), F.col("nid").alias("dst")))
+    sym = sym0.unionByName(sym0.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
     lpa = label_propagation_int(sym, iters=2)
     return (lpa.groupBy("community")
             .agg(F.count("*").cast("bigint").alias("n_nodes"))
@@ -2364,8 +2382,8 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT word, {r} AS r, "
                 f"({md5_int_sql('word', salt=f'cm{r}:')}) % 256 AS b "
                 f"FROM top" for r in range(4))}),
-            est AS (SELECT word, min(cnt) AS cm_est
-                    FROM keys JOIN sk USING (r, b) GROUP BY 1)
+            est AS (SELECT word, min(coalesce(cnt, 0)) AS cm_est
+                    FROM keys LEFT JOIN sk USING (r, b) GROUP BY 1)
             SELECT t.word, t.exact_n, CAST(e.cm_est AS BIGINT) AS cm_est
             FROM top t JOIN est e USING (word)
         """,

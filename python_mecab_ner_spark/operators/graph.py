@@ -422,7 +422,14 @@ def label_propagation_int(edges: DataFrame, iters: int = 2,
                           src: str = "src", dst: str = "dst",
                           weight: str | None = None,
                           id_bits: int = 44) -> DataFrame:
-    """Synchronous label-propagation community detection, fully
+    """PRECONDITION: node ids must satisfy 0 <= id < 2^id_bits and
+    per-node inbound weight sums < 2^(62 - id_bits) — a wider label
+    (e.g. a 60-bit md5 entity id) makes the packed tie-break term
+    cross weight-step boundaries and the argmax silently degrades
+    toward min-label propagation.  Dense-relabel wide ids first (see
+    kg_entity_communities in __spark_entry__.py).
+
+    Synchronous label-propagation community detection, fully
     deterministic: every node starts labeled with its own id; each
     round it adopts the incoming-neighbor label with the highest total
     edge weight, ties broken by SMALLEST label via the packed-integer

@@ -54,9 +54,14 @@ def cm_estimate(terms: DataFrame, sketch: DataFrame, term_col: str,
                            F.explode(keys).alias("k"))
               .select("term", F.col("k.r").alias("r"),
                       F.col("k.b").alias("b")))
-    return (probes.join(F.broadcast(sketch), ["r", "b"])
+    # LEFT join + coalesce 0: the sketch table stores only touched
+    # cells, and an untouched cell means count 0 — an inner join would
+    # silently drop that probe and overestimate (or lose the term
+    # entirely when all d cells are empty)
+    return (probes.join(F.broadcast(sketch), ["r", "b"], "left")
             .groupBy("term")
-            .agg(F.min("cnt").cast("bigint").alias("cm_est")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("cm_est")))
 
 
 def cm_merge(*sketches: DataFrame) -> DataFrame:

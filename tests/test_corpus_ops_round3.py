@@ -443,3 +443,20 @@ def test_hll_rho_integer_exact_vs_python(spark):
         rho = 55 - hp.bit_length() if hp > 0 else 55
         want[b] = max(want.get(b, 0), rho)
     assert got == want
+
+
+def test_cm_estimate_empty_cells_count_zero(spark):
+    """A term hashing to any untouched cell must estimate 0 (the cell
+    exists implicitly with count 0) — regression for the inner-join
+    version that dropped such probes."""
+    from python_mecab_ner_spark.operators.sketch import (cm_estimate,
+                                                         cm_sketch)
+    toks = spark.createDataFrame([("a",), ("b",)], "word string")
+    sk = cm_sketch(toks, "word", d=4, w=4096)  # 8 touched cells of 16k
+    terms = spark.createDataFrame(
+        [(f"unseen{i}",) for i in range(50)] + [("a",)], "word string")
+    est = {r.term: r.cm_est
+           for r in cm_estimate(terms, sk, "word", d=4, w=4096).collect()}
+    assert len(est) == 51          # nothing dropped
+    assert est["a"] >= 1
+    assert min(est[f"unseen{i}"] for i in range(50)) == 0
