@@ -72,6 +72,7 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     sequence -> posexplode -> slice/join) — zero shuffle, zero Python;
     chunk fan-out is ~n_toks/stride per document, the same
     row-multiplier class as the shingle explode."""
+    assert stride >= 1 and size >= 1, "size/stride must be positive"
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
                                     r"\s+", " "), " ")
     n = F.size(toks)

@@ -24,7 +24,10 @@ _HOST_PATTERN = "^[^:/?#]+://([^/?#]*)"
 
 
 def host_of(col) -> F.Column:
-    """authority component of an absolute URL, lowercased."""
+    """authority component of an absolute URL, lowercased.  A
+    relative href (no scheme) yields '' — callers that ingest
+    relative-link html should resolve against the page url upstream
+    or filter the empty host."""
     return F.lower(F.regexp_extract(col, _HOST_PATTERN, 1))
 
 
