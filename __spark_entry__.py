@@ -1413,6 +1413,36 @@ def q75_hll_registers(spark, sf_dir):
     return hll_registers(toks, "word", n_registers=64)
 
 
+def q78_source_mix(spark, sf_dir):
+    """Deterministic source mixing (the data-mixing step of corpus
+    assembly): cap every source at C expected docs (C = total /
+    (2 * n_sources), pure integer arithmetic) via per-source keep
+    rates applied as a content-hash threshold — rebalances head
+    sources without randomness, reproducibly at any cluster size.
+    One aggregate for the rate dim (broadcast back) + one hash-filter
+    pass + one aggregate; all integers, exact SQL twin."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    d = _loadp(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    totals = counts.agg(F.sum("n_s").alias("total"),
+                        F.count("*").alias("n_sources"))
+    rates = (counts.crossJoin(F.broadcast(totals))
+             .select("source", "n_s",
+                     F.expr("least(CAST(10000 AS BIGINT), "
+                            "(10000 * (total div (2 * n_sources))) "
+                            "div n_s)").alias("rate")))
+    keyed = d.select("source",
+                     F.pmod(md5_int(F.col("doc_id").cast("string"),
+                                    salt="mix:"), F.lit(10000))
+                     .alias("h"))
+    return (keyed.join(F.broadcast(rates), "source")
+            .groupBy("source")
+            .agg(F.max("n_s").cast("bigint").alias("n_docs"),
+                 F.max("rate").cast("bigint").alias("rate"),
+                 F.sum(F.when(F.col("h") < F.col("rate"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_kept")))
+
+
 def q77_embedding_gram(spark, sf_dir):
     """Integer Gram matrix of the int8-quantized embeddings
     (operators/ann.py::gram_matrix): the exact second-moment statistic
@@ -1895,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_hll_registers": q75_hll_registers,
         "q76_source_vocab_hll": q76_source_vocab_hll,
         "q77_embedding_gram": q77_embedding_gram,
+        "q78_source_mix": q78_source_mix,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2337,6 +2368,27 @@ def oracle_sql() -> dict[str, str]:
                             THEN 55 - length(bin(h >> 6))
                             ELSE 55 END) AS INT) AS max_rho
             FROM hh GROUP BY 1
+        """,
+        "q78_source_mix": f"""
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(n_s) AS BIGINT) AS total,
+                         CAST(count(*) AS BIGINT) AS n_sources FROM c),
+            r AS (SELECT source, n_s,
+                         least(CAST(10000 AS BIGINT),
+                               (10000 * (total // (2 * n_sources)))
+                                   // n_s) AS rate
+                  FROM c CROSS JOIN t),
+            k AS (SELECT source,
+                         {md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                      salt="mix:")} % 10000 AS h
+                  FROM documents)
+            SELECT k.source,
+                   max(r.n_s) AS n_docs, max(r.rate) AS rate,
+                   CAST(sum(CASE WHEN k.h < r.rate THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM k JOIN r ON r.source = k.source
+            GROUP BY 1
         """,
         # upper-triangle integer outer-product reduce over the q51
         # quantization (list indexing is 1-based in DuckDB)
