@@ -928,6 +928,83 @@ def q50_bigram_pmi(spark, sf_dir):
         "w1", "w2", "c_xy", "pmi_ppm")
 
 
+def q80_kn_continuation(spark, sf_dir):
+    """Kneser-Ney continuation counts (operators.colloc
+    .kn_continuation_counts): distinct-predecessor / distinct-successor
+    counts per word over the documents token stream — the lower-order
+    distribution an n-gram LM trains from, with the "Francisco
+    problem" auditable (high n_uni, cont_left = 1).  Pure counting,
+    min_unigram=5 to bound output."""
+    from python_mecab_ner_spark.operators.colloc import \
+        kn_continuation_counts
+    ctx = _doc_context(spark, sf_dir)
+    return kn_continuation_counts(ctx, min_unigram=5).select(
+        "word", "n_uni", "cont_left", "cont_right")
+
+
+def q83_fuzzy_alias(spark, sf_dir):
+    """Blocked edit-distance alias pairing (operators.canonicalize
+    .fuzzy_alias_pairs): lev<=1 customer-name pairs generated ONLY
+    inside 16-char-prefix blocks — the typo/variant half of entity
+    canonicalization that shingle-Jaccard misses, JVM levenshtein vs
+    DuckDB's built-in."""
+    from python_mecab_ner_spark.operators.canonicalize import \
+        fuzzy_alias_pairs
+    c = _load(spark, sf_dir, "customer")
+    names = (c.where(F.col("c_custkey") <= 500)
+             .select(F.lower("c_name").alias("name")))
+    return fuzzy_alias_pairs(names, "name", block_chars=16, max_dist=1)
+
+
+def q84_importance_weights(spark, sf_dir):
+    """DSIR-style importance scores (operators.sample
+    .importance_weights): hashed-unigram target-vs-raw log2-ratio
+    weights (bit-length form, add-1 smoothed), summed per document —
+    the data-selection score for upsampling docs that look like a
+    target domain (here lang='en'), integer-exact end to end."""
+    from python_mecab_ner_spark.operators.sample import importance_weights
+    d = _loadp(spark, sf_dir, "documents")
+    d = d.withColumn("is_en", F.col("lang") == "en")
+    return (importance_weights(d, "text", "doc_id", "is_en",
+                               n_buckets=64)
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "n_toks", "score"))
+
+
+def q82_negative_samples(spark, sf_dir):
+    """Deterministic corrupted-tail negative sampling (operators.graph
+    .negative_samples): k=2 hash-chosen fake tails per true
+    part->supplier edge, true edges anti-joined away — the TransE-
+    family training-pair generator, reproducible on any engine or
+    cluster size (a rand() sampler could never oracle-match)."""
+    from python_mecab_ner_spark.operators.graph import negative_samples
+    li = _load(spark, sf_dir, "lineitem")
+    edges = (li.where(F.col("l_partkey") <= 200)
+             .select((F.col("l_partkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    return negative_samples(edges, k=2).select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("i").cast("int").alias("i"),
+        F.col("dst_neg").cast("bigint").alias("dst_neg"))
+
+
+def q81_crawl_budget(spark, sf_dir):
+    """Largest-remainder fetch-slot apportionment (operators.crawl
+    .crawl_budget): 10,000 crawl slots across supplier-hosts weighted
+    by lineitem count — Hamilton's method, all integer, with the exact
+    invariant sum(slots) == budget that float-proportional rounding
+    can't give."""
+    from python_mecab_ner_spark.operators.crawl import crawl_budget
+    li = _load(spark, sf_dir, "lineitem")
+    counts = (li.groupBy(F.col("l_suppkey").alias("host"))
+              .agg(F.count("*").alias("score")))
+    return crawl_budget(counts, budget=10_000).select(
+        F.col("host").cast("bigint").alias("host"),
+        "score", "base", "slots")
+
+
 # per-language sampling numerators over denominator 16 (the corpus
 # mixture-reweighting config: downsample dominant en, keep all fr)
 SAMPLE_RATES = {"en": 2, "fr": 16, "es": 8, "de": 4, "zh": 1}
@@ -1305,6 +1382,55 @@ def _lpa_oracle_sql(iters: int = 2, id_bits: int = 44) -> str:
     return s + f"""
         SELECT CAST(node AS BIGINT) AS node, lab AS community
         FROM lab{iters}"""
+
+
+def q79_hits(spark, sf_dir):
+    """Integer fixed-point HITS (operators.graph.hits_int) on the
+    directed part->supplier graph: hubs (parts sourced from many good
+    suppliers) vs authorities (suppliers serving many good hubs) — the
+    web-link eigenvector pair PageRank conflates, all 64-bit integer
+    with max-renormalization so the generated unrolled-SQL oracle is
+    bit-exact."""
+    from python_mecab_ner_spark.operators.graph import hits_int
+    li = _load(spark, sf_dir, "lineitem")
+    edges = (li.select((F.col("l_partkey") * 2).alias("src"),
+                       (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    return hits_int(edges, iters=2).select(
+        F.col("node").cast("bigint").alias("node"), "authority", "hub")
+
+
+def _hits_oracle_sql(iters: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled HITS SQL twin of q79 (same integer recurrence +
+    max-renormalize per iteration, generated per iteration)."""
+    s = f"""
+        WITH e AS (SELECT DISTINCT l_partkey * 2 AS src,
+                          l_suppkey * 2 + 1 AS dst FROM lineitem),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        a0 AS (SELECT node, CAST({scale} AS BIGINT) AS a FROM nodes)"""
+    for k in range(1, iters + 1):
+        s += f""",
+        hr{k} AS (SELECT e.src AS node, sum(p.a) AS hr
+                  FROM e JOIN a{k - 1} p ON p.node = e.dst GROUP BY 1),
+        hm{k} AS (SELECT max(hr) AS hmx FROM hr{k}),
+        h{k} AS (SELECT n.node,
+                        CAST((coalesce(hr, 0) * {scale}) // hmx
+                             AS BIGINT) AS h
+                 FROM nodes n LEFT JOIN hr{k} ON hr{k}.node = n.node
+                 CROSS JOIN hm{k}),
+        ar{k} AS (SELECT e.dst AS node, sum(p.h) AS ar
+                  FROM e JOIN h{k} p ON p.node = e.src GROUP BY 1),
+        am{k} AS (SELECT max(ar) AS amx FROM ar{k}),
+        a{k} AS (SELECT n.node,
+                        CAST((coalesce(ar, 0) * {scale}) // amx
+                             AS BIGINT) AS a
+                 FROM nodes n LEFT JOIN ar{k} ON ar{k}.node = n.node
+                 CROSS JOIN am{k})"""
+    return s + f"""
+        SELECT CAST(n.node AS BIGINT) AS node, a.a AS authority, h.h AS hub
+        FROM nodes n JOIN a{iters} a ON a.node = n.node
+        JOIN h{iters} h ON h.node = n.node"""
 
 
 def q71_cm_heavy_hitters(spark, sf_dir):
@@ -1926,6 +2052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_source_vocab_hll": q76_source_vocab_hll,
         "q77_embedding_gram": q77_embedding_gram,
         "q78_source_mix": q78_source_mix,
+        "q79_hits": q79_hits,
+        "q80_kn_continuation": q80_kn_continuation,
+        "q81_crawl_budget": q81_crawl_budget,
+        "q82_negative_samples": q82_negative_samples,
+        "q83_fuzzy_alias": q83_fuzzy_alias,
+        "q84_importance_weights": q84_importance_weights,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2440,6 +2572,111 @@ def oracle_sql() -> dict[str, str]:
             FROM top t JOIN est e USING (word)
         """,
         "q70_communities": _lpa_oracle_sql(iters=2),
+        "q79_hits": _hits_oracle_sql(iters=2),
+        "q83_fuzzy_alias": """
+            WITH f AS (SELECT DISTINCT lower(c_name) AS n,
+                              substr(lower(c_name), 1, 16) AS blk
+                       FROM customer WHERE c_custkey <= 500),
+            p AS (SELECT a.n AS n1, b.n AS n2,
+                         levenshtein(a.n, b.n) AS dist
+                  FROM f a JOIN f b
+                    ON a.blk = b.blk AND a.n < b.n
+                   AND abs(length(a.n) - length(b.n)) <= 1)
+            SELECT n1, n2, CAST(dist AS INT) AS dist
+            FROM p WHERE dist <= 1
+        """,
+        "q84_importance_weights": f"""
+            WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+                                unnest(regexp_split_to_array(
+                                    lower(trim(text)), '\\s+')) AS word
+                         FROM documents),
+            tk AS (SELECT doc_id, t, word,
+                          ({md5_int_sql('word', salt='dsir:')}) % 64 AS b
+                   FROM tok WHERE word <> ''),
+            c AS (SELECT b, count(*) AS cr,
+                         sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+                  FROM tk GROUP BY 1),
+            tt AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM c),
+            w AS (SELECT b,
+                         length(bin((ct + 1) * (nr + 64)))
+                         - length(bin((cr + 1) * (nt + 64))) AS w
+                  FROM c CROSS JOIN tt)
+            SELECT CAST(tk.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(w.w) AS BIGINT) AS score
+            FROM tk JOIN w USING (b) GROUP BY 1
+        """,
+        "q82_negative_samples": f"""
+            WITH e AS (SELECT DISTINCT l_partkey * 2 AS src,
+                              l_suppkey * 2 + 1 AS dst
+                       FROM lineitem WHERE l_partkey <= 200),
+            nv AS (SELECT node,
+                          row_number() OVER (ORDER BY node) - 1 AS rid
+                   FROM (SELECT DISTINCT src AS node FROM e
+                         UNION SELECT dst FROM e)),
+            nn AS (SELECT count(*) AS n FROM nv),
+            cand AS (SELECT src, dst, i,
+                            ({md5_int_sql(
+                                "concat_ws(':', src, dst, i)")}) % nn.n
+                            AS rid
+                     FROM e
+                     CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1)
+                     CROSS JOIN nn),
+            c2 AS (SELECT src, dst, i, node AS dst_neg
+                   FROM cand JOIN nv USING (rid))
+            SELECT CAST(c2.src AS BIGINT) AS src,
+                   CAST(c2.dst AS BIGINT) AS dst,
+                   CAST(c2.i AS INT) AS i,
+                   CAST(c2.dst_neg AS BIGINT) AS dst_neg
+            FROM c2 LEFT JOIN e t
+                 ON t.src = c2.src AND t.dst = c2.dst_neg
+            WHERE t.src IS NULL
+        """,
+        "q81_crawl_budget": """
+            WITH c AS (SELECT l_suppkey AS host,
+                              CAST(count(*) AS BIGINT) AS score
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(score) AS tot FROM c),
+            q AS (SELECT host, score,
+                         (10000 * score) // tot AS base,
+                         (10000 * score) % tot AS rem
+                  FROM c CROSS JOIN t),
+            lv AS (SELECT 10000 - sum(base) AS leftover FROM q),
+            r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+                                               host ASC) AS rk
+                  FROM q)
+            SELECT CAST(host AS BIGINT) AS host, score,
+                   CAST(base AS BIGINT) AS base,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS slots
+            FROM r CROSS JOIN lv
+        """,
+        "q80_kn_continuation": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word,
+                           generate_subscripts(w, 1) - 1 AS idx
+                    FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            p AS (SELECT doc_id, word AS w1,
+                         lead(word) OVER (PARTITION BY doc_id
+                                          ORDER BY idx) AS w2
+                  FROM c2),
+            types AS (SELECT DISTINCT w1, w2 FROM p WHERE w2 IS NOT NULL),
+            l AS (SELECT w2 AS word, count(*) AS cont_left
+                  FROM types GROUP BY 1),
+            r AS (SELECT w1 AS word, count(*) AS cont_right
+                  FROM types GROUP BY 1),
+            u AS (SELECT word, count(*) AS n_uni FROM c2
+                  GROUP BY 1 HAVING count(*) >= 5)
+            SELECT u.word, CAST(u.n_uni AS BIGINT) AS n_uni,
+                   CAST(coalesce(l.cont_left, 0) AS BIGINT) AS cont_left,
+                   CAST(coalesce(r.cont_right, 0) AS BIGINT) AS cont_right
+            FROM u LEFT JOIN l ON l.word = u.word
+            LEFT JOIN r ON r.word = u.word
+        """,
         "q73_bpe_merges": _bpe_oracle_sql(iters=3),
         "q74_bpe_token_counts": _bpe_cte(3, keep_word=True) + """,
             v AS (SELECT word,

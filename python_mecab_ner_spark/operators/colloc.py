@@ -58,6 +58,49 @@ def bigram_pmi(ctx: DataFrame, min_count: int = 2,
                     .cast("bigint").alias("pmi_ppm")))
 
 
+def kn_continuation_counts(ctx: DataFrame, min_unigram: int = 1,
+                           id_col: str = "url", idx_col: str = "idx",
+                           word_col: str = "word") -> DataFrame:
+    """Kneser-Ney continuation counts over a (doc, idx, word) context
+    table — the numerators/denominators of the KN lower-order
+    distribution that n-gram LM training needs from a corpus pass:
+
+        cont_left(w)  = |{v : c(v, w) > 0}|  (distinct predecessors;
+                        KN's N1+(. w), the lower-order numerator)
+        cont_right(w) = |{v : c(w, v) > 0}|  (distinct successors;
+                        the normalizer of the discounted mass)
+
+    Returns (word, n_uni, cont_left, cont_right), all BIGINT — pure
+    counting, so the oracle hash-matches trivially, and the "Francisco
+    problem" is visible in the output: a word frequent only after one
+    predecessor has high n_uni but cont_left = 1.
+
+    Scale shape: one lead-window pass per doc partition builds the
+    bigram stream, ONE distinct over bigram TYPES (vocabulary^2-
+    bounded, far below the token stream), then two combinable
+    aggregates over that type table; the three per-word tables join
+    on the vocabulary key.  No corpus-scale shuffle beyond the
+    distinct."""
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    pairs = (ctx.select(F.col(word_col).alias("w1"),
+                        F.lead(word_col).over(w).alias("w2"))
+             .where(F.col("w2").isNotNull()))
+    types = pairs.distinct()
+    left = (types.groupBy(F.col("w2").alias("word"))
+            .agg(F.count("*").alias("cont_left")))
+    right = (types.groupBy(F.col("w1").alias("word"))
+             .agg(F.count("*").alias("cont_right")))
+    uni = (ctx.groupBy(word_col).agg(F.count("*").alias("n_uni"))
+           .where(F.col("n_uni") >= min_unigram)
+           .select(F.col(word_col).alias("word"), "n_uni"))
+    return (uni.join(left, "word", "left").join(right, "word", "left")
+            .select("word", F.col("n_uni").cast("bigint").alias("n_uni"),
+                    F.coalesce("cont_left", F.lit(0))
+                    .cast("bigint").alias("cont_left"),
+                    F.coalesce("cont_right", F.lit(0))
+                    .cast("bigint").alias("cont_right")))
+
+
 def doc_surprisal(ctx: DataFrame, id_col: str = "url",
                   word_col: str = "word") -> DataFrame:
     """Unigram-LM rarity score per document — the integer-exact stand-in

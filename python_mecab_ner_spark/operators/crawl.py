@@ -35,6 +35,49 @@ def merge_crawls(old: DataFrame, new: DataFrame, key: str = "url",
             .select(key, *[F.col(f"_p.{c}").alias(c) for c in cols]))
 
 
+def crawl_budget(scores: DataFrame, budget: int, key: str = "host",
+                 score: str = "score") -> DataFrame:
+    """Deterministic fetch-slot apportionment across hosts by the
+    largest-remainder (Hamilton) method — the crawl-scheduler step
+    between "host priorities" (PageRank, recrawl ledger) and "how many
+    URLs from each host go into this crawl round":
+
+        base(h)  = (budget * score(h)) div total_score
+        leftover = budget - sum(base)   (< n_hosts always)
+        the leftover slots go +1 each to the largest remainders,
+        ties broken by smallest key
+
+    All integer arithmetic, exact invariant sum(slots) == budget at
+    any scale and on any engine — proportional-float rounding can
+    violate both.  Returns (key, score, base, slots).
+
+    Scale shape: one tiny total aggregate broadcast back, one
+    combinable base/remainder projection, and ONE ranking over the
+    HOST DIMENSION (corpus-bounded vocabulary of hosts, not the page
+    corpus) to place the leftover slots.  Beyond a dimension-sized
+    host table, replace the rank window with a broadcast top-k
+    (TakeOrderedAndProject of the `leftover` largest remainders) —
+    the semantics are identical because only rank <= leftover
+    matters."""
+    from pyspark.sql import Window
+    s = scores.select(F.col(key).alias("k"),
+                      F.col(score).cast("bigint").alias("s"))
+    total = s.agg(F.sum("s").alias("tot"))
+    withq = (s.crossJoin(F.broadcast(total))
+             .select("k", "s",
+                     F.expr(f"({budget} * s) div tot").alias("base"),
+                     F.expr(f"({budget} * s) % tot").alias("rem")))
+    left = withq.agg((F.lit(budget) - F.sum("base")).alias("leftover"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("k").asc())
+    return (withq.withColumn("rk", F.row_number().over(w))
+            .crossJoin(F.broadcast(left))
+            .select(F.col("k").alias(key), F.col("s").alias(score),
+                    F.col("base").cast("bigint").alias("base"),
+                    (F.col("base")
+                     + F.when(F.col("rk") <= F.col("leftover"), 1)
+                     .otherwise(0)).cast("bigint").alias("slots")))
+
+
 def recrawl_stats(old: DataFrame, new: DataFrame, key: str = "url",
                   text_col: str = "text") -> DataFrame:
     """Change ledger between two snapshots: per-status url counts.

@@ -418,6 +418,112 @@ def pagerank_weighted_int(edges: DataFrame, iters: int = 3,
     return pr
 
 
+def negative_samples(edges: DataFrame, k: int = 2,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic corrupted-tail negative sampling — the training-
+    pair generator for KG-embedding objectives (TransE-family): for
+    every true (src, dst) edge emit up to k (src, dst_neg, i) rows
+    where dst_neg is a content-hash-chosen node, with TRUE edges
+    filtered out (no false negatives).
+
+    Determinism contract: dst_neg = node at dense rank
+    md5(src:dst:i) % n_nodes in the sorted node dimension — the same
+    sample set on any run, engine, or cluster size (a rand()-based
+    sampler can never be oracle-checked or resumed).  Collisions with
+    a real edge are DROPPED, not resampled, so some edges yield < k
+    negatives (documented; resampling would need data-dependent
+    iteration).  Self-corruptions (dst_neg == src) are kept when not
+    a true edge — TransE scores them like any negative.
+
+    Scale shape: the node dimension gets a dense rank via ONE window
+    over the corpus-bounded node vocabulary (dimension-sized, same
+    caveat as crawl_budget's rank); candidates are edges x k
+    (explode of a k-literal array — narrow), resolved to node ids by
+    a JOIN on the rank key against the node dimension (broadcast —
+    vocabulary-sized), and de-falsed by ONE left-anti join on the
+    true edge set, shuffled on the same (src, dst) key the edge
+    table already carries."""
+    from pyspark.sql import Window
+    from ..functions.hashing import md5_int
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    nodes = nodes.withColumn(
+        "rid", F.row_number().over(Window.orderBy("node")) - 1)
+    n_nodes = nodes.agg(F.count("*").alias("n"))
+    cand = (e.select("src", "dst",
+                     F.explode(F.array(*[F.lit(i) for i in range(k)]))
+                     .alias("i"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select("src", "dst", "i",
+                    F.pmod(md5_int(F.concat_ws(":", F.col("src"),
+                                               F.col("dst"),
+                                               F.col("i"))),
+                           F.col("n")).alias("rid")))
+    cand = (cand.join(F.broadcast(nodes), "rid")
+            .select("src", "dst", "i", F.col("node").alias("dst_neg")))
+    return (cand.join(e.select("src", F.col("dst").alias("dst_neg"))
+                      .distinct(),
+                      ["src", "dst_neg"], "left_anti")
+            .select("src", "dst", "i", "dst_neg"))
+
+
+def hits_int(edges: DataFrame, iters: int = 2, scale: int = 1_000_000,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Integer fixed-point HITS (hubs & authorities) over a directed
+    edge list — the OTHER classic web-link eigenvector pair: a page is
+    a good HUB when it points at good authorities, a good AUTHORITY
+    when good hubs point at it.  For a crawl corpus this separates
+    directory/portal pages (hubs) from canonical content pages
+    (authorities), which PageRank's single score conflates.
+
+        a0(v) = h0(v) = scale
+        h'(u) = sum_{u->v} a(v)        (raw, exact integer sum)
+        a'(v) = sum_{u->v} h'(u)
+        then each vector is renormalized to max = scale:
+        x(v) = (x_raw(v) * scale) div max_u x_raw(u)
+
+    Max-normalization (not L2) keeps every step in 64-bit integer
+    arithmetic: sums and max are order-independent and floor division
+    is deterministic, so the unrolled-SQL oracle hash-matches —
+    float HITS never could.  Overflow bound: raw sums <= deg_max *
+    scale, times scale for the renormalize ~ deg_max * 1e12 << 2^63
+    for any real degree distribution.
+
+    Scale shape per iteration: two join+partial-agg passes (one per
+    vector) plus two tiny single-row max aggregates that Spark
+    collapses to a broadcast — the same silhouette as pagerank_int,
+    and the same contract: callers localCheckpoint deep edge inputs
+    before iterating."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    auth = nodes.withColumn("a", F.lit(scale).cast("bigint"))
+    hub = nodes.withColumn("h", F.lit(scale).cast("bigint"))
+    for _ in range(iters):
+        h_raw = (e.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("a").alias("hr")))
+        h_max = h_raw.agg(F.max("hr").alias("hmx"))
+        hub = (nodes.join(h_raw, "node", "left")
+               .crossJoin(F.broadcast(h_max))
+               .select("node",
+                       F.expr(f"(coalesce(hr, 0) * {scale}) div hmx")
+                       .cast("bigint").alias("h")))
+        a_raw = (e.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("h").alias("ar")))
+        a_max = a_raw.agg(F.max("ar").alias("amx"))
+        auth = (nodes.join(a_raw, "node", "left")
+                .crossJoin(F.broadcast(a_max))
+                .select("node",
+                        F.expr(f"(coalesce(ar, 0) * {scale}) div amx")
+                        .cast("bigint").alias("a")))
+    return (auth.join(hub, "node")
+            .select("node", F.col("a").alias("authority"),
+                    F.col("h").alias("hub")))
+
+
 def label_propagation_int(edges: DataFrame, iters: int = 2,
                           src: str = "src", dst: str = "dst",
                           weight: str | None = None,

@@ -59,6 +59,57 @@ def hash_stratified_sample_sql(id_expr: str, strata_expr: str,
     return f"{h} < (CASE {strata_expr} {cases} ELSE -1 END)"
 
 
+def importance_weights(docs: DataFrame, text_col: str, id_col: str,
+                       target_col: str, n_buckets: int = 1024,
+                       salt: str = "dsir:") -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") in integer
+    arithmetic: hashed unigram features, per-bucket target-vs-raw
+    log-likelihood ratio, summed per document —
+
+        bucket(w)  = md5(salt || w) % n_buckets
+        w(b)       = bitlen((ct(b)+1) * (Nr+B))
+                     - bitlen((cr(b)+1) * (Nt+B))     (signed)
+        score(doc) = sum_{tokens} w(bucket)
+
+    where ct/Nt count tokens of TARGET-flagged docs (the domain to
+    upsample toward), cr/Nr count the whole corpus, and bitlen is the
+    floor-log2 the q38/q53 family already uses — each w(b) is the
+    add-1-smoothed log2 ratio within +-1, deterministic and
+    cross-engine exact (float log-likelihoods never are).  High score
+    = doc's vocabulary looks like the target domain.  Returns
+    (id, n_toks, score).
+
+    Scale shape: the bucket weight table is FIXED SIZE (n_buckets
+    rows) built by two combinable aggregates over one token pass,
+    then broadcast back into a second token pass's per-doc sum — no
+    corpus-scale shuffle beyond the two per-doc/per-bucket
+    aggregates; exactly the hashed-feature trick that lets DSIR run
+    where a classifier per doc can't."""
+    toks = (docs.select(F.col(id_col),
+                        F.col(target_col).alias("_t"),
+                        F.explode(F.split(F.lower(F.trim(text_col)),
+                                          r"\s+")).alias("word"))
+            .where("word <> ''")
+            .withColumn("b", F.pmod(md5_int(F.col("word"), salt=salt),
+                                    F.lit(n_buckets))))
+    counts = (toks.groupBy("b")
+              .agg(F.count("*").alias("cr"),
+                   F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct")))
+    totals = counts.agg(F.sum("cr").alias("nr"), F.sum("ct").alias("nt"))
+    weights = (counts.crossJoin(F.broadcast(totals))
+               .select("b",
+                       (F.length(F.bin((F.col("ct") + 1)
+                                       * (F.col("nr") + n_buckets)))
+                        - F.length(F.bin((F.col("cr") + 1)
+                                         * (F.col("nt") + n_buckets))))
+                       .cast("bigint").alias("w")))
+    return (toks.join(F.broadcast(weights), "b")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_toks"),
+                 F.sum("w").cast("bigint").alias("score")))
+
+
 def quality_percentile_gate(df: DataFrame, score_col: str, strata_col: str,
                             id_col: str, keep_num: int,
                             keep_den: int) -> DataFrame:

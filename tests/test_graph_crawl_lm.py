@@ -1,0 +1,148 @@
+"""Session additions: integer HITS, Kneser-Ney continuation counts,
+largest-remainder crawl-budget apportionment — hand goldens + exact
+python-twin recomputes (the operators are all-integer, so the twins
+must agree bit-for-bit)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from python_mecab_ner_spark.operators.colloc import kn_continuation_counts
+from python_mecab_ner_spark.operators.crawl import crawl_budget
+from python_mecab_ner_spark.operators.graph import hits_int
+
+SCALE = 1_000_000
+
+
+def _hits_py(edges, iters=2, scale=SCALE):
+    """Pure-python twin of graph.hits_int (same integer recurrence)."""
+    nodes = sorted({x for e in edges for x in e})
+    a = {n: scale for n in nodes}
+    h = dict(a)
+    for _ in range(iters):
+        hr = {n: 0 for n in nodes}
+        for s, d in edges:
+            hr[s] += a[d]
+        hmx = max(hr.values())
+        h = {n: (hr[n] * scale) // hmx for n in nodes}
+        ar = {n: 0 for n in nodes}
+        for s, d in edges:
+            ar[d] += h[s]
+        amx = max(ar.values())
+        a = {n: (ar[n] * scale) // amx for n in nodes}
+    return a, h
+
+
+def test_hits_star_separates_hubs_from_authorities(spark):
+    # 1 and 2 point at 3: pure hubs vs a pure authority
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src bigint, dst bigint")
+    got = {r.node: (r.authority, r.hub) for r in hits_int(e).collect()}
+    assert got == {1: (0, SCALE), 2: (0, SCALE), 3: (SCALE, 0)}
+
+
+def test_hits_randomized_vs_python(spark):
+    rng = random.Random(79)
+    edges = sorted({(rng.randrange(12), rng.randrange(12))
+                    for _ in range(40)})
+    edges = [(s, d) for s, d in edges if s != d]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a_py, h_py = _hits_py(edges, iters=3)
+    got = {r.node: (r.authority, r.hub)
+           for r in hits_int(e, iters=3).collect()}
+    assert got == {n: (a_py[n], h_py[n]) for n in a_py}
+
+
+def test_kn_continuation_golden(spark):
+    ctx = spark.createDataFrame(
+        [(1, i, w) for i, w in enumerate("a b a b c".split())]
+        + [(2, i, w) for i, w in enumerate("c b".split())],
+        "url int, idx int, word string")
+    got = {r.word: (r.n_uni, r.cont_left, r.cont_right)
+           for r in kn_continuation_counts(ctx).collect()}
+    # types: (a,b) (b,a) (b,c) (c,b); the "francisco problem" shape
+    assert got == {"a": (2, 1, 1), "b": (3, 2, 2), "c": (2, 1, 1)}
+
+
+def test_crawl_budget_hamilton_golden(spark):
+    s = spark.createDataFrame([("a", 5), ("b", 3), ("c", 3)],
+                              "host string, score int")
+    got = {r.host: (r.base, r.slots)
+           for r in crawl_budget(s, budget=10).collect()}
+    # total=11: bases 4/2/2, remainders 6/8/8 -> b,c take the leftovers
+    assert got == {"a": (4, 4), "b": (2, 3), "c": (2, 3)}
+
+
+def test_negative_samples_python_twin(spark):
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    from python_mecab_ner_spark.operators.graph import negative_samples
+    edges = [(1, 2), (1, 3), (2, 3), (4, 1), (3, 4)]
+    nodes = sorted({x for e in edges for x in e})
+    want = set()
+    for s, d in edges:
+        for i in range(3):
+            neg = nodes[md5_int_py(f"{s}:{d}:{i}") % len(nodes)]
+            if (s, neg) not in edges:
+                want.add((s, d, i, neg))
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.src, r.dst, r.i, r.dst_neg)
+           for r in negative_samples(e, k=3).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_fuzzy_alias_pairs_golden_and_blocking_miss(spark):
+    from python_mecab_ner_spark.operators.canonicalize import \
+        fuzzy_alias_pairs
+    names = spark.createDataFrame(
+        [("kakao",), ("kakaoo",), ("kekao",), ("naver",), ("navor",),
+         ("abc",)], "name string")
+    got = {(r.n1, r.n2, r.dist)
+           for r in fuzzy_alias_pairs(names, "name").collect()}
+    # kekao is lev-1 from kakao but in block 'ke' — the documented miss
+    assert got == {("kakao", "kakaoo", 1), ("naver", "navor", 1)}
+
+
+def test_importance_weights_all_target_is_zero(spark):
+    from python_mecab_ner_spark.operators.sample import importance_weights
+    d = spark.createDataFrame(
+        [(1, "a b c", True), (2, "c d", True)],
+        "doc_id int, text string, t boolean")
+    out = importance_weights(d, "text", "doc_id", "t").collect()
+    # target == raw corpus -> every bucket weight is exactly 0
+    assert {r.doc_id: r.score for r in out} == {1: 0, 2: 0}
+
+
+def test_importance_weights_python_twin(spark):
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    from python_mecab_ner_spark.operators.sample import importance_weights
+    rng = random.Random(84)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(3, 12))),
+             rng.random() < 0.4) for i in range(25)]
+    B = 64
+    cr, ct = {}, {}
+    for _, text, t in docs:
+        for w in text.split():
+            b = md5_int_py(w, salt="dsir:") % B
+            cr[b] = cr.get(b, 0) + 1
+            if t:
+                ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    wt = {b: ((ct.get(b, 0) + 1) * (nr + B)).bit_length()
+          - ((cr[b] + 1) * (nt + B)).bit_length() for b in cr}
+    want = {i: sum(wt[md5_int_py(w, salt="dsir:") % B]
+                   for w in text.split()) for i, text, _ in docs}
+    d = spark.createDataFrame(docs, "doc_id int, text string, t boolean")
+    got = {r.doc_id: r.score
+           for r in importance_weights(d, "text", "doc_id", "t",
+                                       n_buckets=B).collect()}
+    assert got == want
+
+
+def test_crawl_budget_sums_to_budget_randomized(spark):
+    rng = random.Random(81)
+    rows = [(f"h{i}", rng.randrange(1, 1000)) for i in range(50)]
+    s = spark.createDataFrame(rows, "host string, score int")
+    out = crawl_budget(s, budget=12_345).collect()
+    assert sum(r.slots for r in out) == 12_345
+    assert all(r.slots - r.base in (0, 1) for r in out)
