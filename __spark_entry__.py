@@ -942,6 +942,30 @@ def q80_kn_continuation(spark, sf_dir):
         "word", "n_uni", "cont_left", "cont_right")
 
 
+def q85_burst_days(spark, sf_dir):
+    """Daily burst detection (operators.spans.burst_days): event-type
+    days whose count exceeds 1.2x the type's mean daily rate, decided
+    in integer arithmetic — the trending-entity / recrawl-priority
+    temporal signal, cross-engine exact where a float z-score is
+    not."""
+    from python_mecab_ner_spark.operators.spans import burst_days
+    ev = _load(spark, sf_dir, "events")
+    return burst_days(ev, "ts", "event_type", factor_num=6,
+                      factor_den=5)
+
+
+def q86_length_deciles(spark, sf_dir):
+    """Per-source length deciles from a fixed-bin integer histogram
+    (operators.profile.histogram_deciles): the engine-exact
+    approx-quantile stand-in — histogram state is fixed-size and
+    combinable, quantile extraction runs over the histogram, never
+    the corpus."""
+    from python_mecab_ner_spark.operators.profile import \
+        histogram_deciles
+    d = _loadp(spark, sf_dir, "documents")
+    return histogram_deciles(d, "n_chars", "source", bin_width=64)
+
+
 def q83_fuzzy_alias(spark, sf_dir):
     """Blocked edit-distance alias pairing (operators.canonicalize
     .fuzzy_alias_pairs): lev<=1 customer-name pairs generated ONLY
@@ -2058,6 +2082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_negative_samples": q82_negative_samples,
         "q83_fuzzy_alias": q83_fuzzy_alias,
         "q84_importance_weights": q84_importance_weights,
+        "q85_burst_days": q85_burst_days,
+        "q86_length_deciles": q86_length_deciles,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2573,6 +2599,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q70_communities": _lpa_oracle_sql(iters=2),
         "q79_hits": _hits_oracle_sql(iters=2),
+        "q85_burst_days": """
+            WITH daily AS (SELECT event_type,
+                                  strftime(ts, '%Y-%m-%d') AS day,
+                                  count(*) AS cnt
+                           FROM events GROUP BY 1, 2),
+            base AS (SELECT event_type, sum(cnt) AS total
+                     FROM daily GROUP BY 1),
+            nd AS (SELECT count(DISTINCT day) AS n_days FROM daily)
+            SELECT d.event_type, d.day, CAST(d.cnt AS BIGINT) AS cnt,
+                   CAST(b.total AS BIGINT) AS total,
+                   CAST(nd.n_days AS BIGINT) AS n_days
+            FROM daily d JOIN base b USING (event_type) CROSS JOIN nd
+            WHERE d.cnt * nd.n_days * 5 >= 6 * b.total
+        """,
+        "q86_length_deciles": """
+            WITH h AS (SELECT source, n_chars // 64 AS b,
+                              count(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            cum AS (SELECT source, b,
+                           sum(c) OVER (PARTITION BY source
+                                        ORDER BY b) AS cum,
+                           sum(c) OVER (PARTITION BY source) AS tot
+                    FROM h),
+            e AS (SELECT source, b, cum, tot, q
+                  FROM cum CROSS JOIN
+                       (SELECT unnest(range(1, 10)) AS q))
+            SELECT source, CAST(q AS INT) AS q,
+                   CAST(min(b) * 64 AS BIGINT) AS value_lo
+            FROM e WHERE cum * 10 >= q * tot GROUP BY 1, 2
+        """,
         "q83_fuzzy_alias": """
             WITH f AS (SELECT DISTINCT lower(c_name) AS n,
                               substr(lower(c_name), 1, 16) AS blk

@@ -9,7 +9,7 @@ operator computes the per-source evidence for that decision.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, quality_score, token_count
@@ -43,3 +43,39 @@ def source_reliability(df: DataFrame, text_col: str, id_col: str,
             .withColumn("n_dup",
                         (F.col("n_docs") - F.col("n_unique"))
                         .cast("bigint")))
+
+
+def histogram_deciles(df: DataFrame, value_col: str, by: str,
+                      bin_width: int = 256, n_q: int = 10) -> DataFrame:
+    """Per-group quantiles from a FIXED-BIN integer histogram — the
+    t-digest/approx_percentile stand-in whose result is exactly
+    reproducible on any engine: bin = value div bin_width, and the
+    q-th quantile (q = 1..n_q-1) is the lower edge of the first bin
+    whose cumulative count reaches q/n_q of the group:
+
+        quantile(q) = bin_width * min{ b : cum(b) * n_q >= q * total }
+
+    Resolution is the bin width (documented approximation — exact
+    quantiles need a per-group sort; approx_percentile is tighter but
+    sketch-dependent and not cross-engine stable).  Returns
+    (by, q, value_lo), all integers.
+
+    Scale shape: ONE map-side-combinable (group, bin) count — the
+    histogram is the only corpus-pass state and its size is bounded
+    by groups x (max_value/bin_width), independent of row count; the
+    cumulative pass and quantile argmin run over that bounded
+    histogram (a dimension-sized window), not the data."""
+    hist = (df.select(F.col(by),
+                      F.expr(f"{value_col} div {bin_width}").alias("b"))
+            .groupBy(by, "b").agg(F.count("*").alias("c")))
+    w = Window.partitionBy(by).orderBy("b") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tw = Window.partitionBy(by)
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("tot", F.sum("c").over(tw)))
+    qs = F.explode(F.array(*[F.lit(q) for q in range(1, n_q)])).alias("q")
+    return (cum.select(by, "b", "cum", "tot", qs)
+            .where(F.col("cum") * n_q >= F.col("q") * F.col("tot"))
+            .groupBy(by, "q")
+            .agg((F.min("b") * bin_width).cast("bigint").alias("value_lo"))
+            .select(by, F.col("q").cast("int").alias("q"), "value_lo"))

@@ -125,3 +125,42 @@ def sessionize(df: DataFrame, part_col: str, pos_col: str,
             .agg(F.min(pos_col).alias("session_start"),
                  F.max(pos_col).alias("session_end"),
                  F.count("*").alias("n_events")))
+
+
+def burst_days(events: DataFrame, ts_col: str, key_col: str,
+               factor_num: int = 6, factor_den: int = 5) -> DataFrame:
+    """Daily burst detection per key — the temporal signal a KG/news
+    pipeline runs over its edge or mention stream ("which entities
+    spiked today" drives recrawl priority and trending-entity
+    surfacing): a (key, day) is a burst when its count exceeds
+    factor_num/factor_den times the key's mean daily count, decided
+    in pure integer arithmetic:
+
+        cnt * n_days * factor_den >= factor_num * total
+
+    (n_days = GLOBAL distinct days in the stream, so silent days
+    count toward the baseline instead of inflating the mean).
+    Returns burst rows only: (key, day 'yyyy-MM-dd', cnt, total,
+    n_days), all integer/string — cross-engine exact, unlike a float
+    z-score.
+
+    Scale shape: one map-side-combinable (key, day) count, one
+    per-key rollup of that (both shuffles keyed by the
+    high-cardinality key), a single-row global day count, and a
+    BROADCAST join of the per-key baseline back onto the daily
+    table — the daily table is |keys| x |days|, already far below
+    the event stream."""
+    daily = (events.select(F.col(key_col).alias("key"),
+                           F.date_format(F.col(ts_col), "yyyy-MM-dd")
+                           .alias("day"))
+             .groupBy("key", "day").agg(F.count("*").alias("cnt")))
+    base = daily.groupBy("key").agg(F.sum("cnt").alias("total"))
+    ndays = daily.select(F.countDistinct("day").alias("n_days"))
+    return (daily.join(F.broadcast(base), "key")
+            .crossJoin(F.broadcast(ndays))
+            .where(F.col("cnt") * F.col("n_days") * factor_den
+                   >= F.lit(factor_num) * F.col("total"))
+            .select(F.col("key").alias(key_col), "day",
+                    F.col("cnt").cast("bigint").alias("cnt"),
+                    F.col("total").cast("bigint").alias("total"),
+                    F.col("n_days").cast("bigint").alias("n_days")))

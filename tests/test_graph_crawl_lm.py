@@ -139,6 +139,36 @@ def test_importance_weights_python_twin(spark):
     assert got == want
 
 
+def test_burst_days_silent_days_lower_the_baseline(spark):
+    from datetime import datetime
+
+    from python_mecab_ner_spark.operators.spans import burst_days
+    # type A: 6 events on day1, 0 on day2/day3 (silent); type B: 2+2+2
+    rows = ([(datetime(2024, 1, 1, 10, 0, i), "A") for i in range(6)]
+            + [(datetime(2024, 1, d, 10, 0, s), "B")
+               for d in (1, 2, 3) for s in (0, 1)])
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {(r.event_type, r.day): (r.cnt, r.total, r.n_days)
+           for r in burst_days(ev, "ts", "event_type",
+                               factor_num=2, factor_den=1).collect()}
+    # A's mean over the GLOBAL 3 days is 2/day -> day1 (6) bursts at 2x;
+    # B is flat at its mean, no burst
+    assert got == {("A", "2024-01-01"): (6, 6, 3)}
+
+
+def test_histogram_deciles_golden_and_monotone(spark):
+    from python_mecab_ner_spark.operators.profile import histogram_deciles
+    # group g: values 0..99 -> bins 0..9 with width 10, 10 values each
+    d = spark.createDataFrame([("g", v) for v in range(100)],
+                              "source string, n int")
+    out = histogram_deciles(d, "n", "source", bin_width=10).collect()
+    got = {r.q: r.value_lo for r in out}
+    # decile q lands exactly at the end of bin q-1: value_lo = (q-1)*10
+    assert got == {q: (q - 1) * 10 for q in range(1, 10)}
+    los = [got[q] for q in sorted(got)]
+    assert los == sorted(los)
+
+
 def test_crawl_budget_sums_to_budget_randomized(spark):
     rng = random.Random(81)
     rows = [(f"h{i}", rng.randrange(1, 1000)) for i in range(50)]
