@@ -492,12 +492,19 @@ def hits_int(edges: DataFrame, iters: int = 2, scale: int = 1_000_000,
 
     Scale shape per iteration: two join+partial-agg passes (one per
     vector) plus two tiny single-row max aggregates that Spark
-    collapses to a broadcast — the same silhouette as pagerank_int,
-    and the same contract: callers localCheckpoint deep edge inputs
-    before iterating."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    collapses to a broadcast.  UNLIKE pagerank_int, the lazy unroll
+    is NOT bounded-linear here: hub depends on auth and auth on the
+    new hub within one iteration, so the un-truncated plan replicates
+    the edge subtree ~4^iters times (measured: a 9k-line formatted
+    plan at iters=2 vs pagerank's 1.2k).  The vectors are therefore
+    localCheckpoint'ed every iteration — same per-round pattern as
+    canonicalize.connected_components — which makes each iteration's
+    plan constant-size."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select("dst")).distinct())
+             .union(e.select("dst")).distinct()
+             .localCheckpoint(eager=True))
     auth = nodes.withColumn("a", F.lit(scale).cast("bigint"))
     hub = nodes.withColumn("h", F.lit(scale).cast("bigint"))
     for _ in range(iters):
@@ -509,7 +516,8 @@ def hits_int(edges: DataFrame, iters: int = 2, scale: int = 1_000_000,
                .crossJoin(F.broadcast(h_max))
                .select("node",
                        F.expr(f"(coalesce(hr, 0) * {scale}) div hmx")
-                       .cast("bigint").alias("h")))
+                       .cast("bigint").alias("h"))
+               .localCheckpoint(eager=True))
         a_raw = (e.join(hub.withColumnRenamed("node", "src"), "src")
                  .groupBy(F.col("dst").alias("node"))
                  .agg(F.sum("h").alias("ar")))
@@ -518,7 +526,8 @@ def hits_int(edges: DataFrame, iters: int = 2, scale: int = 1_000_000,
                 .crossJoin(F.broadcast(a_max))
                 .select("node",
                         F.expr(f"(coalesce(ar, 0) * {scale}) div amx")
-                        .cast("bigint").alias("a")))
+                        .cast("bigint").alias("a"))
+                .localCheckpoint(eager=True))
     return (auth.join(hub, "node")
             .select("node", F.col("a").alias("authority"),
                     F.col("h").alias("hub")))
