@@ -942,6 +942,75 @@ def q80_kn_continuation(spark, sf_dir):
         "word", "n_uni", "cont_left", "cont_right")
 
 
+def q88_tfidf_cosine_pairs(spark, sf_dir):
+    """Inverted-index all-pairs similarity (operators.retrieval
+    .tfidf_cosine_pairs): tf*idf sparse vectors, pairs generated only
+    through shared terms (df-capped), squared cosine in integer ppm —
+    the topical near-dup detector that complements q16's exact-shingle
+    Jaccard.  Part names here are a heavily-duplicated surface pool
+    (64 distinct among 2000), so exact-dup pairs surface at
+    cos2_ppm = 1e6."""
+    from python_mecab_ner_spark.operators.retrieval import \
+        tfidf_cosine_pairs
+    p = _load(spark, sf_dir, "part")
+    ctx = (p.where(F.col("p_partkey") <= 1000)
+           .select(F.col("p_partkey").alias("url"),
+                   F.explode(F.split(F.lower("p_name"), " "))
+                   .alias("word")))
+    return (tfidf_cosine_pairs(ctx, max_df=512, min_cos2_ppm=500_000)
+            .select(F.col("d1").cast("bigint").alias("d1"),
+                    F.col("d2").cast("bigint").alias("d2"),
+                    "dot", "cos2_ppm"))
+
+
+def q89_edge_diff(spark, sf_dir):
+    """KG snapshot diff (operators.graph.edge_diff): the
+    customer->supplier edge sets of two crawl windows (orders before /
+    from 1998) compared in ONE combinable aggregate — added/removed/
+    kept counts, the incremental-maintenance work list."""
+    from python_mecab_ner_spark.operators.graph import edge_diff
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select("o_custkey", "l_suppkey", "o_orderdate"))
+    old = e.where(F.col("o_orderdate") < "1998-01-01") \
+        .select(F.col("o_custkey").alias("src"),
+                F.col("l_suppkey").alias("dst"))
+    new = e.where(F.col("o_orderdate") >= "1998-01-01") \
+        .select(F.col("o_custkey").alias("src"),
+                F.col("l_suppkey").alias("dst"))
+    return edge_diff(old, new)
+
+
+def q87_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (operators.retrieval.rrf_fuse): the
+    BM25 top-20 (q59's query bag) fused with the surprisal top-20
+    (q53's rarity score) by integer RRF — the calibration-free hybrid-
+    retrieval combiner; ranks in, one combinable aggregate out."""
+    from pyspark.sql import Window
+    from python_mecab_ner_spark.operators.colloc import doc_surprisal
+    from python_mecab_ner_spark.operators.retrieval import (bm25_topk,
+                                                            rrf_fuse)
+    ctx = _doc_context(spark, sf_dir)
+    bm = bm25_topk(ctx, BM25_TERMS, k=20)
+    bm_r = bm.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("bm25_milli").desc(),
+                           F.col("doc_id").asc())))
+    sup = (doc_surprisal(ctx)
+           .orderBy(F.col("rarity_milli").desc(), F.col("url").asc())
+           .limit(20)
+           .select(F.col("url").alias("doc_id"), "rarity_milli"))
+    sup_r = sup.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("rarity_milli").desc(),
+                           F.col("doc_id").asc())))
+    return (rrf_fuse([bm_r.select("doc_id", "rank"),
+                      sup_r.select("doc_id", "rank")])
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "n_systems", "rrf_micro"))
+
+
 def q85_burst_days(spark, sf_dir):
     """Daily burst detection (operators.spans.burst_days): event-type
     days whose count exceeds 1.2x the type's mean daily rate, decided
@@ -2084,6 +2153,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_importance_weights": q84_importance_weights,
         "q85_burst_days": q85_burst_days,
         "q86_length_deciles": q86_length_deciles,
+        "q87_rrf_fusion": q87_rrf_fusion,
+        "q88_tfidf_cosine_pairs": q88_tfidf_cosine_pairs,
+        "q89_edge_diff": q89_edge_diff,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2599,6 +2671,100 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q70_communities": _lpa_oracle_sql(iters=2),
         "q79_hits": _hits_oracle_sql(iters=2),
+        "q88_tfidf_cosine_pairs": """
+            WITH toks AS (SELECT p_partkey AS d,
+                                 unnest(regexp_split_to_array(
+                                     lower(p_name), ' ')) AS w
+                          FROM part WHERE p_partkey <= 1000),
+            tf AS (SELECT d, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT d) AS n FROM toks),
+            kept AS (SELECT d, tf.w,
+                            tf.tf * length(bin(CAST(
+                                (SELECT n FROM nd) // dft.df AS BIGINT)))
+                                AS wt
+                     FROM tf JOIN dft USING (w) WHERE dft.df <= 512),
+            norms AS (SELECT d, sum(wt * wt) AS n2 FROM kept GROUP BY 1),
+            dots AS (SELECT a.d AS d1, b.d AS d2,
+                            sum(a.wt * b.wt) AS dot
+                     FROM kept a JOIN kept b
+                       ON a.w = b.w AND a.d < b.d
+                     GROUP BY 1, 2),
+            res AS (SELECT d1, d2, dot,
+                           (dot * dot * 1000000) // (na.n2 * nb.n2) AS c
+                    FROM dots JOIN norms na ON na.d = d1
+                    JOIN norms nb ON nb.d = d2)
+            SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2,
+                   CAST(dot AS BIGINT) AS dot,
+                   CAST(c AS BIGINT) AS cos2_ppm
+            FROM res WHERE c >= 500000
+        """,
+        "q89_edge_diff": """
+            WITH e AS (SELECT o_custkey, l_suppkey, o_orderdate
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey),
+            o AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                  FROM e WHERE o_orderdate < '1998-01-01'),
+            n AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                  FROM e WHERE o_orderdate >= '1998-01-01'),
+            u AS (SELECT src, dst, max(o) AS in_old, max(n) AS in_new
+                  FROM (SELECT src, dst, 1 AS o, 0 AS n FROM o
+                        UNION ALL
+                        SELECT src, dst, 0, 1 FROM n)
+                  GROUP BY 1, 2)
+            SELECT CASE WHEN in_old = 0 THEN 'added'
+                        WHEN in_new = 0 THEN 'removed'
+                        ELSE 'kept' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_edges
+            FROM u GROUP BY 1
+        """,
+        "q87_rrf_fusion": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM c2 GROUP BY 1),
+            tot AS (SELECT sum(dl) AS tot, count(*) AS n_docs FROM dl),
+            qt AS (SELECT doc_id, word FROM c2
+                   WHERE word IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM qt GROUP BY 1, 2),
+            dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM qt
+                    GROUP BY 1),
+            s AS (SELECT tf.doc_id,
+                         (length(bin(CAST(tot.n_docs // dfq.df AS BIGINT)))
+                          * tf.tf * 44000 * (tot.tot // tot.n_docs))
+                         // (20 * (tot.tot // tot.n_docs) * tf.tf
+                             + 6 * (tot.tot // tot.n_docs) + 18 * dl.dl)
+                             AS contrib
+                  FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id)
+                  CROSS JOIN tot),
+            bm AS (SELECT doc_id, sum(contrib) AS bm25
+                   FROM s GROUP BY 1
+                   ORDER BY bm25 DESC, doc_id LIMIT 20),
+            bmr AS (SELECT doc_id, row_number() OVER (
+                        ORDER BY bm25 DESC, doc_id) AS rank FROM bm),
+            u AS (SELECT word, count(*) AS c FROM c2 GROUP BY 1),
+            n AS (SELECT count(*) AS n_tok FROM c2),
+            si AS (SELECT doc_id,
+                          length(bin(CAST(n.n_tok // u.c AS BIGINT))) AS idf
+                   FROM c2 JOIN u USING (word) CROSS JOIN n),
+            sup AS (SELECT doc_id,
+                           (sum(idf) * 1000) // count(*) AS rar
+                    FROM si GROUP BY 1
+                    ORDER BY rar DESC, doc_id LIMIT 20),
+            supr AS (SELECT doc_id, row_number() OVER (
+                         ORDER BY rar DESC, doc_id) AS rank FROM sup),
+            uall AS (SELECT doc_id, 1000000 // (60 + rank) AS pt
+                     FROM bmr
+                     UNION ALL
+                     SELECT doc_id, 1000000 // (60 + rank) FROM supr)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS INT) AS n_systems,
+                   CAST(sum(pt) AS BIGINT) AS rrf_micro
+            FROM uall GROUP BY 1
+        """,
         "q85_burst_days": """
             WITH daily AS (SELECT event_type,
                                   strftime(ts, '%Y-%m-%d') AS day,

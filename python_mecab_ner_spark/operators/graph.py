@@ -418,6 +418,35 @@ def pagerank_weighted_int(edges: DataFrame, iters: int = 3,
     return pr
 
 
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame,
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """Snapshot diff between two KG edge sets — the graph analogue of
+    crawl.recrawl_stats and the driver of incremental graph
+    maintenance (only `added` edges need embedding/index updates,
+    `removed` need tombstones, `kept` reuse their lineage
+    partition): per-status distinct-edge counts.
+
+    One union + ONE combinable aggregate keyed by the (src, dst)
+    edge — no join: each side contributes a presence bit and max()
+    merges them, so the full-outer-join formulation's shuffle of two
+    corpus-scale relations collapses into a single hash aggregate
+    (same trick as merge_crawls)."""
+    o = (old_edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst")).distinct()
+         .select("src", "dst", F.lit(1).alias("o"), F.lit(0).alias("n")))
+    n = (new_edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst")).distinct()
+         .select("src", "dst", F.lit(0).alias("o"), F.lit(1).alias("n")))
+    u = (o.unionByName(n).groupBy("src", "dst")
+         .agg(F.max("o").alias("in_old"), F.max("n").alias("in_new")))
+    status = (F.when(F.col("in_old") == 0, "added")
+              .when(F.col("in_new") == 0, "removed")
+              .otherwise("kept"))
+    return (u.select(status.alias("status"))
+            .groupBy("status")
+            .agg(F.count("*").cast("bigint").alias("n_edges")))
+
+
 def negative_samples(edges: DataFrame, k: int = 2,
                      src: str = "src", dst: str = "dst") -> DataFrame:
     """Deterministic corrupted-tail negative sampling — the training-

@@ -70,3 +70,89 @@ def bm25_topk(ctx: DataFrame, query_terms: Sequence[str], k: int = 20,
                  F.sum("contrib").cast("bigint").alias("bm25_milli"))
             .orderBy(F.col("bm25_milli").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], id_col: str = "doc_id",
+             k: int = 60, scale: int = 1_000_000) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N candidate
+    rankings — the standard hybrid-retrieval combiner (BM25 + dense
+    ANN + any other scorer) that needs no score calibration because
+    it consumes only RANKS:
+
+        rrf_micro(d) = sum_systems  scale div (k + rank_s(d))
+
+    in integer fixed-point (floor division), so fused ordering is
+    bit-identical across engines — float 1/(k+r) sums are not.  Each
+    input DataFrame carries (id_col, rank) with rank 1-based; a doc
+    missing from a system contributes nothing (the RRF convention).
+    Returns (id, n_systems, rrf_micro).
+
+    Scale shape: inputs are top-k candidate lists (query-result-
+    sized, NOT corpus-sized) — the union + one combinable aggregate
+    is trivially cheap; all the heavy lifting stays in the upstream
+    retrievers."""
+    parts = [r.select(F.col(id_col),
+                      F.expr(f"{scale} div ({k} + rank)").alias("_pt"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy(id_col)
+            .agg(F.count("*").cast("int").alias("n_systems"),
+                 F.sum("_pt").cast("bigint").alias("rrf_micro")))
+
+
+def tfidf_cosine_pairs(ctx: DataFrame, id_col: str = "url",
+                       word_col: str = "word", max_df: int = 64,
+                       min_cos2_ppm: int = 250_000) -> DataFrame:
+    """All-pairs document similarity over an inverted index — the
+    term-at-a-time sparse-vector analogue of q16's shingle Jaccard,
+    catching topical near-dups that exact-shingle overlap misses:
+    documents are tf*idf vectors, pairs are generated ONLY through
+    shared terms, and similarity is squared cosine in integer ppm:
+
+        w(d,t)    = tf * bitlen(N div df_t)      (q38 integer idf)
+        dot(a,b)  = sum_t w(a,t) * w(b,t)
+        cos2_ppm  = dot^2 * 1e6 div (|a|^2 * |b|^2)
+
+    Squared cosine (not cosine) keeps everything in 64-bit integers —
+    no sqrt — and is monotone in cosine for the non-negative vectors
+    tf*idf produces, so thresholding/ranking is unchanged.  Returns
+    (d1, d2, dot, cos2_ppm) with d1 < d2.
+
+    Scale shape: the inverted-index self-join is keyed by term with
+    df capped at max_df BEFORE the join (the q16 DF-cap lever —
+    stopword-like terms contribute O(df^2) pairs and near-zero idf
+    signal), so per-term fan-out is bounded at max_df^2 at any
+    corpus size; norms are one combinable per-doc aggregate joined
+    back on the doc key.  The documented approximation: dropped
+    high-df terms are excluded from BOTH dots and norms (consistent,
+    oracle-mirrored)."""
+    tf = (ctx.groupBy(F.col(id_col).alias("d"),
+                      F.col(word_col).alias("w"))
+          .agg(F.count("*").alias("tf")))
+    dft = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = ctx.select(F.col(id_col)).distinct() \
+        .agg(F.count("*").alias("n_docs"))
+    kept = (tf.join(F.broadcast(dft.where(F.col("df") <= max_df)), "w")
+            .crossJoin(F.broadcast(n_docs))
+            .select("d", "w",
+                    (F.col("tf")
+                     * F.length(F.bin(F.expr("n_docs div df"))))
+                    .cast("bigint").alias("wt")))
+    norms = kept.groupBy("d").agg(
+        F.sum(F.col("wt") * F.col("wt")).alias("n2"))
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (a.join(b, (F.col("a.w") == F.col("b.w"))
+                   & (F.col("a.d") < F.col("b.d")))
+            .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+            .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot")))
+    return (dots
+            .join(norms.select(F.col("d").alias("d1"),
+                               F.col("n2").alias("na2")), "d1")
+            .join(norms.select(F.col("d").alias("d2"),
+                               F.col("n2").alias("nb2")), "d2")
+            .select("d1", "d2", F.col("dot").cast("bigint").alias("dot"),
+                    F.expr("(dot * dot * 1000000) div (na2 * nb2)")
+                    .cast("bigint").alias("cos2_ppm"))
+            .where(F.col("cos2_ppm") >= min_cos2_ppm))

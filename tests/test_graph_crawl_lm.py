@@ -169,6 +169,44 @@ def test_histogram_deciles_golden_and_monotone(spark):
     assert los == sorted(los)
 
 
+def test_tfidf_cosine_pairs_golden(spark):
+    from python_mecab_ner_spark.operators.retrieval import \
+        tfidf_cosine_pairs
+    ctx = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"),
+         (4, "x"), (4, "y")], "url bigint, word string")
+    got = {(r.d1, r.d2): (r.dot, r.cos2_ppm)
+           for r in tfidf_cosine_pairs(ctx, max_df=64,
+                                       min_cos2_ppm=0).collect()}
+    # idf: a=bitlen(4//3)=1, b=bitlen(2)=2, c=x=y=bitlen(4)=3
+    # doc1=doc2=(a:1,b:2) norm2=5; doc3=(a:1,c:3) norm2=10; doc4 disjoint
+    assert got == {(1, 2): (5, 1_000_000),
+                   (1, 3): (1, 20_000), (2, 3): (1, 20_000)}
+
+
+def test_edge_diff_golden(spark):
+    from python_mecab_ner_spark.operators.graph import edge_diff
+    old = spark.createDataFrame([(1, 2), (1, 3)], "src int, dst int")
+    new = spark.createDataFrame([(1, 3), (2, 4), (2, 4)],
+                                "src int, dst int")
+    got = {r.status: r.n_edges for r in edge_diff(old, new).collect()}
+    assert got == {"added": 1, "removed": 1, "kept": 1}
+
+
+def test_rrf_fuse_golden(spark):
+    from python_mecab_ner_spark.operators.retrieval import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id bigint, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)],
+                              "doc_id bigint, rank int")
+    got = {r.doc_id: (r.n_systems, r.rrf_micro)
+           for r in rrf_fuse([a, b]).collect()}
+    assert got == {1: (1, 1_000_000 // 61),
+                   2: (2, 1_000_000 // 62 + 1_000_000 // 61),
+                   3: (1, 1_000_000 // 63),
+                   4: (1, 1_000_000 // 62)}
+
+
 def test_crawl_budget_sums_to_budget_randomized(spark):
     rng = random.Random(81)
     rows = [(f"h{i}", rng.randrange(1, 1000)) for i in range(50)]
