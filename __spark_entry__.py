@@ -1187,6 +1187,62 @@ def q58_neighbor_jaccard(spark, sf_dir):
             .limit(100))
 
 
+BLOOM_WORDS = 32   # 1024-bit filter: small enough that sf0.01's 250
+BLOOM_K = 3        # seen keys produce auditable false positives
+
+
+def q90_bloom_seen(spark, sf_dir):
+    """Crawl-frontier seen-filter (operators.sketch.bloom_build/
+    bloom_probe): a 1024-bit Bloom filter over the even-doc_id "already
+    crawled" half, probed with every doc_id — maybe_seen vs truly_seen
+    makes the false-positive behaviour (never-negative, deterministic)
+    part of the checked output rather than a hidden property."""
+    from python_mecab_ner_spark.operators.sketch import (bloom_build,
+                                                         bloom_probe)
+    d = _load(spark, sf_dir, "documents")
+    keyed = d.select(F.col("doc_id").cast("string").alias("k"), "doc_id")
+    bloom = bloom_build(keyed.where(F.col("doc_id") % 2 == 0), "k",
+                        m_words=BLOOM_WORDS, k=BLOOM_K)
+    probed = bloom_probe(keyed, bloom, "k",
+                         m_words=BLOOM_WORDS, k=BLOOM_K)
+    return (probed.select(F.col("term").cast("bigint").alias("doc_id"),
+                          F.col("maybe_member").alias("maybe_seen"))
+            .withColumn("truly_seen",
+                        (F.col("doc_id") % 2 == 0).cast("int")))
+
+
+def q91_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction (operators.graph.adamic_adar) over
+    the q49/q58 part<->supplier bipartite graph: common-neighbor score
+    weighted by scale div bit_length(deg(center)) — rare shared
+    neighbors count more than hubs, the integer twin of 1/log(deg).
+    Top-100 with a total-order tiebreak."""
+    from python_mecab_ner_spark.operators.graph import adamic_adar
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return (adamic_adar(edges, min_common=2, max_center_degree=256)
+            .orderBy(F.col("aa_micro").desc(), F.col("n1").asc(),
+                     F.col("n2").asc())
+            .limit(100))
+
+
+def q92_recency_decay(spark, sf_dir):
+    """Recency-weighted activity (operators.crawl.decay_activity):
+    per-event-type scores under an exact power-of-two half-life decay
+    (weight = 2^20 >> (age_days div 7), anchored at the newest event
+    day) — the recrawl-priority / trending signal, bit-exact where a
+    float exp(-age/tau) sum is not."""
+    from python_mecab_ner_spark.operators.crawl import decay_activity
+    ev = _load(spark, sf_dir, "events")
+    return (decay_activity(ev, "ts", "event_type", half_life_days=7)
+            .select(F.col("key").alias("event_type"), "n_events",
+                    "decayed"))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2156,6 +2212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_rrf_fusion": q87_rrf_fusion,
         "q88_tfidf_cosine_pairs": q88_tfidf_cosine_pairs,
         "q89_edge_diff": q89_edge_diff,
+        "q90_bloom_seen": q90_bloom_seen,
+        "q91_adamic_adar": q91_adamic_adar,
+        "q92_recency_decay": q92_recency_decay,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2717,6 +2776,82 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'kept' END AS status,
                    CAST(count(*) AS BIGINT) AS n_edges
             FROM u GROUP BY 1
+        """,
+        # 1024-bit bloom: 3 salted md5 positions per key, 32-bit words
+        # (low bits of a BIGINT only — 1<<63 overflow is engine-
+        # dependent, 1<<31 is not), bit_or build, all-k-bits probe
+        "q90_bloom_seen": f"""
+            WITH ks AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k
+                        FROM documents),
+            pos AS (
+              SELECT doc_id,
+                     {md5_int_sql('k', salt='bloom0:')} % 1024 AS pos
+              FROM ks
+              UNION ALL SELECT doc_id,
+                     {md5_int_sql('k', salt='bloom1:')} % 1024 FROM ks
+              UNION ALL SELECT doc_id,
+                     {md5_int_sql('k', salt='bloom2:')} % 1024 FROM ks),
+            bloom AS (SELECT CAST(pos // 32 AS INT) AS word_idx,
+                             bit_or(CAST(1 AS BIGINT)
+                                    << CAST(pos % 32 AS INT)) AS bits
+                      FROM pos WHERE doc_id % 2 = 0 GROUP BY 1),
+            probe AS (SELECT doc_id, CAST(pos // 32 AS INT) AS word_idx,
+                             CAST(1 AS BIGINT)
+                                 << CAST(pos % 32 AS INT) AS mask
+                      FROM pos),
+            m AS (SELECT probe.doc_id,
+                         min(CASE WHEN (COALESCE(b.bits, 0) & probe.mask)
+                                      = probe.mask
+                                  THEN 1 ELSE 0 END) AS maybe_seen
+                  FROM probe LEFT JOIN bloom b USING (word_idx)
+                  GROUP BY 1)
+            SELECT doc_id, CAST(maybe_seen AS INT) AS maybe_seen,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                        AS INT) AS truly_seen
+            FROM m
+        """,
+        # q58's wedge join with the center's 1e6 div bit_length(deg)
+        # weight riding each wedge row
+        "q91_adamic_adar": """
+            WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                           l_suppkey * 2 + 1 AS s
+                           FROM lineitem),
+            e AS (SELECT p AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s, p FROM pairs),
+            adj1 AS (SELECT DISTINCT least(src, dst) AS node,
+                                     greatest(src, dst) AS nbr
+                     FROM e WHERE src <> dst),
+            adj AS (SELECT node, nbr FROM adj1
+                    UNION SELECT nbr, node FROM adj1),
+            deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+            ctr AS (SELECT a.nbr AS center, a.node AS leaf,
+                           1000000 // length(bin(d.deg)) AS aa_w
+                    FROM adj a JOIN deg d ON d.node = a.nbr
+                    WHERE d.deg <= 256),
+            cm AS (SELECT a.leaf AS n1, b.leaf AS n2,
+                          count(*) AS common, sum(a.aa_w) AS aa
+                   FROM ctr a JOIN ctr b
+                     ON a.center = b.center AND a.leaf < b.leaf
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(common AS BIGINT) AS common,
+                   CAST(aa AS BIGINT) AS aa_micro
+            FROM cm ORDER BY aa_micro DESC, n1, n2 LIMIT 100
+        """,
+        # power-of-two half-life: weight = 2^20 >> (age_days div 7),
+        # age anchored at the newest event DAY (1-row broadcast)
+        "q92_recency_decay": """
+            WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd
+                        FROM events),
+            w AS (SELECT event_type,
+                         CAST(1048576 AS BIGINT)
+                             >> CAST(least(date_diff('day',
+                                               CAST(ts AS DATE), maxd)
+                                           // 7, 62) AS INT) AS w
+                  FROM events CROSS JOIN mx)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(w) AS BIGINT) AS decayed
+            FROM w GROUP BY 1
         """,
         "q87_rrf_fusion": f"""
             WITH t AS (SELECT doc_id,

@@ -104,3 +104,38 @@ def recrawl_stats(old: DataFrame, new: DataFrame, key: str = "url",
     return (j.select(status.alias("status"))
             .groupBy("status")
             .agg(F.count("*").cast("bigint").alias("n_urls")))
+
+
+def decay_activity(events: DataFrame, ts_col: str = "ts",
+                   key_col: str = "user_id",
+                   half_life_days: int = 7,
+                   base: int = 1 << 20) -> DataFrame:
+    """Recency-weighted activity score — the recrawl-priority /
+    trending-key signal that plain counts miss: each event contributes
+    base >> (age_days div half_life_days), i.e. an exact power-of-two
+    half-life decay anchored at the corpus' newest day.
+
+    Exponential decay is normally exp(-age/tau) — float, and
+    cross-engine drift-prone in a 100-TB sum.  The shift form keeps
+    the ENTIRE path in 64-bit integers (the same discipline as the
+    fixed-point PageRank family): equal-age events contribute equal
+    integers, the per-key sum is one combinable aggregate, and the
+    DuckDB oracle hash-matches bit-for-bit.
+
+    Scale shape: one 1-row max-day aggregate broadcast back (the only
+    global state), then scan -> weight projection -> hash aggregate on
+    the key; no window, no second shuffle.  Shifts are capped at 62 so
+    pre-epoch stragglers degrade to weight 0 instead of overflowing.
+
+    Returns (key, n_events, decayed) sorted by the caller."""
+    d = F.to_date(F.col(ts_col))
+    maxd = events.agg(F.max(d).alias("_maxd"))
+    age = F.datediff(F.col("_maxd"), d)
+    shift = F.least(F.floor(age / half_life_days).cast("int"), F.lit(62))
+    w = F.expr(f"shiftright(CAST({base} AS BIGINT), _shift)")
+    return (events.crossJoin(F.broadcast(maxd))
+            .select(F.col(key_col).alias("key"), shift.alias("_shift"))
+            .select("key", w.alias("_w"))
+            .groupBy("key")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.sum("_w").cast("bigint").alias("decayed")))

@@ -321,6 +321,62 @@ def neighbor_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
                     .cast("bigint").alias("jac_ppm")))
 
 
+def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",
+                min_common: int = 2,
+                max_center_degree: int | None = None,
+                scale: int = 1_000_000) -> DataFrame:
+    """Adamic-Adar link prediction over an undirected edge list: for
+    every node pair sharing >= min_common neighbors, the sum over the
+    COMMON neighbors z of scale div bit_length(deg(z)) — the integer
+    twin of the classic 1/log(deg(z)) weighting (rare shared neighbors
+    count more than hubs), the second standard KG link-prediction /
+    entity-merge score next to neighbor_jaccard.
+
+    Columns: (n1, n2, common, aa_micro) with n1 < n2.  bit_length via
+    length(bin(x)) — the same integer-log idiom as the q38 idf — so
+    the DuckDB oracle hash-matches exactly; a float 1/ln(d) would not.
+
+    Scale shape is neighbor_jaccard's wedge join with the weight
+    riding the wedge: pairs are generated ONLY through shared
+    neighbors, the per-center weight joins in from the broadcast
+    degree dimension BEFORE the self-join (one wedge row carries its
+    center's weight, so the pair aggregate is a single combinable
+    sum), and hub centers above max_center_degree are dropped before
+    the quadratic step — exactly the hubs whose AA weight is smallest,
+    making the cap a principled truncation, not just a safety valve."""
+    adj = (edges.select(F.least(F.col(src), F.col(dst)).alias("node"),
+                        F.greatest(F.col(src), F.col(dst)).alias("nbr"))
+           .where(F.col("node") != F.col("nbr")))
+    adj = (adj.unionByName(adj.select(F.col("nbr").alias("node"),
+                                      F.col("node").alias("nbr")))
+           .distinct())
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    # a center needs >= 2 leaves to make a wedge, so deg >= 2 and
+    # bit_length(deg) >= 2 on every surviving row — no division hazard
+    cdeg = deg.select(F.col("node").alias("center"),
+                      F.floor(F.lit(scale)
+                              / F.length(F.bin(F.col("deg"))))
+                      .cast("bigint").alias("aa_w"),
+                      F.col("deg").alias("cdeg"))
+    if max_center_degree is not None:
+        cdeg = cdeg.where(F.col("cdeg") <= max_center_degree)
+    centers = (adj.select(F.col("nbr").alias("center"),
+                          F.col("node").alias("leaf"))
+               .join(F.broadcast(cdeg.select("center", "aa_w")), "center"))
+    a, b = centers.alias("a"), centers.alias("b")
+    return (a.join(b, (F.col("a.center") == F.col("b.center"))
+                   & (F.col("a.leaf") < F.col("b.leaf")))
+            .groupBy(F.col("a.leaf").alias("n1"),
+                     F.col("b.leaf").alias("n2"))
+            .agg(F.count("*").alias("common"),
+                 F.sum(F.col("a.aa_w")).alias("aa_micro"))
+            .where(F.col("common") >= min_common)
+            .select(F.col("n1").cast("bigint").alias("n1"),
+                    F.col("n2").cast("bigint").alias("n2"),
+                    F.col("common").cast("bigint").alias("common"),
+                    F.col("aa_micro").cast("bigint").alias("aa_micro")))
+
+
 def triangle_counts(edges: DataFrame,
                     src: str = "src", dst: str = "dst") -> DataFrame:
     """Per-node triangle participation count over an undirected edge

@@ -78,6 +78,76 @@ def cm_merge(*sketches: DataFrame) -> DataFrame:
             .agg(F.sum("cnt").cast("bigint").alias("cnt")))
 
 
+def bloom_build(keys: DataFrame, term_col: str, m_words: int = 256,
+                k: int = 3) -> DataFrame:
+    """Bloom-filter build over a key stream: the crawl-frontier
+    "have we seen this url" structure — m_words 32-bit words
+    REGARDLESS of key cardinality, built in ONE combinable bit_or
+    aggregate and broadcastable into any probe-side plan.
+
+    Each key sets k bits at pos_i = md5(salt_i || key) mod (32 *
+    m_words); a word row is (word_idx, bits) with bits = OR of
+    1 << (pos mod 32).  Only the LOW 32 bits of the BIGINT are used:
+    1 << 63 overflows differently across engines, 1 << 31 does not —
+    the same cross-engine-exactness discipline as the rest of the
+    sketch family, so the filter TABLE itself has a DuckDB oracle.
+
+    No false negatives ever; false-positive rate is the standard
+    (1 - e^(-k*n/m))^k — size m_words to the seen-set estimate (an
+    HLL over the same stream gives n for free).  Merge across
+    days/partitions = wordwise bit_or (same algebra as cm_merge)."""
+    nbits = 32 * m_words
+    positions = F.array(*[
+        F.pmod(md5_int(F.col(term_col), salt=f"bloom{i}:"), F.lit(nbits))
+        for i in range(k)])
+    # shiftleft with a COLUMN shift must go through F.expr: the
+    # PySpark wrapper only accepts a literal int for numBits
+    return (keys.select(F.explode(positions).alias("pos"))
+            .groupBy(F.floor(F.col("pos") / 32).cast("int")
+                     .alias("word_idx"))
+            .agg(F.bit_or(F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+                 .cast("bigint").alias("bits")))
+
+
+def bloom_probe(candidates: DataFrame, bloom: DataFrame, term_col: str,
+                m_words: int = 256, k: int = 3) -> DataFrame:
+    """Membership probe: a candidate is maybe-seen iff ALL k of its
+    bits are set.  The filter is m_words rows — broadcast — so probing
+    any number of candidates is a map-side join + one combinable min;
+    an absent word row means those 32 bits are all zero (left join +
+    coalesce 0, the same untouched-cell rule as cm_estimate).
+
+    Returns (term, maybe_member) with maybe_member in {0, 1}."""
+    nbits = 32 * m_words
+    probes = F.array(*[
+        F.pmod(md5_int(F.col(term_col), salt=f"bloom{i}:"), F.lit(nbits))
+        for i in range(k)])
+    p = (candidates.select(F.col(term_col).alias("term"),
+                           F.explode(probes).alias("pos"))
+         .select("term",
+                 F.floor(F.col("pos") / 32).cast("int").alias("word_idx"),
+                 F.expr("shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(pos % 32 AS INT))").alias("mask")))
+    hit = F.when((F.coalesce(F.col("bits"), F.lit(0))
+                  .bitwiseAND(F.col("mask"))) == F.col("mask"),
+                 F.lit(1)).otherwise(F.lit(0))
+    return (p.join(F.broadcast(bloom), "word_idx", "left")
+            .groupBy("term")
+            .agg(F.min(hit).cast("int").alias("maybe_member")))
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Wordwise bit_or — bloom(A ∪ B) == merge(bloom(A), bloom(B))
+    exactly (same incremental-maintenance algebra as cm_merge /
+    hll_merge / minhash_merge)."""
+    u = filters[0]
+    for f in filters[1:]:
+        u = u.unionByName(f)
+    return (u.groupBy("word_idx")
+            .agg(F.bit_or("bits").cast("bigint").alias("bits")))
+
+
 # 60-bit md5 hashes (functions.hashing md5_int) drive the HLL rho
 _HLL_HASH_BITS = 60
 

@@ -214,3 +214,134 @@ def test_crawl_budget_sums_to_budget_randomized(spark):
     out = crawl_budget(s, budget=12_345).collect()
     assert sum(r.slots for r in out) == 12_345
     assert all(r.slots - r.base in (0, 1) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter / adamic-adar / recency decay (q90-q92 session)
+# ---------------------------------------------------------------------------
+
+def _bloom_py(keys, m_words=8, k=3):
+    """Pure-python twin of sketch.bloom_build (same salted positions)."""
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    words = {}
+    for key in keys:
+        for i in range(k):
+            pos = md5_int_py(key, salt=f"bloom{i}:") % (32 * m_words)
+            words[pos // 32] = words.get(pos // 32, 0) | (1 << (pos % 32))
+    return words
+
+
+def test_bloom_no_false_negatives_and_python_twin(spark):
+    from python_mecab_ner_spark.operators.sketch import (bloom_build,
+                                                         bloom_probe)
+    keys = [f"url{i}" for i in range(40)]
+    df = spark.createDataFrame([(s,) for s in keys], "k string")
+    bloom = bloom_build(df, "k", m_words=8, k=3)
+    got = {r.word_idx: r.bits for r in bloom.collect()}
+    assert got == _bloom_py(keys, m_words=8, k=3)
+    # every inserted key probes positive — the no-false-negative law
+    probed = bloom_probe(df, bloom, "k", m_words=8, k=3)
+    assert all(r.maybe_member == 1 for r in probed.collect())
+
+
+def test_bloom_absent_key_with_empty_word_is_negative(spark):
+    from python_mecab_ner_spark.operators.sketch import (bloom_build,
+                                                         bloom_probe)
+    df = spark.createDataFrame([("a",)], "k string")
+    bloom = bloom_build(df, "k", m_words=64, k=3)  # 2048 bits, 1 key
+    cand = spark.createDataFrame([("definitely-new-url",)], "k string")
+    got = bloom_probe(cand, bloom, "k", m_words=64, k=3).collect()
+    # with 3 bits set in 2048 the probe must miss (left-join coalesce-0
+    # path: absent word rows read as all-zero words, not dropped rows)
+    assert got[0].maybe_member == 0
+
+
+def test_bloom_merge_equals_build_of_union(spark):
+    from python_mecab_ner_spark.operators.sketch import (bloom_build,
+                                                         bloom_merge)
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "k string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "k string")
+    merged = bloom_merge(bloom_build(a, "k", m_words=8),
+                         bloom_build(b, "k", m_words=8))
+    union = bloom_build(a.unionByName(b), "k", m_words=8)
+    assert ({(r.word_idx, r.bits) for r in merged.collect()}
+            == {(r.word_idx, r.bits) for r in union.collect()})
+
+
+def _aa_py(edges, min_common=1, cap=None, scale=1_000_000):
+    """Pure-python twin of graph.adamic_adar."""
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {n: len(v) for n, v in adj.items()}
+    out = {}
+    for z, leaves in adj.items():
+        if cap is not None and deg[z] > cap:
+            continue
+        w = scale // deg[z].bit_length()
+        ls = sorted(leaves)
+        for i, x in enumerate(ls):
+            for y in ls[i + 1:]:
+                c, aa = out.get((x, y), (0, 0))
+                out[(x, y)] = (c + 1, aa + w)
+    return {p: v for p, v in out.items() if v[0] >= min_common}
+
+
+def test_adamic_adar_rare_neighbor_outweighs_hub(spark):
+    from python_mecab_ner_spark.operators.graph import adamic_adar
+    # (1,2) share rare node 10 (deg 2); (3,4) share hub 20 (deg 6)
+    e = [(1, 10), (2, 10), (3, 20), (4, 20),
+         (5, 20), (6, 20), (7, 20), (8, 20)]
+    df = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {(r.n1, r.n2): r.aa_micro
+           for r in adamic_adar(df, min_common=1).collect()}
+    # bit_length(2)=2 -> 500000; bit_length(6)=3 -> 333333
+    assert got[(1, 2)] == 500_000
+    assert got[(3, 4)] == 333_333
+    assert got[(1, 2)] > got[(3, 4)]
+
+
+def test_adamic_adar_randomized_vs_python(spark):
+    import random
+    from python_mecab_ner_spark.operators.graph import adamic_adar
+    rng = random.Random(91)
+    edges = list({(rng.randrange(12), rng.randrange(12))
+                  for _ in range(40)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.n1, r.n2): (r.common, r.aa_micro)
+           for r in adamic_adar(df, min_common=1).collect()}
+    assert got == _aa_py(edges, min_common=1)
+
+
+def test_adamic_adar_center_cap_mirrors_python(spark):
+    import random
+    from python_mecab_ner_spark.operators.graph import adamic_adar
+    rng = random.Random(92)
+    edges = list({(rng.randrange(10), rng.randrange(10))
+                  for _ in range(35)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.n1, r.n2): (r.common, r.aa_micro)
+           for r in adamic_adar(df, min_common=1,
+                                max_center_degree=3).collect()}
+    assert got == _aa_py(edges, min_common=1, cap=3)
+
+
+def test_decay_activity_golden_and_shift_cap(spark):
+    from python_mecab_ner_spark.operators.crawl import decay_activity
+    rows = [
+        ("h1", "2024-03-10 12:00:00"),   # age 0d  -> 2^20
+        ("h1", "2024-03-02 08:00:00"),   # age 8d  -> 2^20 >> 1
+        ("h2", "2024-02-10 00:00:00"),   # age 29d -> 2^20 >> 4
+        ("h3", "1100-01-01 00:00:00"),   # ancient -> shift capped, 0
+    ]
+    df = (spark.createDataFrame(rows, "host string, t string")
+          .select("host", F.to_timestamp("t").alias("ts")))
+    got = {r.key: (r.n_events, r.decayed)
+           for r in decay_activity(df, "ts", "host",
+                                   half_life_days=7).collect()}
+    assert got == {"h1": (2, (1 << 20) + (1 << 19)),
+                   "h2": (1, 1 << 16),
+                   "h3": (1, 0)}
