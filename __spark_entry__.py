@@ -1243,6 +1243,64 @@ def q92_recency_decay(spark, sf_dir):
                     "decayed"))
 
 
+WALK_LEN = 3          # q93 walk corpus shape
+WALKS_PER_NODE = 2
+KCORE_K = 2           # q94 peel threshold
+KCORE_ITERS = 8
+
+
+def q93_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (operators.graph.random_walks)
+    over the q58 part<->supplier bipartite graph: 2 walks x 3 steps
+    per node, next hop = content-hash mod outdegree into the
+    id-ordered adjacency list — the node2vec training-sequence
+    generator, reproducible at any cluster size and bit-exact against
+    the unrolled-SQL oracle."""
+    from python_mecab_ner_spark.operators.graph import random_walks
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return random_walks(edges, walk_len=WALK_LEN,
+                        walks_per_node=WALKS_PER_NODE, seed="walk")
+
+
+def q94_kcore(spark, sf_dir):
+    """k-core decomposition (operators.graph.kcore) of the sparse
+    thin-order customer<->supplier graph (1998 orders, quantity <= 2):
+    iterative degree-< k peeling — the web-graph spam/tendril filter;
+    fixed 8 rounds to stay bit-exact against the unrolled oracle
+    (the peel reaches its fixpoint well before round 8 here, asserted
+    in tests)."""
+    from python_mecab_ner_spark.operators.graph import kcore
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .where((F.col("o_orderdate") >= "1998-01-01")
+                & (F.col("l_quantity") <= 2))
+         .select((F.col("o_custkey") * 2).alias("src"),
+                 (F.col("l_suppkey") * 2 + 1).alias("dst")))
+    return kcore(e, k=KCORE_K, iters=KCORE_ITERS)
+
+
+def q95_quality_hist_gate(spark, sf_dir):
+    """Exact per-source top-quarter selection WITHOUT sorting the
+    source (operators.sample.quality_gate_histogram): combinable
+    histogram -> boundary bin -> rank window over the boundary bin
+    ONLY — result-identical to the full-sort gate (same oracle), but
+    the only sort a 100 TB run pays is over ~one bin of one stratum."""
+    from python_mecab_ner_spark.operators.sample import \
+        quality_gate_histogram
+    d = _loadp(spark, sf_dir, "documents")
+    kept = quality_gate_histogram(
+        d.select("source", "doc_id", "n_chars"),
+        score_col="n_chars", strata_col="source", id_col="doc_id",
+        keep_num=1, keep_den=4, bin_width=64)
+    return kept.select("source", "doc_id", "n_chars")
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -1480,6 +1538,78 @@ def _wpr_oracle_sql(iters: int = 3, scale: int = 1_000_000,
                   FROM nodes n LEFT JOIN m{k} ON m{k}.node = n.node)"""
     return s + f"""
         SELECT CAST(node AS BIGINT) AS node, pr FROM pr{iters}"""
+
+
+def _walks_oracle_sql(walk_len: int = 3, walks_per_node: int = 2,
+                      seed: str = "walk") -> str:
+    """Unrolled random-walk SQL twin of q93: one CTE per step, the
+    same md5(seed:start:wid:step:node) mod outdeg neighbor pick into
+    the same row_number-indexed adjacency list."""
+    wids = ", ".join(f"({i})" for i in range(walks_per_node))
+    s = f"""
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                       l_suppkey * 2 + 1 AS s
+                       FROM lineitem),
+        e AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+        adj AS (SELECT DISTINCT src AS node, dst AS nbr FROM e
+                WHERE src <> dst),
+        adjidx AS (SELECT node, nbr,
+                          row_number() OVER (PARTITION BY node
+                                             ORDER BY nbr) - 1 AS i
+                   FROM adj),
+        deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        s0 AS (SELECT n.node AS start, w.wid, n.node AS node
+               FROM nodes n CROSS JOIN (VALUES {wids}) AS w(wid))"""
+    for t in range(1, walk_len + 1):
+        h = md5_int_sql(
+            f"concat_ws(':', '{seed}', CAST(s.start AS VARCHAR), "
+            f"CAST(s.wid AS VARCHAR), '{t}', CAST(s.node AS VARCHAR))")
+        s += f""",
+        s{t} AS (SELECT s.start, s.wid, a.nbr AS node
+                 FROM s{t - 1} s JOIN deg d ON d.node = s.node
+                 JOIN adjidx a ON a.node = s.node
+                  AND a.i = {h} % d.deg)"""
+    sel = "\n            UNION ALL ".join(
+        f"SELECT CAST(start AS BIGINT) AS start, "
+        f"CAST(wid AS INT) AS wid, CAST({t} AS INT) AS step, "
+        f"CAST(node AS BIGINT) AS node FROM s{t}"
+        for t in range(walk_len + 1))
+    return s + "\n            " + sel
+
+
+def _kcore_oracle_sql(k: int = 2, iters: int = 8) -> str:
+    """Unrolled k-core peel twin of q94: one degree-filter + edge-
+    restrict round per CTE pair."""
+    s = f"""
+        WITH raw AS (SELECT DISTINCT o_custkey * 2 AS a,
+                                     l_suppkey * 2 + 1 AS b
+                     FROM orders JOIN lineitem
+                       ON o_orderkey = l_orderkey
+                     WHERE o_orderdate >= '1998-01-01'
+                       AND l_quantity <= 2),
+        e0 AS MATERIALIZED (
+               SELECT a AS node, b AS nbr FROM raw WHERE a <> b
+               UNION ALL SELECT b, a FROM raw WHERE a <> b)"""
+    # MATERIALIZED is load-bearing: each round references the previous
+    # round TWICE, so inlined CTEs would expand 3^iters scans deep
+    # (DuckDB runs out of file handles re-opening the parquet)
+    for r in range(1, iters + 1):
+        s += f""",
+        k{r} AS MATERIALIZED (
+                 SELECT node FROM (SELECT node, count(*) AS c
+                                   FROM e{r - 1} GROUP BY 1)
+                 WHERE c >= {k}),
+        e{r} AS MATERIALIZED (
+                 SELECT e.node, e.nbr FROM e{r - 1} e
+                 JOIN k{r} x ON x.node = e.node
+                 JOIN k{r} y ON y.node = e.nbr)"""
+    return s + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS core_deg
+        FROM e{iters} GROUP BY 1"""
 
 
 def q70_communities(spark, sf_dir):
@@ -2215,6 +2345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_bloom_seen": q90_bloom_seen,
         "q91_adamic_adar": q91_adamic_adar,
         "q92_recency_decay": q92_recency_decay,
+        "q93_random_walks": q93_random_walks,
+        "q94_kcore": q94_kcore,
+        "q95_quality_hist_gate": q95_quality_hist_gate,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2852,6 +2985,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(w) AS BIGINT) AS decayed
             FROM w GROUP BY 1
+        """,
+        "q93_random_walks": _walks_oracle_sql(
+            walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE),
+        "q94_kcore": _kcore_oracle_sql(k=KCORE_K, iters=KCORE_ITERS),
+        # the histogram gate's row set == the full-sort gate's row set
+        # (see quality_gate_histogram docstring), so the oracle IS the
+        # plain rank form: rk < ceil(n * 1 / 4)
+        "q95_quality_hist_gate": """
+            WITH r AS (SELECT source, doc_id, n_chars,
+                              row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) - 1
+                                  AS rk,
+                              count(*) OVER (PARTITION BY source) AS n
+                       FROM documents)
+            SELECT source, doc_id, n_chars FROM r
+            WHERE rk < (n * 1 + 3) // 4
         """,
         "q87_rrf_fusion": f"""
             WITH t AS (SELECT doc_id,

@@ -13,7 +13,7 @@ Writes partitioned Parquet through sources.catalog (Iceberg-gated).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int
@@ -319,6 +319,106 @@ def neighbor_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
                     F.floor(F.col("common") * F.lit(1_000_000)
                             / (F.col("d1") + F.col("d2") - F.col("common")))
                     .cast("bigint").alias("jac_ppm")))
+
+
+def random_walks(edges: DataFrame, walk_len: int = 3,
+                 walks_per_node: int = 1, seed: str = "walk",
+                 src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus over a directed edge
+    list (pass both directions for undirected): walks_per_node walks
+    of walk_len steps from every node, the training-sequence generator
+    for node2vec/DeepWalk-family KG embeddings.
+
+    The RNG is replaced by the house content-hash discipline: step t
+    from node v in walk (start, wid) follows neighbor number
+    md5(seed:start:wid:t:v) mod outdeg(v) of v's id-ordered adjacency
+    list.  Same walk corpus at any cluster size, on re-runs, and in
+    the unrolled DuckDB oracle — a seeded RNG gives none of those.
+
+    Scale shape: the adjacency list is indexed ONCE with a per-node
+    row_number (the only sort; partition = one node's out-edges, so
+    skew equals max out-degree — cap hubs upstream if that bites),
+    then each step is a broadcast-free pair of shuffled joins keyed
+    on the current node.  The frontier is localCheckpointed per step:
+    walk state is (start, wid, node)-thin, while the UNROLLED lineage
+    would replicate the adjacency plan per step (the kg_entity_rank
+    driver-OOM lesson).  Sinks end their walks early, exactly like
+    the reference random-walk corpus generators.
+
+    Returns (start, wid, step, node) — step 0 is the start row."""
+    adj = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .where(F.col("node") != F.col("nbr")).distinct())
+    w = Window.partitionBy("node").orderBy("nbr")
+    adjidx = (adj.withColumn("_i", F.row_number().over(w) - 1)
+              .localCheckpoint())
+    deg = adjidx.groupBy("node").agg(F.count("*").alias("_deg"))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    frontier = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)]))
+        .alias("wid"),
+        F.col("node"))
+    out = frontier.withColumn("step", F.lit(0))
+    for step in range(1, walk_len + 1):
+        pick = F.pmod(
+            md5_int(F.concat_ws(
+                ":", F.lit(seed), F.col("start").cast("string"),
+                F.col("wid").cast("string"), F.lit(str(step)),
+                F.col("node").cast("string"))),
+            F.col("_deg"))
+        frontier = (frontier.join(deg, "node")
+                    .withColumn("_pick", pick)
+                    .join(adjidx.select("node",
+                                        F.col("_i").alias("_pick"),
+                                        F.col("nbr").alias("_next")),
+                          ["node", "_pick"])
+                    .select("start", "wid", F.col("_next").alias("node"))
+                    .localCheckpoint())
+        out = out.unionByName(frontier.withColumn("step", F.lit(step)))
+    return out.select(F.col("start").cast("bigint").alias("start"),
+                      F.col("wid").cast("int").alias("wid"),
+                      F.col("step").cast("int").alias("step"),
+                      F.col("node").cast("bigint").alias("node"))
+
+
+def kcore(edges: DataFrame, k: int = 2, iters: int = 8,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core decomposition by iterative peeling over an undirected
+    edge list: drop every node of degree < k, re-count, repeat — the
+    standard spam/boilerplate-host filter on web graphs (low-core
+    nodes are leaves and tendrils; the dense core is where real
+    communities and authority live).
+
+    Fixed iteration count so the unrolled DuckDB oracle is bit-exact;
+    run with iters >= the peel depth (each round strictly shrinks the
+    node set or the result is already the fixpoint, so convergence is
+    detectable by an unchanged count — at production scale loop until
+    the removed-count accumulator reads 0 instead of a fixed bound).
+
+    Each round is ONE combinable degree aggregate + two semi-joins;
+    the surviving edge list is localCheckpointed per round (iterative-
+    operator house rule: unrolled lineage replicates the input plan
+    per iteration and planning alone can OOM the driver).
+
+    Returns (node, core_deg) for nodes surviving the k-core."""
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    e = (e.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+         .unionByName(e.select(F.col("b").alias("node"),
+                               F.col("a").alias("nbr")))
+         .localCheckpoint())
+    for _ in range(iters):
+        deg = e.groupBy("node").agg(F.count("*").alias("_d"))
+        keep = deg.where(F.col("_d") >= k).select("node")
+        e = (e.join(keep, "node", "left_semi")
+             .join(keep.withColumnRenamed("node", "nbr"), "nbr",
+                   "left_semi")
+             .localCheckpoint())
+    return e.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("core_deg"))
 
 
 def adamic_adar(edges: DataFrame, src: str = "src", dst: str = "dst",

@@ -147,3 +147,66 @@ def quality_gate_approx(df: DataFrame, score_col: str, strata_col: str,
     return (df.join(F.broadcast(thr), strata_col, "inner")
             .where(F.col(score_col) >= F.col("_thr"))
             .drop("_thr"))
+
+
+def quality_gate_histogram(df: DataFrame, score_col: str,
+                           strata_col: str, id_col: str,
+                           keep_num: int, keep_den: int,
+                           bin_width: int = 64) -> DataFrame:
+    """EXACT per-stratum top-fraction filter that never sorts the
+    stratum — the missing point between quality_percentile_gate
+    (exact, but one sort per stratum: wrong for a handful of giant
+    sources at 100 TB) and quality_gate_approx (scales, but boundary-
+    approximate):
+
+      1. per-(stratum, bin) integer histogram, bin = score div
+         bin_width — ONE combinable aggregate, state is strata x bins
+         (dimension-sized);
+      2. walk the histogram from the top to find the BOUNDARY bin
+         where the cumulative count crosses the stratum quota
+         ceil(n * keep_num / keep_den) — a window over the tiny
+         histogram, never the corpus;
+      3. rows in bins ABOVE the boundary are kept outright (a
+         broadcast-joined per-row compare); the exact rank window
+         runs ONLY inside the boundary bin, whose population is
+         corpus-independent (~n/bins of one stratum).
+
+    Result row set is IDENTICAL to quality_percentile_gate's (same
+    quota, same (score desc, id asc) total order — proven by test and
+    by the shared SQL oracle): higher-bin rows all outrank boundary-
+    bin rows, and the within-bin window completes the quota in the
+    same order the global sort would.  Integer scores only (the same
+    cross-engine discipline as the rest of the family)."""
+    b = F.floor(F.col(score_col) / bin_width).cast("bigint")
+    hist = (df.groupBy(F.col(strata_col).alias("_s"), b.alias("_b"))
+            .agg(F.count("*").alias("_c")))
+    wcum = (Window.partitionBy("_s").orderBy(F.col("_b").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n = hist.groupBy("_s").agg(F.sum("_c").alias("_n"))
+    hist = (hist.withColumn("_cum", F.sum("_c").over(wcum))
+            .join(n, "_s")
+            .withColumn("_quota",
+                        F.floor((F.col("_n") * keep_num + keep_den - 1)
+                                / keep_den).cast("bigint")))
+    # boundary = LARGEST bin whose top-down cumulative reaches the
+    # quota; rows strictly above it (_cum - _c of that bin) are all
+    # inside the quota by construction
+    bd = (hist.where(F.col("_cum") >= F.col("_quota"))
+          .groupBy("_s")
+          .agg(F.max_by(F.struct("_b", "_cum", "_c", "_quota"), "_b")
+               .alias("_t"))
+          .select(F.col("_s").alias(strata_col),
+                  F.col("_t._b").alias("_bb"),
+                  (F.col("_t._quota")
+                   - (F.col("_t._cum") - F.col("_t._c"))).alias("_take")))
+    tagged = (df.withColumn("_rb", b)
+              .join(F.broadcast(bd), strata_col))
+    above = tagged.where(F.col("_rb") > F.col("_bb"))
+    wb = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    boundary = (tagged.where(F.col("_rb") == F.col("_bb"))
+                .withColumn("_rk", F.row_number().over(wb))
+                .where(F.col("_rk") <= F.col("_take"))
+                .drop("_rk"))
+    return (above.unionByName(boundary)
+            .drop("_rb", "_bb", "_take"))

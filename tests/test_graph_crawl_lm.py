@@ -345,3 +345,121 @@ def test_decay_activity_golden_and_shift_cap(spark):
     assert got == {"h1": (2, (1 << 20) + (1 << 19)),
                    "h2": (1, 1 << 16),
                    "h3": (1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# random walks / k-core / histogram quality gate (q93-q95 session)
+# ---------------------------------------------------------------------------
+
+def _walks_py(edges, walk_len=3, walks_per_node=2, seed="walk"):
+    """Pure-python twin of graph.random_walks."""
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    adj = {n: sorted(v) for n, v in adj.items()}
+    nodes = sorted({x for e in edges for x in e})
+    rows = set()
+    for start in nodes:
+        for wid in range(walks_per_node):
+            cur = start
+            rows.add((start, wid, 0, cur))
+            for step in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                h = md5_int_py(f"walk:{start}:{wid}:{step}:{cur}")
+                cur = nbrs[h % len(nbrs)]
+                rows.add((start, wid, step, cur))
+    return rows
+
+
+def test_random_walks_python_twin_and_sink_stop(spark):
+    import random
+    from python_mecab_ner_spark.operators.graph import random_walks
+    rng = random.Random(93)
+    edges = list({(rng.randrange(10), rng.randrange(10))
+                  for _ in range(25)})
+    # add a guaranteed sink: node 99 has an inbound edge only
+    edges.append((0, 99))
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {(r.start, r.wid, r.step, r.node)
+           for r in random_walks(df, walk_len=3,
+                                 walks_per_node=2).collect()}
+    assert got == _walks_py(edges, walk_len=3, walks_per_node=2)
+    # the sink starts its walks but never advances past step 0
+    assert (99, 0, 0, 99) in got
+    assert not any(s == 99 and st > 0 for s, _, st, _ in got)
+
+
+def test_random_walks_follow_real_edges(spark):
+    from python_mecab_ner_spark.operators.graph import random_walks
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    walks = random_walks(df, walk_len=4, walks_per_node=1).collect()
+    eset = set(edges)
+    by_walk = {}
+    for r in walks:
+        by_walk.setdefault((r.start, r.wid), {})[r.step] = r.node
+    for steps in by_walk.values():
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in eset
+
+
+def _kcore_py(edges, k=2):
+    """Peel to the fixpoint."""
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        drop = [n for n, v in adj.items() if len(v) < k]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+        adj = {n: v for n, v in adj.items() if True}
+    return {n: len(v) for n, v in adj.items() if v}
+
+
+def test_kcore_path_peels_fully_clique_survives(spark):
+    from python_mecab_ner_spark.operators.graph import kcore
+    # path 1-2-3-4 dissolves under k=2; triangle 10-11-12 survives
+    e = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r.node: r.core_deg for r in kcore(df, k=2, iters=8).collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_randomized_reaches_python_fixpoint(spark):
+    import random
+    from python_mecab_ner_spark.operators.graph import kcore
+    rng = random.Random(94)
+    edges = list({(rng.randrange(14), rng.randrange(14))
+                  for _ in range(30)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.core_deg
+           for r in kcore(df, k=2, iters=14).collect()}
+    assert got == _kcore_py(edges, k=2)
+
+
+def test_quality_gate_histogram_equals_full_sort_gate(spark):
+    import random
+    from python_mecab_ner_spark.operators.sample import (
+        quality_gate_histogram, quality_percentile_gate)
+    rng = random.Random(95)
+    rows = [(f"s{rng.randrange(3)}", i, rng.randrange(0, 900))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, id bigint, sc bigint")
+    for num, den, bw in [(1, 4, 64), (3, 10, 17), (1, 1, 64), (0, 4, 64)]:
+        hist = {(r.source, r.id) for r in quality_gate_histogram(
+            df, "sc", "source", "id", num, den, bin_width=bw).collect()}
+        exact = {(r.source, r.id) for r in quality_percentile_gate(
+            df, "sc", "source", "id", num, den).collect()}
+        # percentile gate keeps rk*den < n*num == rk < ceil(n*num/den)
+        assert hist == exact, (num, den, bw)
