@@ -1301,6 +1301,41 @@ def q95_quality_hist_gate(spark, sf_dir):
     return kept.select("source", "doc_id", "n_chars")
 
 
+def q96_cooccurrence(spark, sf_dir):
+    """GloVe co-occurrence matrix build (operators.colloc
+    .cooccurrence_counts): unordered word pairs within a +-5 window,
+    weighted scale div distance with scale=60 (the lcm trick: every
+    1/d weight is an exact integer) — the embedding-pretraining input
+    statistic, one exploded-offset equi-join + one combinable
+    aggregate."""
+    from python_mecab_ner_spark.operators.colloc import \
+        cooccurrence_counts
+    ctx = _doc_context(spark, sf_dir)
+    return cooccurrence_counts(ctx, window=5, min_pairs=5).select(
+        "w1", "w2", "n_pairs", "w_sum")
+
+
+def q97_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per source: chars-per-BPE-token in integer
+    ppm under the q73-learned merges — the dataset-release dashboard
+    number that decides whether a source is token-efficient enough to
+    keep.  Composes bpe_token_counts (per-DISTINCT-word segmentation,
+    broadcast back) with one per-source aggregate."""
+    from python_mecab_ner_spark.operators.bpe import bpe_token_counts
+    d = _loadp(spark, sf_dir, "documents")
+    tc = bpe_token_counts(spark, d, "text", "doc_id", iters=3)
+    return (tc.join(d.select("doc_id", "source", "n_chars"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                 F.sum("n_bpe_tokens").cast("bigint")
+                 .alias("sum_bpe_tokens"))
+            .withColumn("chars_per_token_ppm",
+                        F.floor(F.col("sum_chars") * F.lit(1_000_000)
+                                / F.col("sum_bpe_tokens"))
+                        .cast("bigint")))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2348,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_random_walks": q93_random_walks,
         "q94_kcore": q94_kcore,
         "q95_quality_hist_gate": q95_quality_hist_gate,
+        "q96_cooccurrence": q96_cooccurrence,
+        "q97_bpe_fertility": q97_bpe_fertility,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2985,6 +3022,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(w) AS BIGINT) AS decayed
             FROM w GROUP BY 1
+        """,
+        # exploded-offset equi-join == the b.idx in (a.idx+1 ..
+        # a.idx+5) join; weights 60 // d are exact for d <= 5
+        "q96_cooccurrence": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(
+                           lower(trim(text)), '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word,
+                           generate_subscripts(w, 1) - 1 AS idx
+                    FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            p AS (SELECT a.word AS wa, b.word AS wb,
+                         b.idx - a.idx AS d
+                  FROM c2 a JOIN c2 b
+                    ON a.doc_id = b.doc_id
+                   AND b.idx > a.idx AND b.idx <= a.idx + 5)
+            SELECT least(wa, wb) AS w1, greatest(wa, wb) AS w2,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(60 // d) AS BIGINT) AS w_sum
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "q97_bpe_fertility": _bpe_cte(3, keep_word=True) + """,
+            v AS (SELECT word,
+                         CAST(len(regexp_split_to_array(trim(sym), ' '))
+                              AS BIGINT) AS n_tok
+                  FROM s3),
+            dtok AS (SELECT doc_id,
+                            unnest(regexp_split_to_array(
+                                lower(trim(text)), '\\s+')) AS word
+                     FROM documents),
+            tc AS (SELECT doc_id,
+                          CAST(sum(v.n_tok) AS BIGINT) AS n_tok
+                   FROM dtok JOIN v USING (word)
+                   WHERE dtok.word <> ''
+                   GROUP BY 1)
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(tc.n_tok) AS BIGINT) AS sum_bpe_tokens,
+                   CAST(sum(d.n_chars) * 1000000 // sum(tc.n_tok)
+                        AS BIGINT) AS chars_per_token_ppm
+            FROM tc JOIN documents d USING (doc_id)
+            GROUP BY 1
         """,
         "q93_random_walks": _walks_oracle_sql(
             walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE),

@@ -132,3 +132,44 @@ def doc_surprisal(ctx: DataFrame, id_col: str = "url",
                     "n_toks", "sum_idf",
                     F.expr("sum_idf * 1000 div n_toks")
                     .cast("bigint").alias("rarity_milli")))
+
+
+def cooccurrence_counts(ctx: DataFrame, window: int = 5,
+                        min_pairs: int = 2, scale: int = 60,
+                        id_col: str = "url", idx_col: str = "idx",
+                        word_col: str = "word") -> DataFrame:
+    """Distance-weighted co-occurrence matrix build — the GloVe /
+    SVD-embedding input statistic (Pennington et al. 2014 weight each
+    pair 1/d): X[w1, w2] accumulates scale div d for every unordered
+    pair at token distance d <= window.
+
+    scale = 60 makes every 1/d weight for d <= 5 an EXACT integer
+    (60, 30, 20, 15, 12) — the lcm trick that keeps the whole matrix
+    build in 64-bit integers and lets the DuckDB oracle hash-match
+    (GloVe's float 1/d sums would drift cross-engine).
+
+    Scale shape: the window join is an EQUI-join, not a range join —
+    each left token explodes its window offsets (1..window) and
+    pre-adds them into the join key, so the pair stream comes out of
+    one shuffle keyed by (doc, position) with per-row fan-out exactly
+    `window`; the matrix is ONE combinable aggregate on the unordered
+    word pair.  min_pairs prunes the hapax tail (the matrix is
+    vocab^2-sparse; GloVe trains on exactly this thresholded form).
+
+    Returns (w1, w2, n_pairs, w_sum) with w1 <= w2."""
+    right = ctx.select(F.col(id_col).alias("_id"),
+                       F.col(idx_col).alias("_pos"),
+                       F.col(word_col).alias("_wb"))
+    left = (ctx.select(F.col(id_col).alias("_id"),
+                       F.col(idx_col).alias("_i"),
+                       F.col(word_col).alias("_wa"))
+            .withColumn("_d", F.explode(F.array(
+                *[F.lit(d) for d in range(1, window + 1)])))
+            .withColumn("_pos", F.col("_i") + F.col("_d")))
+    j = left.join(right, ["_id", "_pos"])
+    return (j.groupBy(F.least("_wa", "_wb").alias("w1"),
+                      F.greatest("_wa", "_wb").alias("w2"))
+            .agg(F.count("*").cast("bigint").alias("n_pairs"),
+                 F.sum(F.floor(F.lit(scale) / F.col("_d")))
+                 .cast("bigint").alias("w_sum"))
+            .where(F.col("n_pairs") >= min_pairs))

@@ -240,3 +240,49 @@ def outlinks_with_ts(pages_stream: DataFrame) -> DataFrame:
                                  F.lit(HREF_PATTERN), 1)
     return pages_stream.select(F.col("url").alias("src_url"), "warc_ts",
                                F.explode(hrefs).alias("dst_url"))
+
+
+def bloom_bits_array(bloom_df, m_words: int = 256) -> list[int]:
+    """Collect a batch-built bloom filter (operators.sketch
+    .bloom_build) into a dense word list for row-local stream probes.
+    m_words * 8 bytes regardless of how many urls were inserted —
+    the whole point of shipping a bloom instead of the seen set."""
+    got = {r.word_idx: r.bits for r in bloom_df.collect()}
+    return [got.get(i, 0) for i in range(m_words)]
+
+
+def stream_seen_filter(pages_stream: DataFrame, bloom_bits: list[int],
+                       k: int = 3, url_col: str = "url",
+                       keep_seen: bool = False) -> DataFrame:
+    """Row-local crawl-frontier dedup against a BATCH-built bloom
+    filter: drop pages whose url probes positive (keep_seen=True
+    inverts — e.g. to route re-crawls elsewhere).  The filter rides
+    the plan as an array LITERAL indexed per row — no join, no state,
+    no shuffle, so it composes with the other stateless gates and the
+    stream stays `availableNow`-safe at any rate.
+
+    Exactly bloom_probe's bit semantics (same salted md5 positions,
+    same 32-bit words — parity pinned by test), hence no false
+    negatives: a url already in the filter NEVER passes.  False
+    positives drop new urls at the documented bloom rate — the
+    standard frontier trade (a dropped-new url is re-discoverable;
+    a re-crawled seen url is pure waste).
+
+    State story at 100 TB: stream_dedup holds per-url state bounded
+    by the watermark; this filter handles the UNBOUNDED history
+    (every url ever crawled) in m_words * 8 bytes, rebuilt/merged
+    batch-side per crawl round (bloom_merge)."""
+    nbits = 32 * len(bloom_bits)
+    arr = F.array(*[F.lit(int(b)).cast("bigint") for b in bloom_bits])
+    probed = pages_stream.withColumn("_bloom", arr)
+    checks = []
+    for i in range(k):
+        pos = (f"(CAST(conv(substr(md5(concat('bloom{i}:', {url_col})), "
+               f"1, 15), 16, 10) AS BIGINT) % {nbits})")
+        checks.append(
+            f"((element_at(_bloom, CAST({pos} / 32 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 32 AS INT))) "
+            f"!= 0)")
+    seen = F.expr(" AND ".join(checks))
+    return (probed.where(seen if keep_seen else ~seen)
+            .drop("_bloom"))

@@ -463,3 +463,29 @@ def test_quality_gate_histogram_equals_full_sort_gate(spark):
             df, "sc", "source", "id", num, den).collect()}
         # percentile gate keeps rk*den < n*num == rk < ceil(n*num/den)
         assert hist == exact, (num, den, bw)
+
+
+def test_cooccurrence_counts_golden_and_python_twin(spark):
+    from python_mecab_ner_spark.operators.colloc import \
+        cooccurrence_counts
+    docs = [(1, "a b c a"), (2, "b a")]
+    rows = []
+    for url, text in docs:
+        toks = text.split()
+        for i, w in enumerate(toks):
+            rows.append((url, i, w))
+    ctx = spark.createDataFrame(rows, "url bigint, idx int, word string")
+    got = {(r.w1, r.w2): (r.n_pairs, r.w_sum)
+           for r in cooccurrence_counts(ctx, window=2, min_pairs=1,
+                                        scale=60).collect()}
+    # doc1 pairs (d<=2): ab1 bc1 ca2 bc... enumerate python-side
+    exp = {}
+    for url, text in docs:
+        toks = text.split()
+        for i, wa in enumerate(toks):
+            for d in (1, 2):
+                if i + d < len(toks):
+                    k = tuple(sorted((wa, toks[i + d])))
+                    c, s = exp.get(k, (0, 0))
+                    exp[k] = (c + 1, s + 60 // d)
+    assert got == exp

@@ -410,3 +410,47 @@ def test_stream_host_link_counts_windows_and_watermark(spark, tmp_path):
            for r in spark.sql("SELECT * FROM host_links").collect()}
     assert got == {(12, "a.com", "b.com"): 2, (12, "a.com", "d.com"): 1,
                    (13, "a.com", "b.com"): 2}
+
+
+def test_stream_seen_filter_parity_and_stateless(spark, tmp_path):
+    """The row-local bloom gate agrees bit-for-bit with the batch
+    bloom_probe (no false negatives: every inserted url is dropped),
+    and the plan stays stateless/shuffle-free."""
+    import datetime as dt
+
+    from python_mecab_ner_spark.operators.sketch import (bloom_build,
+                                                         bloom_probe)
+    from python_mecab_ner_spark.streaming.ingest import (
+        bloom_bits_array, stream_pages, stream_seen_filter)
+
+    seen_urls = [f"http://h{i}.com/p" for i in range(30)]
+    seen = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    bloom = bloom_build(seen, "url", m_words=8, k=3)
+    bits = bloom_bits_array(bloom, m_words=8)
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    cand_urls = seen_urls[:5] + [f"http://new{i}.org/x" for i in range(40)]
+    rows = [(u, t0, "text body", "en") for u in cand_urls]
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    gated = stream_seen_filter(stream_pages(spark, src), bits, k=3)
+    q = (gated.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+
+    # batch parity: kept == urls the batch probe calls maybe_member=0
+    cand = spark.createDataFrame([(u,) for u in cand_urls], "url string")
+    probe = bloom_probe(cand, bloom, "url", m_words=8, k=3)
+    expected = {r.term for r in probe.collect() if r.maybe_member == 0}
+    assert got == expected
+    # no false negatives: every inserted url was dropped
+    assert not (got & set(seen_urls))
+    # statelessness
+    batch = stream_seen_filter(spark.read.parquet(src), bits, k=3)
+    plan = batch._sc._jvm.PythonSQLUtils.explainString(
+        batch._jdf.queryExecution(), "formatted")
+    assert "StateStore" not in plan and "Exchange" not in plan, plan
