@@ -191,6 +191,10 @@ def quality_gate_histogram(df: DataFrame, score_col: str,
     # boundary = LARGEST bin whose top-down cumulative reaches the
     # quota; rows strictly above it (_cum - _c of that bin) are all
     # inside the quota by construction
+    # strata-sized dimension, PERSISTED: both output branches (above-
+    # boundary and boundary-bin) broadcast-join it, and without the
+    # persist each branch would re-run the corpus-sized histogram
+    # aggregate (the CacheManager dedups the shared subtree)
     bd = (hist.where(F.col("_cum") >= F.col("_quota"))
           .groupBy("_s")
           .agg(F.max_by(F.struct("_b", "_cum", "_c", "_quota"), "_b")
@@ -198,7 +202,8 @@ def quality_gate_histogram(df: DataFrame, score_col: str,
           .select(F.col("_s").alias(strata_col),
                   F.col("_t._b").alias("_bb"),
                   (F.col("_t._quota")
-                   - (F.col("_t._cum") - F.col("_t._c"))).alias("_take")))
+                   - (F.col("_t._cum") - F.col("_t._c"))).alias("_take"))
+          .persist())
     tagged = (df.withColumn("_rb", b)
               .join(F.broadcast(bd), strata_col))
     above = tagged.where(F.col("_rb") > F.col("_bb"))

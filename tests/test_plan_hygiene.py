@@ -298,3 +298,58 @@ def test_q68_weighted_rank_partial_aggregates(spark, sf01):
     aggregation on the inbound-mass groupBy (sum is combinable)."""
     plan = _plan(entry.q68_weighted_rank(spark, sf01))
     assert plan.count("HashAggregate") >= 6, plan  # 3 iters x partial+final
+
+
+def test_q90_bloom_build_and_probe_shapes(spark, sf01):
+    """Bloom build is ONE combinable aggregate (partial + final
+    HashAggregate, no window); the probe joins the m_words-row filter
+    by BROADCAST, never a shuffled join."""
+    plan = _plan(entry.q90_bloom_seen(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_q91_adamic_adar_weight_rides_wedge(spark, sf01):
+    """The AA weight joins in from the BROADCAST degree dimension
+    before the wedge self-join — the pair aggregate is a single
+    combinable sum; no per-pair re-join against degrees afterward."""
+    plan = _plan(entry.q91_adamic_adar(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q92_decay_single_aggregate_no_window(spark, sf01):
+    """Recency decay: 1-row max-day broadcast + one combinable sum —
+    no window, no shuffled join."""
+    plan = _plan(entry.q92_recency_decay(spark, sf01))
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q95_hist_gate_windows_only_boundary_bin(spark, sf01):
+    """The corpus-side rank window must run on the FILTERED boundary
+    bin, never the raw stratum: exactly TWO Window nodes — the
+    histogram cumsum (printed once as the persisted strata-sized
+    dimension's stored plan, read back by both branches as
+    InMemoryTableScan instead of re-running the corpus aggregate)
+    and the boundary rank downstream of the bin-equality filter;
+    a third window would mean the full-sort gate snuck back in."""
+    import re
+    plan = _plan(entry.q95_quality_hist_gate(spark, sf01))
+    # boundary selection happens via broadcast (strata-sized dim)
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_q96_cooccurrence_equijoin_no_range_join(spark, sf01):
+    """The +-window pair join is an EQUI-join on (doc, position)
+    (exploded offsets pre-added into the key) — a range condition
+    would plan as a nested-loop join and die at corpus scale."""
+    plan = _plan(entry.q96_cooccurrence(spark, sf01))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
