@@ -1336,6 +1336,76 @@ def q97_bpe_fertility(spark, sf_dir):
                         .cast("bigint")))
 
 
+def q98_walk_skipgrams(spark, sf_dir):
+    """Skip-gram training pairs from the q93 walk corpus — the
+    node2vec step between "walks" and "embedding training": unordered
+    node pairs within +-2 walk steps, distance-weighted (the same
+    cooccurrence_counts operator as q96, applied to walks instead of
+    text — one engine primitive, two modalities)."""
+    from python_mecab_ner_spark.operators.colloc import \
+        cooccurrence_counts
+    walks = q93_random_walks(spark, sf_dir)
+    ctx = walks.select(
+        (F.col("start") * 8 + F.col("wid")).alias("url"),
+        F.col("step").alias("idx"), F.col("node").alias("word"))
+    return (cooccurrence_counts(ctx, window=2, min_pairs=2, scale=60)
+            .select(F.col("w1").cast("bigint").alias("n1"),
+                    F.col("w2").cast("bigint").alias("n2"),
+                    "n_pairs", "w_sum"))
+
+
+def q99_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution of the part<->supplier graph
+    — the first web-graph sanity dashboard (power-law check, hub
+    audit): bucket = bit_length(degree), ONE dimension-sized
+    aggregate over the degree table; min/max per bucket make the
+    bucket boundaries auditable."""
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    deg = (pairs.select(F.col("p").alias("node"))
+           .unionByName(pairs.select(F.col("s").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    return (deg.groupBy(F.length(F.bin(F.col("deg"))).cast("int")
+                        .alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("n_nodes"),
+                 F.min("deg").cast("bigint").alias("min_deg"),
+                 F.max("deg").cast("bigint").alias("max_deg")))
+
+
+def q100_incremental_lsh(spark, sf_dir):
+    """Incremental LSH dedup (operators.dedup.incremental_lsh_pairs):
+    the delta (doc_id % 3 == 0, "today's crawl") probes the stored
+    signatures of the rest of the corpus — old x old pairs never
+    exist in the plan, verification is signature-side (equal-minhash
+    count), and the old text never loads.  The maintenance half of
+    the q17/q27 batch LSH family."""
+    from python_mecab_ner_spark.operators.dedup import (
+        incremental_lsh_pairs, minhash_signatures)
+    d = _loadp(spark, sf_dir, "documents")
+    old_sigs = minhash_signatures(
+        d.where(F.col("doc_id") % 3 != 0), "text", "doc_id",
+        k=3, n_hashes=8)
+    new_sigs = minhash_signatures(
+        d.where(F.col("doc_id") % 3 == 0), "text", "doc_id",
+        k=3, n_hashes=8)
+    return (incremental_lsh_pairs(old_sigs, new_sigs,
+                                  n_hashes=8, bands=4)
+            .select(F.col("doc_a").cast("bigint").alias("doc_a"),
+                    F.col("doc_b").cast("bigint").alias("doc_b"),
+                    "side", "sig_matches"))
+
+
+def q101_kwic(spark, sf_dir):
+    """Keyword-in-context concordance (operators.retrieval
+    .kwic_snippets): every occurrence of 'spark' with its +-3-token
+    window — pure per-row array expressions (positions and slice
+    never leave the row), scan -> project, zero shuffle/UDF."""
+    from python_mecab_ner_spark.operators.retrieval import kwic_snippets
+    d = _loadp(spark, sf_dir, "documents")
+    return kwic_snippets(d, "text", "doc_id", term="spark", window=3)
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -1576,10 +1646,12 @@ def _wpr_oracle_sql(iters: int = 3, scale: int = 1_000_000,
 
 
 def _walks_oracle_sql(walk_len: int = 3, walks_per_node: int = 2,
-                      seed: str = "walk") -> str:
+                      seed: str = "walk", tail: str | None = None) -> str:
     """Unrolled random-walk SQL twin of q93: one CTE per step, the
     same md5(seed:start:wid:step:node) mod outdeg neighbor pick into
-    the same row_number-indexed adjacency list."""
+    the same row_number-indexed adjacency list.  With `tail`, the
+    walk union becomes a `walks` CTE and `tail` (CTEs + final SELECT)
+    is appended — q98 composes its skip-gram join this way."""
     wids = ", ".join(f"({i})" for i in range(walks_per_node))
     s = f"""
         WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
@@ -1612,6 +1684,10 @@ def _walks_oracle_sql(walk_len: int = 3, walks_per_node: int = 2,
         f"CAST(wid AS INT) AS wid, CAST({t} AS INT) AS step, "
         f"CAST(node AS BIGINT) AS node FROM s{t}"
         for t in range(walk_len + 1))
+    if tail is not None:
+        return s + f""",
+        walks AS ({sel})
+        {tail}"""
     return s + "\n            " + sel
 
 
@@ -2183,6 +2259,26 @@ def kg_html_text(spark, sf_dir):
         .alias("wet_fp"))
 
 
+def kg_entity_cooc(spark, sf_dir):
+    """Entity co-occurrence profile over the REAL extracted KG:
+    unordered pairs of gazetteer mention surfaces whose token starts
+    sit within 20 tokens on the same page — the q96 cooccurrence
+    operator applied to the mention stream instead of raw text (one
+    engine primitive, three modalities with q98's walks).  The
+    'related entities' / KG-relatedness-edge signal.  Rows-only gate;
+    the kernel is DuckDB-cross-checked on the real mention table in
+    tests/test_pipeline_e2e.py."""
+    from python_mecab_ner_spark.operators.colloc import \
+        cooccurrence_counts
+    g = _kg_graph(spark)
+    ctx = g["mentions"].select(
+        "url", F.col("start").alias("idx"),
+        F.col("surface").alias("word"))
+    return (cooccurrence_counts(ctx, window=20, min_pairs=2, scale=60)
+            .select(F.col("w1").alias("e1"), F.col("w2").alias("e2"),
+                    "n_pairs", "w_sum"))
+
+
 def kg_recrawl_merge(spark, sf_dir):
     """Recrawl upsert + change ledger (operators/crawl.py): a second
     snapshot over a half-shifted url window merges latest-per-url via
@@ -2385,6 +2481,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_quality_hist_gate": q95_quality_hist_gate,
         "q96_cooccurrence": q96_cooccurrence,
         "q97_bpe_fertility": q97_bpe_fertility,
+        "q98_walk_skipgrams": q98_walk_skipgrams,
+        "q99_degree_histogram": q99_degree_histogram,
+        "q100_incremental_lsh": q100_incremental_lsh,
+        "q101_kwic": q101_kwic,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2401,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_communities": kg_entity_communities,
         "kg_anchor_profile": kg_anchor_profile,
         "kg_recrawl_merge": kg_recrawl_merge,
+        "kg_entity_cooc": kg_entity_cooc,
         "kg_html_text": kg_html_text,
     }
 
@@ -2615,6 +2716,33 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        # delta-probe form of q17: nb (doc_id % 3 == 0) probes all
+        # band keys; old x old pairs structurally absent; signature-
+        # side verification = count of equal minhash components
+        "q100_incremental_lsh": shingle_cte + f"""
+            , sig AS (SELECT doc_id, {minhash_cols} FROM sh
+                      GROUP BY doc_id),
+            banded AS ({band_keys}),
+            nb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+            cand AS (SELECT DISTINCT
+                            least(a.doc_id, b.doc_id) AS doc_a,
+                            greatest(a.doc_id, b.doc_id) AS doc_b,
+                            CASE WHEN b.doc_id % 3 = 0
+                                 THEN 1 ELSE 0 END AS bn
+                     FROM nb a JOIN banded b
+                       ON a.band_idx = b.band_idx
+                      AND a.band_key = b.band_key
+                      AND a.doc_id <> b.doc_id)
+            SELECT CAST(c.doc_a AS BIGINT) AS doc_a,
+                   CAST(c.doc_b AS BIGINT) AS doc_b,
+                   CASE WHEN c.bn = 1 THEN 'new_new'
+                        ELSE 'new_old' END AS side,
+                   CAST({" + ".join(
+                       f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+                       for i in range(8))} AS INT) AS sig_matches
+            FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                        JOIN sig sb ON sb.doc_id = c.doc_b
         """,
         "q18_simhash": f"""
             WITH words AS (
@@ -3023,6 +3151,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(w) AS BIGINT) AS decayed
             FROM w GROUP BY 1
         """,
+        # slice bounds mirror greatest/least clamping; DuckDB array
+        # slicing is 1-based inclusive
+        "q101_kwic": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(
+                           lower(trim(text)), '\\s+') AS w
+                       FROM documents),
+            idx AS (SELECT doc_id, w,
+                           generate_subscripts(w, 1) - 1 AS i,
+                           unnest(w) AS word
+                    FROM t),
+            o AS (SELECT doc_id, w, i FROM idx WHERE word = 'spark')
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(
+                       w[greatest(i - 3, 0) + 1
+                         : least(i + 3, len(w) - 1) + 1], ' ')
+                       AS snippet
+            FROM o
+        """,
         # exploded-offset equi-join == the b.idx in (a.idx+1 ..
         # a.idx+5) join; weights 60 // d are exact for d <= 5
         "q96_cooccurrence": """
@@ -3069,6 +3215,35 @@ def oracle_sql() -> dict[str, str]:
         "q93_random_walks": _walks_oracle_sql(
             walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE),
         "q94_kcore": _kcore_oracle_sql(k=KCORE_K, iters=KCORE_ITERS),
+        "q98_walk_skipgrams": _walks_oracle_sql(
+            walk_len=WALK_LEN, walks_per_node=WALKS_PER_NODE,
+            tail="""
+            , wctx AS (SELECT start * 8 + wid AS url, step AS idx,
+                              node AS word
+                       FROM walks),
+            p AS (SELECT a.word AS wa, b.word AS wb, b.idx - a.idx AS d
+                  FROM wctx a JOIN wctx b
+                    ON a.url = b.url AND b.idx > a.idx
+                   AND b.idx <= a.idx + 2)
+            SELECT CAST(least(wa, wb) AS BIGINT) AS n1,
+                   CAST(greatest(wa, wb) AS BIGINT) AS n2,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(60 // d) AS BIGINT) AS w_sum
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2"""),
+        "q99_degree_histogram": """
+            WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                           l_suppkey * 2 + 1 AS s
+                           FROM lineitem),
+            deg AS (SELECT node, count(*) AS deg
+                    FROM (SELECT p AS node FROM pairs
+                          UNION ALL SELECT s FROM pairs)
+                    GROUP BY 1)
+            SELECT CAST(length(bin(deg)) AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(min(deg) AS BIGINT) AS min_deg,
+                   CAST(max(deg) AS BIGINT) AS max_deg
+            FROM deg GROUP BY 1
+        """,
         # the histogram gate's row set == the full-sort gate's row set
         # (see quality_gate_histogram docstring), so the oracle IS the
         # plain rank form: rk < ceil(n * 1 / 4)

@@ -142,6 +142,77 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_keys(sig: DataFrame, n_hashes: int = 16,
+              bands: int = 4) -> DataFrame:
+    """(doc_id, band_idx, band_key) from a minhash signature table.
+    ONE projection emits every band key (array of structs + explode):
+    a per-band union would re-execute the signature aggregation once
+    per band."""
+    rows_per_band = n_hashes // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws(",", *[
+                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ])).alias("band_key"))
+        for b in range(bands)])
+    return (sig.select("doc_id", F.explode(band_structs).alias("bk"))
+            .select("doc_id", F.col("bk.band_idx").alias("band_idx"),
+                    F.col("bk.band_key").alias("band_key")))
+
+
+def incremental_lsh_pairs(old_sigs: DataFrame, new_sigs: DataFrame,
+                          n_hashes: int = 8,
+                          bands: int = 4) -> DataFrame:
+    """Incremental near-dup candidates for a recrawl/ingest DELTA:
+    only pairs touching a NEW document are generated — the old corpus
+    contributes its (stored) minhash signature table, never its text,
+    and old x old pairs are structurally absent from the plan.
+
+    This is the maintenance half the batch LSH lacks: a 100 TB corpus
+    ingesting 0.1% a day must not re-band 100 TB per day.  The delta's
+    band keys probe old ∪ new band keys; candidate verification is
+    SIGNATURE-side (count of equal minhash components — the unbiased
+    Jaccard estimator, n_hashes integers per doc), so the old TEXT can
+    stay in cold storage.  Signatures fold across days with
+    minhash_merge; inputs must carry disjoint doc_ids (run
+    crawl.merge_crawls first so a re-fetched url replaces its old row).
+
+    Cost: O(new x bands) probe + matches.  Returns
+    (doc_a, doc_b, side, sig_matches) with side in
+    {'new_new', 'new_old'}; sig_matches / n_hashes estimates Jaccard.
+    """
+    nb = band_keys(new_sigs, n_hashes, bands)
+    allb = (band_keys(old_sigs, n_hashes, bands)
+            .withColumn("_new", F.lit(0))
+            .unionByName(nb.withColumn("_new", F.lit(1))))
+    # a-side is ALWAYS a new doc, so the pair's side is just the
+    # partner's flag; new_new pairs arrive twice (a=x,b=y and a=y,b=x)
+    # with identical (doc_a, doc_b, _bn) and dedup in the distinct
+    cand = (nb.alias("a").join(allb.alias("b"),
+                               ["band_idx", "band_key"])
+            .where(F.col("a.doc_id") != F.col("b.doc_id"))
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                    F.col("b._new").alias("_bn"))
+            .distinct())
+    sigs = old_sigs.unionByName(new_sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     *[F.col(f"mh{i}").alias(f"_a{i}")
+                       for i in range(n_hashes)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     *[F.col(f"mh{i}").alias(f"_b{i}")
+                       for i in range(n_hashes)])
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(n_hashes))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.when(F.col("_bn") == 1, "new_new")
+                    .otherwise("new_old").alias("side"),
+                    matches.cast("int").alias("sig_matches")))
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                         k: int = 3, n_hashes: int = 16,
                         bands: int = 4) -> DataFrame:
@@ -150,22 +221,9 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     Band key = md5 of the in-band minhash concat; the per-band tables
     self-join on band_key only.  At 100 TB this is the all-pairs-free
     path: cost is O(docs x bands), never O(docs^2)."""
-    rows_per_band = n_hashes // bands
     # both sides of the band self-join read the signature table
     sig = minhash_signatures(df, text_col, id_col, k, n_hashes).persist()
-    # ONE projection emits every band key (array of structs + explode):
-    # a per-band union would re-execute the signature aggregation once
-    # per band
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws(",", *[
-                f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
-            ])).alias("band_key"))
-        for b in range(bands)])
-    banded = (sig.select("doc_id", F.explode(band_structs).alias("bk"))
-              .select("doc_id", F.col("bk.band_idx").alias("band_idx"),
-                      F.col("bk.band_key").alias("band_key")))
+    banded = band_keys(sig, n_hashes, bands)
     a, b = banded.alias("a"), banded.alias("b")
     out = (a.join(b, on=["band_idx", "band_key"])
            .where(F.col("a.doc_id") < F.col("b.doc_id"))

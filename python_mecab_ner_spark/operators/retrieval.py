@@ -156,3 +156,34 @@ def tfidf_cosine_pairs(ctx: DataFrame, id_col: str = "url",
                     F.expr("(dot * dot * 1000000) div (na2 * nb2)")
                     .cast("bigint").alias("cos2_ppm"))
             .where(F.col("cos2_ppm") >= min_cos2_ppm))
+
+
+def kwic_snippets(docs: DataFrame, text_col: str, id_col: str,
+                  term: str, window: int = 3) -> DataFrame:
+    """Keyword-in-context concordance: for every occurrence of `term`
+    in the whitespace-token stream, the +-window token snippet — the
+    annotation/eyeballing primitive behind every "show me how the
+    corpus uses X" request (gazetteer curation, label debugging,
+    benchmark-leak review).
+
+    Entirely per-row array expressions (split -> indexed transform ->
+    filter -> explode -> slice): the occurrence positions and the
+    snippet slice never leave the row, so the plan is scan ->
+    project — zero shuffle, zero UDF, whole-stage codegen.  The same
+    shape streams (stateless) if pointed at readStream pages.
+
+    Returns (doc_id, pos, snippet) with pos the 0-based token index."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idxs = F.filter(
+        F.transform(toks, lambda x, i: F.when(x == term, i)
+                    .otherwise(F.lit(-1))),
+        lambda v: v >= 0)
+    lo = F.greatest(F.col("pos") - window, F.lit(0))
+    hi = F.least(F.col("pos") + window, F.size(F.col("_w")) - 1)
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        toks.alias("_w"),
+                        F.explode(idxs).alias("pos"))
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("_w"), lo + 1,
+                                             hi - lo + 1))
+                    .alias("snippet")))

@@ -460,3 +460,58 @@ def test_cm_estimate_empty_cells_count_zero(spark):
     assert len(est) == 51          # nothing dropped
     assert est["a"] >= 1
     assert min(est[f"unseen{i}"] for i in range(50)) == 0
+
+
+def _minhash_py(text, n_hashes=8, k=3):
+    import re
+
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    w = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    # windows start only at 0..len-k (one truncated gram iff len < k)
+    # — operators.dedup.shingles' exact semantics
+    grams = {" ".join(w[i:i + k])
+             for i in range(max(len(w) - k, 0) + 1)} - {""}
+    return [min(md5_int_py(g, salt=f"mh{i}:") for g in grams)
+            for i in range(n_hashes)]
+
+
+def test_incremental_lsh_equals_full_lsh_on_delta_pairs(spark):
+    """incremental_lsh_pairs(old_sigs, new_sigs) finds EXACTLY the
+    full-corpus LSH candidate pairs that touch a new doc — no pair
+    missed, no old x old pair emitted — and its signature-side
+    verification count matches the python minhash twin."""
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.operators.dedup import (
+        incremental_lsh_pairs, lsh_candidate_pairs, minhash_signatures)
+
+    base = ["alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine",
+            "lorem ipsum dolor sit amet consectetur adipiscing"]
+    rows = []
+    for i in range(24):
+        t = base[i % 3] + (" extra tail" if i % 6 >= 3 else "")
+        rows.append((i, t))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    full = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(
+        df, "text", "doc_id", k=3, n_hashes=8, bands=4).collect()}
+    expected = {(a, b) for a, b in full if a % 3 == 0 or b % 3 == 0}
+
+    old_sigs = minhash_signatures(df.where(F.col("doc_id") % 3 != 0),
+                                  "text", "doc_id", k=3, n_hashes=8)
+    new_sigs = minhash_signatures(df.where(F.col("doc_id") % 3 == 0),
+                                  "text", "doc_id", k=3, n_hashes=8)
+    inc = incremental_lsh_pairs(old_sigs, new_sigs,
+                                n_hashes=8, bands=4).collect()
+    got = {(r.doc_a, r.doc_b) for r in inc}
+    assert got == expected and got  # non-trivial
+
+    texts = dict(rows)
+    for r in inc:
+        # side classification and the signature-match verification
+        assert r.side == ("new_new" if (r.doc_a % 3 == 0
+                                        and r.doc_b % 3 == 0)
+                          else "new_old")
+        ma, mb = _minhash_py(texts[r.doc_a]), _minhash_py(texts[r.doc_b])
+        assert r.sig_matches == sum(x == y for x, y in zip(ma, mb))

@@ -238,3 +238,39 @@ def test_kg_khop_matches_duckdb_on_real_edges(spark):
         WHERE nbr <> node GROUP BY 1""").fetchall()
     assert got == {n: c for n, c in rows}
     assert len(got) > 0
+
+
+def test_kg_entity_cooc_matches_duckdb_on_real_mentions(spark):
+    """cooccurrence_counts over the REAL mention stream must
+    reproduce the naive pair SQL computed by DuckDB on the same
+    collected mentions — the kg_entity_cooc query's kernel, checked
+    on the actual KG corpus (q96 oracles the operator on documents;
+    this pins the mention-stream application)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+    from python_mecab_ner_spark.operators.colloc import \
+        cooccurrence_counts
+
+    g = entry._kg_graph(spark)
+    ctx = g["mentions"].select(
+        "url", F.col("start").alias("idx"),
+        F.col("surface").alias("word"))
+    got = {(r.w1, r.w2): (r.n_pairs, r.w_sum)
+           for r in cooccurrence_counts(ctx, window=20, min_pairs=2,
+                                        scale=60).collect()}
+
+    rows = [(r.url, r.idx, r.word) for r in ctx.collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE m (url VARCHAR, idx BIGINT, word VARCHAR)")
+    con.executemany("INSERT INTO m VALUES (?, ?, ?)", rows)
+    exp = {(r[0], r[1]): (r[2], r[3]) for r in con.execute("""
+        WITH p AS (SELECT a.word AS wa, b.word AS wb, b.idx - a.idx AS d
+                   FROM m a JOIN m b
+                     ON a.url = b.url AND b.idx > a.idx
+                    AND b.idx <= a.idx + 20)
+        SELECT least(wa, wb), greatest(wa, wb),
+               count(*), sum(60 // d)
+        FROM p GROUP BY 1, 2 HAVING count(*) >= 2""").fetchall()}
+    assert got and got == exp

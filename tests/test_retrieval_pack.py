@@ -95,3 +95,33 @@ def test_chunk_documents_is_shuffle_free(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "Generate" in plan  # the posexplode row-multiplier
+
+
+def test_kwic_snippets_golden_and_clamping(spark):
+    from python_mecab_ner_spark.operators.retrieval import kwic_snippets
+    rows = [(1, "spark runs fast"),             # occurrence at pos 0
+            (2, "a b c spark d e f"),           # centered
+            (3, "tail ends with spark"),        # right-clamped
+            (4, "no match here"),
+            (5, "spark x spark")]               # two occurrences
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_id, r.pos): r.snippet
+           for r in kwic_snippets(df, "text", "doc_id",
+                                  term="spark", window=3).collect()}
+    assert got == {
+        (1, 0): "spark runs fast",
+        (2, 3): "a b c spark d e f",
+        (3, 3): "tail ends with spark",
+        (5, 0): "spark x spark",
+        (5, 2): "spark x spark",
+    }
+
+
+def test_kwic_plan_is_shuffle_free(spark):
+    from python_mecab_ner_spark.operators.retrieval import kwic_snippets
+    df = spark.createDataFrame([(1, "spark a b")],
+                               "doc_id bigint, text string")
+    out = kwic_snippets(df, "text", "doc_id", term="spark")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan and "Join" not in plan, plan
