@@ -1383,12 +1383,16 @@ def q100_incremental_lsh(spark, sf_dir):
     from python_mecab_ner_spark.operators.dedup import (
         incremental_lsh_pairs, minhash_signatures)
     d = _loadp(spark, sf_dir, "documents")
+    # persisted: each signature table feeds BOTH the band probe and
+    # the match join — in production these are STORED tables (that is
+    # the operator's point), so the cache stands in for the store and
+    # halves the shingle aggregations in this self-contained form
     old_sigs = minhash_signatures(
         d.where(F.col("doc_id") % 3 != 0), "text", "doc_id",
-        k=3, n_hashes=8)
+        k=3, n_hashes=8).persist()
     new_sigs = minhash_signatures(
         d.where(F.col("doc_id") % 3 == 0), "text", "doc_id",
-        k=3, n_hashes=8)
+        k=3, n_hashes=8).persist()
     return (incremental_lsh_pairs(old_sigs, new_sigs,
                                   n_hashes=8, bands=4)
             .select(F.col("doc_a").cast("bigint").alias("doc_a"),

@@ -368,6 +368,12 @@ def random_walks(edges: DataFrame, walk_len: int = 3,
                 F.col("wid").cast("string"), F.lit(str(step)),
                 F.col("node").cast("string"))),
             F.col("_deg"))
+        # NOTE measured dead end (sf0.1, fresh sessions, A/B): forcing
+        # F.broadcast(deg) here DOUBLES the walk time (9.3/6.3s ->
+        # 17.9/59s warm) — the hint rebuilds the driver-side broadcast
+        # from deg's full lineage once per step, while the plain join
+        # lets AQE reuse the step's existing exchanges.  Leave the
+        # join strategy to AQE.
         frontier = (frontier.join(deg, "node")
                     .withColumn("_pick", pick)
                     .join(adjidx.select("node",
