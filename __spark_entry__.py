@@ -1410,6 +1410,45 @@ def q101_kwic(spark, sf_dir):
     return kwic_snippets(d, "text", "doc_id", term="spark", window=3)
 
 
+def q102_split_leakage(spark, sf_dir):
+    """Train/val/test leakage audit: LSH-verified near-dup pairs
+    (the q27 candidate+verify path) classified by the q69 hash-split
+    membership of their endpoints — pairs crossing split boundaries
+    are exactly the contamination "Deduplicating Training Data"
+    warns about; the release gate every dataset card should print."""
+    from python_mecab_ner_spark.functions.hashing import bucket
+    from python_mecab_ner_spark.operators.dedup import lsh_verified_pairs
+    d = _loadp(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d, "text", "doc_id",
+                               k=3, n_hashes=8, bands=4, min_shared=2)
+    b = bucket(F.col("doc_id").cast("string"), 10, salt="split:")
+    split = (F.when(b <= 7, "train").when(b == 8, "val")
+             .otherwise("test"))
+    sp = d.select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("doc_a"),
+                   F.col("split").alias("_sa"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"),
+                   F.col("split").alias("_sb"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .groupBy(F.least("_sa", "_sb").alias("split_1"),
+                     F.greatest("_sa", "_sb").alias("split_2"))
+            .agg(F.count("*").cast("bigint").alias("n_pairs"))
+            .withColumn("crossing",
+                        (F.col("split_1") != F.col("split_2"))
+                        .cast("int")))
+
+
+def q103_weighted_simhash(spark, sf_dir):
+    """IDF-weighted SimHash fingerprints (operators.dedup
+    .simhash_weighted): words vote with bit-length-idf weight so
+    template boilerplate barely moves the fingerprint — the
+    precision upgrade over q18's unweighted SimHash for near-dup
+    detection on template-heavy web text."""
+    from python_mecab_ner_spark.operators.dedup import simhash_weighted
+    d = _loadp(spark, sf_dir, "documents")
+    return simhash_weighted(d, "text", "doc_id", n_bits=16)
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2489,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_degree_histogram": q99_degree_histogram,
         "q100_incremental_lsh": q100_incremental_lsh,
         "q101_kwic": q101_kwic,
+        "q102_split_leakage": q102_split_leakage,
+        "q103_weighted_simhash": q103_weighted_simhash,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2586,6 +2627,26 @@ def oracle_sql() -> dict[str, str]:
     simhash_bits = " + ".join(
         f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
         for i in range(16))
+    # idf-weighted vote twin (q103): same bits, wt instead of +-1
+    simhash_wvotes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN wt ELSE -wt END) AS v{i}"
+        for i in range(16))
+    # non-recursive prefix of cc_cte: LSH-verified pairs only (q102)
+    lsh_pairs_cte = shingle_cte + f"""
+            , sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+            banded AS ({band_keys}),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM banded a JOIN banded b
+                       ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id),
+            p0 AS (
+              SELECT c.doc_a, c.doc_b, count(*) AS inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2),
+            pairs AS (SELECT doc_a, doc_b FROM p0 WHERE inter >= 2)
+    """
 
     mini_gaz_values = ", ".join(f"('{s}')" for s in MINI_GAZ)
 
@@ -2747,6 +2808,47 @@ def oracle_sql() -> dict[str, str]:
                        for i in range(8))} AS INT) AS sig_matches
             FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
                         JOIN sig sb ON sb.doc_id = c.doc_b
+        """,
+        "q102_split_leakage": lsh_pairs_cte + f"""
+            , sp AS (SELECT doc_id,
+                            CASE WHEN {bucket_sql(
+                                "CAST(doc_id AS VARCHAR)", 10,
+                                salt="split:")} <= 7 THEN 'train'
+                                 WHEN {bucket_sql(
+                                "CAST(doc_id AS VARCHAR)", 10,
+                                salt="split:")} = 8 THEN 'val'
+                                 ELSE 'test' END AS split
+                     FROM documents)
+            SELECT least(a.split, b.split) AS split_1,
+                   greatest(a.split, b.split) AS split_2,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(CASE WHEN least(a.split, b.split)
+                                  <> greatest(a.split, b.split)
+                             THEN 1 ELSE 0 END AS INT) AS crossing
+            FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+                         JOIN sp b ON b.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
+        "q103_weighted_simhash": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS w
+              FROM documents),
+            w2 AS (SELECT doc_id, w FROM words WHERE w <> ''),
+            dfc AS (SELECT w, count(DISTINCT doc_id) AS df
+                    FROM w2 GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n
+                    FROM documents),
+            wts AS (SELECT w, CAST(length(bin(CAST(n // df AS BIGINT)))
+                                   AS BIGINT) AS wt
+                    FROM dfc CROSS JOIN tot),
+            h AS (SELECT doc_id, {md5_int_sql('w2.w')} AS h, wt
+                  FROM w2 JOIN wts ON wts.w = w2.w),
+            votes AS (SELECT doc_id, {simhash_wvotes}
+                      FROM h GROUP BY doc_id)
+            SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash_w
+            FROM votes
         """,
         "q18_simhash": f"""
             WITH words AS (

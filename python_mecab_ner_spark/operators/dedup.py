@@ -455,3 +455,44 @@ def minhash_merge(a: DataFrame, b: DataFrame,
     u = a.unionByName(b)
     aggs = [F.min(f"mh{i}").alias(f"mh{i}") for i in range(n_hashes)]
     return u.groupBy("doc_id").agg(*aggs)
+
+
+def simhash_weighted(df: DataFrame, text_col: str, id_col: str,
+                     n_bits: int = 16) -> DataFrame:
+    """IDF-weighted SimHash: each word votes with weight
+    bit_length(n_docs div df(word)) instead of +-1, so boilerplate
+    stopwords (df ~ n_docs, weight 1) barely move the fingerprint
+    while rare content words dominate — the standard precision upgrade
+    over unweighted SimHash for near-dup detection on template-heavy
+    web text (Manku et al. 2007 use exactly this weighting slot).
+
+    The weight is the q38/q53 integer idf (length(bin(x))), so the
+    whole fingerprint stays in 64-bit integers with an exact DuckDB
+    twin.  Scale shape: df counts are ONE combinable aggregate on the
+    word vocabulary; the 1-row corpus total crossJoin-broadcasts back;
+    the weight table is vocabulary-DIMENSION-sized and broadcast into
+    the token stream; the per-doc fingerprint is the same wide
+    conditional-sum single aggregate as simhash64 — still exactly one
+    corpus-scale shuffle."""
+    words = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                         r"\s+")).alias("w"))
+             .where(F.col("w") != ""))
+    dfc = words.groupBy("w").agg(F.count_distinct("doc_id").alias("_df"))
+    total = df.agg(F.count("*").alias("_n"))
+    wt = (dfc.crossJoin(F.broadcast(total))
+          .select("w", F.length(F.bin(F.floor(F.col("_n") / F.col("_df"))
+                                      .cast("bigint")))
+                  .cast("bigint").alias("_wt")))
+    h = (words.join(F.broadcast(wt), "w")
+         .withColumn("h", md5_int(F.col("w"))))
+    votes = [F.sum(F.when(F.shiftright(F.col("h"), i)
+                          .bitwiseAND(F.lit(1)) == 1,
+                          F.col("_wt")).otherwise(-F.col("_wt")))
+             .alias(f"v{i}") for i in range(n_bits)]
+    per_doc = h.groupBy("doc_id").agg(*votes)
+    sim = sum((F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("bigint"))
+               .otherwise(F.lit(0).cast("bigint"))
+               for i in range(n_bits)),
+              F.lit(0).cast("bigint"))
+    return per_doc.select("doc_id", sim.cast("bigint").alias("simhash_w"))

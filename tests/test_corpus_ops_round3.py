@@ -515,3 +515,44 @@ def test_incremental_lsh_equals_full_lsh_on_delta_pairs(spark):
                           else "new_old")
         ma, mb = _minhash_py(texts[r.doc_a]), _minhash_py(texts[r.doc_b])
         assert r.sig_matches == sum(x == y for x, y in zip(ma, mb))
+
+
+def test_simhash_weighted_python_twin_and_boilerplate_damping(spark):
+    """Bit-exact python recompute, plus the property the weighting
+    buys: two docs sharing only template boilerplate (df = n_docs,
+    weight 1) land FARTHER apart than the unweighted simhash puts
+    them relative to their rare-word content."""
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    from python_mecab_ner_spark.operators.dedup import simhash_weighted
+
+    rows = [(1, "the quick brown fox copyright footer nav"),
+            (2, "the lazy green dog copyright footer nav"),
+            (3, "the quick brown fox copyright footer nav"),
+            (4, "zebra quark xylem vortex copyright footer nav")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r.simhash_w
+           for r in simhash_weighted(df, "text", "doc_id",
+                                     n_bits=16).collect()}
+
+    import re
+    texts = dict(rows)
+    n = len(rows)
+    dfc = {}
+    for t in texts.values():
+        for w in set(re.split(r"\s+", t.lower().strip())) - {""}:
+            dfc[w] = dfc.get(w, 0) + 1
+    exp = {}
+    for d, t in texts.items():
+        votes = [0] * 16
+        for w in re.split(r"\s+", t.lower().strip()):
+            if not w:
+                continue
+            wt = (n // dfc[w]).bit_length()
+            h = md5_int_py(w)
+            for i in range(16):
+                votes[i] += wt if (h >> i) & 1 else -wt
+        exp[d] = sum(1 << i for i in range(16) if votes[i] > 0)
+    assert got == exp
+    # identical docs collide exactly; boilerplate-only overlap doesn't
+    assert got[1] == got[3]
+    assert got[1] != got[4]
