@@ -1449,6 +1449,24 @@ def q103_weighted_simhash(spark, sf_dir):
     return simhash_weighted(d, "text", "doc_id", n_bits=16)
 
 
+def q104_butterflies(spark, sf_dir):
+    """Bipartite butterfly counts (operators.graph.butterfly_counts):
+    2x2-biclique participation per node on the part<->supplier graph
+    — the bipartite cohesion motif behind spam-farm/collusion
+    detection; C(common, 2) re-aggregated from the q58 wedge pair
+    table.  Top-100 with a total-order tiebreak."""
+    from python_mecab_ner_spark.operators.graph import butterfly_counts
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return (butterfly_counts(edges, max_center_degree=256)
+            .orderBy(F.col("n_bfly").desc(), F.col("node").asc())
+            .limit(100))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2530,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_kwic": q101_kwic,
         "q102_split_leakage": q102_split_leakage,
         "q103_weighted_simhash": q103_weighted_simhash,
+        "q104_butterflies": q104_butterflies,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3213,6 +3232,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
                         AS INT) AS truly_seen
             FROM m
+        """,
+        # q58's wedge pair table re-aggregated: C(common, 2) to both
+        # endpoints
+        "q104_butterflies": """
+            WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                           l_suppkey * 2 + 1 AS s
+                           FROM lineitem),
+            e AS (SELECT p AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s, p FROM pairs),
+            adj1 AS (SELECT DISTINCT least(src, dst) AS node,
+                                     greatest(src, dst) AS nbr
+                     FROM e WHERE src <> dst),
+            adj AS (SELECT node, nbr FROM adj1
+                    UNION SELECT nbr, node FROM adj1),
+            deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+            ctr AS (SELECT a.nbr AS center, a.node AS leaf
+                    FROM adj a JOIN deg d ON d.node = a.nbr
+                    WHERE d.deg <= 256),
+            cm AS (SELECT a.leaf AS n1, b.leaf AS n2,
+                          count(*) AS common
+                   FROM ctr a JOIN ctr b
+                     ON a.center = b.center AND a.leaf < b.leaf
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            bf AS (SELECT n1 AS node,
+                          (common * (common - 1)) // 2 AS b FROM cm
+                   UNION ALL
+                   SELECT n2, (common * (common - 1)) // 2 FROM cm)
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(sum(b) AS BIGINT) AS n_bfly
+            FROM bf GROUP BY 1 HAVING sum(b) > 0
+            ORDER BY n_bfly DESC, node LIMIT 100
         """,
         # q58's wedge join with the center's 1e6 div bit_length(deg)
         # weight riding each wedge row

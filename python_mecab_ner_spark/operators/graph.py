@@ -538,6 +538,39 @@ def triangle_counts(edges: DataFrame,
         F.count("*").cast("bigint").alias("n_tri"))
 
 
+def butterfly_counts(edges: DataFrame, src: str = "src",
+                     dst: str = "dst",
+                     max_center_degree: int | None = None) -> DataFrame:
+    """Per-node butterfly counts over an undirected (typically
+    bipartite) edge list: a butterfly is a 2x2 biclique — the
+    bipartite analogue of the triangle, the cohesion motif behind
+    spam-farm and collusion detection on page<->host / user<->item
+    graphs (two nodes sharing TWO+ common neighbors form
+    C(common, 2) butterflies).
+
+    Rides the neighbor_jaccard wedge machinery: the same-side pair
+    table (n1, n2, common) already counts shared neighbors, so each
+    pair contributes common*(common-1)/2 butterflies to BOTH
+    endpoints — one extra combinable aggregate, no new join.  Exact
+    64-bit integers throughout.  max_center_degree mirrors the wedge
+    hub cap (documented truncation under skew).
+
+    Returns (node, n_bfly) for nodes in >= 1 butterfly."""
+    pairs = neighbor_jaccard(edges, src=src, dst=dst, min_common=2,
+                             max_center_degree=max_center_degree)
+    # C(common, 2) via shift, not float division: common*(common-1)
+    # is even, and a double round-trip loses bits past 2^53
+    contrib = F.shiftright(F.col("common") * (F.col("common") - 1), 1) \
+        .cast("bigint")
+    both = (pairs.select(F.col("n1").alias("node"),
+                         contrib.alias("_b"))
+            .unionByName(pairs.select(F.col("n2").alias("node"),
+                                      contrib.alias("_b"))))
+    return (both.groupBy("node")
+            .agg(F.sum("_b").cast("bigint").alias("n_bfly"))
+            .where(F.col("n_bfly") > 0))
+
+
 def pagerank_weighted_int(edges: DataFrame, iters: int = 3,
                           scale: int = 1_000_000, damping_num: int = 85,
                           damping_den: int = 100, src: str = "src",

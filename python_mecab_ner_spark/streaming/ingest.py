@@ -286,3 +286,38 @@ def stream_seen_filter(pages_stream: DataFrame, bloom_bits: list[int],
     seen = F.expr(" AND ".join(checks))
     return (probed.where(seen if keep_seen else ~seen)
             .drop("_bloom"))
+
+
+def stream_cm_counts(pages_stream: DataFrame, d: int = 4, w: int = 64,
+                     window: str = "1 hour",
+                     watermark: str = "2 hours",
+                     text_col: str = "text") -> DataFrame:
+    """Streaming count-min sketch per time window: the trending-term
+    / vocabulary-drift monitor whose state is d x w integers PER
+    WINDOW regardless of stream vocabulary — where a windowed exact
+    term count holds vocabulary-sized state and dies on an unbounded
+    stream.
+
+    The token->cell projection is operators.sketch.cm_sketch's exact
+    hash family (same salted md5 buckets — batch/stream sketch cells
+    are directly comparable and foldable via cm_merge); only the
+    (window, r, b) rollup holds state.  Emits one row per touched
+    cell: (window_start, r, b, cnt)."""
+    from ..operators.sketch import _bucket
+
+    toks = (pages_stream.select(
+        F.col("warc_ts"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          r"\s+")).alias("word"))
+        .where("word <> ''"))
+    cells = F.array(*[
+        F.struct(F.lit(r).cast("int").alias("r"),
+                 _bucket(F.col("word"), r, w).cast("int").alias("b"))
+        for r in range(d)])
+    return (toks.select("warc_ts", F.explode(cells).alias("c"))
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("win"),
+                     F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .select(F.col("win.start").alias("window_start"),
+                    "r", "b", "cnt"))

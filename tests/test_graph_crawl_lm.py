@@ -489,3 +489,20 @@ def test_cooccurrence_counts_golden_and_python_twin(spark):
                     c, s = exp.get(k, (0, 0))
                     exp[k] = (c + 1, s + 60 // d)
     assert got == exp
+
+
+def test_butterfly_counts_k23_golden(spark):
+    from python_mecab_ner_spark.operators.graph import butterfly_counts
+    # K(2,3): 3 butterflies total; each left node is in all 3, each
+    # right node in 2.  Left {1,2}, right {10,11,12}.
+    e = [(u, w) for u in (1, 2) for w in (10, 11, 12)]
+    df = spark.createDataFrame(e, "src bigint, dst bigint")
+    got = {r.node: r.n_bfly for r in butterfly_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 10: 2, 11: 2, 12: 2}
+
+
+def test_butterfly_counts_path_has_none(spark):
+    from python_mecab_ner_spark.operators.graph import butterfly_counts
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                               "src bigint, dst bigint")
+    assert butterfly_counts(df).count() == 0

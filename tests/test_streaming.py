@@ -454,3 +454,45 @@ def test_stream_seen_filter_parity_and_stateless(spark, tmp_path):
     plan = batch._sc._jvm.PythonSQLUtils.explainString(
         batch._jdf.queryExecution(), "formatted")
     assert "StateStore" not in plan and "Exchange" not in plan, plan
+
+
+def test_stream_cm_counts_equals_batch_sketch_per_window(spark, tmp_path):
+    """The streaming windowed CM sketch's cells must equal the batch
+    cm_sketch of each window's pages (same hash family), proving the
+    batch/stream sketches are directly foldable."""
+    import datetime as dt
+
+    from python_mecab_ner_spark.operators.sketch import cm_sketch
+    from python_mecab_ner_spark.streaming.ingest import (stream_cm_counts,
+                                                         stream_pages)
+    src, out, ckpt = (str(tmp_path / d) for d in ("p", "o", "c"))
+    t0 = dt.datetime(2026, 1, 1, 12, 30)
+    t1 = dt.datetime(2026, 1, 1, 13, 30)
+    rows = [("u1", t0, "spark spark query", "en"),
+            ("u2", t0, "hash join query", "en"),
+            ("u3", t1, "spark stream", "en")]
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    # complete mode + memory sink: append emits a window only once
+    # the watermark passes it, and a drained availableNow run never
+    # closes the newest window (same pattern as the rollup tests)
+    q = (stream_cm_counts(stream_pages(spark, src), d=2, w=16)
+         .writeStream.format("memory").queryName("cm_cells")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.window_start.hour, r.r, r.b): r.cnt
+           for r in spark.sql("SELECT * FROM cm_cells").collect()}
+
+    batch = spark.read.parquet(src)
+    exp = {}
+    for hour in (12, 13):
+        win = batch.where(F.hour("warc_ts") == hour)
+        toks = (win.select(F.explode(F.split(F.lower(F.trim("text")),
+                                             r"\s+")).alias("word"))
+                .where("word <> ''"))
+        for r in cm_sketch(toks, "word", d=2, w=16).collect():
+            exp[(hour, r.r, r.b)] = r.cnt
+    assert got == exp and got
