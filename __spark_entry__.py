@@ -1467,6 +1467,33 @@ def q104_butterflies(spark, sf_dir):
             .limit(100))
 
 
+def q105_source_risk(spark, sf_dir):
+    """Per-source governance dashboard: the numbers a dataset release
+    / crawl-blocklist decision reads per source — doc count, docs
+    carrying any PII (q47's injected-PII corpus, counts per type
+    summed), low-quality fraction, and non-English fraction, all as
+    integer ppm.  One projection chain (every gate is a per-row JVM
+    expression) + ONE combinable aggregate."""
+    d = _load(spark, sf_dir, "documents")
+    withpii = d.select("source", _pii_text().alias("text"))
+    n_id, n_phone, n_email = TX.pii_counts(F.col("text"))
+    flags = withpii.select(
+        "source",
+        ((n_id + n_phone + n_email) > 0).cast("int").alias("_pii"),
+        (TX.quality_score(F.col("text")) < 60).cast("int").alias("_lowq"),
+        (TX.lang_id(F.col("text")) != "en").cast("int").alias("_nonen"))
+    return (flags.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("_pii").cast("bigint").alias("n_pii_docs"),
+                 F.floor(F.sum("_pii") * F.lit(1_000_000) / F.count("*"))
+                 .cast("bigint").alias("pii_ppm"),
+                 F.floor(F.sum("_lowq") * F.lit(1_000_000) / F.count("*"))
+                 .cast("bigint").alias("lowq_ppm"),
+                 F.floor(F.sum("_nonen") * F.lit(1_000_000)
+                         / F.count("*"))
+                 .cast("bigint").alias("nonen_ppm")))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2443,6 +2470,25 @@ def kg_outlink_hosts(spark, sf_dir):
     return host_graph(g["pages"])
 
 
+def kg_host_cocitation(spark, sf_dir):
+    """Host co-citation similarity on the REAL extracted web graph:
+    hosts sharing in-/out-neighbors (the q58-certified wedge
+    neighbor_jaccard over the host edge list) — the classic
+    'related sites' signal of Dean & Henzinger, and the host-level
+    alias-candidate generator (mirrors cite like their canonical).
+    Rows-only gate; the operator is oracled at q58/q91."""
+    from python_mecab_ner_spark.operators.graph import neighbor_jaccard
+    from python_mecab_ner_spark.operators.weblinks import host_graph
+    g = _kg_graph(spark)
+    hg = host_graph(g["pages"])
+    edges = hg.select(F.col("src_host").alias("src"),
+                      F.col("dst_host").alias("dst"))
+    return (neighbor_jaccard(edges.select(
+        md5_int(F.col("src")).alias("src"),
+        md5_int(F.col("dst")).alias("dst")), min_common=1)
+        .select("n1", "n2", "common", "jac_ppm"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2549,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_split_leakage": q102_split_leakage,
         "q103_weighted_simhash": q103_weighted_simhash,
         "q104_butterflies": q104_butterflies,
+        "q105_source_risk": q105_source_risk,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2566,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_anchor_profile": kg_anchor_profile,
         "kg_recrawl_merge": kg_recrawl_merge,
         "kg_entity_cooc": kg_entity_cooc,
+        "kg_host_cocitation": kg_host_cocitation,
         "kg_html_text": kg_html_text,
     }
 
@@ -3232,6 +3280,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
                         AS INT) AS truly_seen
             FROM m
+        """,
+        "q105_source_risk": f"""
+            WITH withpii AS (SELECT source, {_PII_TEXT_SQL} AS text
+                             FROM documents),
+            f AS (SELECT source,
+                         CASE WHEN ({" + ".join(
+                             s for s, _ in
+                             TX.pii_counts_sql('text'))}) > 0
+                              THEN 1 ELSE 0 END AS pii,
+                         CASE WHEN {TX.quality_score_sql('text')} < 60
+                              THEN 1 ELSE 0 END AS lowq,
+                         CASE WHEN {TX.lang_id_sql('text')} <> 'en'
+                              THEN 1 ELSE 0 END AS nonen
+                  FROM withpii)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(pii) AS BIGINT) AS n_pii_docs,
+                   CAST(sum(pii) * 1000000 // count(*) AS BIGINT)
+                       AS pii_ppm,
+                   CAST(sum(lowq) * 1000000 // count(*) AS BIGINT)
+                       AS lowq_ppm,
+                   CAST(sum(nonen) * 1000000 // count(*) AS BIGINT)
+                       AS nonen_ppm
+            FROM f GROUP BY 1
         """,
         # q58's wedge pair table re-aggregated: C(common, 2) to both
         # endpoints
