@@ -1494,6 +1494,43 @@ def q105_source_risk(spark, sf_dir):
                  .cast("bigint").alias("nonen_ppm")))
 
 
+def q106_source_overlap(spark, sf_dir):
+    """Pairwise vocabulary overlap between sources (exact Jaccard in
+    integer ppm) — the dataset-mixing diagnostic behind dedup-across-
+    sources and mixture-weight decisions: near-identical vocabularies
+    mean the sources are redundant, disjoint ones mean real coverage.
+
+    Scale shape: ONE distinct (source, word) aggregate, then pairs
+    are generated per WORD over its source list (sources are a
+    config-sized dimension, so per-word fan-out is <= C(n_sources, 2)
+    — never a corpus self-join); sizes broadcast back.  All counts
+    64-bit integers."""
+    d = _loadp(spark, sf_dir, "documents")
+    sw = (d.select("source",
+                   F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                   .alias("word"))
+          .where("word <> ''")
+          .distinct())
+    a, b = sw.alias("a"), sw.alias("b")
+    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                    & (F.col("a.source") < F.col("b.source")))
+             .groupBy(F.col("a.source").alias("s1"),
+                      F.col("b.source").alias("s2"))
+             .agg(F.count("*").alias("inter")))
+    sizes = sw.groupBy("source").agg(F.count("*").alias("n_words"))
+    z1 = F.broadcast(sizes.select(F.col("source").alias("s1"),
+                                  F.col("n_words").alias("n1")))
+    z2 = F.broadcast(sizes.select(F.col("source").alias("s2"),
+                                  F.col("n_words").alias("n2")))
+    return (inter.join(z1, "s1").join(z2, "s2")
+            .select("s1", "s2",
+                    F.col("inter").cast("bigint").alias("inter"),
+                    F.floor(F.col("inter") * F.lit(1_000_000)
+                            / (F.col("n1") + F.col("n2")
+                               - F.col("inter")))
+                    .cast("bigint").alias("jac_ppm")))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2596,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_weighted_simhash": q103_weighted_simhash,
         "q104_butterflies": q104_butterflies,
         "q105_source_risk": q105_source_risk,
+        "q106_source_overlap": q106_source_overlap,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3280,6 +3318,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
                         AS INT) AS truly_seen
             FROM m
+        """,
+        "q106_source_overlap": """
+            WITH sw AS (SELECT DISTINCT source, word
+                        FROM (SELECT source, unnest(
+                                  regexp_split_to_array(
+                                      lower(trim(text)), '\\s+')) AS word
+                              FROM documents)
+                        WHERE word <> ''),
+            i AS (SELECT a.source AS s1, b.source AS s2,
+                         CAST(count(*) AS BIGINT) AS inter
+                  FROM sw a JOIN sw b
+                    ON a.word = b.word AND a.source < b.source
+                  GROUP BY 1, 2),
+            z AS (SELECT source, CAST(count(*) AS BIGINT) AS n_words
+                  FROM sw GROUP BY 1)
+            SELECT s1, s2, inter,
+                   CAST(inter * 1000000
+                        // (z1.n_words + z2.n_words - inter) AS BIGINT)
+                       AS jac_ppm
+            FROM i JOIN z z1 ON z1.source = i.s1
+                   JOIN z z2 ON z2.source = i.s2
         """,
         "q105_source_risk": f"""
             WITH withpii AS (SELECT source, {_PII_TEXT_SQL} AS text
