@@ -1531,6 +1531,45 @@ def q106_source_overlap(spark, sf_dir):
                     .cast("bigint").alias("jac_ppm")))
 
 
+def q107_next_word(spark, sf_dir):
+    """Next-word top-3 per context word (bigram counts + rank window
+    over the w1 partition, count-desc word-asc total order) — the
+    autocomplete / bigram-LM-eval table.  The window partitions are
+    VOCABULARY-keyed (each sees one word's successor list, never the
+    corpus); min_count=5 prunes the hapax tail first."""
+    from pyspark.sql import Window
+    ctx = _doc_context(spark, sf_dir)
+    nxt = ctx.select("url", "idx", F.col("word").alias("w1"))
+    fol = ctx.select("url", (F.col("idx") - 1).alias("idx"),
+                     F.col("word").alias("w2"))
+    big = (nxt.join(fol, ["url", "idx"])
+           .groupBy("w1", "w2").agg(F.count("*").alias("c"))
+           .where(F.col("c") >= 5))
+    w = Window.partitionBy("w1").orderBy(F.col("c").desc(),
+                                         F.col("w2").asc())
+    return (big.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select("w1", "w2", F.col("c").cast("bigint").alias("c"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
+def q108_eval_sample(spark, sf_dir):
+    """Deterministic eval/eyeball sample: 5 docs per source picked by
+    content-hash order (md5 of the doc id — stable under
+    repartitioning, backfills, and cluster-size changes, unlike any
+    ORDER BY random()).  The dataset-card sample extractor; rank
+    window over hash-keyed rows within each config-sized source."""
+    from pyspark.sql import Window
+    d = _load(spark, sf_dir, "documents")
+    h = md5_int(F.col("doc_id").cast("string"), salt="sample:")
+    w = Window.partitionBy("source").orderBy(h.asc(),
+                                             F.col("doc_id").asc())
+    return (d.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+            .select("source", "doc_id", "n_chars",
+                    F.col("rk").cast("int").alias("rk")))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2634,6 +2673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_butterflies": q104_butterflies,
         "q105_source_risk": q105_source_risk,
         "q106_source_overlap": q106_source_overlap,
+        "q107_next_word": q107_next_word,
+        "q108_eval_sample": q108_eval_sample,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3318,6 +3359,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
                         AS INT) AS truly_seen
             FROM m
+        """,
+        "q107_next_word": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(
+                           lower(trim(text)), '\\s+') AS w
+                       FROM documents),
+            ctx AS (SELECT doc_id, unnest(w) AS word,
+                           generate_subscripts(w, 1) - 1 AS idx
+                    FROM t),
+            c2 AS (SELECT * FROM ctx WHERE word <> ''),
+            big AS (SELECT a.word AS w1, b.word AS w2,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM c2 a JOIN c2 b
+                      ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+                    GROUP BY 1, 2 HAVING count(*) >= 5),
+            r AS (SELECT w1, w2, c,
+                         row_number() OVER (PARTITION BY w1
+                             ORDER BY c DESC, w2) AS rk
+                  FROM big)
+            SELECT w1, w2, c, CAST(rk AS INT) AS rk FROM r
+            WHERE rk <= 3
+        """,
+        "q108_eval_sample": f"""
+            WITH h AS (SELECT source, doc_id, n_chars,
+                              {md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                           salt="sample:")} AS h
+                       FROM documents),
+            r AS (SELECT source, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY h, doc_id) AS rk
+                  FROM h)
+            SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
+            FROM r WHERE rk <= 5
         """,
         "q106_source_overlap": """
             WITH sw AS (SELECT DISTINCT source, word
