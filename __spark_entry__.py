@@ -1570,6 +1570,105 @@ def q108_eval_sample(spark, sf_dir):
                     F.col("rk").cast("int").alias("rk")))
 
 
+def q109_containment(spark, sf_dir):
+    """Near-containment pairs (operators.dedup.containment_pairs):
+    Broder containment |A∩B|/min(|A|,|B|) in integer ppm over the
+    q16 DF-capped shingle sets — catches a short doc quoted whole
+    inside a longer one (containment ~1, jaccard low), the asymmetric
+    duplication a jaccard-only dedup gate ships twice."""
+    from python_mecab_ner_spark.operators.dedup import containment_pairs
+    d = _loadp(spark, sf_dir, "documents")
+    return containment_pairs(d, "text", "doc_id", k=3, min_shared=2,
+                             max_df=256, min_containment_ppm=500_000)
+
+
+def q110_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient in integer ppm
+    (operators.graph.clustering_coefficient) on the q52 parts-
+    co-purchased graph: 2*tri/(deg*(deg-1)) — the organic-hub vs
+    link-farm-star separator.  Rides the degree-oriented wedge join;
+    the oracle recomputes from the naive x<y<z triangle table."""
+    from python_mecab_ner_spark.operators.graph import (
+        clustering_coefficient)
+    li = _load(spark, sf_dir, "lineitem")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("src"),
+                     F.col("l2.l_partkey").alias("dst"))
+             .distinct())
+    return (clustering_coefficient(edges)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    "deg", "n_tri", "cc_ppm"))
+
+
+def q111_dup_coverage(spark, sf_dir):
+    """Cross-doc duplicated-window coverage (operators.dedup
+    .cross_doc_ngram_coverage): ppm of each doc's positional 5-gram
+    windows whose gram occurs in >= 1 other document — the window-
+    granular ExactSubstr-dedup signal (Lee et al. 2022) that flags
+    mosaic copying q16/q17's whole-doc pair tests miss."""
+    from python_mecab_ner_spark.operators.dedup import (
+        cross_doc_ngram_coverage)
+    d = _loadp(spark, sf_dir, "documents")
+    return cross_doc_ngram_coverage(d, "text", "doc_id", k=5)
+
+
+# deterministic messy-decoration appended to every 3rd doc (the
+# DuckDB twin is _MESSY_TEXT_SQL below; the corpus itself is already
+# normalized, so `changed` isolates exactly the decorated docs)
+_MESSY_LIT = " “It’s — FINE”  end"
+_MESSY_TEXT_SQL = ("(text || CASE WHEN doc_id % 3 = 0 "
+                   f"THEN ' {_MESSY_LIT.strip()}' ELSE '' END)")
+
+
+def _messy_text():
+    return F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" " + _MESSY_LIT.strip())).otherwise(F.lit("")))
+
+
+def q112_hashed_classifier(spark, sf_dir):
+    """FastText-style hashed linear classifier inference
+    (operators.classify.hashed_linear_score): unigram+bigram feature
+    hashing into 4096 buckets + integer weight sum, label by sign —
+    the model-based quality-filter slot (CCNet / FineWeb-Edu gate)
+    with deterministic stand-in weights and an exact DuckDB twin.
+    Feature hashing is per-row codegen; the only shuffle is the
+    per-doc sum."""
+    from python_mecab_ner_spark.operators.classify import (
+        hashed_linear_score)
+    d = _loadp(spark, sf_dir, "documents")
+    return hashed_linear_score(d, "text", "doc_id", n_buckets=4096)
+
+
+def q113_normalize(spark, sf_dir):
+    """Canonical text normalization (functions.text.normalize_text):
+    smart quotes/dashes/NBSP -> ASCII, lowercase, whitespace collapse
+    — the shared key-normalization under every dedup family; `changed`
+    isolates the deterministically-decorated docs, norm_fp is the
+    exact-dedup key the restyled copy now collides on."""
+    d = _load(spark, sf_dir, "documents")
+    m = d.select("doc_id", _messy_text().alias("mt"))
+    norm = TX.normalize_text(F.col("mt"))
+    return m.select("doc_id",
+                    (norm != F.col("mt")).cast("int").alias("changed"),
+                    md5_int(norm).alias("norm_fp"))
+
+
+def q114_winnow(spark, sf_dir):
+    """Winnowing fingerprints (operators.dedup.winnow_fingerprints,
+    MOSS/SIGMOD-2003): min-hash per sliding window of 4 consecutive
+    3-gram hashes, distinct per doc — guarantees any shared >= 6-word
+    run between docs shares a fingerprint at ~2/5 shingle density.
+    Entirely per-row array exprs; the explode is the only
+    row-multiplier."""
+    from python_mecab_ner_spark.operators.dedup import winnow_fingerprints
+    d = _loadp(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2675,6 +2774,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_source_overlap": q106_source_overlap,
         "q107_next_word": q107_next_word,
         "q108_eval_sample": q108_eval_sample,
+        "q109_containment": q109_containment,
+        "q110_clustering": q110_clustering,
+        "q111_dup_coverage": q111_dup_coverage,
+        "q112_hashed_classifier": q112_hashed_classifier,
+        "q113_normalize": q113_normalize,
+        "q114_winnow": q114_winnow,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2919,6 +3024,124 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE inter >= 2
+        """,
+        # Broder containment over the same capped shingle sets as q16
+        "q109_containment": shingle_cte + f"""
+            , keep AS (SELECT shingle FROM sh
+                       GROUP BY shingle HAVING count(*) <= {MAX_SH_DF}),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                    JOIN keep USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            j AS (SELECT doc_a, doc_b, inter,
+                         sa.n_sh AS n_a, sb.n_sh AS n_b,
+                         sa.n_sh + sb.n_sh - inter AS uni
+                  FROM pairs
+                  JOIN sizes sa ON sa.doc_id = doc_a
+                  JOIN sizes sb ON sb.doc_id = doc_b
+                  WHERE inter >= 2)
+            SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST((inter * 1000000) // least(n_a, n_b) AS BIGINT)
+                       AS containment_ppm,
+                   CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
+            FROM j
+            WHERE (inter * 1000000) // least(n_a, n_b) >= 500000
+        """,
+        # positional (non-distinct) 5-gram windows; dup = gram seen in
+        # >= 2 docs anywhere in the corpus
+        "q111_dup_coverage": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, w,
+                     unnest(range(0, greatest(len(w) - 5, 0) + 1)) AS i
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id,
+                     array_to_string(w[i + 1 : least(i + 5, len(w))], ' ') AS gram
+              FROM idx
+              WHERE array_to_string(w[i + 1 : least(i + 5, len(w))], ' ') <> ''
+            ),
+            per AS (SELECT doc_id, gram, count(*) AS c
+                    FROM g GROUP BY 1, 2),
+            gdf AS (SELECT gram, count(*) AS g_df FROM per GROUP BY 1)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_windows,
+                   CAST(sum(CASE WHEN g_df >= 2 THEN c ELSE 0 END)
+                        AS BIGINT) AS n_dup_windows,
+                   CAST((sum(CASE WHEN g_df >= 2 THEN c ELSE 0 END)
+                         * 1000000) // sum(c) AS BIGINT) AS dup_ppm
+            FROM per JOIN gdf USING (gram)
+            GROUP BY 1
+        """,
+        # unigram+bigram feature hashing -> md5 stand-in weights ->
+        # per-doc integer sum (q112's exact plan, relationally)
+        "q112_hashed_classifier": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ),
+            uni AS (SELECT doc_id, unnest(w) AS f FROM t),
+            bidx AS (SELECT doc_id, w,
+                            unnest(range(0, greatest(len(w) - 1, 0))) AS i
+                     FROM t),
+            big AS (SELECT doc_id, w[i + 1] || '_' || w[i + 2] AS f
+                    FROM bidx),
+            feats AS (SELECT doc_id, f FROM uni WHERE f <> ''
+                      UNION ALL
+                      SELECT doc_id, f FROM big WHERE f <> ''),
+            wtd AS (SELECT doc_id,
+                           (({md5_int_sql(
+                               "CAST(" + md5_int_sql('f', salt='feat:')
+                               + " % 4096 AS VARCHAR)", salt='wt:')}
+                             % 17) - 8) AS wgt
+                    FROM feats)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                   CAST(sum(wgt) AS BIGINT) AS score,
+                   CASE WHEN sum(wgt) > 0 THEN 'keep' ELSE 'drop' END
+                       AS label
+            FROM wtd GROUP BY 1
+        """,
+        "q113_normalize": f"""
+            WITH m AS (SELECT doc_id, {_MESSY_TEXT_SQL} AS mt
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(CASE WHEN {TX.normalize_text_sql('mt')} <> mt
+                        THEN 1 ELSE 0 END AS INT) AS changed,
+                   CAST({md5_int_sql(TX.normalize_text_sql('mt'))}
+                        AS BIGINT) AS norm_fp
+            FROM m
+        """,
+        # winnowing: min of each 4-window over positional 3-gram
+        # hashes, list_distinct per doc (MOSS fingerprints)
+        "q114_winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+              FROM documents
+            ),
+            g AS (SELECT doc_id,
+                         list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                                        i -> array_to_string(w[i + 1 : least(i + 3, len(w))], ' ')) AS grams
+                  FROM t),
+            h AS (SELECT doc_id,
+                         list_transform(grams,
+                                        s -> ('0x' || substr(md5(concat('wn:', s)), 1, 15))::bigint) AS hs
+                  FROM g),
+            mm AS (SELECT doc_id,
+                          list_distinct(list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+                                        j -> list_min(hs[j + 1 : least(j + 4, len(hs))]))) AS fps
+                   FROM h)
+            SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM mm
         """,
         "q17_lsh_pairs": shingle_cte + f"""
             , sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
@@ -4106,6 +4329,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(count(*) AS BIGINT) AS n_tri
             FROM corners GROUP BY 1
+        """,
+        # q52's naive triangle table + degree -> 2*tri/(deg*(deg-1)) ppm
+        "q110_clustering": """
+            WITH e AS (SELECT DISTINCT l1.l_partkey AS a,
+                                       l2.l_partkey AS b
+                       FROM lineitem l1 JOIN lineitem l2
+                         ON l1.l_orderkey = l2.l_orderkey
+                        AND l1.l_partkey < l2.l_partkey),
+            deg AS (SELECT node, count(*) AS deg FROM (
+                      SELECT a AS node FROM e
+                      UNION ALL SELECT b FROM e) GROUP BY 1),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            corners AS (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri),
+            tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1)
+            SELECT CAST(deg.node AS BIGINT) AS node,
+                   CAST(deg.deg AS BIGINT) AS deg,
+                   CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST(CASE WHEN deg.deg >= 2
+                             THEN (2 * coalesce(tc.n_tri, 0) * 1000000)
+                                  // (deg.deg * (deg.deg - 1))
+                             ELSE 0 END AS BIGINT) AS cc_ppm
+            FROM deg LEFT JOIN tc ON tc.node = deg.node
         """,
         # bit-length idf rarity (same integer log2 family as q38)
         "q53_surprisal": """

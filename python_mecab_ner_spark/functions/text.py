@@ -120,6 +120,34 @@ def regex_entities_sql(expr: str) -> str:
             f"regexp_extract_all({expr}, '{NE_TAG_PATTERN}', 2))")
 
 
+# smart quotes / unicode dashes -> ASCII; kept as two parallel literal
+# strings so the Spark translate() and DuckDB translate() twins can
+# never drift (one definition, two renderers)
+_XLATE_FROM = "“”‘’—– "
+_XLATE_TO = "\"\"''-- "
+
+
+def normalize_text(col) -> Column:
+    """Canonical text normalization for dedup/fingerprint keys:
+    smart quotes + unicode dashes + NBSP -> ASCII (translate),
+    lowercase, trim, collapse whitespace runs.  Pure JVM expression
+    chain (translate + lower + regexp_replace), zero UDF — the
+    normalization every exact-dedup and shingle key should share so
+    typographically-restyled copies of the same page collide."""
+    t = F.translate(col, _XLATE_FROM, _XLATE_TO)
+    return F.regexp_replace(F.lower(F.trim(t)), r"\s+", " ")
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of normalize_text (same translate map, same
+    collapse).  The ASCII quotes in _XLATE_TO must be doubled inside
+    the SQL literal or translate() silently loses a position and the
+    NBSP->space mapping shifts off the end."""
+    to_lit = _XLATE_TO.replace("'", "''")
+    t = f"translate({expr}, '{_XLATE_FROM}', '{to_lit}')"
+    return f"regexp_replace(lower(trim({t})), '\\s+', ' ', 'g')"
+
+
 def fingerprint(col) -> Column:
     """Order-sensitive document fingerprint: md5-int of the
     whitespace-normalized lowercased text (rolling-hash equivalent at

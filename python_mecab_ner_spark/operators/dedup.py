@@ -65,7 +65,8 @@ def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3,
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                   k: int = 3, min_shared: int = 2,
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  keep_sizes: bool = False) -> DataFrame:
     """Near-dup candidate pairs with integer (intersection, union)
     shingle counts over the (optionally DF-capped) shingle sets.
 
@@ -97,7 +98,8 @@ def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                    .withColumnRenamed("n_sh", "n_b"), on="doc_b")
              .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
              .where(F.col("inter") >= min_shared)
-             .select("doc_a", "doc_b", "inter", "uni"))
+             .select("doc_a", "doc_b", "inter", "uni",
+                     *(["n_a", "n_b"] if keep_sizes else [])))
     pairs.unpersist_input = sh.unpersist  # session-cache release hook
     return pairs
 
@@ -496,3 +498,117 @@ def simhash_weighted(df: DataFrame, text_col: str, id_col: str,
                for i in range(n_bits)),
               F.lit(0).cast("bigint"))
     return per_doc.select("doc_id", sim.cast("bigint").alias("simhash_w"))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 3, w: int = 4,
+                        salt: str = "wn:") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional word
+    k-gram, slide a window of w consecutive hashes, keep the MINIMUM
+    of each window, distinct the kept mins.  Guarantees every shared
+    run of >= k+w-1 words between two documents shares >= 1
+    fingerprint, at ~2/(w+1) the density of full shingling — the
+    position-robust local fingerprint q14 (whole-doc) and q16
+    (all-shingles) bracket.
+
+    Scale shape: grams, hashes, window minima, and the per-doc
+    distinct are ALL per-row array expressions (zero shuffle, zero
+    UDF); the only row-multiplier is the final explode of the
+    (deduplicated, w-fold sparser) fingerprint array.  Docs shorter
+    than k+w-1 words degrade gracefully: truncated windows/grams,
+    >= 1 fingerprint per non-empty doc.
+
+    Returns (doc_id, fp) distinct-per-doc fingerprint rows."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    n = F.size(toks)
+    gidx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        gidx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    h = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(F.concat(F.lit(salt), g)),
+                                     1, 15), 16, 10).cast("bigint"))
+    widx = F.sequence(F.lit(0), F.greatest(F.size(h) - w, F.lit(0)))
+    mins = F.transform(widx,
+                       lambda j: F.array_min(F.slice(h, j + 1, w)))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(mins)).alias("fp"))
+            .where(F.col("fp").isNotNull()))
+
+
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 3, min_shared: int = 2,
+                      max_df: int | None = None,
+                      min_containment_ppm: int = 500_000) -> DataFrame:
+    """Near-CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|) in integer
+    ppm, over the same capped shingle sets as jaccard_pairs.  Broder's
+    containment catches the asymmetric duplication Jaccard misses — a
+    short post quoted whole inside a long aggregator page has low
+    resemblance (union is dominated by the long doc) but containment
+    ~1.0; dedup pipelines that gate only on Jaccard ship the quoted
+    copy twice.  Reported alongside jaccard_ppm so the caller can see
+    exactly the containment-high/jaccard-low corner.
+
+    Scale shape: identical to jaccard_pairs (DF-capped shingle
+    self-join, per-key fan-out <= max_df^2) — the ppm columns are one
+    extra integer projection, no new shuffle."""
+    pairs = jaccard_pairs(df, text_col, id_col, k=k,
+                          min_shared=min_shared, max_df=max_df,
+                          keep_sizes=True)
+    out = (pairs.withColumn(
+               "containment_ppm",
+               F.floor(F.col("inter") * F.lit(1_000_000)
+                       / F.least("n_a", "n_b")).cast("bigint"))
+           .withColumn("jaccard_ppm",
+                       F.floor(F.col("inter") * F.lit(1_000_000)
+                               / F.col("uni")).cast("bigint"))
+           .where(F.col("containment_ppm") >= min_containment_ppm)
+           .select("doc_a", "doc_b", "inter", "n_a", "n_b",
+                   "containment_ppm", "jaccard_ppm"))
+    out.unpersist_input = pairs.unpersist_input
+    return out
+
+
+def cross_doc_ngram_coverage(df: DataFrame, text_col: str, id_col: str,
+                             k: int = 5) -> DataFrame:
+    """Per-document CROSS-DOC duplicated-window coverage: the fraction
+    (integer ppm) of a document's positional word k-gram windows whose
+    gram also occurs in at least one OTHER document — the window-
+    granular approximation of ExactSubstr dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    docs with high coverage are verbatim-copied content even when no
+    single whole-doc near-dup pair exists (mosaic plagiarism /
+    boilerplate stitching).  Distinct from q45 (WITHIN-doc repetition)
+    and q16/q17 (whole-doc pair resemblance).
+
+    Scale shape: one explode of positional windows (n-k+1 per doc),
+    a (doc, gram) count aggregate, a gram-keyed doc-frequency
+    aggregate over the distinct (doc, gram) pairs (both map-side
+    combinable), and a final per-doc sum — joins are equi-joins into a
+    gram-keyed count table, never a self-join, so there is no
+    quadratic key at any corpus size.  All counts 64-bit integers.
+
+    Returns (doc_id, n_windows, n_dup_windows, dup_ppm)."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    n = F.size(toks)
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, k),
+                                                  " "))
+    grams = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(sh).alias("gram"))
+             .where(F.col("gram") != ""))
+    per = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    gram_df = (per.groupBy("gram")
+               .agg(F.count("*").alias("g_df")))
+    return (per.join(gram_df, "gram")
+            .groupBy("doc_id")
+            .agg(F.sum("c").cast("bigint").alias("n_windows"),
+                 F.sum(F.when(F.col("g_df") >= 2, F.col("c"))
+                       .otherwise(F.lit(0)))
+                 .cast("bigint").alias("n_dup_windows"))
+            .withColumn("dup_ppm",
+                        F.floor(F.col("n_dup_windows") * F.lit(1_000_000)
+                                / F.col("n_windows")).cast("bigint")))

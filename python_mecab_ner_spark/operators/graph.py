@@ -538,6 +538,40 @@ def triangle_counts(edges: DataFrame,
         F.count("*").cast("bigint").alias("n_tri"))
 
 
+def clustering_coefficient(edges: DataFrame, src: str = "src",
+                           dst: str = "dst",
+                           scale: int = 1_000_000) -> DataFrame:
+    """Per-node local clustering coefficient in integer ppm:
+    cc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) for deg >= 2
+    (0 otherwise) — the node-level cohesion score used to separate
+    organically-linked hubs (high cc neighborhoods) from spam/link-farm
+    hubs (star-shaped, cc ~ 0) on web host graphs.
+
+    Rides triangle_counts' degree-oriented wedge join unchanged; the
+    coefficient itself is one broadcast-joinable projection over the
+    per-node (deg, n_tri) pair.  2*tri*scale fits 64-bit for any
+    realistic scale; integer floor division keeps the DuckDB oracle
+    bit-exact."""
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").cast("bigint").alias("deg")))
+    tri = triangle_counts(e, src="a", dst="b")
+    return (deg.join(tri, "node", "left")
+            .select("node", "deg",
+                    F.coalesce(F.col("n_tri"), F.lit(0))
+                    .cast("bigint").alias("n_tri"))
+            .withColumn(
+                "cc_ppm",
+                F.when(F.col("deg") >= 2,
+                       F.floor(F.lit(2) * F.col("n_tri") * F.lit(scale)
+                               / (F.col("deg") * (F.col("deg") - 1))))
+                .otherwise(F.lit(0)).cast("bigint")))
+
+
 def butterfly_counts(edges: DataFrame, src: str = "src",
                      dst: str = "dst",
                      max_center_degree: int | None = None) -> DataFrame:
