@@ -1669,6 +1669,61 @@ def q114_winnow(spark, sf_dir):
     return winnow_fingerprints(d, "text", "doc_id", k=3, w=4)
 
 
+def q115_source_dup_matrix(spark, sf_dir):
+    """Cross-source near-duplicate matrix: LSH-verified near-dup
+    pairs (the q27/q102 candidate+verify path) bucketed by the source
+    pair of their endpoints — the DOC-level redundancy complement of
+    q106's vocabulary overlap: two sources with high cross rates are
+    re-crawls/mirrors of each other and should be mixture-weighted as
+    one.  Source dims broadcast into the pair stream; one final
+    config-sized aggregate."""
+    from python_mecab_ner_spark.operators.dedup import lsh_verified_pairs
+    d = _loadp(spark, sf_dir, "documents")
+    pairs = lsh_verified_pairs(d, "text", "doc_id",
+                               k=3, n_hashes=8, bands=4, min_shared=2)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"),
+                    F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"),
+                    F.col("source").alias("_sb"))
+    return (pairs.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .groupBy(F.least("_sa", "_sb").alias("source_1"),
+                     F.greatest("_sa", "_sb").alias("source_2"))
+            .agg(F.count("*").cast("bigint").alias("n_pairs"))
+            .withColumn("cross_source",
+                        (F.col("source_1") != F.col("source_2"))
+                        .cast("int")))
+
+
+def q116_weighted_sample(spark, sf_dir):
+    """Sequential Poisson pps sample (operators.sample
+    .weighted_priority_sample, Ohlsson 1998): 10 docs per source with
+    inclusion probability ~ n_chars — the deterministic
+    weight-proportional sampler for mixture construction and eval-set
+    drawing; pure function of (id, weight), stable across cluster
+    sizes and backfills."""
+    from python_mecab_ner_spark.operators.sample import (
+        weighted_priority_sample)
+    d = _load(spark, sf_dir, "documents")
+    return (weighted_priority_sample(d, "doc_id", "n_chars", "source",
+                                     k=10)
+            .select("source", "doc_id",
+                    F.col("n_chars").cast("bigint").alias("n_chars"),
+                    "priority"))
+
+
+def q117_script_mix(spark, sf_dir):
+    """Per-doc script composition (functions.text.script_mix_ppm):
+    latin/digit/hangul/whitespace ppm over the PII-decorated text
+    (q47's injected digits give the digit channel real variance) —
+    the language-routing / mojibake gate before tokenizer choice.
+    One projection, zero shuffle."""
+    d = _load(spark, sf_dir, "documents")
+    return (d.select("doc_id", _pii_text().alias("t"))
+            .select("doc_id", *TX.script_mix_ppm(F.col("t"))))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2780,6 +2835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_hashed_classifier": q112_hashed_classifier,
         "q113_normalize": q113_normalize,
         "q114_winnow": q114_winnow,
+        "q115_source_dup_matrix": q115_source_dup_matrix,
+        "q116_weighted_sample": q116_weighted_sample,
+        "q117_script_mix": q117_script_mix,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3197,6 +3255,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
                          JOIN sp b ON b.doc_id = p.doc_b
             GROUP BY 1, 2
+        """,
+        "q115_source_dup_matrix": lsh_pairs_cte + """
+            , src AS (SELECT doc_id, source FROM documents)
+            SELECT least(a.source, b.source) AS source_1,
+                   greatest(a.source, b.source) AS source_2,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(CASE WHEN least(a.source, b.source)
+                                  <> greatest(a.source, b.source)
+                             THEN 1 ELSE 0 END AS INT) AS cross_source
+            FROM pairs p JOIN src a ON a.doc_id = p.doc_a
+                         JOIN src b ON b.doc_id = p.doc_b
+            GROUP BY 1, 2
+        """,
+        # sequential Poisson pps: priority = h32 * 1e6 div weight,
+        # bottom-10 per source
+        "q116_weighted_sample": f"""
+            WITH p AS (SELECT source, doc_id, n_chars,
+                              ({md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                            bits_hex=8, salt="wps:")}
+                               * 1000000) // greatest(n_chars, 1)
+                                  AS priority
+                       FROM documents),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY source
+                      ORDER BY priority, doc_id) AS rk FROM p)
+            SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(priority AS BIGINT) AS priority
+            FROM r WHERE rk <= 10
+        """,
+        "q117_script_mix": f"""
+            WITH m AS (SELECT doc_id, {_PII_TEXT_SQL} AS t
+                       FROM documents)
+            SELECT doc_id, {", ".join(TX.script_mix_ppm_sql('t'))}
+            FROM m
         """,
         "q103_weighted_simhash": f"""
             WITH words AS (

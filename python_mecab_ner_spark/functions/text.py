@@ -148,6 +148,39 @@ def normalize_text_sql(expr: str) -> str:
     return f"regexp_replace(lower(trim({t})), '\\s+', ' ', 'g')"
 
 
+# script classes for the per-doc script-mix profile (multilingual
+# routing / mojibake detection): each is (name, char-class regex)
+_SCRIPT_CLASSES = (("latin", "[a-zA-Z]"), ("digit", "[0-9]"),
+                   ("hangul", "[가-힣]"), ("space", r"\s"))
+
+
+def script_mix_ppm(col) -> list:
+    """Per-row script composition in integer ppm of characters:
+    latin / digit / hangul / whitespace (the remainder is punctuation
+    + symbols).  The language-routing and mojibake-detection signal a
+    multilingual pipeline gates on before tokenizer choice.  Pure
+    regexp_replace length arithmetic — codegen, zero UDF."""
+    n = F.greatest(F.length(col), F.lit(1))
+    cols = []
+    for name, cls in _SCRIPT_CLASSES:
+        hits = F.length(col) - F.length(F.regexp_replace(col, cls, ""))
+        cols.append(F.floor(hits * F.lit(1_000_000) / n)
+                    .cast("bigint").alias(f"{name}_ppm"))
+    return cols
+
+
+def script_mix_ppm_sql(expr: str) -> list:
+    """DuckDB twins of script_mix_ppm, same order/aliases."""
+    n = f"greatest(length({expr}), 1)"
+    out = []
+    for name, cls in _SCRIPT_CLASSES:
+        hits = (f"(length({expr}) - length(regexp_replace({expr}, "
+                f"'{cls}', '', 'g')))")
+        out.append(f"CAST(({hits} * 1000000) // {n} AS BIGINT)"
+                   f" AS {name}_ppm")
+    return out
+
+
 def fingerprint(col) -> Column:
     """Order-sensitive document fingerprint: md5-int of the
     whitespace-normalized lowercased text (rolling-hash equivalent at

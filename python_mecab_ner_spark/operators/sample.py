@@ -215,3 +215,34 @@ def quality_gate_histogram(df: DataFrame, score_col: str,
                 .drop("_rk"))
     return (above.unionByName(boundary)
             .drop("_rb", "_bb", "_take"))
+
+
+def weighted_priority_sample(df: DataFrame, id_col: str,
+                             weight_col: str, strata_col: str,
+                             k: int, salt: str = "wps:") -> DataFrame:
+    """Sequential Poisson sampling (Ohlsson 1998): deterministic
+    probability-proportional-to-size sample of k rows per stratum.
+    Each row gets priority u/w where u is its portable 32-bit content
+    hash (a fixed "uniform" draw) and w its weight; the k SMALLEST
+    priorities per stratum form the sample — heavier rows
+    systematically draw smaller priorities, so inclusion probability
+    approaches k*w/sum(w).  The scheme survey statisticians use for
+    pps samples precisely BECAUSE it is order- and replay-stable: the
+    sample is a pure function of (id, weight), reproducible across
+    backfills, repartitions, and cluster sizes.
+
+    Integer arithmetic: priority = h32 * 1e6 div max(w, 1) — 32-bit
+    hash times 1e6 stays far inside int64, ties broken by id, exact
+    in both engines.  Scale shape: one rank window per stratum
+    (strata are a bounded dimension; for one giant stratum compose
+    with quality_gate_histogram's boundary-bin trick)."""
+    h32 = md5_int(F.col(id_col).cast("string"), bits_hex=8, salt=salt)
+    prio = F.floor(h32 * F.lit(1_000_000)
+                   / F.greatest(F.col(weight_col), F.lit(1))) \
+        .cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc())
+    return (df.withColumn("priority", prio)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .drop("rk"))
