@@ -353,3 +353,43 @@ def test_q96_cooccurrence_equijoin_no_range_join(spark, sf01):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_q112_classifier_no_python_udf_single_exchange(spark, sf01):
+    """Feature hashing + weight lookup are per-row JVM expressions;
+    the ONLY corpus exchange is the per-doc sum (partial + final
+    aggregate) — no UDF, no join in the default stand-in-weights
+    path."""
+    plan = _plan(entry.q112_hashed_classifier(spark, sf01))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_q114_winnow_zero_shuffle(spark, sf01):
+    """Winnowing is grams -> hashes -> window-mins -> distinct, ALL
+    per-row array expressions: no hash/range shuffle anywhere — the
+    only Exchange allowed is _loadp's deliberate round-robin
+    repartition of the single-row-group test parquet."""
+    plan = _plan(entry.q114_winnow(spark, sf01))
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q116_pps_sample_windows_per_stratum(spark, sf01):
+    """Sequential-Poisson sampling ranks INSIDE each source partition
+    (hashpartitioning by source before the window), never a global
+    sort."""
+    plan = _plan(entry.q116_weighted_sample(spark, sf01))
+    assert "Window" in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
+def test_q109_containment_materializes_shingles_once(spark, sf01):
+    """Containment rides jaccard_pairs' persisted shingle table: the
+    three consumers (both self-join sides + sizes) must read it back
+    as InMemoryTableScan instead of re-running the explode."""
+    plan = _plan(entry.q109_containment(spark, sf01))
+    assert plan.count("InMemoryTableScan") >= 3, plan
