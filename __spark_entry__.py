@@ -1724,6 +1724,79 @@ def q117_script_mix(spark, sf_dir):
             .select("doc_id", *TX.script_mix_ppm(F.col("t"))))
 
 
+DUPSPAN_K = 5   # ExactSubstr length threshold: runs >= 5 words are cut
+
+
+def q118_dup_spans(spark, sf_dir):
+    """Maximal cross-doc duplicated spans (operators.dedup
+    .dup_substring_runs) — the span-structured half of ExactSubstr
+    dedup (Lee et al. 2022): WHERE the copied text lives, as (start,
+    length) word intervals, not just how much (q111).  k=5 on this
+    corpus isolates genuine template copies (71 runs at sf0.01) from
+    small-vocab random collisions.  Gaps-and-islands over the
+    duplicated positional grams costs ONE doc-keyed exchange."""
+    from python_mecab_ner_spark.operators.dedup import dup_substring_runs
+    d = _loadp(spark, sf_dir, "documents")
+    return dup_substring_runs(d, "text", "doc_id", k=DUPSPAN_K)
+
+
+def q119_dup_span_removal(spark, sf_dir):
+    """ExactSubstr span REMOVAL (operators.dedup.remove_dup_spans):
+    cut every q118 interval out of every copy, rejoin the survivors
+    in order, fingerprint the cleaned text (the post-removal exact-
+    dedup key).  The cut itself is a per-row indexed array filter —
+    no range join, no second corpus shuffle."""
+    from python_mecab_ner_spark.operators.dedup import remove_dup_spans
+    d = _loadp(spark, sf_dir, "documents")
+    return remove_dup_spans(d, "text", "doc_id", k=DUPSPAN_K)
+
+
+def q120_vocab_drift(spark, sf_dir):
+    """Epoch-to-epoch vocabulary drift (operators.profile
+    .vocab_drift): top-50 terms by the exact-integer chi-square
+    numerator |o0*n1 - o1*n0| between two corpus halves (source-number
+    parity stands in for crawl snapshots) — the crawl-monitoring
+    dashboard that flags 'this month's crawl is suddenly full of X'.
+    One combinable term aggregate + a broadcast scalar total +
+    TakeOrdered."""
+    from python_mecab_ner_spark.operators.profile import vocab_drift
+    d = _load(spark, sf_dir, "documents")
+    epoch = (F.regexp_extract("source", r"(\d+)", 1).cast("int")
+             % 2).alias("epoch")
+    return vocab_drift(d.select(epoch, "text"), "text", "epoch",
+                       top_k=50)
+
+
+def q121_blocklist(spark, sf_dir):
+    """Phrase-blocklist screening (functions.text
+    .blocklist_phrase_counts): word-boundary occurrence counts for
+    each blocklist phrase via the replace-count identity — pure JVM
+    string expressions, zero shuffle, one column per phrase.  The
+    safety/boilerplate gate (NSFW terms, license boilerplate,
+    error-page strings) every corpus release runs before training."""
+    d = _load(spark, sf_dir, "documents")
+    hits = d.select("doc_id",
+                    *TX.blocklist_phrase_counts(F.col("text")))
+    bl_cols = [c for c in hits.columns if c.startswith("bl_")]
+    total = sum((F.col(c) for c in bl_cols), F.lit(0))
+    return hits.select("doc_id", *bl_cols,
+                       total.cast("bigint").alias("n_hits"),
+                       (total > 0).cast("int").alias("blocked"))
+
+
+def q122_postings(spark, sf_dir):
+    """Inverted-index construction (operators.retrieval
+    .postings_table): per term df, cf, top-tf document (packed-max
+    argmax, ties -> min doc id), and a deterministic sorted posting
+    sample — the index-build deliverable the retrieval stack (q59
+    BM25, q88 cosine pairs) consumes.  Two map-side-combinable
+    aggregates, no window, no self-join."""
+    from python_mecab_ner_spark.operators.retrieval import postings_table
+    d = _loadp(spark, sf_dir, "documents")
+    return postings_table(d, "text", "doc_id", min_df=2,
+                          sample_docs=8)
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2838,6 +2911,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_source_dup_matrix": q115_source_dup_matrix,
         "q116_weighted_sample": q116_weighted_sample,
         "q117_script_mix": q117_script_mix,
+        "q118_dup_spans": q118_dup_spans,
+        "q119_dup_span_removal": q119_dup_span_removal,
+        "q120_vocab_drift": q120_vocab_drift,
+        "q121_blocklist": q121_blocklist,
+        "q122_postings": q122_postings,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -2895,6 +2973,44 @@ def oracle_sql() -> dict[str, str]:
     """
 
     shingle_cte = _shingle_cte(3)
+
+    # shared dup-span CTE (q118/q119): positional k-gram hashes ->
+    # >=2-doc duplicated grams -> gaps-and-islands maximal runs;
+    # matches operators.dedup.dup_substring_runs exactly (same salt,
+    # same truncated-gram edge for docs shorter than k)
+    _ds_gram = md5_int_sql(
+        f"array_to_string(w[i + 1 : least(i + {DUPSPAN_K}, len(w))], ' ')",
+        salt="ds:")
+    dupspan_cte = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        g AS (SELECT doc_id, w,
+                     list_transform(range(0, greatest(len(w) - {DUPSPAN_K}, 0) + 1),
+                                    i -> {_ds_gram}) AS hs
+              FROM t),
+        p AS (SELECT doc_id, i AS pos, hs[i + 1] AS gh
+              FROM (SELECT doc_id, hs, unnest(range(0, len(hs))) AS i
+                    FROM g)),
+        dup AS (SELECT gh FROM p GROUP BY gh
+                HAVING count(DISTINCT doc_id) >= 2),
+        m AS (SELECT doc_id, pos FROM p
+              WHERE gh IN (SELECT gh FROM dup)),
+        isl AS (SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY pos) AS grp
+                FROM m),
+        runs AS (SELECT doc_id, min(pos) AS run_start,
+                        max(pos) - min(pos) + {DUPSPAN_K} AS run_len
+                 FROM isl GROUP BY doc_id, grp)
+    """
+
+    _bl = TX.blocklist_phrase_counts_sql("text")
+    _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
+    _bl_names = ", ".join(n for _, n in _bl)
+    _bl_sum = " + ".join(n for _, n in _bl)
 
     minhash_cols = ", ".join(
         f"CAST(min({md5_int_sql('shingle', salt=f'mh{i}:')}) AS BIGINT) AS mh{i}"
@@ -3289,6 +3405,88 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT doc_id, {", ".join(TX.script_mix_ppm_sql('t'))}
             FROM m
+        """,
+        "q118_dup_spans": dupspan_cte + """
+            SELECT doc_id, CAST(run_start AS BIGINT) AS run_start,
+                   CAST(run_len AS BIGINT) AS run_len
+            FROM runs
+        """,
+        "q119_dup_span_removal": dupspan_cte + f"""
+            , wp AS (SELECT doc_id, i AS pos, w[i + 1] AS word
+                     FROM (SELECT doc_id, w,
+                                  unnest(range(0, len(w))) AS i
+                           FROM t)),
+            cov AS (SELECT DISTINCT wp.doc_id, wp.pos
+                    FROM wp JOIN runs
+                      ON wp.doc_id = runs.doc_id
+                     AND wp.pos >= runs.run_start
+                     AND wp.pos < runs.run_start + runs.run_len),
+            kept AS (SELECT wp.doc_id, wp.pos, wp.word
+                     FROM wp LEFT JOIN cov
+                       ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+                     WHERE cov.doc_id IS NULL),
+            k2 AS (SELECT doc_id, count(*) AS kw,
+                          string_agg(word, ' ' ORDER BY pos) AS ktext
+                   FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+                   CAST(coalesce(k2.kw, 0) AS BIGINT) AS kept_words,
+                   {md5_int_sql("coalesce(k2.ktext, '')")} AS kept_fp
+            FROM t LEFT JOIN k2 ON t.doc_id = k2.doc_id
+        """,
+        "q120_vocab_drift": """
+            WITH d AS (SELECT CAST(regexp_extract(source, '(\\d+)', 1)
+                                   AS INT) % 2 AS epoch, text
+                       FROM documents),
+            w AS (SELECT epoch,
+                         unnest(regexp_split_to_array(
+                             regexp_replace(lower(trim(text)),
+                                            '\\s+', ' ', 'g'),
+                             ' ')) AS term
+                  FROM d),
+            w2 AS (SELECT epoch, term FROM w WHERE term <> ''),
+            c AS (SELECT term,
+                         sum(CASE WHEN epoch = 0 THEN 1 ELSE 0 END) AS o0,
+                         sum(CASE WHEN epoch = 1 THEN 1 ELSE 0 END) AS o1
+                  FROM w2 GROUP BY 1),
+            tot AS (SELECT sum(o0) AS n0, sum(o1) AS n1 FROM c)
+            SELECT term, CAST(o0 AS BIGINT) AS o0,
+                   CAST(o1 AS BIGINT) AS o1,
+                   CAST(abs(o0 * n1 - o1 * n0) AS BIGINT) AS drift
+            FROM c CROSS JOIN tot
+            ORDER BY drift DESC, term ASC
+            LIMIT 50
+        """,
+        "q121_blocklist": f"""
+            WITH h AS (SELECT doc_id, {_bl_defs} FROM documents)
+            SELECT doc_id, {_bl_names},
+                   CAST({_bl_sum} AS BIGINT) AS n_hits,
+                   CASE WHEN {_bl_sum} > 0 THEN 1 ELSE 0 END AS blocked
+            FROM h
+        """,
+        "q122_postings": """
+            WITH wd AS (SELECT doc_id,
+                               unnest(regexp_split_to_array(
+                                   regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g'),
+                                   ' ')) AS term
+                        FROM documents),
+            w2 AS (SELECT doc_id, term FROM wd WHERE term <> ''),
+            tf AS (SELECT term, doc_id, count(*) AS tf
+                   FROM w2 GROUP BY 1, 2),
+            agg AS (SELECT term, count(*) AS df, sum(tf) AS cf,
+                           max(tf * 1099511627776
+                               + (1099511627775 - doc_id)) AS mx,
+                           array_to_string(
+                               list_sort(list(DISTINCT doc_id))[1:8],
+                               ',') AS posting_sample
+                    FROM tf GROUP BY 1)
+            SELECT term, CAST(df AS BIGINT) AS df,
+                   CAST(cf AS BIGINT) AS cf,
+                   CAST(1099511627775 - (mx & 1099511627775)
+                        AS BIGINT) AS top_doc,
+                   CAST(mx >> 40 AS BIGINT) AS top_tf,
+                   posting_sample
+            FROM agg WHERE df >= 2
         """,
         "q103_weighted_simhash": f"""
             WITH words AS (

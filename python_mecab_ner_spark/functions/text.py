@@ -380,3 +380,46 @@ def html_to_text(col) -> Column:
     for ent, rep in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+# default corpus-safety phrase blocklist for q-level demos/tests; a
+# production pipeline injects its own list (broadcast-sized: phrase
+# blocklists are thousands of entries, trivially literal-expandable
+# or broadcast-joined against exploded n-grams at larger sizes)
+BLOCKLIST_PHRASES = ("table table", "fast scan", "query big")
+
+
+def blocklist_phrase_counts(col, phrases=BLOCKLIST_PHRASES) -> list:
+    """Per-phrase occurrence counts with word-boundary semantics:
+    count of non-overlapping ' phrase ' matches in the space-padded
+    normalized text, computed as (len(t) - len(replace(t, p, '')))
+    / len(p) — pure JVM string expressions, one column per phrase.
+    Adjacent repeats sharing a boundary space count once per
+    non-overlapping match (replace is left-greedy in both engines,
+    so the count is deterministic and oracle-identical).  This is the
+    safety/boilerplate phrase filter every corpus release runs
+    (blocklist NSFW terms, license boilerplate, error-page strings)."""
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    out = []
+    for p in phrases:
+        needle = f" {p} "
+        cnt = ((F.length(padded)
+                - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+               / F.lit(len(needle))).cast("bigint")
+        out.append(cnt.alias("bl_" + p.replace(" ", "_")))
+    return out
+
+
+def blocklist_phrase_counts_sql(expr: str,
+                                phrases=BLOCKLIST_PHRASES) -> list:
+    """DuckDB twin of blocklist_phrase_counts (same padding, same
+    replace-count identity)."""
+    padded = f"(' ' || {normalize_text_sql(expr)} || ' ')"
+    out = []
+    for p in phrases:
+        needle = f" {p} "
+        lit = needle.replace("'", "''")
+        cnt = (f"CAST((length({padded}) - length(replace({padded}, "
+               f"'{lit}', ''))) / {len(needle)} AS BIGINT)")
+        out.append((cnt, "bl_" + p.replace(" ", "_")))
+    return out

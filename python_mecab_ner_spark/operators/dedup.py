@@ -612,3 +612,101 @@ def cross_doc_ngram_coverage(df: DataFrame, text_col: str, id_col: str,
             .withColumn("dup_ppm",
                         F.floor(F.col("n_dup_windows") * F.lit(1_000_000)
                                 / F.col("n_windows")).cast("bigint")))
+
+
+def dup_substring_runs(df: DataFrame, text_col: str, id_col: str,
+                       k: int = 3, min_docs: int = 2,
+                       salt: str = "ds:") -> DataFrame:
+    """Maximal cross-document duplicated SPANS — the span-structured
+    core of ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): q111 tells you HOW
+    MUCH of a doc is copied; this tells you WHERE, as (start, length)
+    word intervals a removal pass can actually cut.  A positional word
+    k-gram is "duplicated" when the same gram occurs in >= min_docs
+    distinct documents; consecutive duplicated gram positions merge
+    into one maximal run covering max_pos - min_pos + k words (the
+    distributed analogue of the suffix-array pass: every shared run of
+    >= k words is found, runs shorter than k are invisible — k is the
+    ExactSubstr length threshold).
+
+    Scale shape: one positional-gram explode (n-k+1 rows per doc), a
+    gram-keyed distinct-doc-count aggregate (map-side combinable), a
+    LEFT SEMI equi-join of the gram stream against the duplicated-gram
+    keys (both sides hash on the gram — never a self-join, no
+    quadratic key), then a per-doc window (row_number over pos) whose
+    doc_id shuffle also satisfies the (doc_id, island) grouping that
+    follows — gaps-and-islands costs ONE exchange.  All integers.
+
+    Returns (doc_id, run_start, run_len): run covers word indices
+    [run_start, run_start + run_len - 1], 0-based."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    n = F.size(toks)
+    gidx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    hashes = F.transform(
+        gidx,
+        lambda i: md5_int(F.concat(
+            F.lit(salt),
+            F.array_join(F.slice(toks, i + 1, k), " "))))
+    g = df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(hashes).alias("pos", "gh"))
+    dup_keys = (g.groupBy("gh")
+                .agg(F.countDistinct("doc_id").alias("g_df"))
+                .where(F.col("g_df") >= min_docs)
+                .select("gh"))
+    marked = g.join(dup_keys, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.withColumn("isl",
+                            F.col("pos") - F.row_number().over(w))
+    return (isl.groupBy("doc_id", "isl")
+            .agg(F.min("pos").alias("_s"), F.max("pos").alias("_e"))
+            .select("doc_id",
+                    F.col("_s").cast("bigint").alias("run_start"),
+                    (F.col("_e") - F.col("_s") + k).cast("bigint")
+                    .alias("run_len")))
+
+
+def remove_dup_spans(df: DataFrame, text_col: str, id_col: str,
+                     k: int = 3, min_docs: int = 2,
+                     salt: str = "ds:") -> DataFrame:
+    """ExactSubstr REMOVAL: cut every word covered by a
+    dup_substring_runs interval out of every document (the symmetric
+    cut — all copies lose the span; keep-one-copy policies compose
+    this with survivor_selection upstream), re-join the kept words in
+    order, and fingerprint the cleaned text.  Overlapping runs (two
+    islands whose covered word ranges overlap because their gram
+    positions differ by < k) are handled by membership testing against
+    the run SET, i.e. the interval union — no double counting.
+
+    Scale shape: dup_substring_runs' one exchange, a per-doc
+    collect_list of the (few) runs (same doc_id key — co-partitioned),
+    one equi-join back to the documents on doc_id, then the cut is a
+    per-row indexed array filter (F.filter's (word, i) lambda) — no
+    range join, no second corpus shuffle.
+
+    Returns (doc_id, n_words, kept_words, kept_fp) — kept_fp is the
+    md5-int of the cleaned text (the post-removal exact-dedup key)."""
+    runs = (dup_substring_runs(df, text_col, id_col, k=k,
+                               min_docs=min_docs, salt=salt)
+            .groupBy("doc_id")
+            .agg(F.collect_list(
+                F.struct(F.col("run_start").alias("s"),
+                         F.col("run_len").alias("l"))).alias("runs")))
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("w"))
+    joined = base.join(runs, "doc_id", "left")
+    rs = F.coalesce(F.col("runs"),
+                    F.expr("array()").cast(
+                        "array<struct<s:bigint,l:bigint>>"))
+    kept = F.filter(
+        F.col("w"),
+        lambda x, i: ~F.exists(
+            rs, lambda r: (i >= r["s"]) & (i < r["s"] + r["l"])))
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.size(kept).cast("bigint").alias("kept_words"),
+        md5_int(F.array_join(kept, " ")).alias("kept_fp"))

@@ -79,3 +79,41 @@ def histogram_deciles(df: DataFrame, value_col: str, by: str,
             .groupBy(by, "q")
             .agg((F.min("b") * bin_width).cast("bigint").alias("value_lo"))
             .select(by, F.col("q").cast("int").alias("q"), "value_lo"))
+
+
+def vocab_drift(df: DataFrame, text_col: str, epoch_col: str,
+                top_k: int = 50) -> DataFrame:
+    """Distribution-shift detector between two corpus epochs (crawl
+    snapshots, time buckets, pre/post-filter versions): per term,
+    the cross-product deviation |o0*n1 - o1*n0| where o_e is the
+    term's count in epoch e and n_e the epoch's total token mass —
+    the exact-integer numerator of the 2x2 chi-square / two-proportion
+    z test, zero iff the term's rate is identical in both epochs.
+    Ranking by it orders terms by absolute rate imbalance scaled by
+    both corpus masses — the terms a crawl-drift dashboard surfaces
+    ("this month's crawl is suddenly full of X").  Exact bigints, no
+    logs, no floats: bit-identical across engines.
+
+    Scale shape: one token explode, ONE map-side-combinable aggregate
+    keyed by term (two conditional sums), a 1-row total aggregate
+    cross-joined back (broadcast of a scalar), and a top-k
+    TakeOrderedAndProject — no self-join, no window.  epoch_col must
+    be 0/1."""
+    t = df.select(F.col(epoch_col).alias("epoch"),
+                  F.explode(F.split(F.regexp_replace(
+                      F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+                      " ")).alias("term"))
+    t = t.where(F.col("term") != "")
+    counts = (t.groupBy("term")
+              .agg(F.sum(F.when(F.col("epoch") == 0, 1).otherwise(0))
+                   .cast("bigint").alias("o0"),
+                   F.sum(F.when(F.col("epoch") == 1, 1).otherwise(0))
+                   .cast("bigint").alias("o1")))
+    totals = counts.agg(F.sum("o0").alias("n0"), F.sum("o1").alias("n1"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("term", "o0", "o1",
+                    F.abs(F.col("o0") * F.col("n1")
+                          - F.col("o1") * F.col("n0"))
+                    .cast("bigint").alias("drift"))
+            .orderBy(F.desc("drift"), F.asc("term"))
+            .limit(top_k))

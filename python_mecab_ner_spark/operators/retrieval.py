@@ -187,3 +187,51 @@ def kwic_snippets(docs: DataFrame, text_col: str, id_col: str,
                     F.concat_ws(" ", F.slice(F.col("_w"), lo + 1,
                                              hi - lo + 1))
                     .alias("snippet")))
+
+
+def postings_table(docs: DataFrame, text_col: str, id_col: str,
+                   min_df: int = 2, sample_docs: int = 8,
+                   id_bits: int = 40) -> DataFrame:
+    """Inverted-index construction: per term, document frequency,
+    collection frequency, the top-tf document (ties -> min doc id,
+    via the house packed-integer max — one combinable aggregate, no
+    window), and a deterministic posting sample (the first
+    sample_docs doc ids in sorted order).  This is the index-build
+    half of the retrieval stack (bm25_topk/q88 consume it); shipped
+    as its own operator because index construction at corpus scale is
+    a deliverable of its own (search, dedup-by-lookup, eval-neighbor
+    mining).
+
+    Scale shape: token explode -> (term, doc) count aggregate ->
+    term-keyed final aggregate; every aggregate is map-side
+    combinable and keyed by the term (high cardinality, no hot key
+    after the min_df cut is applied POST-aggregate).  The posting
+    sample is sort_array(collect_set(...))[0:n] — bounded per term by
+    slice, deterministic by the sort.  Requires doc ids < 2^id_bits
+    and tf < 2^(62-id_bits)."""
+    cap = 1 << id_bits
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    t = (docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(toks).alias("term"))
+         .where(F.col("term") != ""))
+    tf = t.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    packed = (F.col("tf").cast("bigint") * F.lit(cap)
+              + (F.lit(cap - 1) - F.col("doc_id").cast("bigint")))
+    agg = (tf.groupBy("term")
+           .agg(F.count("*").cast("bigint").alias("df"),
+                F.sum("tf").cast("bigint").alias("cf"),
+                F.max(packed).alias("_mx"),
+                F.slice(F.sort_array(F.collect_set("doc_id")),
+                        1, sample_docs).alias("_sample")))
+    return (agg.where(F.col("df") >= min_df)
+            .select("term", "df", "cf",
+                    (F.lit(cap - 1) - F.col("_mx")
+                     .bitwiseAND(F.lit(cap - 1)))
+                    .cast("bigint").alias("top_doc"),
+                    F.shiftright(F.col("_mx"), id_bits).cast("bigint")
+                    .alias("top_tf"),
+                    F.array_join(F.transform(
+                        F.col("_sample"),
+                        lambda d: d.cast("string")), ",")
+                    .alias("posting_sample")))

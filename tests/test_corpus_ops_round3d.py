@@ -1,0 +1,127 @@
+"""Round-3 final additions: ExactSubstr dup spans + removal, vocab
+drift, phrase blocklist, postings table — hand-computed goldens and
+interval-union edge cases."""
+
+from pyspark.sql import functions as F
+
+from python_mecab_ner_spark.functions.hashing import md5_int_py
+from python_mecab_ner_spark.functions.text import blocklist_phrase_counts
+from python_mecab_ner_spark.operators.dedup import (dup_substring_runs,
+                                                    remove_dup_spans)
+from python_mecab_ner_spark.operators.profile import vocab_drift
+from python_mecab_ner_spark.operators.retrieval import postings_table
+
+# docs 1 and 2 share the 5-word phrase "alpha beta gamma delta eps"
+# (positions 1..5 in doc 1, 0..4 in doc 2); doc 3 is disjoint
+SPAN_DOCS = [
+    (1, "x alpha beta gamma delta eps y z"),
+    (2, "alpha beta gamma delta eps q r s"),
+    (3, "totally unrelated words only here now"),
+]
+
+
+def test_dup_runs_golden(spark):
+    d = spark.createDataFrame(SPAN_DOCS, "doc_id int, text string")
+    got = {(r.doc_id, r.run_start, r.run_len)
+           for r in dup_substring_runs(d, "text", "doc_id", k=3).collect()}
+    # shared 5-word phrase => 3-gram positions {1,2,3} in doc 1 and
+    # {0,1,2} in doc 2 merge into one run of 3 + 3 - 1 + ... = 5 words
+    assert got == {(1, 1, 5), (2, 0, 5)}
+
+
+def test_dup_runs_short_doc_truncated_gram(spark):
+    # two identical 2-word docs: single truncated "gram" at pos 0,
+    # run covers max-min+k = 3 word slots (clipped at doc end by the
+    # removal pass, invisible here) — the winnow-family edge
+    d = spark.createDataFrame([(1, "aa bb"), (2, "aa bb")],
+                              "doc_id int, text string")
+    got = {(r.doc_id, r.run_start, r.run_len)
+           for r in dup_substring_runs(d, "text", "doc_id", k=3).collect()}
+    assert got == {(1, 0, 3), (2, 0, 3)}
+
+
+def test_remove_dup_spans_union_and_fp(spark):
+    d = spark.createDataFrame(SPAN_DOCS, "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            remove_dup_spans(d, "text", "doc_id", k=3).collect()}
+    # doc 1 loses words 1..5, keeps "x y z"; doc 2 loses 0..4
+    assert (rows[1].n_words, rows[1].kept_words) == (8, 3)
+    assert rows[1].kept_fp == md5_int_py("x y z")
+    assert (rows[2].n_words, rows[2].kept_words) == (8, 3)
+    assert rows[2].kept_fp == md5_int_py("q r s")
+    # doc 3 untouched
+    assert (rows[3].n_words, rows[3].kept_words) == (6, 6)
+    assert rows[3].kept_fp == md5_int_py(
+        "totally unrelated words only here now")
+
+
+def test_remove_dup_spans_overlapping_runs_no_double_cut(spark):
+    # "p q r" duplicated at positions 0 and 2 of doc 1 (overlap at
+    # word 2): islands are separate (gram positions 0 and 2 are not
+    # adjacent) but the interval UNION covers words 0..4 exactly once
+    d = spark.createDataFrame(
+        [(1, "p q p q r tail1 tail2"),
+         (2, "p q r xx yy"),       # shares gram "p q r" (pos 2 of doc1)
+         (3, "p q p zz ww")],      # shares gram "p q p" (pos 0 of doc1)
+        "doc_id int, text string")
+    runs = {(r.doc_id, r.run_start, r.run_len)
+            for r in dup_substring_runs(d, "text", "doc_id", k=3).collect()}
+    assert (1, 0, 3) in runs and (1, 2, 3) in runs
+    rows = {r.doc_id: r for r in
+            remove_dup_spans(d, "text", "doc_id", k=3).collect()}
+    # union [0,2] U [2,4] = words 0..4 -> keeps the 2 tail words
+    assert (rows[1].n_words, rows[1].kept_words) == (7, 2)
+    assert rows[1].kept_fp == md5_int_py("tail1 tail2")
+
+
+def test_vocab_drift_golden(spark):
+    # epoch 0: a=3 b=1 c=1 (n0=5); epoch 1: a=1 b=3 c=1 (n1=5)
+    # drift(a)=|3*5-1*5|=10, drift(b)=10, balanced c: 0
+    d = spark.createDataFrame(
+        [(0, "a a a b c"), (1, "b b b a c")],
+        "epoch int, text string")
+    # note: c appears once per epoch -> drift 0 but still listed
+    rows = vocab_drift(d, "text", "epoch", top_k=10).collect()
+    got = {r.term: (r.o0, r.o1, r.drift) for r in rows}
+    assert got == {"a": (3, 1, 10), "b": (1, 3, 10), "c": (1, 1, 0)}
+    # ordering: drift desc, term asc
+    assert [r.term for r in rows] == ["a", "b", "c"]
+
+
+def test_blocklist_counts_word_boundaries(spark):
+    d = spark.createDataFrame(
+        [(1, "the table table is set"),          # 1 hit
+         (2, "portable tables everywhere"),      # substring, no hit
+         (3, "table table table"),               # overlap-blind: 1
+         (4, "fast scan and query big now")],    # two phrases
+        "doc_id int, text string")
+    rows = {r.doc_id: r for r in
+            d.select("doc_id",
+                     *blocklist_phrase_counts(F.col("text"))).collect()}
+    assert rows[1].bl_table_table == 1
+    assert (rows[2].bl_table_table, rows[2].bl_fast_scan) == (0, 0)
+    assert rows[3].bl_table_table == 1   # shared-space overlap skipped
+    assert (rows[4].bl_fast_scan, rows[4].bl_query_big) == (1, 1)
+
+
+def test_postings_table_golden(spark):
+    d = spark.createDataFrame(
+        [(1, "w w x"), (2, "w x x"), (3, "w y")],
+        "doc_id int, text string")
+    rows = {r.term: r for r in
+            postings_table(d, "text", "doc_id", min_df=2,
+                           sample_docs=2).collect()}
+    assert set(rows) == {"w", "x"}          # y has df=1, cut
+    w = rows["w"]
+    # tf(w): doc1=2, doc2=1, doc3=1 -> top doc1; sample first 2 sorted
+    assert (w.df, w.cf, w.top_doc, w.top_tf) == (3, 4, 1, 2)
+    assert w.posting_sample == "1,2"
+    x = rows["x"]
+    assert (x.df, x.cf, x.top_doc, x.top_tf) == (2, 3, 2, 2)
+
+
+def test_postings_tie_breaks_min_doc(spark):
+    d = spark.createDataFrame(
+        [(7, "z z"), (4, "z z"), (9, "z")], "doc_id int, text string")
+    r = postings_table(d, "text", "doc_id", min_df=2).collect()[0]
+    assert (r.term, r.top_doc, r.top_tf) == ("z", 4, 2)

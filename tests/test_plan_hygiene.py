@@ -393,3 +393,51 @@ def test_q109_containment_materializes_shingles_once(spark, sf01):
     as InMemoryTableScan instead of re-running the explode."""
     plan = _plan(entry.q109_containment(spark, sf01))
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_q118_dup_spans_one_doc_exchange(spark, sf01):
+    """Gaps-and-islands costs ONE doc-keyed exchange: the window's
+    hashpartitioning(doc_id) also satisfies the (doc_id, island)
+    grouping that follows; gram df-filter is a LEFT SEMI equi-join,
+    never a self-join."""
+    plan = _plan(entry.q118_dup_spans(spark, sf01))
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q119_removal_no_range_join_no_udf(spark, sf01):
+    """The span cut is a per-row indexed array filter joined back by
+    doc_id equality — no range join, no Python UDF anywhere."""
+    plan = _plan(entry.q119_dup_span_removal(spark, sf01))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_q120_drift_single_term_agg_takeordered(spark, sf01):
+    """One combinable term aggregate, a broadcast 1-row total, and a
+    TakeOrdered top-k — no window, no sort of the full term table."""
+    plan = _plan(entry.q120_vocab_drift(spark, sf01))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_q121_blocklist_zero_shuffle(spark, sf01):
+    """Pure per-row JVM string expressions: no Exchange, no UDF."""
+    plan = _plan(entry.q121_blocklist(spark, sf01))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q122_postings_two_aggs_no_window(spark, sf01):
+    """Token explode -> (term, doc) count -> term-keyed final agg:
+    both map-side combinable, argmax via packed max (no window), no
+    join anywhere."""
+    plan = _plan(entry.q122_postings(spark, sf01))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # 2x (partial+final)
