@@ -904,12 +904,7 @@ def q49_khop(spark, sf_dir):
     the KG expansion primitive ("entities within two relations"),
     iterative frontier join with localCheckpoint per round."""
     from python_mecab_ner_spark.operators.graph import khop_neighbors
-    li = _load(spark, sf_dir, "lineitem")
-    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
-                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
-    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
-             .unionByName(pairs.select(F.col("s").alias("src"),
-                                       F.col("p").alias("dst"))))
+    edges = _ps_edges(spark, sf_dir)
     return (khop_neighbors(edges, k=2)
             .groupBy("node")
             .agg(F.count("*").cast("bigint").alias("n_khop"))
@@ -1795,6 +1790,37 @@ def q122_postings(spark, sf_dir):
     d = _loadp(spark, sf_dir, "documents")
     return postings_table(d, "text", "doc_id", min_df=2,
                           sample_docs=8)
+
+
+HYPERBALL_ITERS = 2
+HYPERBALL_REGS = 16
+
+
+def _ps_edges(spark, sf_dir):
+    """q49/q40-family part<->supplier bipartite edge list."""
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    return (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+            .unionByName(pairs.select(F.col("s").alias("src"),
+                                      F.col("p").alias("dst"))))
+
+
+def q123_hyperball(spark, sf_dir):
+    """HyperBall neighborhood sketches (operators.graph.hyperball,
+    Boldi/Rosa/Vigna 2011): per-node HLL registers of the <= 2-hop
+    ball over the q49 part<->supplier graph — the 100 TB path where
+    exact k-hop materialization (q49) goes quadratic: state is
+    O(nodes x 16) integers at ANY radius.  Register table is the
+    oracle artifact (elementwise-max rounds are exact integers); the
+    float neighborhood estimate is the documented client-side
+    hll_estimate."""
+    from python_mecab_ner_spark.operators.graph import hyperball
+    edges = _ps_edges(spark, sf_dir)
+    return (hyperball(edges, iters=HYPERBALL_ITERS,
+                      n_registers=HYPERBALL_REGS)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    "bucket", "max_rho"))
 
 
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
@@ -2916,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_vocab_drift": q120_vocab_drift,
         "q121_blocklist": q121_blocklist,
         "q122_postings": q122_postings,
+        "q123_hyperball": q123_hyperball,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3006,6 +3033,46 @@ def oracle_sql() -> dict[str, str]:
                         max(pos) - min(pos) + {DUPSPAN_K} AS run_len
                  FROM isl GROUP BY doc_id, grp)
     """
+
+    # HyperBall unrolled rounds (q123): r0 = own-id register, each
+    # round = elementwise max with out-neighbors' previous round.
+    # CTEs MUST be MATERIALIZED — each round references the previous
+    # twice (own arm + join arm), inlining explodes 2^iters (the q94
+    # k-core lesson).
+    _hb_shift = HYPERBALL_REGS.bit_length() - 1
+    _hb_rho0 = 60 - _hb_shift + 1
+    _hb_h = md5_int_sql("CAST(node AS VARCHAR)", salt="hb:")
+    _hb = [f"""
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                                       l_suppkey * 2 + 1 AS s
+                       FROM lineitem),
+        edges AS (SELECT p AS src, s AS dst FROM pairs
+                  UNION ALL SELECT s, p FROM pairs),
+        nodes AS (SELECT src AS node FROM edges
+                  UNION SELECT dst FROM edges),
+        r0 AS MATERIALIZED (
+          SELECT node,
+                 CAST(h & {HYPERBALL_REGS - 1} AS INT) AS bucket,
+                 CAST(CASE WHEN (h >> {_hb_shift}) > 0
+                      THEN {_hb_rho0} - length(bin(h >> {_hb_shift}))
+                      ELSE {_hb_rho0} END AS INT) AS max_rho
+          FROM (SELECT node, {_hb_h} AS h FROM nodes))
+    """]
+    for _t in range(1, HYPERBALL_ITERS + 1):
+        _hb.append(f"""
+        , r{_t} AS MATERIALIZED (
+          SELECT node, bucket, max(max_rho) AS max_rho FROM (
+            SELECT node, bucket, max_rho FROM r{_t - 1}
+            UNION ALL
+            SELECT e.src AS node, r.bucket, r.max_rho
+            FROM edges e JOIN r{_t - 1} r ON r.node = e.dst)
+          GROUP BY 1, 2)
+        """)
+    _hb.append(f"""
+        SELECT CAST(node AS BIGINT) AS node, bucket, max_rho
+        FROM r{HYPERBALL_ITERS}
+    """)
+    hyperball_sql = "".join(_hb)
 
     _bl = TX.blocklist_phrase_counts_sql("text")
     _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
@@ -3463,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_bl_sum} > 0 THEN 1 ELSE 0 END AS blocked
             FROM h
         """,
+        "q123_hyperball": hyperball_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

@@ -846,3 +846,61 @@ def label_propagation_int(edges: DataFrame, iters: int = 2,
                            .bitwiseAND(F.lit(cap - 1)),
                            F.col("lab")).cast("bigint").alias("lab")))
     return lab.select("node", F.col("lab").alias("community"))
+
+
+def hyperball(edges: DataFrame, iters: int = 2, n_registers: int = 16,
+              src: str = "src", dst: str = "dst",
+              salt: str = "hb:") -> DataFrame:
+    """HyperBall (Boldi/Rosa/Vigna, 2011): per-node HyperLogLog
+    sketch of the <= iters-hop OUT-neighborhood (self included),
+    computed for EVERY node simultaneously by iterating the HLL
+    union along edges — ball(x, t) = ball(x, t-1) U ball(y, t-1) for
+    each edge x->y, and HLL union is elementwise register max.  This
+    is the 100 TB path where exact k-hop materialization (q49) blows
+    up: exact reach is O(sum of ball sizes) rows — quadratic on dense
+    graphs — while HyperBall's state is O(nodes x m) integers FOREVER,
+    at any radius.  Neighborhood-function / effective-diameter /
+    centrality estimation all read off this table.
+
+    Integer contract: registers use the same shift/mask rho as
+    sketch.hll_registers (md5-int hash, bucket = h & (m-1), rho =
+    payload_bits + 1 - bit_length(h >> log2 m)); the register TABLE
+    is the oracle artifact, the float estimate stays client-side
+    (sketch.hll_estimate over a collected row).
+
+    Scale shape per round: one equi-join (edges.dst = regs.node) +
+    one map-side-combinable (node, bucket) max — the pagerank_int
+    shuffle pattern; regs localCheckpoint'ed per round (unrolled
+    iterations otherwise replicate the plan, the kg_entity_rank
+    driver-OOM lesson).  Long/sparse register layout: absent
+    (node, bucket) rows mean rho 0, exactly as hll_merge treats them.
+
+    Returns (node, bucket, max_rho) after `iters` rounds."""
+    from ..functions.hashing import md5_int
+
+    shift = int(n_registers).bit_length() - 1
+    assert (1 << shift) == n_registers, "n_registers must be 2^k"
+    payload_bits = 60 - shift
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    h = md5_int(F.col("node").cast("string"), salt=salt)
+    hp = F.shiftright(h, shift)
+    bl = F.when(hp > 0,
+                F.length(F.conv(hp.cast("string"), 10, 2))) \
+        .otherwise(F.lit(0))
+    regs = nodes.select(
+        "node",
+        h.bitwiseAND(F.lit(n_registers - 1)).cast("int").alias("bucket"),
+        (F.lit(payload_bits + 1) - bl).cast("int").alias("max_rho"))
+    regs = regs.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (e.join(regs.withColumnRenamed("node", "dst"), "dst")
+                   .select(F.col("src").alias("node"), "bucket",
+                           "max_rho"))
+        regs = (regs.unionByName(contrib)
+                .groupBy("node", "bucket")
+                .agg(F.max("max_rho").alias("max_rho"))
+                .localCheckpoint(eager=True))
+    return regs
