@@ -1823,6 +1823,23 @@ def q123_hyperball(spark, sf_dir):
                     "bucket", "max_rho"))
 
 
+def q124_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators.ann.pq_topk, Jegou 2011):
+    8 subspace codebooks over the int8-quantized embeddings, vectors
+    stored as 8 codes, query scanned via a broadcast ADC lookup table
+    — the billion-vector RAM lever (dims*4 bytes -> m bytes) next to
+    q51's int8 scan.  Every distance is an exact bigint (deterministic
+    seeded-sample codebooks; kmeans_codebook plugs into the same
+    (j, c, cent) shape for trained cells).  Honest recall@10 vs the
+    exact int8 scan: 0.5 on these near-isotropic embeddings (32-bit
+    codes; same caveat as q21/q29)."""
+    from python_mecab_ner_spark.operators.ann import pq_topk
+    e = _load(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            e.where("vec_id = 0").select("embedding").first()[0]]
+    return pq_topk(e, qvec, k=10)
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2943,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_blocklist": q121_blocklist,
         "q122_postings": q122_postings,
         "q123_hyperball": q123_hyperball,
+        "q124_pq_topk": q124_pq_topk,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3073,6 +3091,47 @@ def oracle_sql() -> dict[str, str]:
         FROM r{HYPERBALL_ITERS}
     """)
     hyperball_sql = "".join(_hb)
+
+    # PQ oracle (q124): same int8 quantization as q51, seeds = 16
+    # smallest md5("pq:"||id), codebook = their subvectors, encode =
+    # packed-min argmin, ADC = the query row's own dist rows as LUT
+    _pq_h = md5_int_sql("CAST(vec_id AS VARCHAR)", salt="pq:")
+    pq_sql = f"""
+        WITH qz AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(greatest(-128, least(127,
+                                    floor(CAST(x AS DOUBLE) * 127)))
+                                    AS BIGINT)) AS qe
+                    FROM embeddings),
+        seeds AS (SELECT qe, rn - 1 AS c FROM (
+                    SELECT qe, row_number() OVER
+                               (ORDER BY {_pq_h}, vec_id) AS rn
+                    FROM qz) WHERE rn <= 16),
+        cent AS (SELECT c, j, qe[j * 8 + 1 : (j + 1) * 8] AS cent
+                 FROM (SELECT c, qe, unnest(range(0, 8)) AS j
+                       FROM seeds)),
+        sub AS (SELECT vec_id, j, qe[j * 8 + 1 : (j + 1) * 8] AS sv
+                FROM (SELECT vec_id, qe, unnest(range(0, 8)) AS j
+                      FROM qz)),
+        dist AS (SELECT s.vec_id, s.j, c.c,
+                        list_sum(list_transform(range(1, 9),
+                            i -> (s.sv[i] - c.cent[i])
+                                 * (s.sv[i] - c.cent[i]))) AS d2
+                 FROM sub s JOIN cent c ON c.j = s.j),
+        codes AS (SELECT vec_id, j,
+                         CAST(min(d2 * 1024 + c) % 1024 AS INT) AS code
+                  FROM dist GROUP BY 1, 2),
+        lut AS (SELECT j, c AS code, d2 AS qd
+                FROM dist WHERE vec_id = 0),
+        s AS (SELECT codes.vec_id, sum(l.qd) AS pq_dist
+              FROM codes JOIN lut l
+                ON l.j = codes.j AND l.code = codes.code
+              GROUP BY 1)
+        SELECT vec_id, CAST(pq_dist AS BIGINT) AS pq_dist,
+               CAST(row_number() OVER (ORDER BY pq_dist ASC, vec_id)
+                    AS INT) AS rank
+        FROM s ORDER BY pq_dist, vec_id LIMIT 10
+    """
 
     _bl = TX.blocklist_phrase_counts_sql("text")
     _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
@@ -3531,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "q123_hyperball": hyperball_sql,
+        "q124_pq_topk": pq_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

@@ -491,3 +491,132 @@ def dominant_component(gram_rows, dim: int, iters: int = 50):
         v = g @ v
         v /= np.linalg.norm(v) or 1.0
     return v
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid 2011): m subspace codebooks,
+# vectors stored as m small codes, queries scanned via an ADC lookup
+# table — the memory-compression member of the ANN family (int8 cuts
+# 4x, PQ cuts dims*4 bytes -> m bytes, the billion-vector RAM lever).
+# Codebooks here are the DETERMINISTIC SEEDED SAMPLE (the
+# kmeans_codebook seed rule without Lloyd refinement) over the int8-
+# quantized subvectors, so every distance is an exact bigint and the
+# whole pipeline hash-matches a SQL oracle; production swaps in
+# kmeans_codebook per subspace through the same (j, c, cent) shape.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8        # subspaces
+PQ_KS = 16      # centroids per subspace
+PQ_SALT = "pq:"
+PQ_PACK = 1 << 10   # packed argmin: d2 * PACK + c (d2 <= 8*255^2 << 2^53)
+
+
+def pq_codebook(df: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                dims: int | None = None,
+                scale: int = QUANT_SCALE) -> DataFrame:
+    """(j, c, cent) codebook rows: subspace j in [0, m), centroid c in
+    [0, ks), cent = the int8-quantized j-th subvector of the c-th seed
+    vector (seeds = ks smallest md5(salt||id), the kmeans_codebook
+    seed rule).  ks*m tiny rows — callers broadcast."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int
+    if dims is None:
+        dims = len(df.select(emb_col).first()[0])
+    sub = dims // m
+    qz = quantize_embeddings(df, emb_col, scale)
+    wseed = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    seeds = (qz.withColumn("_h", md5_int(F.concat(
+                 F.lit(PQ_SALT), F.col(id_col).cast("string"))))
+             .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+             .limit(ks)
+             .withColumn("c", (F.row_number().over(wseed) - 1)
+                         .cast("int")))
+    per_j = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("j"),
+                 F.slice(F.col("qemb"), j * sub + 1, sub).alias("cent"))
+        for j in range(m)])
+    return (seeds.select("c", F.explode(per_j).alias("s"))
+            .select(F.col("s.j").alias("j"), "c",
+                    F.col("s.cent").alias("cent")))
+
+
+def _l2sq(a_col, b_col):
+    """Exact integer squared L2 between two bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a_col, b_col, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def pq_encode(df: DataFrame, codebooks: DataFrame, m: int = PQ_M,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              dims: int | None = None,
+              scale: int = QUANT_SCALE) -> DataFrame:
+    """(vec_id, j, code): nearest codebook centroid per subspace by
+    exact integer L2^2, ties -> min centroid id via the packed-integer
+    min (house argmax pattern, inverted).
+
+    Scale shape: subvector explode (m rows per vector) x BROADCAST
+    codebook (ks*m rows) -> partial-min before the single
+    (vec_id, j)-keyed shuffle — the reduction runs map-side, so the
+    exchange carries m rows per vector, not m*ks."""
+    if dims is None:
+        dims = len(df.select(emb_col).first()[0])
+    sub = dims // m
+    qz = quantize_embeddings(df, emb_col, scale)
+    subs = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("j"),
+                 F.slice(F.col("qemb"), j * sub + 1, sub).alias("sv"))
+        for j in range(m)])
+    sv = (qz.select(F.col(id_col), F.explode(subs).alias("s"))
+          .select(id_col, F.col("s.j").alias("j"),
+                  F.col("s.sv").alias("sv")))
+    packed = (_l2sq(F.col("sv"), F.col("cent")) * F.lit(PQ_PACK)
+              + F.col("c"))
+    return (sv.join(F.broadcast(codebooks), "j")
+            .select(id_col, "j", packed.alias("_p"))
+            .groupBy(id_col, "j")
+            .agg(F.min("_p").alias("_mn"))
+            .select(id_col, "j",
+                    F.col("_mn").bitwiseAND(F.lit(PQ_PACK - 1))
+                    .cast("int").alias("code")))
+
+
+def pq_topk(df: DataFrame, qvec: list[float], k: int = 10,
+            m: int = PQ_M, ks: int = PQ_KS,
+            id_col: str = "vec_id", emb_col: str = "embedding",
+            dims: int | None = None,
+            scale: int = QUANT_SCALE) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: score(v) = sum_j
+    LUT[j][code_j(v)] where LUT[j][c] = L2^2(q's j-th int8 subvector,
+    centroid (j, c)) — the query touches only the m-byte codes, never
+    the vectors.  Returns (vec_id, pq_dist, rank), ascending distance,
+    ties -> min id.
+
+    Scale shape: encode's one combinable shuffle + a BROADCAST join
+    of the ks*m-row LUT into the code stream + one combinable per-id
+    sum + TakeOrderedAndProject.  At 100 TB the codes table is
+    dims*4/m x smaller than the embeddings — the point of PQ."""
+    if dims is None:
+        dims = len(df.select(emb_col).first()[0])
+    sub = dims // m
+    cb = pq_codebook(df, m, ks, id_col, emb_col, dims, scale)
+    codes = pq_encode(df, cb, m, id_col, emb_col, dims, scale)
+    qq = quantize_vec(qvec, scale)
+    qsubs = {j: qq[j * sub:(j + 1) * sub] for j in range(m)}
+    qlit = F.array(*[F.array(*[F.lit(v).cast("bigint") for v in qsubs[j]])
+                     for j in range(m)])
+    lut = cb.select("j", F.col("c").alias("code"),
+                    _l2sq(F.col("cent"),
+                          F.element_at(qlit, F.col("j") + 1))
+                    .alias("qd"))
+    scored = (codes.join(F.broadcast(lut), ["j", "code"])
+              .groupBy(id_col)
+              .agg(F.sum("qd").cast("bigint").alias("pq_dist")))
+    from pyspark.sql import Window
+    topk = (scored.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+            .limit(k))
+    w = Window.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+    return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select(id_col, "pq_dist", "rank"))

@@ -193,3 +193,73 @@ def test_hyperball_estimate_tracks_exact_ball(spark):
     mean = sum(ratios) / n
     assert 0.8 < mean < 1.2, mean
     assert sum(1 for x in ratios if 0.5 < x < 1.5) >= int(0.9 * n)
+
+
+def _pq_py(vecs, qvec, m, ks, k=10, scale=127):
+    """Pure-python twin of pq_topk (same seeds, packing, tie rules)."""
+    import math
+
+    def quant(v):
+        return [max(-128, min(127, math.floor(float(x) * scale)))
+                for x in v]
+
+    qz = {i: quant(v) for i, v in vecs.items()}
+    dims = len(next(iter(vecs.values())))
+    sub = dims // m
+    seeds = sorted(qz, key=lambda i: (md5_int_py(str(i), salt="pq:"), i))
+    cents = {(j, c): qz[seeds[c]][j * sub:(j + 1) * sub]
+             for j in range(m) for c in range(ks)}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def encode(qv):
+        return [min(range(ks),
+                    key=lambda c: (l2(qv[j * sub:(j + 1) * sub],
+                                      cents[(j, c)]), c))
+                for j in range(m)]
+
+    qq = quant(qvec)
+    lut = {(j, c): l2(qq[j * sub:(j + 1) * sub], cents[(j, c)])
+           for j in range(m) for c in range(ks)}
+    scored = sorted(
+        ((sum(lut[(j, code)] for j, code in enumerate(encode(qz[i]))), i)
+         for i in qz))
+    return [(i, d) for d, i in scored[:k]]
+
+
+def test_pq_topk_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.ann import pq_topk
+    # deterministic 40 x 16 synthetic embeddings
+    vecs = {i: [((i * 31 + d * 17 + 7) % 101 - 50) / 50.0
+                for d in range(16)] for i in range(40)}
+    q = vecs[5]
+    d = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id int, embedding array<float>")
+    # NOTE float32 storage: quantize floors the FLOAT->double widening,
+    # python must see the same float32 values
+    import struct
+    vecs32 = {i: [struct.unpack('f', struct.pack('f', x))[0] for x in v]
+              for i, v in vecs.items()}
+    q32 = vecs32[5]
+    got = [(r.vec_id, r.pq_dist)
+           for r in pq_topk(d, q32, k=10, m=4, ks=8, dims=16).collect()]
+    assert got == _pq_py(vecs32, q32, m=4, ks=8, k=10)
+
+
+def test_pq_seed_query_retrieves_itself_at_zero(spark):
+    from python_mecab_ner_spark.operators.ann import (pq_codebook,
+                                                      pq_encode, pq_topk)
+    vecs = {i: [((i * 13 + d * 23 + 3) % 97 - 48) / 48.0
+                for d in range(16)] for i in range(30)}
+    d = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id int, embedding array<float>")
+    # find one actual seed id (smallest pq-hash)
+    seed = min(range(30), key=lambda i: (md5_int_py(str(i), salt="pq:"), i))
+    qvec = [float(x) for x in
+            d.where(f"vec_id = {seed}").first()["embedding"]]
+    top = pq_topk(d, qvec, k=3, m=4, ks=8, dims=16).collect()
+    # a seed's subvectors ARE centroids: its own ADC distance is 0
+    assert top[0].vec_id == seed and top[0].pq_dist == 0

@@ -441,3 +441,14 @@ def test_q122_postings_two_aggs_no_window(spark, sf01):
     assert "Window" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # 2x (partial+final)
+
+
+def test_q124_pq_broadcasts_codebook_and_lut(spark, sf01):
+    """PQ encode + ADC must broadcast the tiny codebook/LUT into the
+    corpus stream (never shuffle the corpus by centroid key) and the
+    top-k must be TakeOrderedAndProject, not a global sort."""
+    plan = _plan(entry.q124_pq_topk(spark, sf01))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
