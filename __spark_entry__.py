@@ -2633,6 +2633,24 @@ def kg_entity_khop(spark, sf_dir):
                     F.col("n_2hop").cast("bigint").alias("n_2hop")))
 
 
+def kg_entity_reach(spark, sf_dir):
+    """HyperBall register table over the real extracted KG edges
+    (operators.graph.hyperball — the q123 lineitem-graph oracle
+    certifies the kernel): per-entity radius-2 ball sketches in
+    O(entities x 16) integers, the scale twin of kg_entity_khop's
+    exact frontier.  Cross-checked against the exact 2-hop reach via
+    hll_estimate in tests (test_pipeline_e2e)."""
+    from python_mecab_ner_spark.operators.graph import hyperball
+    g = _kg_graph(spark)
+    edges = (g["edges"].select(F.col("src_id").alias("src"),
+                               F.col("dst_id").alias("dst"))
+             .localCheckpoint())
+    return (hyperball(edges, iters=2, n_registers=16)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    "bucket", "max_rho")
+            .orderBy("node", "bucket"))
+
+
 def kg_entity_ppr(spark, sf_dir):
     """Seed-personalized PageRank on the real extracted KG
     (operators.graph.ppr_int — the q62-certified kernel): 'entities
@@ -2969,6 +2987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_posseq_candidates": kg_posseq_candidates,
         "kg_entity_rank": kg_entity_rank,
         "kg_entity_khop": kg_entity_khop,
+        "kg_entity_reach": kg_entity_reach,
         "kg_entity_ppr": kg_entity_ppr,
         "kg_canonical_clusters": kg_canonical_clusters,
         "kg_extracted_text": kg_extracted_text,

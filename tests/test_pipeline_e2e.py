@@ -274,3 +274,58 @@ def test_kg_entity_cooc_matches_duckdb_on_real_mentions(spark):
                count(*), sum(60 // d)
         FROM p GROUP BY 1, 2 HAVING count(*) >= 2""").fetchall()}
     assert got and got == exp
+
+
+def test_kg_reach_registers_exact_and_estimate_tracks_ball(spark):
+    """kg_entity_reach's HyperBall registers over the REAL KG edges:
+    (a) registers equal the python HLL of the exact radius-2 ball per
+    node (bit-exact — elementwise max of md5 rhos), and (b) the
+    client-side hll_estimate tracks the exact ball size (m=16, small
+    balls hit the linear-counting regime so tolerance is modest)."""
+    import __spark_entry__ as entry
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    from python_mecab_ner_spark.operators.sketch import hll_estimate
+
+    g = entry._kg_graph(spark)
+    from pyspark.sql import functions as F
+    e = (g["edges"].select(F.col("src_id").alias("src"),
+                           F.col("dst_id").alias("dst"))
+         .localCheckpoint())
+    edges = [(r.src, r.dst) for r in e.collect()]
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes.add(s)
+        nodes.add(d)
+    exact = {}
+    for v in nodes:
+        ball = {v} | adj.get(v, set())
+        ball2 = set(ball)
+        for u in ball:
+            ball2 |= adj.get(u, set())
+        exact[v] = ball2
+
+    got = {}
+    for r in entry.kg_entity_reach(spark, None).collect():
+        got.setdefault(r.node, {})[r.bucket] = r.max_rho
+
+    def py_regs(ids):
+        regs = {}
+        for i in ids:
+            h = md5_int_py(str(i), salt="hb:")
+            b = h & 15
+            rho = 57 - (h >> 4).bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        return regs
+
+    assert set(got) == nodes
+    for v in nodes:
+        assert got[v] == py_regs(exact[v]), v
+
+    ratios = []
+    for v in nodes:
+        regs = [got[v].get(b, 0) for b in range(16)]
+        ratios.append(hll_estimate(regs, 16) / len(exact[v]))
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4, mean
