@@ -194,6 +194,17 @@ def fingerprint_sql(expr: str) -> str:
     return md5_int_sql(norm)
 
 
+def _let(val, body) -> Column:
+    """Let-binding for expensive sub-expressions inside array
+    expressions: evaluate `val` ONCE and hand it to `body` as a bound
+    lambda variable.  Higher-order functions are interpreted and a
+    lambda (or a repeated projection term) that references an outer
+    EXPRESSION re-evaluates it on every use — binding it through a
+    single-element transform turns those uses into cheap variable
+    reads (the winnowing O(n^2)-md5 lesson, operators/dedup.py)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def simhash16(col) -> Column:
     """ROW-LOCAL 16-bit SimHash over whitespace words: per bit, the
     sign of the sum of +-1 votes from each word's portable hash —
@@ -201,23 +212,28 @@ def simhash16(col) -> Column:
     but computed with array expressions (split -> transform ->
     aggregate) instead of explode + groupBy, so it runs per-row with
     no shuffle and no state: the streaming-safe near-dup key
-    (streaming.ingest.stream_neardup)."""
+    (streaming.ingest.stream_neardup).  The hash array is _let-bound:
+    16 per-bit aggregates otherwise re-split + re-hash the text 16x."""
     words = F.filter(F.split(F.lower(F.trim(col)), r"\s+"),
                      lambda w: w != "")
     hashes = F.transform(words, lambda w: md5_int(w))
-    def _vote(bit):
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
 
-    bit_terms = [F.when(_vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                 for i in range(16)]
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out.cast("int")
+    def _assemble(hs):
+        def _vote(bit):
+            return F.aggregate(
+                hs, F.lit(0),
+                lambda acc, h: acc + F.when(
+                    F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1)))
+
+        bit_terms = [F.when(_vote(i) > 0, F.lit(1 << i))
+                     .otherwise(F.lit(0)) for i in range(16)]
+        out = bit_terms[0]
+        for t in bit_terms[1:]:
+            out = out + t
+        return out
+
+    return _let(hashes, _assemble).cast("int")
 
 
 # PII patterns (applied in THIS order — the resident-ID pattern must
@@ -288,16 +304,25 @@ def duplicate_ngram_ppm(col, n: int = 2) -> Column:
     — per-row, codegen-side, no explode and no shuffle: at 100 TB this
     is a linear scan column like quality_score."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
-    sz = F.size(toks)
-    idxs = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
-    grams = F.filter(
-        F.transform(idxs, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-        lambda g: g != "")
-    total = F.size(grams)
-    dis = F.size(F.array_distinct(grams))
-    return (F.when(total > 0,
-                   F.floor((total - dis) * F.lit(1_000_000) / total))
-            .otherwise(F.lit(0)).cast("bigint"))
+
+    def _score(g):
+        total = F.size(g)
+        dis = F.size(F.array_distinct(g))
+        return (F.when(total > 0,
+                       F.floor((total - dis) * F.lit(1_000_000) / total))
+                .otherwise(F.lit(0)))
+
+    def _grams(t):
+        idxs = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        g = F.filter(
+            F.transform(idxs,
+                        lambda i: F.array_join(F.slice(t, i + 1, n), " ")),
+            lambda x: x != "")
+        return _let(g, _score)
+
+    # toks and grams both _let-bound: the gram lambda re-evaluates the
+    # split per element and total/dis re-evaluate the gram build
+    return _let(toks, _grams).cast("bigint")
 
 
 def duplicate_ngram_ppm_sql(expr: str, n: int = 2) -> str:
