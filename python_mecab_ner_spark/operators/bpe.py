@@ -42,14 +42,20 @@ def _sym0(word):
 
 
 def _adjacent_pairs(sym):
-    """array of 'a b' strings for adjacent symbol pairs."""
-    arr = F.split(F.trim(sym), " ")
-    n = F.size(arr)
-    idx = F.filter(F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
-                   lambda i: i < n - 1)
-    return F.transform(
-        idx, lambda i: F.concat(F.element_at(arr, i + 1), F.lit(" "),
-                                F.element_at(arr, i + 2)))
+    """array of 'a b' strings for adjacent symbol pairs.  The symbol
+    array is _let-bound: HOF lambdas re-evaluate captured outer
+    expressions per element (the winnowing lesson, dedup.py)."""
+    from ..functions.text import _let
+
+    def body(arr):
+        n = F.size(arr)
+        idx = F.filter(F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+                       lambda i: i < n - 1)
+        return F.transform(
+            idx, lambda i: F.concat(F.element_at(arr, i + 1), F.lit(" "),
+                                    F.element_at(arr, i + 2)))
+
+    return _let(F.split(F.trim(sym), " "), body)
 
 
 def _apply_merge(sym, pair: str):

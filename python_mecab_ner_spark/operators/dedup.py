@@ -369,18 +369,26 @@ def doc_lines(df: DataFrame, text_col: str, id_col: str,
         lines_arr = F.filter(F.split(F.col(text_col), "\n"),
                              lambda l: F.trim(l) != "")
     else:
+        from ..functions.text import _let
         toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                         lambda w: w != "")
-        sz = F.size(toks)
-        # last chunk index = (sz-1) div chunk; the double division is
-        # exact for any int sz < 2^53 so floor() matches DuckDB's `//`
-        last = F.greatest(F.floor((sz - F.lit(1)) / F.lit(chunk)),
-                          F.lit(0)).cast("int")
-        idxs = F.sequence(F.lit(0), last)
-        lines_arr = F.filter(
-            F.transform(idxs, lambda i: F.array_join(
-                F.slice(toks, i * chunk + 1, chunk), " ")),
-            lambda g: g != "")
+
+        def _chunks(t):
+            sz = F.size(t)
+            # last chunk index = (sz-1) div chunk; the double division
+            # is exact for any int sz < 2^53 so floor() matches
+            # DuckDB's `//`
+            last = F.greatest(F.floor((sz - F.lit(1)) / F.lit(chunk)),
+                              F.lit(0)).cast("int")
+            idxs = F.sequence(F.lit(0), last)
+            return F.filter(
+                F.transform(idxs, lambda i: F.array_join(
+                    F.slice(t, i * chunk + 1, chunk), " ")),
+                lambda g: g != "")
+
+        # toks _let-bound: the chunk lambda re-evaluates captured
+        # outer expressions per element (the winnowing lesson)
+        lines_arr = _let(toks, _chunks)
     return (df.select(F.col(id_col).alias("doc_id"),
                       F.explode(lines_arr).alias("line")))
 
