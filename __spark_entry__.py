@@ -1874,6 +1874,96 @@ def q125_trained_classifier(spark, sf_dir):
                     "is_train"))
 
 
+def q126_calibration(spark, sf_dir):
+    """Reliability bins of the q125 trained gate on its HELD-OUT
+    split (operators.classify.calibration_bins): equal-width integer
+    score bins between the observed min/max (1-row broadcast agg, no
+    global sort/ntile) x per-bin positive counts — the calibration
+    audit published next to every model-based quality filter.  A
+    monotone pos_ppm across bins is what licenses using the score as
+    a threshold knob downstream."""
+    from python_mecab_ner_spark.operators.classify import calibration_bins
+    scored = q125_trained_classifier(spark, sf_dir)
+    return calibration_bins(scored.where("is_train = 0"),
+                            score_col="score", label_col="y", n_bins=10)
+
+
+EMB_OUTLIER_Z10 = 30  # |z| > 3.0, cross-multiplied exact-integer test
+
+
+def q127_embedding_outliers(spark, sf_dir):
+    """Per-dimension embedding outlier audit (operators.ann
+    .embedding_dim_outliers): exact-integer cross-multiplied z-test
+    over the int8-quantized table — flags broken encodes before ANN /
+    SemDeDup indexing.  One dim-keyed aggregate (64 rows, broadcast
+    back) + one per-vector combinable aggregate; no sqrt, no floats,
+    no window."""
+    from python_mecab_ner_spark.operators.ann import embedding_dim_outliers
+    e = _load(spark, sf_dir, "embeddings")
+    return embedding_dim_outliers(e, z10=EMB_OUTLIER_Z10)
+
+
+def q128_blocking_audit(spark, sf_dir):
+    """Dedup blocking-quality audit (operators.dedup.blocking_audit):
+    recall/precision of the q17 banded-LSH blocker against the q16
+    capped-exact-Jaccard ground truth (jaccard >= 0.5 by integer
+    cross-multiply) — the sample-corpus sheet that licenses running
+    ONLY the blocker at 100 TB.  One pair-key join + two 1-row
+    aggregates on top of the two existing bounded pair plans."""
+    from python_mecab_ner_spark.operators.dedup import blocking_audit
+    d = _loadp(spark, sf_dir, "documents")
+    return blocking_audit(d, "text", "doc_id", k=3, min_shared=2,
+                          max_df=MAX_SH_DF, n_hashes=8, bands=4,
+                          jaccard_ppm=500_000)
+
+
+# robots.txt-style disallow rules for the synthetic frontier (q129):
+# host -> path prefixes; h3 blocks everything, h4 has no rules
+ROBOTS_RULES = [
+    ("h0.example.com", "/s0"), ("h0.example.com", "/s1/t3"),
+    ("h1.example.com", "/s2"),
+    ("h2.example.com", "/s3/t5"), ("h2.example.com", "/s4"),
+    ("h3.example.com", "/"),
+]
+
+
+def _frontier_urls(spark, sf_dir):
+    """Deterministic synthetic crawl frontier over documents (the
+    testdata has no URL column; md5-derived host/path injection, the
+    same pattern as q47's synthetic PII)."""
+    d = _load(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"),
+                    F.pmod(md5_int(ds, salt="rgh:"), F.lit(5))
+                    .cast("string"),
+                    F.lit(".example.com"))
+    path = F.concat(F.lit("/s"),
+                    F.pmod(md5_int(ds, salt="rgp:"), F.lit(7))
+                    .cast("string"),
+                    F.lit("/t"),
+                    F.pmod(md5_int(ds, salt="rgq:"), F.lit(11))
+                    .cast("string"))
+    return d.select("doc_id", host.alias("host"), path.alias("path"))
+
+
+def q129_robots_gate(spark, sf_dir):
+    """Robots-style frontier gating (operators.crawl.robots_gate):
+    disallow-prefix rules collapse to one array per host (broadcast
+    dimension), the frontier takes a zero-shuffle per-row `exists`
+    prefix test, and the per-host allow/block tally is one combinable
+    aggregate — the fetch-queue politeness filter ahead of
+    crawl_budget."""
+    from python_mecab_ner_spark.operators.crawl import robots_gate
+    urls = _frontier_urls(spark, sf_dir)
+    rules = spark.createDataFrame(ROBOTS_RULES, "host string, path string")
+    gated = robots_gate(urls, rules)
+    return (gated.groupBy("host")
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.sum("blocked").cast("bigint").alias("n_blocked"),
+                 F.sum(1 - F.col("blocked")).cast("bigint")
+                 .alias("n_allowed")))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -3014,6 +3104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_hyperball": q123_hyperball,
         "q124_pq_topk": q124_pq_topk,
         "q125_trained_classifier": q125_trained_classifier,
+        "q126_calibration": q126_calibration,
+        "q127_embedding_outliers": q127_embedding_outliers,
+        "q128_blocking_audit": q128_blocking_audit,
+        "q129_robots_gate": q129_robots_gate,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3303,7 +3397,119 @@ def oracle_sql() -> dict[str, str]:
             pairs AS (SELECT doc_a, doc_b FROM p0 WHERE inter >= 2)
     """
 
+    # blocking-audit oracle (q128): q16's capped-exact truth side x
+    # q17's raw banded candidates, one pair-key join, ppm ratios
+    blocking_audit_sql = shingle_cte + f"""
+        , keep AS (SELECT shingle FROM sh
+                   GROUP BY shingle HAVING count(*) <= {MAX_SH_DF}),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN keep USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS inter
+               FROM shc a JOIN shc b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        truth AS (SELECT doc_a, doc_b FROM ex
+                  JOIN sizes sa ON sa.doc_id = ex.doc_a
+                  JOIN sizes sb ON sb.doc_id = ex.doc_b
+                  WHERE inter >= 2
+                    AND inter * 1000000
+                        >= 500000 * (sa.n_sh + sb.n_sh - inter)),
+        sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+        banded AS ({band_keys}),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM banded a JOIN banded b
+                   ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        tt AS (SELECT count(*) AS n_truth,
+                      coalesce(sum(CASE WHEN c.doc_a IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0) AS n_hit
+               FROM truth t LEFT JOIN cand c
+                 ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+        cc AS (SELECT count(*) AS n_cand FROM cand)
+        SELECT CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST((n_hit * 1000000) // greatest(n_truth, 1)
+                    AS BIGINT) AS recall_ppm,
+               CAST((n_hit * 1000000) // greatest(n_cand, 1)
+                    AS BIGINT) AS precision_ppm
+        FROM tt CROSS JOIN cc
+    """
+
+    # calibration oracle (q126): q125's chain nested as a CTE, then
+    # equal-width integer bins over the held-out split
+    calibration_sql = f"""
+        WITH sc_all AS ({trained_cls_sql}),
+        held AS (SELECT score, y FROM sc_all WHERE is_train = 0),
+        rng AS (SELECT min(score) AS lo, max(score) AS hi FROM held),
+        b AS (SELECT ((score - lo) * 10) // (hi - lo + 1) AS bin,
+                     score, y
+              FROM held CROSS JOIN rng)
+        SELECT CAST(bin AS INT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(min(score) AS BIGINT) AS lo_score,
+               CAST(max(score) AS BIGINT) AS hi_score,
+               CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS pos_ppm
+        FROM b GROUP BY 1
+    """
+
+    # embedding outlier oracle (q127): q51's floor-clip int8
+    # quantization, per-dim (n, s, ss), cross-multiplied z-test
+    emb_outliers_sql = f"""
+        WITH qz AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(greatest(-128, least(127,
+                                    floor(CAST(x AS DOUBLE) * 127)))
+                                    AS BIGINT)) AS qe
+                    FROM embeddings),
+        dims AS (SELECT vec_id, j, qe[j + 1] AS x
+                 FROM (SELECT vec_id, qe,
+                              unnest(range(0, len(qe))) AS j
+                       FROM qz)),
+        st AS (SELECT j, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+               FROM dims GROUP BY 1),
+        fl AS (SELECT vec_id, d.j,
+                      CASE WHEN (x * n - s) * (x * n - s) * 100
+                                > {EMB_OUTLIER_Z10 * EMB_OUTLIER_Z10}
+                                  * (n * ss - s * s)
+                           THEN 1 ELSE 0 END AS f
+               FROM dims d JOIN st ON st.j = d.j)
+        SELECT vec_id, CAST(sum(f) AS BIGINT) AS n_extreme,
+               CAST(coalesce(min(CASE WHEN f = 1 THEN j END), -1)
+                    AS INT) AS first_dim
+        FROM fl GROUP BY 1
+    """
+
     mini_gaz_values = ", ".join(f"('{s}')" for s in MINI_GAZ)
+
+    # robots-gate oracle (q129): md5-derived synthetic frontier +
+    # VALUES rules, per-(host, doc) any-prefix-match, per-host tally
+    _rg_host = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="rgh:")
+    _rg_p1 = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="rgp:")
+    _rg_p2 = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="rgq:")
+    _rg_rules = ", ".join(f"('{h}', '{p}')" for h, p in ROBOTS_RULES)
+    robots_gate_sql = f"""
+        WITH u AS (SELECT doc_id,
+                          'h' || CAST({_rg_host} % 5 AS VARCHAR)
+                              || '.example.com' AS host,
+                          '/s' || CAST({_rg_p1} % 7 AS VARCHAR)
+                              || '/t' || CAST({_rg_p2} % 11 AS VARCHAR)
+                              AS path
+                   FROM documents),
+        r(host, prefix) AS (VALUES {_rg_rules}),
+        g AS (SELECT u.host, u.doc_id,
+                     coalesce(max(CASE WHEN starts_with(u.path, r.prefix)
+                                       THEN 1 ELSE 0 END), 0) AS blocked
+              FROM u LEFT JOIN r ON r.host = u.host
+              GROUP BY 1, 2)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(sum(blocked) AS BIGINT) AS n_blocked,
+               CAST(sum(1 - blocked) AS BIGINT) AS n_allowed
+        FROM g GROUP BY 1
+    """
 
     stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
     stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
@@ -3696,6 +3902,10 @@ def oracle_sql() -> dict[str, str]:
         "q123_hyperball": hyperball_sql,
         "q124_pq_topk": pq_sql,
         "q125_trained_classifier": trained_cls_sql,
+        "q126_calibration": calibration_sql,
+        "q127_embedding_outliers": emb_outliers_sql,
+        "q128_blocking_audit": blocking_audit_sql,
+        "q129_robots_gate": robots_gate_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

@@ -406,6 +406,58 @@ def quantized_topk(df: DataFrame, qvec: list[float], k: int = 10,
                     "rank"))
 
 
+def embedding_dim_outliers(df: DataFrame, id_col: str = "vec_id",
+                           emb_col: str = "embedding", z10: int = 30,
+                           scale: int = QUANT_SCALE) -> DataFrame:
+    """Per-dimension outlier audit of an embedding table — the
+    data-quality gate an embedding pipeline runs before ANN indexing
+    or SemDeDup: a vector whose value in some dimension sits far
+    outside that dimension's corpus distribution is a broken encode
+    (truncated input, NaN-squashed batch, wrong normalization), and
+    dropping or re-encoding those is standard curation hygiene.
+
+    The z-test is EXACT INTEGER by cross-multiplication — no sqrt, no
+    float mean/std that would drift cross-engine:
+
+        dim j is extreme for vector v   iff
+        (x*n - s_j)^2 * 100  >  z10^2 * (n*ss_j - s_j^2)
+
+    which is |x - mean_j| > (z10/10) * sd_j with both sides squared
+    and cleared of the 1/n^2 denominators (they cancel exactly).  x is
+    the q51 floor-clip int8 quantization, so every operand is a
+    deterministic bigint.  Overflow headroom: |x*n| <= 128n, so the
+    lhs square needs n <= ~2^26 in int64; beyond that cast the two
+    test sides to decimal(38,0) (exact to n ~ 3e9) — the comparison,
+    not the representation, is the contract.
+
+    Returns one row per vector: (vec_id, n_extreme, first_dim) with
+    n_extreme = count of flagged dimensions and first_dim the
+    smallest flagged dimension index (-1 if clean) — integers, exact
+    DuckDB twin.
+
+    Scale shape: one posexplode (dim fan-out is the fixed embedding
+    width), ONE map-side-combinable aggregate on the dim key (output
+    is dimension-sized: 64 rows), broadcast back, one combinable
+    per-vector aggregate.  No window, no self-join."""
+    qz = quantize_embeddings(df, emb_col, scale)
+    dims = qz.select(F.col(id_col).alias("vec_id"),
+                     F.posexplode("qemb").alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("_n"),
+        F.sum("x").cast("bigint").alias("_s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_ss"))
+    lhs = F.col("x") * F.col("_n") - F.col("_s")
+    nvar = F.col("_n") * F.col("_ss") - F.col("_s") * F.col("_s")
+    flag = (lhs * lhs * F.lit(100) > F.lit(z10 * z10) * nvar)
+    return (dims.join(F.broadcast(stats), "dim")
+            .select("vec_id", "dim", flag.alias("_f"))
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("_f").cast("int")).cast("bigint")
+                 .alias("n_extreme"),
+                 F.coalesce(F.min(F.when(F.col("_f"), F.col("dim"))),
+                            F.lit(-1)).cast("int").alias("first_dim")))
+
+
 def semdedup_pairs(df: DataFrame, threshold: int, n_cells: int = 16,
                    id_col: str = "vec_id", emb_col: str = "embedding",
                    codebook: DataFrame | None = None,

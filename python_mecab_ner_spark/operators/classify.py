@@ -153,3 +153,47 @@ def nb_train_weights(df: DataFrame, text_col: str, label_col,
     return (counts.crossJoin(F.broadcast(totals))
             .withColumn("_num", num).withColumn("_den", den)
             .select("bucket", w.cast("bigint").alias("weight")))
+
+
+def calibration_bins(scored: DataFrame, score_col: str = "score",
+                     label_col: str = "y",
+                     n_bins: int = 10) -> DataFrame:
+    """Reliability table for a trained gate: bin documents into
+    n_bins equal-WIDTH integer score bins between the observed
+    min/max and report per-bin size and positive count — the
+    calibration audit every model-based quality filter (CCNet,
+    FineWeb-Edu) publishes next to its classifier: does a higher
+    score bin actually contain a higher fraction of positives?
+
+    Equal-width (not equal-mass ntile) bins on purpose: a global
+    ntile is one single-reducer sort at 100 TB, while the width rule
+    needs only a 1-row (min, max) aggregate broadcast back — the same
+    histogram-not-sort discipline as q95's quality gate.  Bin ids are
+    exact integers: bin = (score - lo) * n_bins div (hi - lo + 1),
+    all operands non-negative after the lo offset, so truncating
+    `div` (Spark) and floor `//` (DuckDB) agree, and
+    (hi - lo) * n < n * (hi - lo + 1) caps the id at n_bins - 1 with
+    no clamp.
+
+    Returns (bin, n_docs, n_pos, lo_score, hi_score, pos_ppm) — all
+    integers; pos_ppm = n_pos * 1e6 div n_docs is the observed
+    positive rate in ppm.
+
+    Scale shape: one 1-row min/max aggregate broadcast back, then a
+    single map-side-combinable aggregate on the bin id.  No window,
+    no sort, no second pass over the corpus."""
+    s = scored.select(F.col(score_col).cast("bigint").alias("_s"),
+                      F.col(label_col).cast("bigint").alias("_y"))
+    rng = s.agg(F.min("_s").alias("_lo"), F.max("_s").alias("_hi"))
+    binned = (s.crossJoin(F.broadcast(rng))
+              .select(F.expr(f"((_s - _lo) * {n_bins}) "
+                             "div (_hi - _lo + 1)")
+                      .cast("int").alias("bin"), "_s", "_y"))
+    return (binned.groupBy("bin")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("_y").cast("bigint").alias("n_pos"),
+                 F.min("_s").cast("bigint").alias("lo_score"),
+                 F.max("_s").cast("bigint").alias("hi_score"))
+            .withColumn("pos_ppm",
+                        F.expr("(n_pos * 1000000) div n_docs")
+                        .cast("bigint")))

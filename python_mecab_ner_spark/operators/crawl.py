@@ -139,3 +139,34 @@ def decay_activity(events: DataFrame, ts_col: str = "ts",
             .groupBy("key")
             .agg(F.count("*").cast("bigint").alias("n_events"),
                  F.sum("_w").cast("bigint").alias("decayed")))
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame,
+                host_col: str = "host",
+                path_col: str = "path") -> DataFrame:
+    """Robots-style frontier gating: a URL is blocked iff ANY
+    disallow rule registered for its host is a PREFIX of its path —
+    the politeness filter between "frontier of discovered URLs" and
+    "fetch queue" in every crawler (robots.txt Disallow semantics,
+    prefix-match form).
+
+    rules is (host, prefix) — a dimension-sized table (hosts x a few
+    rules each), so the gate is zero-shuffle on the frontier side:
+    rules collapse to one array per host (tiny aggregate), BROADCAST
+    into the frontier, and the prefix test is a per-row `exists` over
+    that array.  The 100 TB frontier never exchanges; there is no
+    per-(url, rule) row multiplication and no groupBy back onto the
+    url key (the join is at most 1:1 after the per-host collapse).
+
+    Returns the frontier with an integer `blocked` flag (1/0) —
+    composable with crawl_budget (allowed URLs per host -> slots)."""
+    per_host = (rules.groupBy(F.col(host_col).alias("_h"))
+                .agg(F.sort_array(F.collect_list(path_col))
+                     .alias("_prefixes")))
+    j = urls.join(F.broadcast(per_host),
+                  urls[host_col] == per_host["_h"], "left")
+    path = F.col(path_col)
+    blocked = F.when(F.col("_prefixes").isNull(), F.lit(0)).otherwise(
+        F.exists("_prefixes", lambda r: path.startswith(r)).cast("int"))
+    return j.select(*[urls[c] for c in urls.columns],
+                    blocked.cast("int").alias("blocked"))

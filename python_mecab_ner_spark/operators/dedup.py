@@ -742,3 +742,59 @@ def remove_dup_spans(df: DataFrame, text_col: str, id_col: str,
         F.size("w").cast("bigint").alias("n_words"),
         F.size(kept).cast("bigint").alias("kept_words"),
         md5_int(F.array_join(kept, " ")).alias("kept_fp"))
+
+
+def blocking_audit(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 3, min_shared: int = 2,
+                   max_df: int | None = None, n_hashes: int = 8,
+                   bands: int = 4,
+                   jaccard_ppm: int = 500_000) -> DataFrame:
+    """Blocking-quality audit: measure, on a sample corpus, how much
+    of the exact near-dup ground truth the banded-LSH blocking
+    actually reaches — the recall/precision sheet every production
+    dedup pipeline publishes before trusting its blocker at full
+    scale (the exact path is affordable on the audit sample; only the
+    blocker runs on the 100 TB corpus).
+
+        truth = capped-exact-Jaccard pairs with
+                inter * 1e6 >= jaccard_ppm * union   (integer test)
+        cand  = banded-LSH candidate pairs (pre-verification)
+        hit   = truth pairs present in cand
+
+    Returns ONE row: (n_truth, n_cand, n_hit, recall_ppm,
+    precision_ppm) — all integers (ppm ratios by integer div,
+    max(1, denominator) guards the empty edge), exact DuckDB twin.
+
+    Scale shape: both pair tables are already fan-out-bounded (truth
+    by the max_df shingle cap, candidates by banding); the audit adds
+    one equi-join on the (doc_a, doc_b) pair key and two single-row
+    aggregates joined by broadcast.  The audit corpus is a sample by
+    construction — the exact side's cost is the reason this is an
+    AUDIT, not the production path."""
+    exact = jaccard_pairs(df, text_col, id_col, k=k,
+                          min_shared=min_shared, max_df=max_df)
+    truth_release = exact.unpersist_input
+    truth = (exact.where(F.col("inter") * F.lit(1_000_000)
+                         >= F.lit(jaccard_ppm) * F.col("uni"))
+             .select("doc_a", "doc_b"))
+    lsh = lsh_candidate_pairs(df, text_col, id_col, k=k,
+                              n_hashes=n_hashes, bands=bands)
+    cand_release = lsh.unpersist_input
+    cand = lsh.withColumn("_c", F.lit(1))
+    hits = (truth.join(cand, ["doc_a", "doc_b"], "left")
+            .agg(F.count("*").cast("bigint").alias("n_truth"),
+                 F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint")
+                 .alias("n_hit")))
+    totals = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+    out = (hits.crossJoin(F.broadcast(totals))
+           .select("n_truth", "n_cand", "n_hit",
+                   F.expr("(n_hit * 1000000) div greatest(n_truth, 1)")
+                   .cast("bigint").alias("recall_ppm"),
+                   F.expr("(n_hit * 1000000) div greatest(n_cand, 1)")
+                   .cast("bigint").alias("precision_ppm")))
+
+    def _release():
+        truth_release()
+        cand_release()
+    out.unpersist_input = _release
+    return out
