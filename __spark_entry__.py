@@ -1964,6 +1964,77 @@ def q129_robots_gate(spark, sf_dir):
                  .alias("n_allowed")))
 
 
+CONF_THRESHOLDS = [-200, -100, 0, 100, 200, 400]
+
+
+def q130_threshold_confusion(spark, sf_dir):
+    """Operating-point sheet of the q125 trained gate on its HELD-OUT
+    split (operators.classify.threshold_confusion): full confusion
+    matrix + precision/recall/F1 in exact-integer ppm at six
+    candidate thresholds in ONE combinable aggregate (thresholds ride
+    as an exploded literal dimension — no per-threshold rescan).
+    q126 says the score is monotone; this says what each cut costs."""
+    from python_mecab_ner_spark.operators.classify import (
+        threshold_confusion)
+    scored = q125_trained_classifier(spark, sf_dir)
+    return threshold_confusion(scored.where("is_train = 0"),
+                               CONF_THRESHOLDS,
+                               score_col="score", label_col="y")
+
+
+def q131_gate_kappa(spark, sf_dir):
+    """Cohen's kappa between the heuristic keep gate (q39 rule:
+    lang_id == 'en' AND quality_score >= 60) and the q125 trained
+    classifier's keep (score > 0) over the whole corpus (operators
+    .classify.gate_agreement) — the chance-corrected agreement audit
+    run before swapping one filter for the other.  Exact integer
+    kappa_ppm via the +den floor-division offset (Spark `div`
+    truncates, DuckDB `//` floors; the offset keeps operands
+    non-negative so they agree)."""
+    from python_mecab_ner_spark.operators.classify import gate_agreement
+    d = _load(spark, sf_dir, "documents")
+    heur = d.select(
+        "doc_id",
+        ((TX.lang_id(F.col("text")) == "en")
+         & (TX.quality_score(F.col("text")) >= 60))
+        .cast("int").alias("a"))
+    scored = q125_trained_classifier(spark, sf_dir)
+    both = heur.join(scored.select(
+        "doc_id", (F.col("score") > 0).cast("int").alias("b")), "doc_id")
+    return gate_agreement(both, "a", "b")
+
+
+HEAD_KS = (1, 10, 100, 1000)
+
+
+def q132_vocab_head(spark, sf_dir):
+    """Zipf head-coverage curve (operators.profile
+    .vocab_head_coverage): token mass covered by the top-k vocabulary
+    at k in 1/10/100/1000 — tokenizer-vocab sizing + stopword cutoff
+    evidence.  The vocabulary is never globally sorted: top-1000 by
+    TakeOrderedAndProject, cumulative window over those 1000 rows
+    only."""
+    from python_mecab_ner_spark.operators.profile import (
+        vocab_head_coverage)
+    d = _loadp(spark, sf_dir, "documents")
+    return vocab_head_coverage(d, "text", ks=HEAD_KS)
+
+
+def q133_fetch_rounds(spark, sf_dir):
+    """Politeness-schedule depth of the robots-allowed frontier
+    (operators.crawl.fetch_rounds over the q129 gate): round r = the
+    r-th URL of its host under one-request-per-host-per-round;
+    log2-bucketed round histogram = the crawl's parallelism-decay
+    curve, max round = makespan.  The only window is per-host
+    row_number (host-parallel, the runtime fetch queue's own shape)."""
+    from python_mecab_ner_spark.operators.crawl import (
+        fetch_rounds, robots_gate)
+    urls = _frontier_urls(spark, sf_dir)
+    rules = spark.createDataFrame(ROBOTS_RULES, "host string, path string")
+    allowed = robots_gate(urls, rules).where("blocked = 0")
+    return fetch_rounds(allowed, host_col="host", id_col="doc_id")
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -3108,6 +3179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_embedding_outliers": q127_embedding_outliers,
         "q128_blocking_audit": q128_blocking_audit,
         "q129_robots_gate": q129_robots_gate,
+        "q130_threshold_confusion": q130_threshold_confusion,
+        "q131_gate_kappa": q131_gate_kappa,
+        "q132_vocab_head": q132_vocab_head,
+        "q133_fetch_rounds": q133_fetch_rounds,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3511,6 +3586,130 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY 1
     """
 
+    # fetch-rounds oracle (q133): the q129 frontier+gate CTEs, allowed
+    # rows ranked per host by the same salted-md5 priority, log2 bins
+    _fr_pr = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="fetch:")
+    fetch_rounds_sql = f"""
+        WITH u AS (SELECT doc_id,
+                          'h' || CAST({_rg_host} % 5 AS VARCHAR)
+                              || '.example.com' AS host,
+                          '/s' || CAST({_rg_p1} % 7 AS VARCHAR)
+                              || '/t' || CAST({_rg_p2} % 11 AS VARCHAR)
+                              AS path
+                   FROM documents),
+        r(host, prefix) AS (VALUES {_rg_rules}),
+        g AS (SELECT u.host, u.doc_id,
+                     coalesce(max(CASE WHEN starts_with(u.path, r.prefix)
+                                       THEN 1 ELSE 0 END), 0) AS blocked
+              FROM u LEFT JOIN r ON r.host = u.host
+              GROUP BY 1, 2),
+        rd AS (SELECT host,
+                      row_number() OVER (PARTITION BY host
+                                         ORDER BY {_fr_pr}, doc_id)
+                          AS rnd
+               FROM g WHERE blocked = 0)
+        SELECT CAST(length(bin(rnd)) AS INT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_urls,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(min(rnd) AS BIGINT) AS min_round,
+               CAST(max(rnd) AS BIGINT) AS max_round
+        FROM rd GROUP BY 1
+    """
+
+    # threshold-confusion oracle (q130): q125's chain as a CTE, six
+    # literal thresholds, one grouped conditional-sum pass
+    _conf_values = ", ".join(f"({t})" for t in CONF_THRESHOLDS)
+    threshold_confusion_sql = f"""
+        WITH sc_all AS ({trained_cls_sql}),
+        held AS (SELECT score, y FROM sc_all WHERE is_train = 0),
+        th(thr) AS (VALUES {_conf_values}),
+        ag AS (SELECT thr,
+                      sum(CASE WHEN score > thr AND y = 1
+                               THEN 1 ELSE 0 END) AS tp,
+                      sum(CASE WHEN score > thr AND y = 0
+                               THEN 1 ELSE 0 END) AS fp,
+                      sum(CASE WHEN score <= thr AND y = 1
+                               THEN 1 ELSE 0 END) AS fn,
+                      sum(CASE WHEN score <= thr AND y = 0
+                               THEN 1 ELSE 0 END) AS tn
+               FROM held CROSS JOIN th GROUP BY 1)
+        SELECT CAST(thr AS BIGINT) AS thr,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+               CAST((tp * 1000000) // greatest(tp + fp, 1)
+                    AS BIGINT) AS precision_ppm,
+               CAST((tp * 1000000) // greatest(tp + fn, 1)
+                    AS BIGINT) AS recall_ppm,
+               CAST((2 * tp * 1000000) // greatest(2 * tp + fp + fn, 1)
+                    AS BIGINT) AS f1_ppm
+        FROM ag
+    """
+
+    # gate-kappa oracle (q131): heuristic rule x trained keep, 2x2
+    # cells, exact-floor kappa via the +den offset
+    gate_kappa_sql = f"""
+        WITH sc_all AS ({trained_cls_sql}),
+        h AS (SELECT doc_id,
+                     CASE WHEN {lang_sql} = 'en' AND {qual_sql} >= 60
+                          THEN 1 ELSE 0 END AS a
+              FROM documents),
+        g AS (SELECT h.a,
+                     CASE WHEN sc_all.score > 0 THEN 1 ELSE 0 END AS b
+              FROM h JOIN sc_all ON sc_all.doc_id = h.doc_id),
+        cells AS (SELECT sum(a * b) AS n_both,
+                         sum(a * (1 - b)) AS n_a_only,
+                         sum((1 - a) * b) AS n_b_only,
+                         sum((1 - a) * (1 - b)) AS n_neither
+                  FROM g),
+        k AS (SELECT *,
+                     n_both + n_a_only + n_b_only + n_neither AS n,
+                     (n_both + n_a_only) * (n_both + n_b_only)
+                       + (n_b_only + n_neither) * (n_a_only + n_neither)
+                       AS pe_n2
+              FROM cells)
+        SELECT CAST(n AS BIGINT) AS n_docs,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_a_only AS BIGINT) AS n_a_only,
+               CAST(n_b_only AS BIGINT) AS n_b_only,
+               CAST(n_neither AS BIGINT) AS n_neither,
+               CAST(((n_both + n_neither) * 1000000) // greatest(n, 1)
+                    AS BIGINT) AS po_ppm,
+               CAST(CASE WHEN n * n - pe_n2 = 0 THEN 0
+                    ELSE ((n * (n_both + n_neither) - pe_n2
+                           + n * n - pe_n2) * 1000000)
+                         // (n * n - pe_n2) - 1000000 END
+                    AS BIGINT) AS kappa_ppm
+        FROM k
+    """
+
+    # head-coverage oracle (q132): same tokenization as the Spark
+    # side, rank + running sum over the vocab, rows at the k knots
+    _head_in = ", ".join(str(k) for k in HEAD_KS)
+    vocab_head_sql = f"""
+        WITH tok AS (SELECT unnest(regexp_split_to_array(
+                         regexp_replace(lower(trim(text)),
+                                        '\\s+', ' ', 'g'), ' '))
+                         AS term
+                     FROM documents),
+        cnt AS (SELECT term, count(*) AS cnt FROM tok
+                WHERE term <> '' GROUP BY 1),
+        tot AS (SELECT sum(cnt) AS total_cnt FROM cnt),
+        rk AS (SELECT term, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, term ASC)
+                          AS k,
+                      sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                                     ROWS UNBOUNDED PRECEDING)
+                          AS cum_cnt
+               FROM cnt)
+        SELECT CAST(k AS INT) AS k, term AS kth_term,
+               CAST(cnt AS BIGINT) AS kth_cnt,
+               CAST(cum_cnt AS BIGINT) AS cum_cnt,
+               CAST(total_cnt AS BIGINT) AS total_cnt,
+               CAST((cum_cnt * 1000000) // total_cnt AS BIGINT)
+                   AS coverage_ppm
+        FROM rk CROSS JOIN tot WHERE k IN ({_head_in})
+    """
+
     stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
     stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
     # shared context/stats CTE chain for q33/q34 (twin of
@@ -3906,6 +4105,10 @@ def oracle_sql() -> dict[str, str]:
         "q127_embedding_outliers": emb_outliers_sql,
         "q128_blocking_audit": blocking_audit_sql,
         "q129_robots_gate": robots_gate_sql,
+        "q130_threshold_confusion": threshold_confusion_sql,
+        "q131_gate_kappa": gate_kappa_sql,
+        "q132_vocab_head": vocab_head_sql,
+        "q133_fetch_rounds": fetch_rounds_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

@@ -197,3 +197,108 @@ def calibration_bins(scored: DataFrame, score_col: str = "score",
             .withColumn("pos_ppm",
                         F.expr("(n_pos * 1000000) div n_docs")
                         .cast("bigint")))
+
+
+def threshold_confusion(scored: DataFrame, thresholds: list[int],
+                        score_col: str = "score",
+                        label_col: str = "y") -> DataFrame:
+    """Operating-point sheet for a trained gate: the full confusion
+    matrix (tp/fp/fn/tn) plus precision/recall/F1 in ppm at EVERY
+    candidate threshold in one pass — the table a pipeline owner
+    reads to pick the keep/drop cut (q126's calibration bins say the
+    score is monotone; this says what each cut costs in false drops).
+
+    predicted positive at threshold t  iff  score > t.
+
+    All ratios are exact integer ppm by cross-multiplied div
+    (f1_ppm = 2*tp*1e6 div (2*tp + fp + fn) — the harmonic mean with
+    denominators cleared), so the DuckDB twin hash-matches; empty
+    denominators are guarded to 0 via greatest(_, 1).
+
+    Scale shape: thresholds are a HANDFUL of literals — they ride in
+    as a broadcast dimension, the corpus crossJoins against it
+    (|corpus| x |thresholds| rows, still one narrow stage), and ONE
+    map-side-combinable aggregate keyed by threshold produces the
+    |thresholds|-row sheet.  No window, no per-threshold rescan."""
+    thr = F.array(*[F.lit(int(t)) for t in thresholds])
+    s = (scored.select(F.col(score_col).cast("bigint").alias("_s"),
+                       F.col(label_col).cast("bigint").alias("_y"),
+                       F.explode(thr).alias("thr")))
+    pred = (F.col("_s") > F.col("thr")).cast("int")
+    cell = (F.lit(2) * F.col("_y") + pred)  # 3=tp 2=fn 1=fp 0=tn
+    agg = (s.select("thr", cell.alias("_c"))
+           .groupBy("thr")
+           .agg(*[F.sum((F.col("_c") == code).cast("int"))
+                  .cast("bigint").alias(name)
+                  for code, name in
+                  ((3, "tp"), (1, "fp"), (2, "fn"), (0, "tn"))]))
+    return agg.select(
+        F.col("thr").cast("bigint").alias("thr"),
+        "tp", "fp", "fn", "tn",
+        F.expr("(tp * 1000000) div greatest(tp + fp, 1)")
+        .cast("bigint").alias("precision_ppm"),
+        F.expr("(tp * 1000000) div greatest(tp + fn, 1)")
+        .cast("bigint").alias("recall_ppm"),
+        F.expr("(2 * tp * 1000000) div greatest(2 * tp + fp + fn, 1)")
+        .cast("bigint").alias("f1_ppm"))
+
+
+def gate_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two keep/drop gates (e.g. the heuristic
+    quality rule vs the trained classifier) — the standard
+    chance-corrected agreement audit run before swapping one filter
+    for another: raw agreement (po) flatters any pair of gates that
+    both keep ~everything; kappa subtracts the agreement their
+    marginal keep-rates would produce by chance.
+
+    Inputs are 0/1 columns.  With the 2x2 cells a=both-keep,
+    b=A-only, c=B-only, d=neither and n = a+b+c+d:
+
+        po  = (a + d) / n
+        pe  = ((a+b)(a+c) + (c+d)(b+d)) / n^2
+        kappa = (po - pe) / (1 - pe)
+              = (n(a+d) - pe_n2) / (n^2 - pe_n2),  pe_n2 = pe * n^2
+
+    kappa_ppm is the exact floor of 1e6*kappa: kappa >= -1 always, so
+    num + den >= 0 and the truncating integer div equals floor even
+    when kappa is negative (Spark `div` truncates toward zero, DuckDB
+    `//` floors — they agree only on non-negative operands, hence the
+    +den offset).  den = 0 (both gates constant => pe = 1) reports
+    kappa_ppm = 0 by convention (kappa undefined).  Overflow: terms
+    reach n^2 * 1e6, exact in int64 to n ~ 2e6 — run the audit on a
+    sample split (as q131 does) or lift the two div operands to
+    decimal(38,0) beyond that; the comparison is the contract.
+
+    Returns ONE row (n_docs, n_both, n_a_only, n_b_only, n_neither,
+    po_ppm, kappa_ppm) — all integers, exact DuckDB twin.
+
+    Scale shape: ONE map-side-combinable 1-row aggregate over the
+    corpus; the kappa algebra is a scalar projection on top."""
+    a, b = F.col(a_col).cast("bigint"), F.col(b_col).cast("bigint")
+    cells = df.agg(
+        F.sum(a * b).cast("bigint").alias("n_both"),
+        F.sum(a * (1 - b)).cast("bigint").alias("n_a_only"),
+        F.sum((1 - a) * b).cast("bigint").alias("n_b_only"),
+        F.sum((1 - a) * (1 - b)).cast("bigint").alias("n_neither"))
+    n = (F.col("n_both") + F.col("n_a_only") + F.col("n_b_only")
+         + F.col("n_neither"))
+    pe_n2 = ((F.col("n_both") + F.col("n_a_only"))
+             * (F.col("n_both") + F.col("n_b_only"))
+             + (F.col("n_b_only") + F.col("n_neither"))
+             * (F.col("n_a_only") + F.col("n_neither")))
+    num = n * (F.col("n_both") + F.col("n_neither")) - pe_n2
+    den = n * n - pe_n2
+    # ((num+den)*1e6) div den - 1e6: the +den offset keeps the sole
+    # division's operands non-negative (kappa >= -1 => num+den >= 0)
+    kappa = F.when(F.col("_den") == 0, F.lit(0)).otherwise(
+        F.expr("((_num + _den) * 1000000) div _den - 1000000"))
+    return (cells
+            .withColumn("_num", num.cast("bigint"))
+            .withColumn("_den", den.cast("bigint"))
+            .withColumn("_n", n.cast("bigint"))
+            .select(F.col("_n").alias("n_docs"),
+                    "n_both", "n_a_only", "n_b_only", "n_neither",
+                    F.expr("((n_both + n_neither) * 1000000) "
+                           "div greatest(_n, 1)")
+                    .cast("bigint").alias("po_ppm"),
+                    kappa.cast("bigint").alias("kappa_ppm")))

@@ -170,3 +170,44 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
         F.exists("_prefixes", lambda r: path.startswith(r)).cast("int"))
     return j.select(*[urls[c] for c in urls.columns],
                     blocked.cast("int").alias("blocked"))
+
+
+def fetch_rounds(urls: DataFrame, host_col: str = "host",
+                 id_col: str = "doc_id",
+                 salt: str = "fetch:") -> DataFrame:
+    """Politeness-schedule depth audit: under the one-request-per-
+    host-per-round discipline every crawler enforces, the r-th URL of
+    a host is fetched in round r — so the distribution of r IS the
+    crawl's parallelism-decay curve (round 1 touches every host at
+    once; the tail rounds serialize behind the biggest hosts), and
+    max(r) is the makespan in rounds.  This reports the log2-bucketed
+    round histogram: bucket = bit_length(round), with per-bucket URL
+    and host counts and auditable round bounds.
+
+    Within-host order is a deterministic salted-md5 priority (tie:
+    id) — reproducible at any cluster size, like every other ordering
+    in this engine.
+
+    Returns (bucket, n_urls, n_hosts, min_round, max_round).
+
+    Scale shape: the only window is row_number PARTITIONED BY HOST —
+    each host's URLs sort independently (host-parallel, the exact
+    shape a per-host fetch queue has at runtime), never a global
+    sort; then ONE dimension-sized aggregate (log2 buckets of the max
+    host size: ~40 rows at any scale).  A mega-host skews its single
+    partition — the same AQE-skew / per-host-cap territory as
+    crawl_budget, which is the knob that bounds it upstream."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int
+    pr = md5_int(F.col(id_col).cast("string"), salt=salt)
+    w = (Window.partitionBy(host_col)
+         .orderBy(pr.asc(), F.col(id_col).asc()))
+    rounds = urls.select(F.col(host_col).alias("_h"),
+                         F.row_number().over(w).alias("_r"))
+    return (rounds.groupBy(F.length(F.bin(F.col("_r"))).cast("int")
+                           .alias("bucket"))
+            .agg(F.count("*").cast("bigint").alias("n_urls"),
+                 F.countDistinct("_h").cast("bigint").alias("n_hosts"),
+                 F.min("_r").cast("bigint").alias("min_round"),
+                 F.max("_r").cast("bigint").alias("max_round")))
