@@ -2035,6 +2035,81 @@ def q133_fetch_rounds(spark, sf_dir):
     return fetch_rounds(allowed, host_col="host", id_col="doc_id")
 
 
+FUNNEL_QUALITY_MIN = 90        # 25th-pct quality at sf0.01 — splits
+FUNNEL_REP_MAX_PPM = 100_000   # Gopher duplicate-bigram cut
+FUNNEL_MIN_TOKENS = 30
+
+
+def q134_gate_funnel(spark, sf_dir):
+    """Filter-funnel / gate-overlap audit (operators.profile
+    .gate_funnel): documents counted by the exact COMBINATION of the
+    five cleaning gates they pass (language, quality, repetition,
+    length, blocklist) — the upset-plot joint distribution behind
+    every dataset card's removal table; marginals double-count docs
+    failing several gates, the mask histogram doesn't.  One row-local
+    scan + ONE mask-keyed aggregate, <= 32 rows at any corpus size."""
+    from python_mecab_ner_spark.operators.profile import gate_funnel
+    d = _load(spark, sf_dir, "documents")
+    bl_total = sum((c for c in TX.blocklist_phrase_counts(
+        F.col("text"))), F.lit(0).cast("bigint"))
+    gates = [
+        ("lang", TX.lang_id(F.col("text")) == "en"),
+        ("quality",
+         TX.quality_score(F.col("text")) >= FUNNEL_QUALITY_MIN),
+        ("repetition",
+         TX.duplicate_ngram_ppm(F.col("text"), n=2)
+         <= FUNNEL_REP_MAX_PPM),
+        ("length", TX.token_count(F.col("text")) >= FUNNEL_MIN_TOKENS),
+        ("blocklist", bl_total == 0),
+    ]
+    return gate_funnel(d, gates)
+
+
+RECRAWL_EPOCHS = 8
+
+
+def _snapshot_history(spark, sf_dir):
+    """Deterministic per-epoch fingerprint history for q135: each url
+    draws a change propensity (5..94%) from its id hash, then flips
+    at epoch e iff md5("chg:u<id>:<e>") % 100 < pct; the fingerprint
+    is the running version number.  Pure hash arithmetic — the DuckDB
+    twin rebuilds it byte-identically."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    d = _load(spark, sf_dir, "documents")
+    base = d.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        (F.lit(5) + md5_int(F.col("doc_id").cast("string"),
+                            salt="rate:") % 90).alias("pct"),
+        F.explode(F.sequence(F.lit(0), F.lit(RECRAWL_EPOCHS - 1)))
+        .alias("epoch"))
+    ver = F.aggregate(
+        F.when(F.col("epoch") >= 1,
+               F.sequence(F.lit(1), F.col("epoch")))
+        .otherwise(F.expr("CAST(array() AS array<int>)")),
+        F.lit(0),
+        lambda acc, i: acc + (
+            md5_int(F.concat(F.col("url"), F.lit(":"),
+                             i.cast("string")), salt="chg:") % 100
+            < F.col("pct")).cast("int"))
+    return base.select("url", "epoch",
+                       F.concat(F.lit("v"), ver.cast("string"))
+                       .alias("fp"))
+
+
+def q135_recrawl_schedule(spark, sf_dir):
+    """Recrawl change-rate scheduling (operators.crawl
+    .change_rate_schedule, the Cho & Garcia-Molina estimator in
+    exact-integer form): per-url change transitions over an 8-epoch
+    fingerprint history -> change_rate_ppm + bit-length refresh
+    bucket — the priority classes a recrawl frontier consumes.  The
+    only exchanges are a per-URL window (url-parallel) and the url-
+    keyed aggregate."""
+    from python_mecab_ner_spark.operators.crawl import (
+        change_rate_schedule)
+    return change_rate_schedule(_snapshot_history(spark, sf_dir))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -3183,6 +3258,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_gate_kappa": q131_gate_kappa,
         "q132_vocab_head": q132_vocab_head,
         "q133_fetch_rounds": q133_fetch_rounds,
+        "q134_gate_funnel": q134_gate_funnel,
+        "q135_recrawl_schedule": q135_recrawl_schedule,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3710,6 +3787,73 @@ def oracle_sql() -> dict[str, str]:
         FROM rk CROSS JOIN tot WHERE k IN ({_head_in})
     """
 
+    # gate-funnel oracle (q134): the five gate CASEs packed into one
+    # mask, bits re-derived from the mask so names stay in lockstep
+    _fn_rep = TX.duplicate_ngram_ppm_sql("text", n=2)
+    _fn_tok = TX.token_count_sql("text")
+    _fn_bl = " + ".join(c for c, _ in TX.blocklist_phrase_counts_sql(
+        "text"))
+    _fn_gates = [
+        ("lang", f"{lang_sql} = 'en'"),
+        ("quality", f"{qual_sql} >= {FUNNEL_QUALITY_MIN}"),
+        ("repetition", f"{_fn_rep} <= {FUNNEL_REP_MAX_PPM}"),
+        ("length", f"{_fn_tok} >= {FUNNEL_MIN_TOKENS}"),
+        ("blocklist", f"({_fn_bl}) = 0"),
+    ]
+    _fn_mask = " + ".join(
+        f"(CASE WHEN {cond} THEN {1 << i} ELSE 0 END)"
+        for i, (_, cond) in enumerate(_fn_gates))
+    _fn_bits = ", ".join(
+        f"CAST((mask // {1 << i}) % 2 AS INT) AS pass_{name}"
+        for i, (name, _) in enumerate(_fn_gates))
+    gate_funnel_sql = f"""
+        WITH m AS (SELECT {_fn_mask} AS mask FROM documents)
+        SELECT CAST(mask AS BIGINT) AS mask, {_fn_bits},
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM m GROUP BY ALL
+    """
+
+    # recrawl-schedule oracle (q135): rebuild the hash-deterministic
+    # snapshot history, lag-compare fingerprints, integer MLE rate
+    _rc_rate = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="rate:")
+    _rc_chg = md5_int_sql("url || ':' || CAST(i AS VARCHAR)",
+                          salt="chg:")
+    recrawl_schedule_sql = f"""
+        WITH d AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                          5 + {_rc_rate} % 90 AS pct
+                   FROM documents),
+        s AS (SELECT url, pct, unnest(range(0, {RECRAWL_EPOCHS}))
+                  AS epoch
+              FROM d),
+        v AS (SELECT url, epoch,
+                     'v' || CAST(coalesce(list_sum(list_transform(
+                         range(1, epoch + 1),
+                         i -> CASE WHEN {_rc_chg} % 100 < pct
+                              THEN 1 ELSE 0 END)), 0) AS VARCHAR)
+                         AS fp
+              FROM s),
+        rd AS (SELECT url, fp,
+                      lag(fp) OVER (PARTITION BY url ORDER BY epoch)
+                          AS pfp
+               FROM v),
+        per AS (SELECT url, count(*) AS n_epochs,
+                       sum(CASE WHEN pfp IS NOT NULL AND fp <> pfp
+                                THEN 1 ELSE 0 END) AS n_changes
+                FROM rd GROUP BY 1),
+        r AS (SELECT *,
+                     CASE WHEN n_epochs > 1 THEN
+                          (n_changes * 1000000) // (n_epochs - 1)
+                          ELSE 0 END AS rate
+              FROM per)
+        SELECT url, CAST(n_epochs AS BIGINT) AS n_epochs,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CAST(rate AS BIGINT) AS change_rate_ppm,
+               CAST(CASE WHEN rate = 0 THEN 0
+                    ELSE length(bin(rate)) END AS INT)
+                   AS refresh_bucket
+        FROM r
+    """
+
     stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
     stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
     # shared context/stats CTE chain for q33/q34 (twin of
@@ -4109,6 +4253,8 @@ def oracle_sql() -> dict[str, str]:
         "q131_gate_kappa": gate_kappa_sql,
         "q132_vocab_head": vocab_head_sql,
         "q133_fetch_rounds": fetch_rounds_sql,
+        "q134_gate_funnel": gate_funnel_sql,
+        "q135_recrawl_schedule": recrawl_schedule_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

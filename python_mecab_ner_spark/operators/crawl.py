@@ -211,3 +211,50 @@ def fetch_rounds(urls: DataFrame, host_col: str = "host",
                  F.countDistinct("_h").cast("bigint").alias("n_hosts"),
                  F.min("_r").cast("bigint").alias("min_round"),
                  F.max("_r").cast("bigint").alias("max_round")))
+
+
+def change_rate_schedule(snaps: DataFrame, url_col: str = "url",
+                         epoch_col: str = "epoch",
+                         fp_col: str = "fp") -> DataFrame:
+    """Recrawl scheduling from snapshot history (the change-frequency
+    estimator of Cho & Garcia-Molina 2003 in its exact-integer MLE
+    form): given per-epoch content fingerprints of each url, count
+    observed change TRANSITIONS (fingerprint differs from the
+    previous epoch's) and estimate change_rate_ppm = changes * 1e6
+    div observed intervals — the number a crawler sorts by to decide
+    which pages to refresh first.  refresh_bucket = bit_length of the
+    rate collapses the schedule into ~20 priority classes (bucket 20
+    = changes every epoch, bucket 0 = never changed), the shape a
+    frontier queue actually consumes.
+
+    Returns per url: (url, n_epochs, n_changes, change_rate_ppm,
+    refresh_bucket).  All integers; urls observed once have 0
+    intervals and report rate 0 (no evidence, lowest priority — the
+    cold-start rule; a real scheduler seeds them via the host prior).
+
+    Scale shape: ONE window partitioned BY URL (each url's handful of
+    epochs sorts independently — url-parallel, never a global sort)
+    feeding ONE url-keyed combinable aggregate.  Snapshot history is
+    naturally epoch-partitioned on disk; the url shuffle is the only
+    exchange, and it is also the join key every downstream recrawl
+    step uses."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(F.col(epoch_col).asc())
+    prev = F.lag(F.col(fp_col)).over(w)
+    chg = (F.when(prev.isNull(), F.lit(0))
+           .otherwise((F.col(fp_col) != prev).cast("int")))
+    per = (snaps.select(F.col(url_col).alias("url"),
+                        chg.alias("_chg"))
+           .groupBy("url")
+           .agg(F.count("*").cast("bigint").alias("n_epochs"),
+                F.sum("_chg").cast("bigint").alias("n_changes")))
+    rate = F.expr("CASE WHEN n_epochs > 1 THEN "
+                  "(n_changes * 1000000) div (n_epochs - 1) "
+                  "ELSE 0 END").cast("bigint")
+    return (per.withColumn("change_rate_ppm", rate)
+            .withColumn("refresh_bucket",
+                        F.when(F.col("change_rate_ppm") == 0, F.lit(0))
+                        .otherwise(F.length(F.bin(
+                            F.col("change_rate_ppm"))))
+                        .cast("int")))

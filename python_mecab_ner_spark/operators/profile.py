@@ -164,3 +164,35 @@ def vocab_head_coverage(df: DataFrame, text_col: str,
                     "cum_cnt", "total_cnt",
                     F.expr("(cum_cnt * 1000000) div total_cnt")
                     .cast("bigint").alias("coverage_ppm")))
+
+
+def gate_funnel(df: DataFrame, gates: list) -> DataFrame:
+    """Filter-funnel / gate-overlap audit: given the corpus-cleaning
+    gates as named 0/1 conditions, count documents by the exact
+    COMBINATION of gates they pass — the upset-plot numbers behind
+    every dataset card's "we removed X% for quality, Y% for language"
+    table.  Marginals hide overlap (a doc failing both the language
+    and the quality gate is double-counted in per-gate kill rates);
+    the mask histogram is the exact joint distribution, from which
+    any marginal, any conditional kill rate, and the survivor count
+    (mask = all-ones) are derivable client-side.
+
+    `gates` is an ordered list of (name, Column) with boolean
+    Columns; gate i contributes bit 2^i to the mask.  Returns one row
+    per observed mask: (mask, pass_<name>... one 0/1 column per gate,
+    n_docs).  At most 2^len(gates) rows exist at ANY corpus size.
+
+    Scale shape: every gate is a row-local JVM expression, so the
+    whole audit is ONE map-side-combinable aggregate keyed by the
+    packed mask — a single scan, no window, no join; the result is
+    dimension-sized (<= 2^gates rows)."""
+    mask = F.lit(0).cast("bigint")
+    for i, (_, cond) in enumerate(gates):
+        mask = mask + cond.cast("bigint") * F.lit(1 << i)
+    agg = (df.select(mask.alias("mask"))
+           .groupBy("mask")
+           .agg(F.count("*").cast("bigint").alias("n_docs")))
+    bits = [F.expr(f"CAST((mask div {1 << i}) % 2 AS INT)")
+            .alias(f"pass_{name}") for i, (name, _) in enumerate(gates)]
+    return agg.select(F.col("mask").cast("bigint").alias("mask"),
+                      *bits, "n_docs")
