@@ -2110,6 +2110,81 @@ def q135_recrawl_schedule(spark, sf_dir):
     return change_rate_schedule(_snapshot_history(spark, sf_dir))
 
 
+TRUTH_SUBJECTS = 60
+TRUTH_VALS = 5
+
+
+def _claim_table(spark, sf_dir):
+    """Deterministic conflicting-claims table for q136: each doc
+    claims a value for one of 60 subjects; the true value is a hash
+    of the subject, and the claim is corrupted with a per-SOURCE
+    error rate (10..64%) — so sources genuinely differ in
+    reliability, which is what the trust-update round must recover.
+    Pure hash arithmetic, byte-identical DuckDB twin."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    d = _load(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    sid = md5_int(id_s, salt="subj:") % TRUTH_SUBJECTS
+    tv = md5_int(sid.cast("string"), salt="true:") % TRUTH_VALS
+    err_pct = F.lit(10) + md5_int(F.col("source"), salt="err:") % 55
+    wrong = (md5_int(id_s, salt="obs:") % 100) < err_pct
+    alt = (tv + 1 + md5_int(id_s, salt="alt:")
+           % (TRUTH_VALS - 1)) % TRUTH_VALS
+    return d.select("source", sid.alias("subj"),
+                    F.when(wrong, alt).otherwise(tv).alias("val"))
+
+
+def q136_truth_finding(spark, sf_dir):
+    """Truth-finding claim adjudication (operators.truth
+    .adjudicate_claims): majority vote per subject, Laplace-smoothed
+    per-source trust from agreement with that consensus, then ONE
+    trust-weighted revote (the first TruthFinder/Sums iteration) —
+    the conflict-resolution pass a Knowledge-Vault-style KG runs
+    before writing an edge.  All integer (trust in ppm, packed-
+    integer argmax); no window — every argmax is a combinable max."""
+    from python_mecab_ner_spark.operators.truth import adjudicate_claims
+    return adjudicate_claims(_claim_table(spark, sf_dir))
+
+
+REDIR_ROUNDS = 6   # pointer doubling covers chains up to 2^6 = 64 deep
+
+
+def _redirect_table(spark, sf_dir):
+    """Deterministic functional redirect graph for q137: 80% of doc
+    ids redirect 1..4 ids downward (hash-chosen hop — guarantees
+    acyclic chains terminating at a canonical node), plus one planted
+    3-cycle on negative ids (-1 -> -2 -> -3 -> -1) so the unresolved
+    path is exercised.  Byte-identical DuckDB twin."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    d = _load(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    is_redir = (md5_int(id_s, salt="redir:") % 5 < 4) \
+        & (F.col("doc_id") >= 1)
+    dst = (F.col("doc_id")
+           - (F.lit(1) + md5_int(id_s, salt="hop:")
+              % F.least(F.lit(4), F.col("doc_id"))))
+    redirects = (d.where(is_redir)
+                 .select(F.col("doc_id").cast("bigint").alias("src"),
+                         dst.cast("bigint").alias("dst")))
+    cycle = spark.createDataFrame([(-1, -2), (-2, -3), (-3, -1)],
+                                  "src bigint, dst bigint")
+    return redirects.unionByName(cycle)
+
+
+def q137_redirect_resolution(spark, sf_dir):
+    """Redirect/alias-chain flattening (operators.graph
+    .resolve_redirects): pointer doubling over a functional redirect
+    table — log2(depth) self-joins instead of depth sequential ones,
+    the canonicalization pass run over wiki-style redirect dumps and
+    the alias maps entity resolution emits.  The planted 3-cycle
+    surfaces as resolved = 0 with the deterministic
+    position-after-64-steps target; the DuckDB twin follows chains
+    with a depth-capped recursive CTE."""
+    from python_mecab_ner_spark.operators.graph import resolve_redirects
+    return resolve_redirects(_redirect_table(spark, sf_dir),
+                             rounds=REDIR_ROUNDS)
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -3260,6 +3335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_fetch_rounds": q133_fetch_rounds,
         "q134_gate_funnel": q134_gate_funnel,
         "q135_recrawl_schedule": q135_recrawl_schedule,
+        "q136_truth_finding": q136_truth_finding,
+        "q137_redirect_resolution": q137_redirect_resolution,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3854,6 +3931,93 @@ def oracle_sql() -> dict[str, str]:
         FROM r
     """
 
+    # truth-finding oracle (q136): rebuild the hash-deterministic
+    # claim table, then the vote -> trust -> weighted-revote chain
+    # with the same VAL_BASE packed argmax
+    from python_mecab_ner_spark.operators.truth import VAL_BASE as _VB
+    _tf_sid = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="subj:")
+    _tf_tv = (md5_int_sql(f"CAST(({_tf_sid} % {TRUTH_SUBJECTS}) "
+                          "AS VARCHAR)", salt="true:")
+              + f" % {TRUTH_VALS}")
+    _tf_err = "10 + " + md5_int_sql("source", salt="err:") + " % 55"
+    _tf_obs = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="obs:")
+    _tf_alt = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="alt:")
+    truth_finding_sql = f"""
+        WITH c AS (SELECT source,
+                          {_tf_sid} % {TRUTH_SUBJECTS} AS subj,
+                          CASE WHEN {_tf_obs} % 100 < ({_tf_err})
+                               THEN (({_tf_tv}) + 1
+                                     + {_tf_alt} % {TRUTH_VALS - 1})
+                                    % {TRUTH_VALS}
+                               ELSE ({_tf_tv}) END AS val
+                   FROM documents),
+        g AS (SELECT subj, val, source, count(*) AS cnt
+              FROM c GROUP BY 1, 2, 3),
+        sv AS (SELECT subj, val, sum(cnt) AS n FROM g GROUP BY 1, 2),
+        c0 AS (SELECT subj,
+                      {_VB - 1} - (max(n * {_VB} + ({_VB - 1} - val))
+                                   % {_VB}) AS naive_val
+               FROM sv GROUP BY 1),
+        tr AS (SELECT g.source,
+                      ((sum(CASE WHEN g.val = c0.naive_val
+                                 THEN cnt ELSE 0 END) + 1) * 1000000)
+                      // (sum(cnt) + 2) AS trust_ppm
+               FROM g JOIN c0 ON c0.subj = g.subj GROUP BY 1),
+        w AS (SELECT subj, val,
+                     sum(cnt * trust_ppm) AS score, sum(cnt) AS n
+              FROM g JOIN tr ON tr.source = g.source GROUP BY 1, 2),
+        o AS (SELECT subj,
+                     max(score * {_VB} + ({_VB - 1} - val)) AS p1,
+                     sum(score) AS total, sum(n) AS n_claims,
+                     count(*) AS n_vals
+              FROM w GROUP BY 1)
+        SELECT CAST(o.subj AS BIGINT) AS subj,
+               CAST(c0.naive_val AS BIGINT) AS naive_val,
+               CAST({_VB - 1} - (p1 % {_VB}) AS BIGINT) AS val,
+               CAST(n_claims AS BIGINT) AS n_claims,
+               CAST(n_vals AS BIGINT) AS n_vals,
+               CAST(((p1 // {_VB}) * 1000000) // total AS BIGINT)
+                   AS support_ppm
+        FROM o JOIN c0 ON c0.subj = o.subj
+    """
+
+    # redirect-resolution oracle (q137): same hash-built redirect
+    # table, chains followed one step at a time by a depth-capped
+    # recursive CTE; cap = 2^rounds matches the doubling horizon
+    _rr_cap = 1 << REDIR_ROUNDS
+    _rr_redir = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="redir:")
+    _rr_hop = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="hop:")
+    redirect_resolution_sql = f"""
+        WITH RECURSIVE r AS (
+            SELECT doc_id AS src,
+                   doc_id - (1 + {_rr_hop} % least(4, doc_id)) AS dst
+            FROM documents
+            WHERE doc_id >= 1 AND {_rr_redir} % 5 < 4
+            UNION ALL
+            SELECT * FROM (VALUES (-1, -2), (-2, -3), (-3, -1))
+                t(src, dst)
+        ),
+        walk(u, v, hops) AS (
+            SELECT src, dst, 1 FROM r
+            UNION ALL
+            SELECT w.u, r.dst, w.hops + 1
+            FROM walk w JOIN r ON r.src = w.v
+            WHERE w.hops < {_rr_cap}
+        ),
+        can AS (SELECT u, v, hops FROM walk
+                WHERE v NOT IN (SELECT src FROM r)),
+        unres AS (SELECT u, v, hops FROM walk
+                  WHERE hops = {_rr_cap}
+                    AND u NOT IN (SELECT u FROM can))
+        SELECT CAST(u AS BIGINT) AS src, CAST(v AS BIGINT) AS canonical,
+               CAST(hops AS BIGINT) AS hops, CAST(1 AS INT) AS resolved
+        FROM can
+        UNION ALL
+        SELECT CAST(u AS BIGINT), CAST(v AS BIGINT),
+               CAST(hops AS BIGINT), CAST(0 AS INT)
+        FROM unres
+    """
+
     stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
     stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
     # shared context/stats CTE chain for q33/q34 (twin of
@@ -4255,6 +4419,8 @@ def oracle_sql() -> dict[str, str]:
         "q133_fetch_rounds": fetch_rounds_sql,
         "q134_gate_funnel": gate_funnel_sql,
         "q135_recrawl_schedule": recrawl_schedule_sql,
+        "q136_truth_finding": truth_finding_sql,
+        "q137_redirect_resolution": redirect_resolution_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

@@ -64,3 +64,79 @@ def test_change_rate_schedule_epoch_order_not_arrival_order(spark):
     d = spark.createDataFrame(rows, "url string, epoch int, fp string")
     r = change_rate_schedule(d).collect()[0]
     assert (r.n_changes, r.change_rate_ppm) == (2, 1_000_000)
+
+
+def _claims_df(spark, rows):
+    return spark.createDataFrame(rows, "source string, subj int, val int")
+
+
+def test_adjudicate_claims_trust_flips_noisy_majority(spark):
+    from python_mecab_ner_spark.operators.truth import adjudicate_claims
+    # calibration subjects 1..10: A,B say 1 (majority), C says 2, D says 3
+    rows = []
+    for s in range(1, 11):
+        rows += [("A", s, 1), ("B", s, 1), ("C", s, 2), ("D", s, 3)]
+    # subject 99: reliable A says 7, noisy C and D both say 3
+    rows += [("A", 99, 7), ("C", 99, 3), ("D", 99, 3)]
+    out = adjudicate_claims(_claims_df(spark, rows))
+    got = {r.subj: r for r in out.collect()}
+    # trust_ppm: A=(10+1)e6/(11+2)=846153, C=D=(1+1)e6/(11+2)=153846
+    r99 = got[99]
+    assert r99.naive_val == 3          # raw majority (2 votes vs 1)
+    assert r99.val == 7                # trust-weighted rescue
+    assert (r99.n_claims, r99.n_vals) == (3, 2)
+    assert r99.support_ppm == (846153 * 1_000_000) // (846153 + 2 * 153846)
+    # calibration subjects keep the majority value
+    assert got[1].val == 1 and got[1].naive_val == 1
+    out.unpersist_input()
+
+
+def test_adjudicate_claims_deterministic_tie_breaks(spark):
+    from python_mecab_ner_spark.operators.truth import adjudicate_claims
+    # one claim each: naive tie -> smaller val wins; the tie-winner's
+    # source then earns higher trust (it "agrees" with consensus), so
+    # the weighted round confirms it with a >50% support share
+    rows = [("A", 1, 4), ("B", 1, 2)]
+    out = adjudicate_claims(_claims_df(spark, rows))
+    r = out.collect()[0]
+    assert r.naive_val == 2 and r.val == 2
+    assert r.n_claims == 2 and r.n_vals == 2
+    # trust: B=(1+1)e6/3=666666 (agrees), A=(0+1)e6/3=333333
+    assert r.support_ppm == (666666 * 1_000_000) // 999_999
+    out.unpersist_input()
+
+
+def test_resolve_redirects_chain_golden(spark):
+    from python_mecab_ner_spark.operators.graph import resolve_redirects
+    # chain 5 -> 4 -> 3 -> 0 (canonical), plus 9 -> 0 direct
+    r = spark.createDataFrame([(5, 4), (4, 3), (3, 0), (9, 0)],
+                              "src bigint, dst bigint")
+    got = {x.src: (x.canonical, x.hops, x.resolved)
+           for x in resolve_redirects(r, rounds=3).collect()}
+    assert got[5] == (0, 3, 1)
+    assert got[4] == (0, 2, 1)
+    assert got[3] == (0, 1, 1)
+    assert got[9] == (0, 1, 1)
+
+
+def test_resolve_redirects_cycle_flagged(spark):
+    from python_mecab_ner_spark.operators.graph import resolve_redirects
+    # 2-cycle 1 <-> 2; after 2^2 = 4 steps each node is back at its
+    # OWN position's target: 1 -> ... 4 hops -> 1
+    r = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    got = {x.src: (x.canonical, x.hops, x.resolved)
+           for x in resolve_redirects(r, rounds=2).collect()}
+    assert got[1] == (1, 4, 0)
+    assert got[2] == (2, 4, 0)
+
+
+def test_resolve_redirects_overdeep_chain_unresolved(spark):
+    from python_mecab_ner_spark.operators.graph import resolve_redirects
+    # chain of depth 6 with rounds=2 (horizon 4): lands mid-chain
+    r = spark.createDataFrame([(i, i - 1) for i in range(6, 0, -1)],
+                              "src bigint, dst bigint")
+    got = {x.src: (x.canonical, x.hops, x.resolved)
+           for x in resolve_redirects(r, rounds=2).collect()}
+    assert got[6] == (2, 4, 0)   # 4 of 6 steps taken, still a redirect
+    assert got[4] == (0, 4, 1)   # exactly at horizon -> resolved
+    assert got[3] == (0, 3, 1)
