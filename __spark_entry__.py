@@ -2185,6 +2185,77 @@ def q137_redirect_resolution(spark, sf_dir):
                              rounds=REDIR_ROUNDS)
 
 
+SKEW_CANDIDATES = (8, 32, 128)
+
+
+def q138_partition_skew(spark, sf_dir):
+    """Partition-skew planner (operators.profile.partition_skew): for
+    each candidate partition count, the max/min bucket load and
+    skew_ppm a hash partitioner on the chosen key would produce —
+    run on BOTH the skewed key (source: a handful of distinct values,
+    max bucket = a whole source) and the even key (doc_id), labelled
+    in one output.  The sheet that decides bucketing/salting before a
+    100 TB write; the candidate list rides as an exploded literal
+    dimension, one combinable agg per side."""
+    from python_mecab_ner_spark.operators.profile import partition_skew
+    d = _load(spark, sf_dir, "documents")
+    by_source = (partition_skew(d, "source", n_parts=SKEW_CANDIDATES)
+                 .withColumn("key_name", F.lit("source")))
+    by_id = (partition_skew(d, "doc_id", n_parts=SKEW_CANDIDATES)
+             .withColumn("key_name", F.lit("doc_id")))
+    return by_source.unionByName(by_id)
+
+
+def _c4_pages(spark, sf_dir):
+    """Deterministic line-structured pages for q139 (the corpus has
+    no newlines/punctuation, so — like q47's synthetic PII — the
+    page structure is injected by hash): 4-token lines, 3/4 of them
+    '.'-terminated, 1/7 prefixed with 'javascript ', 1/17 of pages
+    get a trailing 'lorem ipsum .' line.  Byte-identical DuckDB
+    twin; every C4 rule genuinely fires."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    d = _load(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                    r"\s+", " "), " ")
+
+    def build(t):
+        last = F.greatest(F.floor((F.size(t) - F.lit(1)) / F.lit(4)),
+                          F.lit(0)).cast("int")
+
+        def line(i):
+            key = F.concat(id_s, F.lit(":"), i.cast("string"))
+            pre = (F.when(md5_int(key, salt="js:") % 7 == 0,
+                          F.lit("javascript ")).otherwise(F.lit("")))
+            suf = (F.when(md5_int(key, salt="punct:") % 4 > 0,
+                          F.lit(".")).otherwise(F.lit("")))
+            return F.concat(pre,
+                            F.array_join(F.slice(t, i * 4 + 1, 4), " "),
+                            suf)
+
+        return F.array_join(
+            F.transform(F.sequence(F.lit(0), last), line), "\n")
+
+    page = TX._let(toks, build)
+    page = (F.when(md5_int(id_s, salt="lorem:") % 17 == 0,
+                   F.concat(page, F.lit("\nlorem ipsum .")))
+            .otherwise(page))
+    return d.select("doc_id", page.alias("page"))
+
+
+def q139_c4_line_rules(spark, sf_dir):
+    """C4 line-rule cleaning (functions.text.c4_line_stats, Raffel
+    et al. 2020 §2.2): per page, lines dropped for missing terminal
+    punctuation / too few words / 'javascript', the cleaned-page
+    fingerprint, and the page-level lorem-ipsum / min-kept drop flag.
+    Hierarchical attribution sums to n_lines; all rules are array
+    expressions in the scan stage (the pages table is persisted so
+    the hash-synthesized page column materializes once for the seven
+    output columns)."""
+    pages = _c4_pages(spark, sf_dir).persist()
+    return pages.select("doc_id", *TX.c4_line_stats(F.col("page")))
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -3042,6 +3113,45 @@ def kg_extracted_text(spark, sf_dir):
         "url", md5_int(F.col("extracted_text")).alias("etext_fp"))
 
 
+def kg_truth_triples(spark, sf_dir):
+    """Truth finding over the REAL extracted KG (operators.truth
+    .adjudicate_claims on g["triples"]): the corpus genuinely emits
+    conflicting (subj, pred) -> obj claims across pages (43
+    conflicting pairs at the test corpus size), with the claiming
+    page's HOST as the source whose trust the update round learns.
+    Objects are dictionary-encoded to dense ids (tiny dim — the only
+    window is over the distinct-obj dimension) and decoded back after
+    adjudication.  Rows-only (the extraction isn't SQL-expressible);
+    pinned by an exact pure-python recomputation in
+    tests/test_corpus_ops_round3g.py."""
+    from pyspark.sql import Window
+
+    from python_mecab_ner_spark.operators.truth import adjudicate_claims
+    g = _kg_graph(spark)
+    t = g["triples"]
+    obj_dim = (t.select("obj").distinct()
+               .withColumn("val", F.row_number()
+                           .over(Window.orderBy("obj")).cast("bigint")))
+    claims = (t.select(
+        F.regexp_extract("url", r"^https?://([^/]+)/", 1)
+        .alias("source"),
+        F.concat_ws("\x1f", "subj", "pred").alias("subj"), "obj")
+        .join(F.broadcast(obj_dim), "obj"))
+    adj = adjudicate_claims(claims)
+    dec = obj_dim.select(F.col("val"), F.col("obj").alias("obj_won"))
+    nai = obj_dim.select(F.col("val").alias("naive_val"),
+                         F.col("obj").alias("obj_naive"))
+    out = (adj.join(F.broadcast(dec), "val")
+           .join(F.broadcast(nai), "naive_val"))
+    res = out.select(
+        F.split(F.col("subj"), "\x1f")[0].alias("subj"),
+        F.split(F.col("subj"), "\x1f")[1].alias("pred"),
+        F.col("obj_naive"), F.col("obj_won"),
+        "n_claims", "n_vals", "support_ppm")
+    res.unpersist_input = adj.unpersist_input
+    return res
+
+
 def kg_html_text(spark, sf_dir):
     """WET-style text extraction from the raw html (functions/text.py
     ::html_to_text): per-url fingerprint of the extracted text — the
@@ -3337,6 +3447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_recrawl_schedule": q135_recrawl_schedule,
         "q136_truth_finding": q136_truth_finding,
         "q137_redirect_resolution": q137_redirect_resolution,
+        "q138_partition_skew": q138_partition_skew,
+        "q139_c4_line_rules": q139_c4_line_rules,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -3357,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_cooc": kg_entity_cooc,
         "kg_host_cocitation": kg_host_cocitation,
         "kg_html_text": kg_html_text,
+        "kg_truth_triples": kg_truth_triples,
     }
 
 
@@ -4018,6 +4131,70 @@ def oracle_sql() -> dict[str, str]:
         FROM unres
     """
 
+    # partition-skew oracle (q138): same md5 bucketing over both key
+    # choices, candidate counts as a VALUES dimension
+    _ps_cand = ", ".join(f"({n})" for n in SKEW_CANDIDATES)
+    _ps_h = md5_int_sql("key", salt="part:")
+    partition_skew_sql = f"""
+        WITH cand(n_parts) AS (VALUES {_ps_cand}),
+        k AS (SELECT 'source' AS key_name, source AS key
+              FROM documents
+              UNION ALL
+              SELECT 'doc_id', CAST(doc_id AS VARCHAR)
+              FROM documents),
+        b AS (SELECT key_name, n_parts, {_ps_h} % n_parts AS bucket
+              FROM k CROSS JOIN cand),
+        per AS (SELECT key_name, n_parts, bucket, count(*) AS n_rows
+                FROM b GROUP BY 1, 2, 3),
+        o AS (SELECT key_name, n_parts, sum(n_rows) AS total_rows,
+                     count(*) AS n_nonempty, max(n_rows) AS max_bucket,
+                     min(n_rows) AS min_bucket
+              FROM per GROUP BY 1, 2)
+        SELECT CAST(n_parts AS INT) AS n_parts,
+               CAST(total_rows AS BIGINT) AS total_rows,
+               CAST(n_nonempty AS BIGINT) AS n_nonempty,
+               CAST(n_parts - n_nonempty AS BIGINT) AS n_empty,
+               CAST(max_bucket AS BIGINT) AS max_bucket,
+               CAST(min_bucket AS BIGINT) AS min_bucket,
+               CAST((max_bucket * n_parts * 1000000) // total_rows
+                    AS BIGINT) AS skew_ppm,
+               key_name
+        FROM o
+    """
+
+    # C4 line-rules oracle (q139): rebuild the hash-synthesized pages,
+    # then the same rule columns via the c4_line_stats_sql twin
+    _c4_key = "CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)"
+    _c4_js = md5_int_sql(_c4_key, salt="js:")
+    _c4_punct = md5_int_sql(_c4_key, salt="punct:")
+    _c4_lorem = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="lorem:")
+    _c4_cols = ", ".join(f"{sql} AS {name}" for sql, name
+                         in TX.c4_line_stats_sql("page"))
+    c4_line_rules_sql = f"""
+        WITH t AS (SELECT doc_id,
+                          regexp_split_to_array(regexp_replace(
+                              lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ') AS w
+                   FROM documents),
+        l AS (SELECT doc_id, array_to_string(list_transform(
+                  range(0, greatest((len(w) - 1) // 4, 0) + 1),
+                  i -> (CASE WHEN {_c4_js} % 7 = 0
+                             THEN 'javascript ' ELSE '' END)
+                       || array_to_string(
+                              w[i * 4 + 1 : least(i * 4 + 4, len(w))],
+                              ' ')
+                       || (CASE WHEN {_c4_punct} % 4 > 0
+                                THEN '.' ELSE '' END)), chr(10))
+                  AS page0
+              FROM t),
+        p AS (SELECT doc_id,
+                     CASE WHEN {_c4_lorem} % 17 = 0
+                          THEN page0 || chr(10) || 'lorem ipsum .'
+                          ELSE page0 END AS page
+              FROM l)
+        SELECT doc_id, {_c4_cols} FROM p
+    """
+
     stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
     stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
     # shared context/stats CTE chain for q33/q34 (twin of
@@ -4421,6 +4598,8 @@ def oracle_sql() -> dict[str, str]:
         "q135_recrawl_schedule": recrawl_schedule_sql,
         "q136_truth_finding": truth_finding_sql,
         "q137_redirect_resolution": redirect_resolution_sql,
+        "q138_partition_skew": partition_skew_sql,
+        "q139_c4_line_rules": c4_line_rules_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

@@ -448,3 +448,99 @@ def blocklist_phrase_counts_sql(expr: str,
                f"'{lit}', ''))) / {len(needle)} AS BIGINT)")
         out.append((cnt, "bl_" + p.replace(" ", "_")))
     return out
+
+
+# ---- C4 line-rule cleaning -------------------------------------------------
+# The line-level heuristics of C4 (Raffel et al. 2020 §2.2): keep only
+# lines ending in terminal punctuation, with enough words, and without
+# the word "javascript"; drop the whole page on "lorem ipsum" or too
+# few surviving lines.  All pure array/string expressions (each output
+# column _let-binds the line array once — no per-element re-eval of
+# the split), so the rules run inside the scan stage like every other
+# quality gate.
+
+C4_MIN_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_stats(col, min_words: int = C4_MIN_WORDS,
+                  min_kept: int = C4_MIN_KEPT_LINES) -> list:
+    """Per-page C4 line-rule outcome columns: (n_lines, n_kept,
+    n_drop_punct, n_drop_short, n_drop_js, clean_fp, page_drop).
+    Drop attribution is hierarchical (punctuation first, then word
+    count, then javascript) so the three counters + n_kept always sum
+    to n_lines.  clean_fp = md5 of the kept lines re-joined — the
+    dedup key of the CLEANED page."""
+    def punct_ok(t):
+        return F.trim(t).rlike('[.!?"]$')
+
+    def wc(t):
+        return F.size(F.filter(F.split(F.trim(t), " "),
+                               lambda w: w != ""))
+
+    def is_js(t):
+        return F.lower(t).contains("javascript")
+
+    def keep(t):
+        return punct_ok(t) & (wc(t) >= min_words) & ~is_js(t)
+
+    lines = F.split(col, "\n")
+
+    def stat(body, name):
+        return _let(lines, body).cast("bigint").alias(name)
+
+    kept_text = _let(lines, lambda ls: F.array_join(
+        F.filter(ls, keep), "\n"))
+    n_kept_expr = _let(lines, lambda ls: F.size(F.filter(ls, keep)))
+    page_drop = (F.lower(col).contains("lorem ipsum")
+                 | (n_kept_expr < min_kept)).cast("int")
+    return [
+        stat(lambda ls: F.size(ls), "n_lines"),
+        stat(lambda ls: F.size(F.filter(ls, keep)), "n_kept"),
+        stat(lambda ls: F.size(F.filter(
+            ls, lambda t: ~punct_ok(t))), "n_drop_punct"),
+        stat(lambda ls: F.size(F.filter(
+            ls, lambda t: punct_ok(t) & (wc(t) < min_words))),
+            "n_drop_short"),
+        stat(lambda ls: F.size(F.filter(
+            ls, lambda t: punct_ok(t) & (wc(t) >= min_words)
+            & is_js(t))), "n_drop_js"),
+        F.md5(kept_text).alias("clean_fp"),
+        page_drop.alias("page_drop"),
+    ]
+
+
+def c4_line_stats_sql(expr: str, min_words: int = C4_MIN_WORDS,
+                      min_kept: int = C4_MIN_KEPT_LINES) -> list:
+    """DuckDB twin of c4_line_stats (same rules, same hierarchy, same
+    md5-of-kept fingerprint).  Returns (sql, name) pairs."""
+    ls = f"string_split({expr}, chr(10))"
+    punct = "regexp_matches(trim({t}), '[.!?\"]$')"
+    wcnt = ("len(list_filter(string_split(trim({t}), ' '), "
+            "w -> w <> ''))")
+    js = "contains(lower({t}), 'javascript')"
+    keep = (f"({punct} AND {wcnt} >= {min_words} AND NOT {js})"
+            .replace("{t}", "t"))
+    kept = f"list_filter({ls}, t -> {keep})"
+    out = [
+        (f"CAST(len({ls}) AS BIGINT)", "n_lines"),
+        (f"CAST(len({kept}) AS BIGINT)", "n_kept"),
+        (f"CAST(len(list_filter({ls}, t -> NOT "
+         + punct.replace("{t}", "t") + ")) AS BIGINT)", "n_drop_punct"),
+        (f"CAST(len(list_filter({ls}, t -> "
+         + punct.replace("{t}", "t") + " AND "
+         + wcnt.replace("{t}", "t") + f" < {min_words})) AS BIGINT)",
+         "n_drop_short"),
+        (f"CAST(len(list_filter({ls}, t -> "
+         + punct.replace("{t}", "t") + " AND "
+         + wcnt.replace("{t}", "t") + f" >= {min_words} AND "
+         + js.replace("{t}", "t") + ")) AS BIGINT)", "n_drop_js"),
+        # coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+        # Spark's array_join is '' — md5('') must match
+        (f"md5(coalesce(array_to_string({kept}, chr(10)), ''))",
+         "clean_fp"),
+        (f"CAST(CASE WHEN contains(lower({expr}), 'lorem ipsum') "
+         f"OR len({kept}) < {min_kept} THEN 1 ELSE 0 END AS INT)",
+         "page_drop"),
+    ]
+    return out

@@ -196,3 +196,52 @@ def gate_funnel(df: DataFrame, gates: list) -> DataFrame:
             .alias(f"pass_{name}") for i, (name, _) in enumerate(gates)]
     return agg.select(F.col("mask").cast("bigint").alias("mask"),
                       *bits, "n_docs")
+
+
+def partition_skew(df: DataFrame, key_col: str,
+                   n_parts: tuple = (8, 32, 128),
+                   salt: str = "part:") -> DataFrame:
+    """Partition-skew planner: for each candidate partition count,
+    hash the key column into buckets and report how uneven the load
+    would be — the sheet read BEFORE picking a partitioner /
+    bucketing scheme for a 100 TB write or join (a key whose max
+    bucket holds 40% of rows at n=128 will straggle a 128-task
+    stage no matter what the cluster looks like).
+
+    skew_ppm = max_bucket * n_parts * 1e6 div total: 1e6 = perfectly
+    even, n_parts*1e6 = everything in one bucket.  The bucket hash is
+    the house md5 (cross-engine exact), NOT Spark's internal hash —
+    the audit is about the KEY DISTRIBUTION, which any decent hash
+    exposes identically.
+
+    Returns per candidate: (n_parts, total_rows, n_nonempty, n_empty,
+    max_bucket, min_bucket) + skew_ppm.  All integers.
+
+    Scale shape: the candidate list rides in as an exploded literal
+    dimension (|candidates| copies of the scan in ONE narrow stage),
+    then a (n_parts, bucket)-keyed combinable aggregate — at most
+    sum(n_parts) groups — and a candidate-keyed rollup.  No window,
+    no sort."""
+    from ..functions.hashing import md5_int
+    cand = F.array(*[F.lit(int(n)) for n in n_parts])
+    b = df.select(
+        F.explode(cand).alias("n_parts"),
+        md5_int(F.col(key_col).cast("string"), salt=salt)
+        .alias("_h"))
+    per = (b.select("n_parts", (F.col("_h") % F.col("n_parts"))
+                    .alias("bucket"))
+           .groupBy("n_parts", "bucket")
+           .agg(F.count("*").cast("bigint").alias("n_rows")))
+    out = (per.groupBy("n_parts")
+           .agg(F.sum("n_rows").cast("bigint").alias("total_rows"),
+                F.count("*").cast("bigint").alias("n_nonempty"),
+                F.max("n_rows").cast("bigint").alias("max_bucket"),
+                F.min("n_rows").cast("bigint").alias("min_bucket")))
+    return out.select(
+        F.col("n_parts").cast("int").alias("n_parts"),
+        "total_rows", "n_nonempty",
+        (F.col("n_parts") - F.col("n_nonempty")).cast("bigint")
+        .alias("n_empty"),
+        "max_bucket", "min_bucket",
+        F.expr("(max_bucket * n_parts * 1000000) div total_rows")
+        .cast("bigint").alias("skew_ppm"))

@@ -101,7 +101,7 @@ def adjudicate_claims(claims: DataFrame, subj_col: str = "subj",
                               + ") * 1000000) div _total")
                        .cast("bigint")))
     res = (out.join(c0, "subj")
-           .select(F.col("subj").cast("bigint").alias("subj"),
+           .select("subj",   # caller's subject type, passed through
                    F.col("naive_val").cast("bigint").alias("naive_val"),
                    "val", "n_claims", "n_vals", "support_ppm"))
     res.unpersist_input = g.unpersist

@@ -140,3 +140,117 @@ def test_resolve_redirects_overdeep_chain_unresolved(spark):
     assert got[6] == (2, 4, 0)   # 4 of 6 steps taken, still a redirect
     assert got[4] == (0, 4, 1)   # exactly at horizon -> resolved
     assert got[3] == (0, 3, 1)
+
+
+def test_partition_skew_golden(spark):
+    from python_mecab_ner_spark.operators.profile import partition_skew
+    # constant key: everything lands in one bucket at any n
+    d = spark.createDataFrame([("k",)] * 12, "key string")
+    got = {r.n_parts: (r.total_rows, r.n_nonempty, r.n_empty,
+                       r.max_bucket, r.min_bucket, r.skew_ppm)
+           for r in partition_skew(d, "key", n_parts=(4, 8)).collect()}
+    assert got[4] == (12, 1, 3, 12, 12, 4_000_000)
+    assert got[8] == (12, 1, 7, 12, 12, 8_000_000)
+
+
+def test_partition_skew_even_key_near_uniform(spark):
+    from python_mecab_ner_spark.operators.profile import partition_skew
+    d = spark.createDataFrame([(i,) for i in range(4000)], "k bigint")
+    r = {x.n_parts: x for x in
+         partition_skew(d, "k", n_parts=(8,)).collect()}[8]
+    assert r.n_nonempty == 8 and r.total_rows == 4000
+    # md5 is a good hash: max bucket within 25% of even on 4k keys
+    assert r.skew_ppm < 1_250_000
+
+
+def test_c4_line_stats_golden(spark):
+    from python_mecab_ner_spark.functions.text import c4_line_stats
+    page = "\n".join([
+        "good solid line here.",      # kept
+        "no terminal punctuation",    # drop: punct
+        "too short.",                 # drop: short (2 words)
+        "javascript alert is bad.",   # drop: js
+        "Ends with question mark?",   # kept
+    ])
+    d = spark.createDataFrame([(1, page)], "doc_id int, page string")
+    r = d.select(*c4_line_stats(F.col("page"))).collect()[0]
+    assert (r.n_lines, r.n_kept) == (5, 2)
+    assert (r.n_drop_punct, r.n_drop_short, r.n_drop_js) == (1, 1, 1)
+    assert r.n_kept + r.n_drop_punct + r.n_drop_short + r.n_drop_js \
+        == r.n_lines
+    assert r.page_drop == 1   # n_kept 2 < min_kept 3
+
+
+def test_c4_line_stats_page_level_lorem_and_empty(spark):
+    from python_mecab_ner_spark.functions.text import c4_line_stats
+    import hashlib
+    rows = [(1, "one fine line right here.\nsecond fine line is good."
+                "\nthird fine line stays too.\nLorem Ipsum dolor sit."),
+            (2, "no punct at all")]
+    d = spark.createDataFrame(rows, "doc_id int, page string")
+    got = {r.doc_id: r for r in
+           d.select("doc_id", *c4_line_stats(F.col("page"))).collect()}
+    assert got[1].n_kept == 4 and got[1].page_drop == 1  # lorem ipsum
+    assert got[2].n_kept == 0 and got[2].page_drop == 1
+    assert got[2].clean_fp == hashlib.md5(b"").hexdigest()
+
+
+def test_kg_truth_triples_matches_python_recompute(spark):
+    """Exact pure-python twin of kg_truth_triples over the REAL
+    extracted triples (the kg_entity_reach cross-check pattern):
+    same dictionary encoding, same packed-integer argmaxes, same
+    Laplace trust — every output row must match."""
+    import re
+    from collections import Counter, defaultdict
+
+    import __spark_entry__ as e
+    from python_mecab_ner_spark.operators.truth import VAL_BASE
+
+    g = e._kg_graph(spark)
+    triples = g["triples"].select("url", "subj", "pred", "obj").collect()
+    vals = {o: i + 1 for i, o in
+            enumerate(sorted({r.obj for r in triples}))}
+    rev = {v: o for o, v in vals.items()}
+    cnt = Counter()
+    for r in triples:
+        host = re.match(r"^https?://([^/]+)/", r.url).group(1)
+        cnt[((r.subj, r.pred), vals[r.obj], host)] += 1
+
+    def argmax(pairs):  # [(score, val)] -> packed argmax val, score
+        p = max(s * VAL_BASE + (VAL_BASE - 1 - v) for s, v in pairs)
+        return VAL_BASE - 1 - p % VAL_BASE, p // VAL_BASE
+
+    sv, per_src, per_src_agree = Counter(), Counter(), Counter()
+    for (subj, val, src), c in cnt.items():
+        sv[(subj, val)] += c
+    naive = {}
+    for subj in {s for s, _ in sv}:
+        naive[subj], _ = argmax([(n, v) for (s, v), n in sv.items()
+                                 if s == subj])
+    for (subj, val, src), c in cnt.items():
+        per_src[src] += c
+        if val == naive[subj]:
+            per_src_agree[src] += c
+    trust = {s: ((per_src_agree[s] + 1) * 1_000_000)
+             // (per_src[s] + 2) for s in per_src}
+    w, n_tot, n_vals = Counter(), Counter(), Counter()
+    for (subj, val, src), c in cnt.items():
+        w[(subj, val)] += c * trust[src]
+        n_tot[subj] += c
+    expected = {}
+    for subj in naive:
+        scored = [(sc, v) for (s, v), sc in w.items() if s == subj]
+        win, best = argmax(scored)
+        total = sum(sc for sc, _ in scored)
+        expected[subj] = (rev[naive[subj]], rev[win], n_tot[subj],
+                          len(scored), (best * 1_000_000) // total)
+
+    out = e.kg_truth_triples(spark, "unused")
+    got = {(r.subj, r.pred): (r.obj_naive, r.obj_won, r.n_claims,
+                              r.n_vals, r.support_ppm)
+           for r in out.collect()}
+    assert got == expected
+    assert len(got) > 50          # real corpus: many adjudicated pairs
+    # the corpus genuinely contains conflicts
+    assert any(v[3] > 1 for v in got.values())
+    out.unpersist_input()
