@@ -2256,6 +2256,119 @@ def q139_c4_line_rules(spark, sf_dir):
     return pages.select("doc_id", *TX.c4_line_stats(F.col("page")))
 
 
+def _ontology_triples(spark, sf_dir):
+    """Deterministic typed triple table for the schema-induction suite
+    (q140-q142), planted so every induced statistic is non-trivial:
+    made_by/makes are exact inverses (jaccard_ppm = 1e6), in_nation is
+    a true function of its subject (func_ppm = 1e6), ordered is
+    many-many, linked has a parity-mixed domain (part vs supplier
+    subjects).  Node ids are typed by last digit: key*10 + {0 part,
+    1 supplier, 2 customer, 3 nation}.  Byte-identical DuckDB twin."""
+    li = _load(spark, sf_dir, "lineitem")
+    su = _load(spark, sf_dir, "supplier")
+    od = _load(spark, sf_dir, "orders")
+    ps = li.select((F.col("l_partkey") * 10).alias("p"),
+                   (F.col("l_suppkey") * 10 + 1).alias("s")).distinct()
+
+    def row(pred, subj, obj):
+        return (F.lit(pred).alias("pred"),
+                subj.cast("bigint").alias("subj"),
+                obj.cast("bigint").alias("obj"))
+
+    made_by = ps.select(*row("made_by", F.col("p"), F.col("s")))
+    makes = ps.select(*row("makes", F.col("s"), F.col("p")))
+    in_nation = su.select(*row("in_nation",
+                               F.col("s_suppkey") * 10 + 1,
+                               F.col("s_nationkey") * 10 + 3))
+    ordered = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+               .select(*row("ordered", F.col("o_custkey") * 10 + 2,
+                            F.col("l_partkey") * 10)))
+    linked = li.select(*row(
+        "linked",
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("l_partkey") * 10)
+        .otherwise(F.col("l_suppkey") * 10 + 1),
+        (F.col("l_suppkey") % 25) * 10 + 3))
+    return (made_by.unionByName(makes).unionByName(in_nation)
+            .unionByName(ordered).unionByName(linked))
+
+
+def _ontology_types(spark, sf_dir):
+    """Entity-type dimension for q141: node id -> type name, from the
+    four dimension tables (same typed-id encoding as
+    _ontology_triples)."""
+    def side(tbl, key, name):
+        return (_load(spark, sf_dir, tbl)
+                .select((F.col(key) * 10
+                         + {"part": 0, "supplier": 1,
+                            "customer": 2, "nation": 3}[name])
+                        .cast("bigint").alias("node"),
+                        F.lit(name).alias("type")))
+    return (side("part", "p_partkey", "part")
+            .unionByName(side("supplier", "s_suppkey", "supplier"))
+            .unionByName(side("customer", "c_custkey", "customer"))
+            .unionByName(side("nation", "n_nationkey", "nation")))
+
+
+def q140_pred_functionality(spark, sf_dir):
+    """PARIS predicate functionality (operators.ontology
+    .predicate_functionality): per predicate, distinct-pair / subject
+    / object counts and functionality + inverse functionality in ppm
+    — the alias-merge-safety and truth-finding-eligibility sheet a KG
+    builder computes before fusing extractors.  One aggregate over the
+    distinct pair set; the planted in_nation row pins func_ppm = 1e6
+    and made_by/ordered pin the many-valued cases."""
+    from python_mecab_ner_spark.operators.ontology import (
+        predicate_functionality)
+    return predicate_functionality(_ontology_triples(spark, sf_dir))
+
+
+def q141_domain_range(spark, sf_dir):
+    """Domain/range type-constraint induction (operators.ontology
+    .domain_range): per predicate the modal subject and object type
+    with ppm support, from a broadcast entity-type dimension —
+    Knowledge-Vault-style constraints extraction validators check new
+    triples against.  The parity-mixed 'linked' predicate pins a
+    split domain (support < 1e6; the split is distinct-PAIR-weighted,
+    so the 20x part/supplier cardinality gap dominates the raw-row
+    parity); the lexicographic tie-break is pinned by unit test."""
+    from python_mecab_ner_spark.operators.ontology import domain_range
+    return domain_range(_ontology_triples(spark, sf_dir),
+                        _ontology_types(spark, sf_dir))
+
+
+def q142_inverse_preds(spark, sf_dir):
+    """Inverse-predicate detection (operators.ontology
+    .inverse_predicates): predicate pairs whose directed pair sets
+    mirror each other, scored by exact Jaccard in ppm over the
+    reversed-pair hash join (co-partitioned on the pair key, never
+    predicate-cross-product).  made_by/makes pins the perfect inverse
+    at 1e6; p == q rows flag symmetric predicates."""
+    from python_mecab_ner_spark.operators.ontology import (
+        inverse_predicates)
+    return inverse_predicates(_ontology_triples(spark, sf_dir))
+
+
+def q143_mix_weights(spark, sf_dir):
+    """Temperature-smoothed source mixture weights (operators.sample
+    .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
+    natural vs smoothed per-source sampling shares plus the boost
+    factor, all integer ppm via the exact-isqrt ladder — the mixture
+    sheet a data loader consumes, complementing q78's cap-based
+    mixing.  The testdata's real sources are deliberately uniform
+    (20 x 25 docs), so the strata here are Zipf-like size classes
+    (bit-length of doc_id: 1, 2, 4, ... docs) — boost_ppm genuinely
+    spreads above/below 1e6 and the isqrt ladder runs on non-squares;
+    production callers pass the real source column."""
+    from python_mecab_ner_spark.operators.sample import (
+        temperature_mix_weights)
+    d = _load(spark, sf_dir, "documents")
+    classes = d.select(
+        F.concat(F.lit("c"),
+                 F.length(F.bin(F.col("doc_id").cast("bigint")))
+                 .cast("string")).alias("source"))
+    return temperature_mix_weights(classes)
+
+
 BM25_TERMS = ["spark", "query", "hash"]   # deterministic query bag
 PACK_BUDGET = 512                         # tokens per training sequence
 PACK_BUCKETS = 16
@@ -3152,6 +3265,21 @@ def kg_truth_triples(spark, sf_dir):
     return res
 
 
+def kg_schema_stats(spark, sf_dir):
+    """PARIS functionality over the REAL extracted KG
+    (operators.ontology.predicate_functionality on g["triples"]):
+    the per-predicate functionality / inverse-functionality sheet of
+    the corpus KG — the statistic that decides which extracted
+    predicates may drive alias merges (inverse-functional) and which
+    are eligible for q136-style single-value adjudication.  Rows-only
+    (extraction isn't SQL-expressible); the operator itself is
+    hash-certified by q140 on the synthetic typed triple table."""
+    from python_mecab_ner_spark.operators.ontology import (
+        predicate_functionality)
+    g = _kg_graph(spark)
+    return predicate_functionality(g["triples"])
+
+
 def kg_html_text(spark, sf_dir):
     """WET-style text extraction from the raw html (functions/text.py
     ::html_to_text): per-url fingerprint of the extracted text — the
@@ -3449,7 +3577,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_redirect_resolution": q137_redirect_resolution,
         "q138_partition_skew": q138_partition_skew,
         "q139_c4_line_rules": q139_c4_line_rules,
+        "q140_pred_functionality": q140_pred_functionality,
+        "q141_domain_range": q141_domain_range,
+        "q142_inverse_preds": q142_inverse_preds,
+        "q143_mix_weights": q143_mix_weights,
         "kg_triples_by_pred": kg_triples_by_pred,
+        "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
         "kg_edges_by_pred": kg_edges_by_pred,
@@ -4195,6 +4328,116 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_c4_cols} FROM p
     """
 
+    # schema-induction oracles (q140-q142): the typed triple CTE is the
+    # byte-identical twin of _ontology_triples / _ontology_types
+    _tri_cte = """
+        ps AS (SELECT DISTINCT l_partkey * 10 AS p,
+                               l_suppkey * 10 + 1 AS s FROM lineitem),
+        tri AS (
+            SELECT 'made_by' AS pred, p AS subj, s AS obj FROM ps
+            UNION ALL SELECT 'makes', s, p FROM ps
+            UNION ALL SELECT 'in_nation', s_suppkey * 10 + 1,
+                             s_nationkey * 10 + 3 FROM supplier
+            UNION ALL SELECT 'ordered', o_custkey * 10 + 2,
+                             l_partkey * 10
+                      FROM lineitem
+                      JOIN orders ON l_orderkey = o_orderkey
+            UNION ALL SELECT 'linked',
+                             CASE WHEN l_linenumber % 2 = 1
+                                  THEN l_partkey * 10
+                                  ELSE l_suppkey * 10 + 1 END,
+                             (l_suppkey % 25) * 10 + 3
+                      FROM lineitem),
+        pairs AS (SELECT DISTINCT pred, subj, obj FROM tri)
+    """
+    pred_functionality_sql = f"""
+        WITH {_tri_cte},
+        a AS (SELECT pred, count(*) AS n_pairs,
+                     count(DISTINCT subj) AS n_subj,
+                     count(DISTINCT obj) AS n_obj
+              FROM pairs GROUP BY 1)
+        SELECT pred, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(n_subj AS BIGINT) AS n_subj,
+               CAST(n_obj AS BIGINT) AS n_obj,
+               CAST((n_subj * 1000000) // n_pairs AS BIGINT)
+                   AS func_ppm,
+               CAST((n_obj * 1000000) // n_pairs AS BIGINT)
+                   AS inv_func_ppm
+        FROM a
+    """
+    _types_cte = """
+        types AS (
+            SELECT p_partkey * 10 AS node, 'part' AS type FROM part
+            UNION ALL SELECT s_suppkey * 10 + 1, 'supplier'
+                      FROM supplier
+            UNION ALL SELECT c_custkey * 10 + 2, 'customer'
+                      FROM customer
+            UNION ALL SELECT n_nationkey * 10 + 3, 'nation' FROM nation)
+    """
+    _modal_cte = """
+        {side}c AS (SELECT pred, type, count(*) AS cnt
+               FROM pairs JOIN types ON {col} = node GROUP BY 1, 2),
+        {side}t AS (SELECT pred, max(cnt) AS top_cnt,
+                           sum(cnt) AS n_typed
+                    FROM {side}c GROUP BY 1),
+        {side}w AS (SELECT c.pred, min(type) AS {side}_type,
+                           max(top_cnt) AS top,
+                           max(n_typed) AS n_typed
+                    FROM {side}c c JOIN {side}t t
+                      ON t.pred = c.pred AND cnt = top_cnt
+                    GROUP BY 1)
+    """
+    domain_range_sql = f"""
+        WITH {_tri_cte}, {_types_cte},
+        {_modal_cte.format(side='domain', col='subj').strip().strip(',')},
+        {_modal_cte.format(side='range', col='obj').strip().strip(',')}
+        SELECT d.pred, d.domain_type,
+               CAST(d.n_typed AS BIGINT) AS n_domain_typed,
+               CAST((d.top * 1000000) // d.n_typed AS BIGINT)
+                   AS domain_ppm,
+               r.range_type,
+               CAST(r.n_typed AS BIGINT) AS n_range_typed,
+               CAST((r.top * 1000000) // r.n_typed AS BIGINT)
+                   AS range_ppm
+        FROM domainw d JOIN rangew r ON r.pred = d.pred
+    """
+    inverse_preds_sql = f"""
+        WITH {_tri_cte},
+        np AS (SELECT pred, count(*) AS n FROM pairs GROUP BY 1),
+        inter AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                         count(*) AS n_inter
+                  FROM pairs a JOIN pairs b
+                    ON a.subj = b.obj AND a.obj = b.subj
+                   AND a.pred <= b.pred
+                  GROUP BY 1, 2)
+        SELECT pred_a, pred_b, CAST(n_inter AS BIGINT) AS n_inter,
+               CAST((n_inter * 1000000)
+                    // (na.n + nb.n - n_inter) AS BIGINT) AS jaccard_ppm
+        FROM inter
+        JOIN np na ON na.pred = pred_a
+        JOIN np nb ON nb.pred = pred_b
+    """
+    from python_mecab_ner_spark.operators.sample import isqrt_sql
+    mix_weights_sql = f"""
+        WITH c AS (SELECT 'c' || CAST(length(bin(CAST(doc_id AS BIGINT)))
+                                      AS VARCHAR) AS source,
+                          count(*) AS n_docs
+                   FROM documents GROUP BY 1),
+        s AS (SELECT source, n_docs,
+                     {isqrt_sql('n_docs')} AS sq FROM c),
+        t AS (SELECT sum(n_docs) AS total, sum(sq) AS sq_total FROM s),
+        w AS (SELECT source, n_docs,
+                     (n_docs * 1000000) // total AS nat_ppm,
+                     (sq * 1000000) // sq_total AS w_ppm
+              FROM s CROSS JOIN t)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(nat_ppm AS BIGINT) AS nat_ppm,
+               CAST(w_ppm AS BIGINT) AS w_ppm,
+               CAST((w_ppm * 1000000) // greatest(nat_ppm, 1)
+                    AS BIGINT) AS boost_ppm
+        FROM w
+    """
+
     stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
     stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
     # shared context/stats CTE chain for q33/q34 (twin of
@@ -4600,6 +4843,10 @@ def oracle_sql() -> dict[str, str]:
         "q137_redirect_resolution": redirect_resolution_sql,
         "q138_partition_skew": partition_skew_sql,
         "q139_c4_line_rules": c4_line_rules_sql,
+        "q140_pred_functionality": pred_functionality_sql,
+        "q141_domain_range": domain_range_sql,
+        "q142_inverse_preds": inverse_preds_sql,
+        "q143_mix_weights": mix_weights_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

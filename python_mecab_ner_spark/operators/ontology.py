@@ -1,0 +1,158 @@
+"""Ontology / schema induction over a triple table.
+
+A web-scale KG doesn't get its schema handed to it: predicate
+semantics are INDUCED from the extracted triples.  Three standard
+passes, each a combinable aggregate plus dimension-sized joins:
+
+* **predicate functionality** (PARIS, Suchanek et al. VLDB 2012 §4):
+  fun(p) = #distinct subjects / #distinct (subj, obj) pairs — 1.0
+  means p is a function of its subject (``born_in``), low values mean
+  many-valued (``links_to``).  Inverse functionality symmetrically on
+  objects.  Drives alias-merge safety (only inverse-functional
+  predicates identify entities) and truth-finding eligibility
+  (q136 adjudicates only single-valued predicates).
+
+* **domain/range induction** (Knowledge-Vault-style type constraints):
+  per predicate, the modal subject type and modal object type with
+  support in ppm — the constraint table extraction validators check
+  new triples against.
+
+* **inverse-predicate detection**: predicate pairs (p, q) whose pair
+  sets mirror each other — p(a,b) <=> q(b,a) — scored by Jaccard over
+  the directed pair sets.  The schema-alignment signal PARIS uses to
+  merge relations across sources; p == q rows flag SYMMETRIC
+  predicates.
+
+All scores are integer ppm fixed point, so every pass has a
+hash-exact DuckDB twin.  This generalizes the reference's per-category
+count accumulators (python_mecab_ner/service/mecab_category_storage.py
+— category ladders are its only schema) to predicate-level statistics.
+
+Scale shape: functionality is one grouping-sets-free aggregate per
+predicate (the count-distinct pair expands the exchange 2x — bounded,
+predicate cardinality is tiny); domain/range joins the corpus-sized
+triple table to a broadcast type dimension then aggregates to
+(pred, type) rows; inverse detection joins the distinct pair set to
+its own reversal ON THE PAIR KEY — a co-partitioned hash join, never
+all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def predicate_functionality(triples: DataFrame, pred_col: str = "pred",
+                            subj_col: str = "subj",
+                            obj_col: str = "obj") -> DataFrame:
+    """Per predicate: distinct-pair count, distinct subject/object
+    counts, and PARIS functionality / inverse functionality in ppm
+    (1e6 * n_subj div n_pairs — floor, so exactly 1e6 only for a
+    true function).  Duplicate triples (multiple witness pages)
+    collapse first; the output is a predicate-cardinality dimension."""
+    pairs = (triples.select(F.col(pred_col).alias("pred"),
+                            F.col(subj_col).alias("subj"),
+                            F.col(obj_col).alias("obj"))
+             .distinct())
+    return (pairs.groupBy("pred")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("subj").alias("n_subj"),
+                 F.countDistinct("obj").alias("n_obj"))
+            .select("pred",
+                    F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                    F.col("n_subj").cast("bigint").alias("n_subj"),
+                    F.col("n_obj").cast("bigint").alias("n_obj"),
+                    F.expr(f"(n_subj * {PPM}) div n_pairs")
+                    .cast("bigint").alias("func_ppm"),
+                    F.expr(f"(n_obj * {PPM}) div n_pairs")
+                    .cast("bigint").alias("inv_func_ppm")))
+
+
+def _modal_type(pairs: DataFrame, node_col: str, types: DataFrame,
+                prefix: str) -> DataFrame:
+    """Per pred: modal type of ``node_col`` with ppm support.
+    Deterministic tie-break: among equal-count types the
+    lexicographically smallest wins (min over a dimension-sized
+    aggregate — no window, no packed string hack)."""
+    cnt = (pairs.join(F.broadcast(types),
+                      pairs[node_col] == types["node"])
+           .groupBy("pred", "type")
+           .agg(F.count("*").alias("cnt")))
+    top = cnt.groupBy("pred").agg(F.max("cnt").alias("top_cnt"),
+                                  F.sum("cnt").alias("n_typed"))
+    return (cnt.join(top, "pred")
+            .where(F.col("cnt") == F.col("top_cnt"))
+            .groupBy("pred")
+            .agg(F.min("type").alias(f"{prefix}_type"),
+                 F.max("top_cnt").alias("_top"),
+                 F.max("n_typed").alias(f"n_{prefix}_typed"))
+            .select("pred", f"{prefix}_type",
+                    F.col(f"n_{prefix}_typed").cast("bigint")
+                    .alias(f"n_{prefix}_typed"),
+                    F.expr(f"(_top * {PPM}) div n_{prefix}_typed")
+                    .cast("bigint").alias(f"{prefix}_ppm")))
+
+
+def domain_range(triples: DataFrame, types: DataFrame,
+                 pred_col: str = "pred", subj_col: str = "subj",
+                 obj_col: str = "obj") -> DataFrame:
+    """Induce per-predicate domain (modal subject type) and range
+    (modal object type) constraints from a triple table plus an
+    entity-type dimension ``types(node, type)``.
+
+    Untyped endpoints drop out (inner join) — n_domain_typed /
+    n_range_typed expose the typed coverage so a validator can demand
+    a minimum before trusting the constraint.  The type dim is
+    broadcast; the per-(pred, type) count table is the only aggregate
+    over corpus-sized data."""
+    pairs = (triples.select(F.col(pred_col).alias("pred"),
+                            F.col(subj_col).alias("subj"),
+                            F.col(obj_col).alias("obj"))
+             .distinct())
+    dom = _modal_type(pairs, "subj", types, "domain")
+    rng = _modal_type(pairs, "obj", types, "range")
+    return dom.join(rng, "pred")
+
+
+def inverse_predicates(triples: DataFrame, pred_col: str = "pred",
+                       subj_col: str = "subj",
+                       obj_col: str = "obj") -> DataFrame:
+    """Detect inverse predicate pairs: for predicates p <= q, the
+    directed-pair overlap n_inter = |{(a,b) : p(a,b) and q(b,a)}| and
+    jaccard_ppm = 1e6 * n_inter div (n_p + n_q - n_inter).
+
+    For p == q the join matches BOTH directions of every symmetric
+    pair, so n_inter counts directed symmetric edges (jaccard_ppm =
+    1e6 iff p is fully symmetric) — the flag row for symmetric
+    predicates.  Only overlapping pairs are emitted.
+
+    Scale shape: the self-join is keyed on the REVERSED pair
+    (subj=obj, obj=subj) — a hash join co-partitioned on the pair
+    key, cost O(matching pairs), never predicate-cross-product."""
+    pairs = (triples.select(F.col(pred_col).alias("pred"),
+                            F.col(subj_col).alias("subj"),
+                            F.col(obj_col).alias("obj"))
+             .distinct())
+    n_p = pairs.groupBy("pred").agg(F.count("*").alias("n"))
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    inter = (a.join(b, (F.col("a.subj") == F.col("b.obj"))
+                    & (F.col("a.obj") == F.col("b.subj"))
+                    & (F.col("a.pred") <= F.col("b.pred")))
+             .groupBy(F.col("a.pred").alias("pred_a"),
+                      F.col("b.pred").alias("pred_b"))
+             .agg(F.count("*").alias("n_inter")))
+    na = n_p.select(F.col("pred").alias("pred_a"),
+                    F.col("n").alias("n_a"))
+    nb = n_p.select(F.col("pred").alias("pred_b"),
+                    F.col("n").alias("n_b"))
+    return (inter.join(F.broadcast(na), "pred_a")
+            .join(F.broadcast(nb), "pred_b")
+            .select("pred_a", "pred_b",
+                    F.col("n_inter").cast("bigint").alias("n_inter"),
+                    F.expr(f"(n_inter * {PPM}) "
+                           "div (n_a + n_b - n_inter)")
+                    .cast("bigint").alias("jaccard_ppm")))

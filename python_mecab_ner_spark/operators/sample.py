@@ -246,3 +246,58 @@ def weighted_priority_sample(df: DataFrame, id_col: str,
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
             .drop("rk"))
+
+
+def isqrt_col(n) -> F.Column:
+    """Exact integer sqrt of a non-negative bigint column: floor(sqrt)
+    via double, then a one-step correction in BOTH directions (a
+    double sqrt is within 1 ulp, so the candidate is off by at most
+    1 for any int64 count).  Bit-identical in Spark and DuckDB —
+    the portable building block for tau=1/2 temperature scaling."""
+    n = n.cast("bigint")
+    k = F.floor(F.sqrt(n.cast("double"))).cast("bigint")
+    k = F.when((k + 1) * (k + 1) <= n, k + 1).otherwise(k)
+    return F.when(k * k > n, k - 1).otherwise(k)
+
+
+def isqrt_sql(expr: str) -> str:
+    """DuckDB twin of isqrt_col (same correction ladder)."""
+    k = f"CAST(floor(sqrt(CAST(({expr}) AS DOUBLE))) AS BIGINT)"
+    k1 = f"(CASE WHEN ({k}+1)*({k}+1) <= ({expr}) THEN {k}+1 ELSE {k} END)"
+    return f"(CASE WHEN {k1}*{k1} > ({expr}) THEN {k1}-1 ELSE {k1} END)"
+
+
+def temperature_mix_weights(df: DataFrame,
+                            source_col: str = "source") -> DataFrame:
+    """Temperature-smoothed source mixture weights (the tau = 1/2
+    multinomial smoothing of multilingual/multi-source LM training —
+    Conneau & Lample 2019 §3.1; The Pile and Gopher tune the same
+    knob): sampling weight proportional to n_s^(1/2), which uplifts
+    tail sources and caps head dominance without the hard cutoff of
+    q78's cap-based mixing.
+
+    tau = 1/2 is the one temperature with an EXACT integer form
+    (isqrt), so the whole sheet is hash-exact cross-engine:
+    nat_ppm = 1e6 * n_docs div total (the natural share) and
+    w_ppm = 1e6 * isqrt(n_docs) div sum(isqrt) (the smoothed share);
+    boost_ppm = 1e6 * w_ppm div max(nat_ppm, 1) reads as the up/down-
+    sampling factor the data loader applies per source.
+
+    Scale shape: one map-side-combinable count per source, a
+    single-row total broadcast back — the output is a
+    source-cardinality dimension."""
+    counts = (df.groupBy(F.col(source_col).alias("source"))
+              .agg(F.count("*").cast("bigint").alias("n_docs")))
+    counts = counts.withColumn("sq", isqrt_col(F.col("n_docs")))
+    totals = counts.agg(F.sum("n_docs").alias("total"),
+                        F.sum("sq").alias("sq_total"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("source", "n_docs",
+                    F.expr("(n_docs * 1000000) div total")
+                    .cast("bigint").alias("nat_ppm"),
+                    F.expr("(sq * 1000000) div sq_total")
+                    .cast("bigint").alias("w_ppm"))
+            .withColumn("boost_ppm",
+                        F.expr("(w_ppm * 1000000) "
+                               "div greatest(nat_ppm, 1)")
+                        .cast("bigint")))

@@ -1,0 +1,105 @@
+"""Schema induction (operators.ontology) + temperature mixture
+weights (operators.sample.temperature_mix_weights) — hand-computed
+goldens and the edge cases the q140-q143 oracles can't reach
+(tie-breaks, isqrt boundaries, symmetric predicates)."""
+
+from pyspark.sql import functions as F
+
+from python_mecab_ner_spark.operators.ontology import (
+    domain_range, inverse_predicates, predicate_functionality)
+from python_mecab_ner_spark.operators.sample import (
+    isqrt_col, isqrt_sql, temperature_mix_weights)
+
+TRI = "pred string, subj bigint, obj bigint"
+
+
+def test_functionality_golden(spark):
+    # p: 2 subjects over 3 pairs (one subj has 2 objs); duplicate
+    # triple rows must collapse before counting
+    rows = [("p", 1, 10), ("p", 1, 11), ("p", 2, 10), ("p", 2, 10)]
+    d = spark.createDataFrame(rows, TRI)
+    r = predicate_functionality(d).collect()[0]
+    assert (r.n_pairs, r.n_subj, r.n_obj) == (3, 2, 2)
+    assert r.func_ppm == 2 * 1_000_000 // 3
+    assert r.inv_func_ppm == 2 * 1_000_000 // 3
+
+
+def test_functionality_true_function(spark):
+    d = spark.createDataFrame([("f", i, 99) for i in range(5)], TRI)
+    r = predicate_functionality(d).collect()[0]
+    assert r.func_ppm == 1_000_000 and r.inv_func_ppm == 200_000
+
+
+def test_domain_range_tiebreak_min_type(spark):
+    # subjects split 1/1 between types b and a -> tie -> min("a")
+    tri = spark.createDataFrame([("p", 1, 10), ("p", 2, 10)], TRI)
+    types = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (10, "n")], "node bigint, type string")
+    r = domain_range(tri, types).collect()[0]
+    assert r.domain_type == "a" and r.domain_ppm == 500_000
+    assert r.range_type == "n" and r.range_ppm == 1_000_000
+    # both distinct pairs carry obj 10 -> two typed range endpoints
+    assert r.n_domain_typed == 2 and r.n_range_typed == 2
+
+
+def test_domain_range_untyped_endpoints_drop(spark):
+    tri = spark.createDataFrame([("p", 1, 10), ("p", 7, 10)], TRI)
+    types = spark.createDataFrame([(1, "a"), (10, "n")],
+                                  "node bigint, type string")
+    r = domain_range(tri, types).collect()[0]
+    assert r.n_domain_typed == 1  # node 7 untyped -> dropped
+
+
+def test_inverse_predicates_golden(spark):
+    # p/q exact inverses (2 pairs), r overlaps q on 1 of 2
+    rows = [("p", 1, 2), ("p", 3, 4),
+            ("q", 2, 1), ("q", 4, 3),
+            ("r", 2, 1), ("r", 9, 9)]
+    d = spark.createDataFrame(rows, TRI)
+    got = {(r.pred_a, r.pred_b): (r.n_inter, r.jaccard_ppm)
+           for r in inverse_predicates(d).collect()}
+    assert got[("p", "q")] == (2, 1_000_000)
+    assert got[("p", "r")] == (1, 1_000_000 // 3)
+    # r(9,9) is self-inverse -> symmetric row for r itself
+    assert got[("r", "r")] == (1, 333_333)
+    assert ("q", "r") not in got  # q(2,1) vs r(1,2)? no such r pair
+
+
+def test_inverse_symmetric_predicate_full(spark):
+    # fully symmetric predicate: both directions present
+    rows = [("s", 1, 2), ("s", 2, 1), ("s", 5, 6), ("s", 6, 5)]
+    d = spark.createDataFrame(rows, TRI)
+    got = {(r.pred_a, r.pred_b): r.jaccard_ppm
+           for r in inverse_predicates(d).collect()}
+    assert got[("s", "s")] == 1_000_000
+
+
+def test_isqrt_exact_boundaries(spark):
+    import duckdb
+    ns = [0, 1, 2, 3, 4, 8, 9, 15, 16, 24, 25, 26, 10**12,
+          10**12 + 1, (10**6 + 1) ** 2 - 1, (10**6 + 1) ** 2]
+    d = spark.createDataFrame([(n,) for n in ns], "n bigint")
+    got = {r.n: r.k for r in
+           d.select("n", isqrt_col(F.col("n")).alias("k")).collect()}
+    import math
+    for n in ns:
+        assert got[n] == math.isqrt(n), n
+    # SQL twin agrees bit-for-bit
+    duck = duckdb.connect().execute(
+        f"SELECT n, {isqrt_sql('n')} AS k FROM (SELECT unnest("
+        f"{list(ns)}) AS n)").fetchall()
+    for n, k in duck:
+        assert k == math.isqrt(n), n
+
+
+def test_temperature_mix_boost_direction(spark):
+    # head source 100 docs, tail source 1 doc: tau=1/2 boosts tail
+    rows = [("head",)] * 100 + [("tail",)]
+    d = spark.createDataFrame(rows, "source string")
+    got = {r.source: r for r in temperature_mix_weights(d).collect()}
+    # isqrt: head 10, tail 1 -> w 10/11 vs 1/11
+    assert got["head"].w_ppm == 10 * 1_000_000 // 11
+    assert got["tail"].w_ppm == 1_000_000 // 11
+    assert got["tail"].boost_ppm > 1_000_000  # tail upsampled
+    assert got["head"].boost_ppm < 1_000_000  # head downsampled
+    assert got["head"].nat_ppm == 100 * 1_000_000 // 101

@@ -462,3 +462,37 @@ def test_q125_trained_weights_broadcast_single_corpus_agg(spark, sf01):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_q140_functionality_no_window_no_udf(spark, sf01):
+    """Distinct pair set -> one grouped aggregate (the count-distinct
+    pair rides an Expand, still map-side combinable); no window, no
+    python."""
+    plan = _plan(entry.q140_pred_functionality(spark, sf01))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_q141_domain_range_broadcasts_type_dim(spark, sf01):
+    """The entity-type dimension must broadcast to both endpoint
+    joins; no window anywhere (argmax is min-over-ties)."""
+    plan = _plan(entry.q141_domain_range(spark, sf01))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_q142_inverse_join_is_hash_not_cartesian(spark, sf01):
+    """The reversed-pair self-join must key on the (subj, obj) pair —
+    a hash/merge equi-join, never a cross product over predicates."""
+    plan = _plan(entry.q142_inverse_preds(spark, sf01))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q143_mix_weights_single_count_no_window(spark, sf01):
+    """One combinable per-class count + a 1-row broadcast total; all
+    integer JVM expressions."""
+    plan = _plan(entry.q143_mix_weights(spark, sf01))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
