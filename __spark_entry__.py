@@ -2348,6 +2348,43 @@ def q142_inverse_preds(spark, sf_dir):
     return inverse_predicates(_ontology_triples(spark, sf_dir))
 
 
+def _moments_edges(spark, sf_dir):
+    """Deterministic directed graph for q144 with planted structure:
+    every doc_id >= 1 emits one hash-chosen downward base edge (span
+    50), every third doc a second short edge (span 7 — varied
+    out-degrees), every seventh doc the REVERSE of its base edge
+    (planted reciprocity).  Byte-identical DuckDB twin."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    d = _load(spark, sf_dir, "documents").where(F.col("doc_id") >= 1)
+    id_s = F.col("doc_id").cast("string")
+
+    def down(span, salt):
+        return (F.col("doc_id")
+                - (F.lit(1) + md5_int(id_s, salt=salt)
+                   % F.least(F.lit(span), F.col("doc_id"))))
+
+    base = d.select(F.col("doc_id").cast("bigint").alias("src"),
+                    down(50, "gm1:").cast("bigint").alias("dst"))
+    fan = (d.where(F.col("doc_id") % 3 == 0)
+           .select(F.col("doc_id").cast("bigint").alias("src"),
+                   down(7, "gm2:").cast("bigint").alias("dst")))
+    rev = (base.where(F.col("src") % 7 == 0)
+           .select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return base.unionByName(fan).unionByName(rev)
+
+
+def q144_graph_moments(spark, sf_dir):
+    """Directed-graph structural sheet (operators.graph.graph_moments):
+    edge count, reciprocity ppm, and the exact integer
+    (outdeg(src), indeg(dst)) moments behind degree assortativity
+    (Newman 2002) — the one-row health check a KG build runs on its
+    materialized edge table to catch extraction pathologies (spam
+    cliques read reciprocal + assortative, organic link graphs
+    disassortative).  The planted reverse edges pin recip_ppm > 0."""
+    from python_mecab_ner_spark.operators.graph import graph_moments
+    return graph_moments(_moments_edges(spark, sf_dir))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -3581,6 +3618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_domain_range": q141_domain_range,
         "q142_inverse_preds": q142_inverse_preds,
         "q143_mix_weights": q143_mix_weights,
+        "q144_graph_moments": q144_graph_moments,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -4438,6 +4476,43 @@ def oracle_sql() -> dict[str, str]:
         FROM w
     """
 
+    # graph-moments oracle (q144): same hash-built edge table,
+    # degrees + reversed-pair reciprocity join
+    _gm1 = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="gm1:")
+    _gm2 = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="gm2:")
+    graph_moments_sql = f"""
+        WITH b AS (SELECT doc_id AS src,
+                          doc_id - (1 + {_gm1} % least(50, doc_id))
+                              AS dst
+                   FROM documents WHERE doc_id >= 1),
+        f AS (SELECT doc_id AS src,
+                     doc_id - (1 + {_gm2} % least(7, doc_id)) AS dst
+              FROM documents WHERE doc_id >= 1 AND doc_id % 3 = 0),
+        r AS (SELECT dst AS src, src AS dst FROM b WHERE src % 7 = 0),
+        e AS (SELECT DISTINCT src, dst FROM
+                  (SELECT * FROM b UNION ALL SELECT * FROM f
+                   UNION ALL SELECT * FROM r)),
+        od AS (SELECT src, count(*) AS xd FROM e GROUP BY 1),
+        idg AS (SELECT dst, count(*) AS yd FROM e GROUP BY 1),
+        m AS (SELECT count(*) AS n_edges, sum(xd) AS sum_x,
+                     sum(yd) AS sum_y, sum(xd * yd) AS sum_xy,
+                     sum(xd * xd) AS sum_x2, sum(yd * yd) AS sum_y2
+              FROM e JOIN od USING (src) JOIN idg USING (dst)),
+        rc AS (SELECT count(*) AS recip_edges
+               FROM e a JOIN e b2
+                 ON a.src = b2.dst AND a.dst = b2.src)
+        SELECT CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(sum_x AS BIGINT) AS sum_x,
+               CAST(sum_y AS BIGINT) AS sum_y,
+               CAST(sum_xy AS BIGINT) AS sum_xy,
+               CAST(sum_x2 AS BIGINT) AS sum_x2,
+               CAST(sum_y2 AS BIGINT) AS sum_y2,
+               CAST(recip_edges AS BIGINT) AS recip_edges,
+               CAST((recip_edges * 1000000) // n_edges AS BIGINT)
+                   AS recip_ppm
+        FROM m CROSS JOIN rc
+    """
+
     stat_labels_in = ", ".join(f"'{s}'" for s in STAT_LABELS)
     stat_labels_values = ", ".join(f"('{s}')" for s in STAT_LABELS)
     # shared context/stats CTE chain for q33/q34 (twin of
@@ -4847,6 +4922,7 @@ def oracle_sql() -> dict[str, str]:
         "q141_domain_range": domain_range_sql,
         "q142_inverse_preds": inverse_preds_sql,
         "q143_mix_weights": mix_weights_sql,
+        "q144_graph_moments": graph_moments_sql,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(

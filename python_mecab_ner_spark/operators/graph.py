@@ -953,3 +953,51 @@ def resolve_redirects(redirects: DataFrame, src_col: str = "src",
                    F.col("hops").cast("bigint").alias("hops"),
                    F.col("_s").isNull().cast("int").alias("resolved")))
     return out
+
+
+def graph_moments(edges: DataFrame, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """One-row structural sheet of a directed graph: edge count,
+    reciprocity, and the exact integer moments of the per-edge
+    (outdeg(src), indeg(dst)) degree pairing — the inputs to degree
+    assortativity (Newman 2002).  Pearson r is a float RATIO of these
+    integer moments, so the sheet stays hash-exact cross-engine and
+    the analyst divides offline:
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sx2 - Sx^2) * (n*Sy2 - Sy^2))
+
+    reciprocity_ppm = 1e6 * |{(u,v) : (v,u) also an edge}| div n_edges
+    (directed count — a fully symmetric graph scores 1e6).  Self-loops
+    count as their own reverse by this definition.
+
+    Scale shape: edges dedup once (persisted — four consumers:
+    two degree aggregates, the moments join, the reciprocity join);
+    degrees are node-keyed combinable aggregates joined back on the
+    edge endpoints; reciprocity is the reversed-pair hash join
+    co-partitioned on the pair key (same shape as
+    ontology.inverse_predicates, never all-pairs).  Output is ONE row.
+    """
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct().persist())
+    out_deg = e.groupBy("src").agg(F.count("*").alias("xd"))
+    in_deg = e.groupBy("dst").agg(F.count("*").alias("yd"))
+    m = (e.join(out_deg, "src").join(in_deg, "dst")
+         .agg(F.count("*").cast("bigint").alias("n_edges"),
+              F.sum("xd").cast("bigint").alias("sum_x"),
+              F.sum("yd").cast("bigint").alias("sum_y"),
+              F.sum(F.col("xd") * F.col("yd")).cast("bigint")
+              .alias("sum_xy"),
+              F.sum(F.col("xd") * F.col("xd")).cast("bigint")
+              .alias("sum_x2"),
+              F.sum(F.col("yd") * F.col("yd")).cast("bigint")
+              .alias("sum_y2")))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (e.join(rev, ["src", "dst"])
+             .agg(F.count("*").cast("bigint").alias("recip_edges")))
+    out = (m.crossJoin(F.broadcast(recip))
+           .withColumn("recip_ppm",
+                       F.expr("(recip_edges * 1000000) div n_edges")
+                       .cast("bigint")))
+    out.unpersist_input = e.unpersist
+    return out

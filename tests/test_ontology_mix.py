@@ -103,3 +103,21 @@ def test_temperature_mix_boost_direction(spark):
     assert got["tail"].boost_ppm > 1_000_000  # tail upsampled
     assert got["head"].boost_ppm < 1_000_000  # head downsampled
     assert got["head"].nat_ppm == 100 * 1_000_000 // 101
+
+
+def test_graph_moments_golden(spark):
+    from python_mecab_ner_spark.operators.graph import graph_moments
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (2, 3)],  # dup collapses
+        "src bigint, dst bigint")
+    r = graph_moments(e).collect()[0]
+    # outdeg: 1->1, 2->2, 3->1; indeg: 2->1, 1->2, 3->1
+    assert r.n_edges == 4
+    assert (r.sum_x, r.sum_y) == (6, 6)
+    assert (r.sum_xy, r.sum_x2, r.sum_y2) == (9, 10, 10)
+    assert r.recip_edges == 2 and r.recip_ppm == 500_000
+    r2 = graph_moments(
+        spark.createDataFrame([(5, 5)], "src bigint, dst bigint")
+    ).collect()[0]
+    # a self-loop is its own reverse by the documented definition
+    assert (r2.n_edges, r2.recip_edges, r2.recip_ppm) == (1, 1, 1_000_000)

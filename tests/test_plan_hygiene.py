@@ -496,3 +496,14 @@ def test_q143_mix_weights_single_count_no_window(spark, sf01):
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_q144_moments_reciprocity_is_hash_join(spark, sf01):
+    """Degrees join back on edge endpoints; the reciprocity probe is
+    the reversed-pair equi-join — no cartesian/nested-loop anywhere
+    except the final 1-row x 1-row broadcast combine."""
+    df = entry.q144_graph_moments(spark, sf01)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    df.unpersist_input()

@@ -496,3 +496,81 @@ def test_stream_cm_counts_equals_batch_sketch_per_window(spark, tmp_path):
         for r in cm_sketch(toks, "word", d=2, w=16).collect():
             exp[(hour, r.r, r.b)] = r.cnt
     assert got == exp and got
+
+
+def test_stream_fetch_attribution_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: a discovery joins
+    every fetch of its url within max_delay; later/earlier fetches
+    and foreign urls are excluded.  Exact batch-twin agreement on the
+    same files (watermarks are a no-op in batch)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from python_mecab_ner_spark.streaming.joins import (
+        stream_fetch_attribution)
+
+    dsrc, fsrc, ckpt = (str(tmp_path / d) for d in ("d", "f", "c"))
+    t = dt.datetime(2026, 1, 1, 12, 0)
+
+    def ts(minute):
+        return t + dt.timedelta(minutes=minute)
+
+    disc_rows = [("u1", ts(0)), ("u2", ts(5)), ("u3", ts(10))]
+    fetch_rows = [("u1", ts(10)),    # in window  -> delay 600
+                  ("u1", ts(25)),    # second fetch, still in window
+                  ("u2", ts(40)),    # 35 min after disc -> excluded
+                  ("u9", ts(1)),     # never discovered -> excluded
+                  ("u3", ts(9))]     # fetched BEFORE discovery -> out
+    dschema = T.StructType([T.StructField("url", T.StringType()),
+                            T.StructField("disc_ts", T.TimestampType())])
+    fschema = T.StructType([T.StructField("url", T.StringType()),
+                            T.StructField("fetch_ts", T.TimestampType())])
+    spark.createDataFrame(disc_rows, dschema).coalesce(1) \
+        .write.parquet(dsrc)
+    spark.createDataFrame(fetch_rows, fschema).coalesce(1) \
+        .write.parquet(fsrc)
+
+    joined = stream_fetch_attribution(
+        spark.readStream.schema(dschema).parquet(dsrc),
+        spark.readStream.schema(fschema).parquet(fsrc),
+        max_delay_min=30)
+    q = (joined.writeStream.format("memory").queryName("attrib")
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = {(r.url, r.delay_sec)
+           for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == {("u1", 600), ("u1", 1500)}
+
+    # exact batch-twin parity on the same inputs
+    batch = stream_fetch_attribution(
+        spark.read.parquet(dsrc), spark.read.parquet(fsrc),
+        max_delay_min=30)
+    assert {(r.url, r.delay_sec) for r in batch.collect()} == got
+
+
+def test_stream_fetch_attribution_is_stateful_join(spark, tmp_path):
+    """The plan must be a genuine stream-stream join (stateful
+    symmetric hash join), not a broadcast of a static side."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from python_mecab_ner_spark.streaming.joins import (
+        stream_fetch_attribution)
+
+    dsrc, fsrc = str(tmp_path / "d"), str(tmp_path / "f")
+    t = dt.datetime(2026, 1, 1)
+    dschema = T.StructType([T.StructField("url", T.StringType()),
+                            T.StructField("disc_ts", T.TimestampType())])
+    fschema = T.StructType([T.StructField("url", T.StringType()),
+                            T.StructField("fetch_ts", T.TimestampType())])
+    spark.createDataFrame([("u", t)], dschema).write.parquet(dsrc)
+    spark.createDataFrame([("u", t)], fschema).write.parquet(fsrc)
+    joined = stream_fetch_attribution(
+        spark.readStream.schema(dschema).parquet(dsrc),
+        spark.readStream.schema(fschema).parquet(fsrc))
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
