@@ -2385,6 +2385,46 @@ def q144_graph_moments(spark, sf_dir):
     return graph_moments(_moments_edges(spark, sf_dir))
 
 
+WARC_FILES = 8   # synthetic WARC files the corpus is packed into
+
+
+def q145_warc_roundtrip(spark, sf_dir):
+    """WARC ingest round-trip (sources.warc): the documents table is
+    serialized into spec-shaped WARC files (Content-Length byte
+    framing, 8 files, records ordered by doc_id inside each) and
+    parsed BACK through the byte-exact mapInPandas record scanner;
+    output is (doc_id, n_chars, payload_md5) re-derived entirely from
+    the parsed records.  The oracle computes the same sheet straight
+    from the documents table — any framing, splitting, or payload
+    corruption in the parser hash-mismatches.  Scale shape: one
+    narrow synth aggregate into files, one narrow Arrow-batched parse
+    stage; no shuffle after the file pack."""
+    from python_mecab_ner_spark.sources.warc import (
+        parse_warc_records, synthesize_warc)
+    d = _load(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("https://w.example/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.col("text").alias("payload"))
+    recs = synthesize_warc(pages)
+    files = (recs
+             .select(F.regexp_extract("url", r"/(\d+)$", 1)
+                     .cast("bigint").alias("did"), "rec")
+             .groupBy((F.col("did") % WARC_FILES).alias("g"))
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("did", "rec"))),
+                     lambda x: x["rec"]), "").alias("warc")))
+    parsed = parse_warc_records(files.select("warc"))
+    return parsed.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.length(F.col("html").cast("string")).cast("bigint")
+        .alias("n_chars"),
+        F.md5("html").alias("payload_md5"))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -3619,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_inverse_preds": q142_inverse_preds,
         "q143_mix_weights": q143_mix_weights,
         "q144_graph_moments": q144_graph_moments,
+        "q145_warc_roundtrip": q145_warc_roundtrip,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -4923,6 +4964,12 @@ def oracle_sql() -> dict[str, str]:
         "q142_inverse_preds": inverse_preds_sql,
         "q143_mix_weights": mix_weights_sql,
         "q144_graph_moments": graph_moments_sql,
+        "q145_warc_roundtrip": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   md5(text) AS payload_md5
+            FROM documents
+        """,
         "q122_postings": """
             WITH wd AS (SELECT doc_id,
                                unnest(regexp_split_to_array(
