@@ -2425,6 +2425,29 @@ def q145_warc_roundtrip(spark, sf_dir):
         F.md5("html").alias("payload_md5"))
 
 
+TEMPLATE_PREFIX = "cookie notice accept terms"
+
+
+def q146_template_prefixes(spark, sf_dir):
+    """Boilerplate-template audit (operators.profile
+    .template_prefixes): clusters of documents sharing their first 4
+    normalized tokens, with corpus share ppm — the CCNet-style
+    template check that catches cookie banners / subscribe footers /
+    CMS shells before they skew dedup and LM training.  Every fifth
+    doc gets a planted banner prefix (same hash-injection pattern as
+    q47's PII / q139's line structure), pinning one dominant cluster;
+    one combinable prefix-keyed aggregate + a 1-row broadcast total."""
+    from python_mecab_ner_spark.operators.profile import (
+        template_prefixes)
+    d = _load(spark, sf_dir, "documents")
+    page = (F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(TEMPLATE_PREFIX + " "), F.col("text")))
+            .otherwise(F.col("text")))
+    return template_prefixes(
+        d.select("doc_id", page.alias("page")), "page", "doc_id",
+        k=4, min_docs=2)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -3660,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_mix_weights": q143_mix_weights,
         "q144_graph_moments": q144_graph_moments,
         "q145_warc_roundtrip": q145_warc_roundtrip,
+        "q146_template_prefixes": q146_template_prefixes,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -4964,6 +4988,29 @@ def oracle_sql() -> dict[str, str]:
         "q142_inverse_preds": inverse_preds_sql,
         "q143_mix_weights": mix_weights_sql,
         "q144_graph_moments": graph_moments_sql,
+        "q146_template_prefixes": f"""
+            WITH p AS (SELECT doc_id,
+                              CASE WHEN doc_id % 5 = 0
+                                   THEN '{TEMPLATE_PREFIX} ' || text
+                                   ELSE text END AS page
+                       FROM documents),
+            n AS (SELECT doc_id,
+                         array_to_string(
+                             (regexp_split_to_array(
+                                  regexp_replace(lower(trim(page)),
+                                                 '\\s+', ' ', 'g'),
+                                  ' '))[1:4], ' ') AS prefix
+                  FROM p),
+            t AS (SELECT count(*) AS total FROM n),
+            g AS (SELECT prefix, count(*) AS n_docs,
+                         min(doc_id) AS exemplar_id
+                  FROM n GROUP BY 1)
+            SELECT prefix, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(exemplar_id AS BIGINT) AS exemplar_id,
+                   CAST((n_docs * 1000000) // total AS BIGINT)
+                       AS share_ppm
+            FROM g CROSS JOIN t WHERE n_docs >= 2
+        """,
         "q145_warc_roundtrip": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

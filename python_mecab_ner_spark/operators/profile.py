@@ -245,3 +245,35 @@ def partition_skew(df: DataFrame, key_col: str,
         "max_bucket", "min_bucket",
         F.expr("(max_bucket * n_parts * 1000000) div total_rows")
         .cast("bigint").alias("skew_ppm"))
+
+
+def template_prefixes(df: DataFrame, text_col: str, id_col: str,
+                      k: int = 4, min_docs: int = 2) -> DataFrame:
+    """Boilerplate-template audit (the CCNet/RefinedWeb 'template
+    docs' check): documents sharing their first ``k`` normalized
+    tokens are template candidates — cookie banners, subscribe
+    footers, mirrored CMS shells — and a cluster's share of the
+    corpus decides whether the prefix is stripped or its documents
+    dropped.  Emits per prefix (with >= min_docs members): member
+    count, the smallest member id as exemplar, and corpus share in
+    ppm.
+
+    Scale shape: one map-side-combinable aggregate keyed on the
+    k-token prefix (bounded-width key — never the whole text), plus a
+    1-row broadcast total; no window, no join against corpus-sized
+    data.  Prefix normalization matches the house tokenizer rule
+    (lower/trim/whitespace-collapse)."""
+    toks = F.slice(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "), " "), 1, k)
+    d = df.select(F.col(id_col).alias("_id"),
+                  F.array_join(toks, " ").alias("prefix"))
+    total = d.agg(F.count("*").alias("total"))
+    g = (d.groupBy("prefix")
+         .agg(F.count("*").cast("bigint").alias("n_docs"),
+              F.min("_id").cast("bigint").alias("exemplar_id")))
+    return (g.where(F.col("n_docs") >= min_docs)
+            .crossJoin(F.broadcast(total))
+            .select("prefix", "n_docs", "exemplar_id",
+                    F.expr("(n_docs * 1000000) div total")
+                    .cast("bigint").alias("share_ppm")))

@@ -35,7 +35,9 @@ def test_domain_range_tiebreak_min_type(spark):
     tri = spark.createDataFrame([("p", 1, 10), ("p", 2, 10)], TRI)
     types = spark.createDataFrame(
         [(1, "b"), (2, "a"), (10, "n")], "node bigint, type string")
-    r = domain_range(tri, types).collect()[0]
+    df = domain_range(tri, types)
+    r = df.collect()[0]
+    df.unpersist_input()
     assert r.domain_type == "a" and r.domain_ppm == 500_000
     assert r.range_type == "n" and r.range_ppm == 1_000_000
     # both distinct pairs carry obj 10 -> two typed range endpoints
@@ -46,7 +48,9 @@ def test_domain_range_untyped_endpoints_drop(spark):
     tri = spark.createDataFrame([("p", 1, 10), ("p", 7, 10)], TRI)
     types = spark.createDataFrame([(1, "a"), (10, "n")],
                                   "node bigint, type string")
-    r = domain_range(tri, types).collect()[0]
+    df = domain_range(tri, types)
+    r = df.collect()[0]
+    df.unpersist_input()
     assert r.n_domain_typed == 1  # node 7 untyped -> dropped
 
 
@@ -56,8 +60,10 @@ def test_inverse_predicates_golden(spark):
             ("q", 2, 1), ("q", 4, 3),
             ("r", 2, 1), ("r", 9, 9)]
     d = spark.createDataFrame(rows, TRI)
+    df = inverse_predicates(d)
     got = {(r.pred_a, r.pred_b): (r.n_inter, r.jaccard_ppm)
-           for r in inverse_predicates(d).collect()}
+           for r in df.collect()}
+    df.unpersist_input()
     assert got[("p", "q")] == (2, 1_000_000)
     assert got[("p", "r")] == (1, 1_000_000 // 3)
     # r(9,9) is self-inverse -> symmetric row for r itself
@@ -69,8 +75,10 @@ def test_inverse_symmetric_predicate_full(spark):
     # fully symmetric predicate: both directions present
     rows = [("s", 1, 2), ("s", 2, 1), ("s", 5, 6), ("s", 6, 5)]
     d = spark.createDataFrame(rows, TRI)
+    df = inverse_predicates(d)
     got = {(r.pred_a, r.pred_b): r.jaccard_ppm
-           for r in inverse_predicates(d).collect()}
+           for r in df.collect()}
+    df.unpersist_input()
     assert got[("s", "s")] == 1_000_000
 
 
@@ -110,14 +118,34 @@ def test_graph_moments_golden(spark):
     e = spark.createDataFrame(
         [(1, 2), (2, 1), (2, 3), (3, 1), (2, 3)],  # dup collapses
         "src bigint, dst bigint")
-    r = graph_moments(e).collect()[0]
+    df = graph_moments(e)
+    r = df.collect()[0]
+    df.unpersist_input()
     # outdeg: 1->1, 2->2, 3->1; indeg: 2->1, 1->2, 3->1
     assert r.n_edges == 4
     assert (r.sum_x, r.sum_y) == (6, 6)
     assert (r.sum_xy, r.sum_x2, r.sum_y2) == (9, 10, 10)
     assert r.recip_edges == 2 and r.recip_ppm == 500_000
-    r2 = graph_moments(
-        spark.createDataFrame([(5, 5)], "src bigint, dst bigint")
-    ).collect()[0]
+    df2 = graph_moments(
+        spark.createDataFrame([(5, 5)], "src bigint, dst bigint"))
+    r2 = df2.collect()[0]
+    df2.unpersist_input()
     # a self-loop is its own reverse by the documented definition
     assert (r2.n_edges, r2.recip_edges, r2.recip_ppm) == (1, 1, 1_000_000)
+
+
+def test_template_prefixes_golden(spark):
+    from python_mecab_ner_spark.operators.profile import (
+        template_prefixes)
+    rows = [(1, "Cookie  Notice accept terms now x"),
+            (2, "cookie notice ACCEPT terms later y"),
+            (3, "unique document body here z"),
+            (4, "cookie notice accept terms again")]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = template_prefixes(d, "text", "doc_id", k=4,
+                            min_docs=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    # case/whitespace-normalized 4-token prefix clusters 1, 2, 4
+    assert r.prefix == "cookie notice accept terms"
+    assert (r.n_docs, r.exemplar_id, r.share_ppm) == (3, 1, 750_000)

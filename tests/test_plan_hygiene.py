@@ -476,17 +476,21 @@ def test_q140_functionality_no_window_no_udf(spark, sf01):
 def test_q141_domain_range_broadcasts_type_dim(spark, sf01):
     """The entity-type dimension must broadcast to both endpoint
     joins; no window anywhere (argmax is min-over-ties)."""
-    plan = _plan(entry.q141_domain_range(spark, sf01))
+    df = entry.q141_domain_range(spark, sf01)
+    plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "Window" not in plan, plan
+    df.unpersist_input()
 
 
 def test_q142_inverse_join_is_hash_not_cartesian(spark, sf01):
     """The reversed-pair self-join must key on the (subj, obj) pair —
     a hash/merge equi-join, never a cross product over predicates."""
-    plan = _plan(entry.q142_inverse_preds(spark, sf01))
+    df = entry.q142_inverse_preds(spark, sf01)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    df.unpersist_input()
 
 
 def test_q143_mix_weights_single_count_no_window(spark, sf01):
@@ -507,3 +511,12 @@ def test_q144_moments_reciprocity_is_hash_join(spark, sf01):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     df.unpersist_input()
+
+
+def test_q146_template_audit_single_agg_no_window(spark, sf01):
+    """One prefix-keyed combinable aggregate + 1-row broadcast total:
+    no window, no python, no corpus-sized join."""
+    plan = _plan(entry.q146_template_prefixes(spark, sf01))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
