@@ -149,3 +149,50 @@ def test_template_prefixes_golden(spark):
     # case/whitespace-normalized 4-token prefix clusters 1, 2, 4
     assert r.prefix == "cookie notice accept terms"
     assert (r.n_docs, r.exemplar_id, r.share_ppm) == (3, 1, 750_000)
+
+
+def test_functionality_matches_pure_python_randomized(spark):
+    """House engine-vs-pyref property: functionality sheet on a
+    seeded random triple table equals a dict-based recomputation."""
+    import random
+    rng = random.Random(20260818)
+    rows = [(f"p{rng.randrange(4)}", rng.randrange(30),
+             rng.randrange(30)) for _ in range(400)]
+    d = spark.createDataFrame(rows, TRI)
+    got = {r.pred: (r.n_pairs, r.n_subj, r.n_obj, r.func_ppm,
+                    r.inv_func_ppm)
+           for r in predicate_functionality(d).collect()}
+    by_pred = {}
+    for p, s, o in set(rows):
+        by_pred.setdefault(p, []).append((s, o))
+    for p, pairs in by_pred.items():
+        np_, ns, no = (len(pairs), len({s for s, _ in pairs}),
+                       len({o for _, o in pairs}))
+        assert got[p] == (np_, ns, no, ns * 1_000_000 // np_,
+                          no * 1_000_000 // np_), p
+
+
+def test_inverse_predicates_matches_pure_python_randomized(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(f"p{rng.randrange(3)}", rng.randrange(12),
+             rng.randrange(12)) for _ in range(300)]
+    d = spark.createDataFrame(rows, TRI)
+    df = inverse_predicates(d)
+    got = {(r.pred_a, r.pred_b): (r.n_inter, r.jaccard_ppm)
+           for r in df.collect()}
+    df.unpersist_input()
+    pairs = set(rows)
+    preds = sorted({p for p, _, _ in pairs})
+    by_pred = {p: {(s, o) for q, s, o in pairs if q == p}
+               for p in preds}
+    for i, pa in enumerate(preds):
+        for pb in preds[i:]:
+            inter = sum(1 for s, o in by_pred[pa]
+                        if (o, s) in by_pred[pb])
+            if inter:
+                jac = inter * 1_000_000 // (
+                    len(by_pred[pa]) + len(by_pred[pb]) - inter)
+                assert got[(pa, pb)] == (inter, jac), (pa, pb)
+            else:
+                assert (pa, pb) not in got, (pa, pb)
