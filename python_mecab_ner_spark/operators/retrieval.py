@@ -58,7 +58,7 @@ def bm25_topk(ctx: DataFrame, query_terms: Sequence[str], k: int = 20,
     idf = F.length(F.bin(F.expr("n_docs div df"))).cast("bigint")
     scored = (tf.join(F.broadcast(dfq), "word")
               .join(dl, "doc_id")
-              .crossJoin(totals)
+              .crossJoin(F.broadcast(totals))
               .withColumn("avgdl", avgdl)
               .withColumn("idf", idf)
               .withColumn(

@@ -253,17 +253,22 @@ def isqrt_col(n) -> F.Column:
     via double, then a one-step correction in BOTH directions (a
     double sqrt is within 1 ulp, so the candidate is off by at most
     1 for any int64 count).  Bit-identical in Spark and DuckDB —
-    the portable building block for tau=1/2 temperature scaling."""
+    the portable building block for tau=1/2 temperature scaling.
+    The k+1 correction is guarded by k < 3037000499 (= isqrt(2^63)),
+    so (k+1)^2 can never overflow int64 — exact for ANY int64 input."""
     n = n.cast("bigint")
     k = F.floor(F.sqrt(n.cast("double"))).cast("bigint")
-    k = F.when((k + 1) * (k + 1) <= n, k + 1).otherwise(k)
+    k = F.when((k < F.lit(3037000499)) & ((k + 1) * (k + 1) <= n),
+               k + 1).otherwise(k)
     return F.when(k * k > n, k - 1).otherwise(k)
 
 
 def isqrt_sql(expr: str) -> str:
-    """DuckDB twin of isqrt_col (same correction ladder)."""
+    """DuckDB twin of isqrt_col (same correction ladder + the same
+    k < isqrt(2^63) overflow guard on the +1 branch)."""
     k = f"CAST(floor(sqrt(CAST(({expr}) AS DOUBLE))) AS BIGINT)"
-    k1 = f"(CASE WHEN ({k}+1)*({k}+1) <= ({expr}) THEN {k}+1 ELSE {k} END)"
+    k1 = (f"(CASE WHEN {k} < 3037000499 AND ({k}+1)*({k}+1) <= ({expr}) "
+          f"THEN {k}+1 ELSE {k} END)")
     return f"(CASE WHEN {k1}*{k1} > ({expr}) THEN {k1}-1 ELSE {k1} END)"
 
 

@@ -78,31 +78,48 @@ def synthesize_warc(pages: DataFrame, url_col: str = "url",
     return pages.select(F.col(url_col).alias("url"), rec.alias("rec"))
 
 
-def parse_warc_records(files: DataFrame,
-                       col: str = "warc") -> DataFrame:
-    """Byte-exact WARC parse: sequential Content-Length-framed scan of
-    each file's bytes inside mapInPandas (Arrow batches; record
-    parsing is pure python on the executor, never the driver).
-    Accepts a binary or string column; emits (url, warc_ts, html)."""
-    idx = files.columns.index(col)
+def _scan_blob(blob: bytes, strict: bool):
+    """Sequential Content-Length-framed record scan of one file's
+    bytes.  Yields (url, warc_ts, html) tuples; returns a ledger dict
+    (records / bytes_consumed / total_bytes / malformed / aborted).
 
-    def scan(blob: bytes):
-        i = 0
-        n = len(blob)
-        magic = _MAGIC.encode()
+    Framing-failure policy: a record without Content-Length (or with
+    no header terminator) cannot be skipped safely under byte framing
+    — a payload may legally CONTAIN the record magic, so "resync at
+    the next magic" can splice payload bytes into a fake record.
+    strict=True (default) therefore ABORTS the rest of the file and
+    says so in the ledger (aborted=True) — real-archive callers must
+    check the ledger (parse_warc_ledger) rather than assume full
+    coverage.  strict=False resyncs at the next magic AFTER the bad
+    header and counts the failure in `malformed` — best-effort
+    recovery for archives known not to embed the magic in payloads."""
+    ledger = {"records": 0, "bytes_consumed": 0,
+              "total_bytes": len(blob), "malformed": 0, "aborted": False}
+    i = 0
+    n = len(blob)
+    magic = _MAGIC.encode()
+
+    def records():
+        nonlocal i
         while True:
             start = blob.find(magic, i)
             if start < 0 or start >= n:
+                ledger["bytes_consumed"] = n if start < 0 else i
                 return
             hdr_end = blob.find(_HDR_END.encode(), start)
-            if hdr_end < 0:
-                return
+            clen = _CLEN_RE.search(blob[start:hdr_end]) \
+                if hdr_end >= 0 else None
+            if clen is None:
+                ledger["malformed"] += 1
+                if strict:
+                    ledger["aborted"] = True
+                    ledger["bytes_consumed"] = start
+                    return
+                i = start + len(magic)   # resync at next magic
+                continue
             hdr = blob[start:hdr_end]
             uri = _URI_RE.search(hdr)
             date = _DATE_RE.search(hdr)
-            clen = _CLEN_RE.search(hdr)
-            if clen is None:
-                return  # malformed framing: stop rather than guess
             length = int(clen.group(1))
             body_start = hdr_end + len(_HDR_END)
             payload = blob[body_start:body_start + length]
@@ -111,9 +128,26 @@ def parse_warc_records(files: DataFrame,
                 ts = pd.Timestamp(date.group(1).decode("ascii"))
                 if ts.tzinfo is not None:
                     ts = ts.tz_convert(None)
+            ledger["records"] += 1
             yield (uri.group(1).decode("utf-8") if uri else None,
                    ts, payload)
             i = body_start + length
+            ledger["bytes_consumed"] = min(i, n)
+
+    return records(), ledger
+
+
+def parse_warc_records(files: DataFrame, col: str = "warc",
+                       strict: bool = True) -> DataFrame:
+    """Byte-exact WARC parse: sequential Content-Length-framed scan of
+    each file's bytes inside mapInPandas (Arrow batches; record
+    parsing is pure python on the executor, never the driver).
+    Accepts a binary or string column; emits (url, warc_ts, html).
+
+    strict=True aborts a file at the first framing failure (safe under
+    byte framing — see _scan_blob); use parse_warc_ledger to audit
+    coverage.  strict=False resyncs at the next record magic."""
+    idx = files.columns.index(col)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,10 +155,48 @@ def parse_warc_records(files: DataFrame,
             for raw in pdf.iloc[:, idx]:
                 blob = raw.encode("utf-8") if isinstance(raw, str) \
                     else bytes(raw)
-                rows.extend(scan(blob))
+                recs, _ = _scan_blob(blob, strict)
+                rows.extend(recs)
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return files.mapInPandas(parse, PAGE_SCHEMA)
+
+
+LEDGER_SCHEMA = T.StructType([
+    T.StructField("records", T.LongType()),
+    T.StructField("bytes_consumed", T.LongType()),
+    T.StructField("total_bytes", T.LongType()),
+    T.StructField("malformed", T.LongType()),
+    T.StructField("aborted", T.BooleanType()),
+])
+
+
+def parse_warc_ledger(files: DataFrame, col: str = "warc",
+                      strict: bool = True) -> DataFrame:
+    """Per-file parse ledger: one row per input file with
+    (records, bytes_consumed, total_bytes, malformed, aborted) — the
+    coverage audit a real-archive ingest MUST read before trusting
+    parse_warc_records output (a strict-mode abort silently drops
+    every record after the bad one; this is where it stops being
+    silent).  Same narrow no-shuffle shape as the parser."""
+    idx = files.columns.index(col)
+
+    def audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf.iloc[:, idx]:
+                blob = raw.encode("utf-8") if isinstance(raw, str) \
+                    else bytes(raw)
+                recs, led = _scan_blob(blob, strict)
+                for _ in recs:      # drain to fill the ledger
+                    pass
+                rows.append((led["records"], led["bytes_consumed"],
+                             led["total_bytes"], led["malformed"],
+                             led["aborted"]))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              LEDGER_SCHEMA.fields])
+
+    return files.mapInPandas(audit, LEDGER_SCHEMA)
 
 
 def parse_warc_jvm(files: DataFrame, col: str = "warc") -> DataFrame:

@@ -41,11 +41,17 @@ def stream_fetch_attribution(discovered: DataFrame, fetched: DataFrame,
 
     Works identically on batch DataFrames (watermarks are a no-op in
     batch), which is what the parity test pins.
+
+    The state-retention horizon must cover the join window: a caller
+    passing max_delay_min > watermark_min would get nondeterministic
+    drops (state evicted before late fetches arrive), so the
+    effective watermark is max(watermark_min, max_delay_min).
     """
+    wm = max(int(watermark_min), int(max_delay_min))
     d = (discovered.select("url", "disc_ts")
-         .withWatermark("disc_ts", f"{watermark_min} minutes"))
+         .withWatermark("disc_ts", f"{wm} minutes"))
     f = (fetched.select(F.col("url").alias("f_url"), "fetch_ts")
-         .withWatermark("fetch_ts", f"{watermark_min} minutes"))
+         .withWatermark("fetch_ts", f"{wm} minutes"))
     cond = ((d["url"] == f["f_url"])
             & (f["fetch_ts"] >= d["disc_ts"])
             & (f["fetch_ts"] <= d["disc_ts"]

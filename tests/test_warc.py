@@ -78,3 +78,37 @@ def test_parse_stage_has_no_shuffle(spark):
     plan = parse_warc_records(d)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_ledger_clean_file(spark):
+    raw = (_record("https://a.com/1", "2026-01-01T12:00:00Z", "hello")
+           + _record("https://b.com/2", "2026-01-01T13:00:00Z", "yo"))
+    d = spark.createDataFrame([(raw,)], "warc string")
+    from python_mecab_ner_spark.sources.warc import parse_warc_ledger
+    led = parse_warc_ledger(d).collect()[0]
+    assert (led.records, led.malformed, led.aborted) == (2, 0, False)
+    assert led.bytes_consumed == led.total_bytes == len(raw.encode())
+
+
+def test_ledger_strict_abort_vs_resync(spark):
+    # middle record lacks Content-Length: strict aborts (and the
+    # ledger says so); strict=False resyncs and recovers the tail
+    bad = ("WARC/1.0\r\nWARC-Type: response\r\n"
+           "WARC-Target-URI: https://bad.com/x\r\n\r\noops\r\n\r\n")
+    raw = (_record("https://a.com/1", "2026-01-01T12:00:00Z", "head")
+           + bad
+           + _record("https://c.com/3", "2026-01-01T14:00:00Z", "tail"))
+    d = spark.createDataFrame([(raw,)], "warc string")
+    from python_mecab_ner_spark.sources.warc import parse_warc_ledger
+
+    strict_rows = {r.url for r in parse_warc_records(d).collect()}
+    assert strict_rows == {"https://a.com/1"}
+    led = parse_warc_ledger(d).collect()[0]
+    assert led.aborted and led.malformed == 1 and led.records == 1
+    assert led.bytes_consumed < led.total_bytes
+
+    loose_rows = {r.url for r in
+                  parse_warc_records(d, strict=False).collect()}
+    assert loose_rows == {"https://a.com/1", "https://c.com/3"}
+    led2 = parse_warc_ledger(d, strict=False).collect()[0]
+    assert (led2.records, led2.malformed, led2.aborted) == (2, 1, False)
