@@ -155,12 +155,11 @@ def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dic
         lang = "ko"
         n = rng.randint(1, 5)
         text = ". ".join(_sentence(rng, spec) for _ in range(n))
-    # page hosts drawn from the same pool the outlinks target, with
-    # the head host holding half the pages: the host graph then has a
-    # real src side (5x5 weighted edges), and the src-host skew mirrors
-    # the dst-host skew real crawls show
-    host = LINK_HOSTS[0] if doc_id % 2 == 0 \
-        else LINK_HOSTS[1 + (doc_id // 2) % (len(LINK_HOSTS) - 1)]
+    # page hosts drawn Zipf(1/rank) from the same pool the outlinks
+    # target (SEPARATE rng stream — text bytes untouched): the host
+    # graph has a real src side with the heavy-tailed host-size skew
+    # real crawls show (head host ~17% of pages at 200 hosts)
+    host = _zipf_host(random.Random((seed << 34) ^ doc_id))
     url = f"https://{host}/{lang}/{doc_id:08d}"
     return {
         "url": url,
@@ -173,11 +172,30 @@ def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dic
     }
 
 
-# dst-host pool for the embedded outlinks; index 0 (the page's own
-# host) is drawn with probability ~1/2 — the heavy-tailed host-degree
-# skew real crawl link graphs show
-LINK_HOSTS = ("example.org", "news.example.net", "blog.example.net",
-              "cdn.example-media.com", "portal.example.co.kr")
+# host pool for page urls and embedded outlinks.  ~200 hosts drawn
+# Zipf(1/rank) — a non-trivial web graph for the real-KG host-level
+# operators (rank/cocitation/butterflies) instead of the round-3
+# 5-node toy; the named head hosts keep their historical spellings.
+# Deterministic construction (no rng): goldens re-pin via pyref.
+_HEAD_HOSTS = ("example.org", "news.example.net", "blog.example.net",
+               "cdn.example-media.com", "portal.example.co.kr")
+_TLDS = ("com", "net", "org", "io", "co.kr", "dev")
+LINK_HOSTS = _HEAD_HOSTS + tuple(
+    f"site{i:03d}.example-{_TLDS[i % len(_TLDS)]}"
+    for i in range(200 - len(_HEAD_HOSTS)))
+
+# cumulative Zipf weights for bisect draws (1/rank, rank 1-based)
+import bisect as _bisect  # noqa: E402
+import itertools as _it  # noqa: E402
+
+_HOST_CUM = list(_it.accumulate(1.0 / (r + 1)
+                                for r in range(len(LINK_HOSTS))))
+_HOST_TOT = _HOST_CUM[-1]
+
+
+def _zipf_host(rng: random.Random) -> str:
+    return LINK_HOSTS[_bisect.bisect_left(_HOST_CUM,
+                                          rng.random() * _HOST_TOT)]
 
 
 def _anchors(doc_id: int, seed: int, lang: str,
@@ -199,8 +217,11 @@ def _anchors(doc_id: int, seed: int, lang: str,
                  if p]
     out = []
     for j in range(rng.randrange(5)):
+        # own-pool head host gets ~50% of links outright; the rest
+        # draw Zipf(1/rank) over the full 200-host pool — the
+        # heavy-tailed dst-host degree skew real crawl graphs show
         host = LINK_HOSTS[0] if rng.random() < 0.5 \
-            else LINK_HOSTS[rng.randrange(1, len(LINK_HOSTS))]
+            else _zipf_host(rng)
         tgt = rng.randrange(100000)
         if pools and rng.random() < 0.5:
             text = rng.choice(rng.choice(pools))

