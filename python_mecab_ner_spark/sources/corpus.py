@@ -133,8 +133,14 @@ def _sentence(rng: random.Random, spec: CorpusSpec) -> str:
     return f"{fruit}{_josa(fruit, '은', '는')} {food}보다 좋다"
 
 
-def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dict:
-    """Deterministic page row for a given (seed, doc_id)."""
+def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None,
+             skew: tuple[str, float] | None = None) -> dict:
+    """Deterministic page row for a given (seed, doc_id).
+
+    ``skew=(surface, frac)`` appends a sentence mentioning `surface`
+    to ~frac of Korean docs via a SEPARATE rng stream — the
+    head-entity-skew stressor for the link benchmark (text bytes with
+    skew=None are byte-identical to before the knob existed)."""
     spec = spec or _default_spec()
     rng = random.Random((seed << 32) ^ doc_id)
     r = rng.random()
@@ -155,6 +161,10 @@ def gen_page(doc_id: int, seed: int = 42, spec: CorpusSpec | None = None) -> dic
         lang = "ko"
         n = rng.randint(1, 5)
         text = ". ".join(_sentence(rng, spec) for _ in range(n))
+    if skew is not None and lang == "ko":
+        srng = random.Random((seed << 35) ^ doc_id)
+        if srng.random() < skew[1]:
+            text = f"{text}. 나는 {skew[0]}에 갔어"
     # page hosts drawn Zipf(1/rank) from the same pool the outlinks
     # target (SEPARATE rng stream — text bytes untouched): the host
     # graph has a real src side with the heavy-tailed host-size skew
@@ -246,7 +256,9 @@ def gen_pages(n_docs: int, seed: int = 42, start: int = 0) -> list[dict]:
     return [gen_page(i, seed, spec) for i in range(start, start + n_docs)]
 
 
-def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+def pages_dataframe(spark, n_docs: int, seed: int = 42,
+                    partitions: int | None = None,
+                    skew: tuple[str, float] | None = None):
     """Distributed generation: spark.range over doc ids -> mapInPandas.
 
     Scale path: generation happens on executors, one Arrow batch per id
@@ -268,7 +280,8 @@ def pages_dataframe(spark, n_docs: int, seed: int = 42, partitions: int | None =
     def gen(batches):
         spec = _default_spec()
         for pdf in batches:
-            rows = [gen_page(int(i), seed, spec) for i in pdf["id"]]
+            rows = [gen_page(int(i), seed, spec, skew=skew)
+                    for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     rng_df = spark.range(0, n_docs, numPartitions=partitions or spark.sparkContext.defaultParallelism)

@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--disambig", default="neighbor",
                     choices=["neighbor", "duplicate"])
+    ap.add_argument("--skew-pct", type=float, default=0.0,
+                    help="inject --skew-entity into this fraction of "
+                         "Korean docs (head-entity skew stressor)")
+    ap.add_argument("--skew-entity", default="미국")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -53,10 +57,14 @@ def main() -> int:
     spark = build_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    corpus = f"{tempfile.gettempdir()}/kg_bench_corpus_v3_{args.docs}"
+    skew = (args.skew_entity, args.skew_pct) if args.skew_pct > 0 \
+        else None
+    tag = f"_skew{int(args.skew_pct * 100)}" if skew else ""
+    corpus = f"{tempfile.gettempdir()}/kg_bench_corpus_v4_{args.docs}{tag}"
     if not Path(corpus, "_SUCCESS").exists():
         (pages_dataframe(spark, args.docs, seed=42,
-                         partitions=spark.sparkContext.defaultParallelism * 2)
+                         partitions=spark.sparkContext.defaultParallelism * 2,
+                         skew=skew)
          .select("url", "warc_ts", "text", "lang")
          .write.mode("overwrite").parquet(corpus))
     par = spark.sparkContext.defaultParallelism
@@ -100,6 +108,7 @@ def main() -> int:
     print(json.dumps({
         "metric": "full_6level_link_wall",
         "disambig": args.disambig,
+        "skew_pct": args.skew_pct,
         "docs": args.docs,
         "cpus": args.cpus,
         "wall_sec_median": statistics.median(walls),
