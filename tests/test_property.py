@@ -11,7 +11,9 @@ from python_mecab_ner_spark.kernel.lexicon import (default_lexicon,
 from python_mecab_ner_spark.kernel.matcher import (CompiledGazetteer,
                                                    merge_runs, ner_parse)
 from python_mecab_ner_spark.kernel.pyref import pyref_ners
-from python_mecab_ner_spark.kernel.tokenizer import (restore_surface,
+from python_mecab_ner_spark.kernel.tokenizer import (extracted_text,
+                                                     restore_surface,
+                                                     restore_tokens,
                                                      tokenize)
 
 _ROWS = load_gazetteer_rows()
@@ -126,3 +128,58 @@ def test_merge_runs_equals_bruteforce(spans, n):
     if s is not None:
         want.append((s, n - 1))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Mojibake / adversarial-input fuzz (round-3 verdict task 9): the 100 TB
+# corpus WILL contain byte-decode garbage — lone surrogates from bad
+# UTF-16 transcodes, control chars, bidi marks, ZWJ sequences, mixed
+# scripts, misdecoded legacy encodings.  The kernel must never crash,
+# must keep offsets inside the input, and the optimized engine must
+# stay in lockstep with the naive pyref oracle on ANY such input.
+
+_weird_char = st.one_of(
+    # full codepoint space INCLUDING lone surrogates (0xD800-0xDFFF)
+    # and control/format chars hypothesis normally excludes
+    st.integers(min_value=0x00, max_value=0x10FFFF).map(chr),
+    st.sampled_from(list("\x00\x01\x07\x08\x0b\x0c\x7f")        # controls
+                    + ["​", "‍", "‎", "‮",  # zw/bidi
+                       "﻿", "�",                       # BOM, U+FFFD
+                       "́", "ᄀ", "ᆨ",             # jamo/combining
+                       "\ud83d", "\ude00"]),                     # lone surrogate pair halves
+)
+
+_mojibake_text = st.one_of(
+    st.text(alphabet=_weird_char, max_size=40),
+    # random bytes decoded the three ways crawl pipelines actually do
+    st.binary(max_size=80).map(lambda b: b.decode("utf-8", "replace")),
+    st.binary(max_size=80).map(lambda b: b.decode("utf-8", "ignore")),
+    st.binary(max_size=80).map(lambda b: b.decode("latin-1")),
+    # garbage interleaved with real gazetteer surfaces (the scary case:
+    # mojibake ADJACENT to entities must not shift or drop mentions)
+    st.lists(st.one_of(st.sampled_from(_SURFACES),
+                       st.text(alphabet=_weird_char, max_size=6),
+                       hangul),
+             min_size=1, max_size=8).map(" ".join),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_mojibake_text)
+def test_kernel_survives_mojibake(text):
+    toks = tokenize(text, _LEX)
+    # offsets stay inside the input, spaces monotone
+    for t in toks:
+        assert 0 <= t["begin"] <= t["end"] <= len(text)
+    spaces = [t["space"] for t in toks]
+    assert spaces == sorted(spaces)
+    # the byte-identity anchor is reconstructible and deterministic
+    ext = extracted_text(text, _LEX)
+    assert ext == " ".join(t["word"] for t in toks)
+    assert extracted_text(text, _LEX) == ext
+    # restore never crashes and emits one surface per eojeol index
+    assert len(restore_tokens(toks)) == len(set(spaces))
+    # engine == naive oracle on adversarial input too
+    parsed, _ = ner_parse(toks, _GAZ)
+    engine = [(w, lg, sm) for w, pos, lg, sm in parsed if pos == "ner"]
+    assert engine == pyref_ners(text, _ROWS)
