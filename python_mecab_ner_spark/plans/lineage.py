@@ -50,12 +50,25 @@ def completed_parts(spark, out_dir: str, stage: str) -> DataFrame | None:
 
 
 def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
-              key_col: str = "url", n_parts: int = 32) -> DataFrame:
+              key_col: str = "url", n_parts: int = 32,
+              wave_parts: int | None = None) -> DataFrame:
     """Resumable stage execution.
 
     fn: DataFrame -> DataFrame (must preserve the part_key column or a
     url column to rebuild it).  Returns the FULL stage output (reading
     previously completed partitions back from disk).
+
+    wave_parts sets the COMMIT GRANULARITY.  None (default) processes
+    every missing partition in one write job — minimum barriers, the
+    fast path when failures are rare.  An integer W splits the todo
+    part_keys into waves of W, each wave written + manifested as its
+    own job: a kill mid-stage loses at most one in-flight wave, and a
+    restarted run resumes from the last committed wave (proven by
+    SIGKILL in scripts/resume_kill_proof.py and in-process in
+    tests/test_resume_waves.py).  At 100 TB pick W so one wave is
+    minutes of work — the failure-blast-radius vs barrier-overhead
+    knob; each wave's input scan is part_key-pruned, so waves never
+    re-read completed partitions.
     """
     inp = with_part_key(input_df, key_col, n_parts)
     done = completed_parts(spark, out_dir, stage)
@@ -63,7 +76,6 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
                           {r[0] for r in done.collect()})  # <= n_parts rows
     todo = inp if done is None else inp.join(done, "part_key", "left_anti")
 
-    t0 = time.time()
     # one cheap action on the INPUT scan (not the stage fn): the part
     # keys this run will complete.  part_key is a pure function of the
     # input key, so every todo part materializes a partition dir — the
@@ -72,19 +84,30 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
     # deployment writes to object storage).
     todo_parts = sorted(r[0] for r in
                         todo.select("part_key").distinct().collect())
-    if todo_parts:
-        out = fn(todo)
+    if wave_parts:
+        waves = [todo_parts[i:i + wave_parts]
+                 for i in range(0, len(todo_parts), wave_parts)]
+    else:
+        waves = [todo_parts] if todo_parts else []
+    for wave in waves:
+        t0 = time.time()
+        wave_df = (todo if len(waves) == 1 else
+                   todo.filter(F.col("part_key").isin([int(p) for p in wave])))
+        out = fn(wave_df)
         if "part_key" not in out.columns:
             out = with_part_key(out, key_col, n_parts)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (out.write.mode("overwrite").partitionBy("part_key")
          .parquet(_data_path(out_dir, stage)))
         wall_ms = int((time.time() - t0) * 1000)
-        # the stage fn's plan executes exactly ONCE (the write above):
-        # newly completed part keys come from todo's input-side key
-        # set, never from re-running `out`; the checksum pass below
-        # reads back ONLY those partitions via partition pruning.
-        new_parts = sorted(set(todo_parts) - done_set)
+        # the stage fn's plan executes exactly ONCE per wave (the write
+        # above): newly completed part keys come from the input-side
+        # key set, never from re-running `out`; the checksum pass below
+        # reads back ONLY those partitions via partition pruning.  A
+        # kill between the data write and this manifest append is safe:
+        # the unmanifested wave stays in the todo set and its dynamic
+        # partition overwrite is idempotent.
+        new_parts = sorted(set(wave) - done_set)
         written = spark.read.parquet(_data_path(out_dir, stage))
         manifest = (written
                     .filter(F.col("part_key").isin(new_parts))

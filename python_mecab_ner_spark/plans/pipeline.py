@@ -134,7 +134,8 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
 
 
 def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
-                 canonicalize: bool = True, disambig: str = "neighbor") -> dict:
+                 canonicalize: bool = True, disambig: str = "neighbor",
+                 wave_parts: int | None = None) -> dict:
     """Execute with lineage + resume: the annotate stage (the heavy
     scan) is checkpointed per part_key; downstream relational stages
     re-derive from the persisted annotation (cheap relative to the
@@ -150,7 +151,8 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
             with_tokens="context")
 
     annotated = run_stage(spark, "annotate", pages_df, annotate_fn,
-                          out_dir, key_col="url", n_parts=n_parts)
+                          out_dir, key_col="url", n_parts=n_parts,
+                          wave_parts=wave_parts)
 
     entities = canonical_entities(gaz_df)
     spans = spans_table(annotated)

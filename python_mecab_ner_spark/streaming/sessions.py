@@ -37,7 +37,8 @@ STATE_SCHEMA = StructType([
 def stream_sessionize(events: DataFrame, gap: int = 30,
                       pos_col: str = "m",
                       key_col: str = "user_id",
-                      idle_timeout: bool = False) -> DataFrame:
+                      idle_timeout: bool = False,
+                      timeout_ms: int | None = None) -> DataFrame:
     """events stream (key_col, pos_col as integer minutes) ->
     append-mode stream of CLOSED sessions.
 
@@ -49,6 +50,15 @@ def stream_sessionize(events: DataFrame, gap: int = 30,
     never reaches termination (observed: ~1.5 s/batch forever); in
     drain mode idle sessions simply stay in the checkpointed state
     until the next run's events or an always-on restart closes them.
+    The always-on path is TESTED with a real processing-time trigger
+    (tests/test_stream_sessions.py::test_idle_timeout_real_trigger):
+    run with .trigger(processingTime=...), poll the sink for the
+    timeout-closed session, then q.stop() — stop() is the correct
+    termination for an always-on query; never awaitTermination() one.
+
+    timeout_ms overrides the idle-timeout duration (default
+    gap * 60 * 1000 ms, i.e. `gap` minutes of wall time — event
+    positions are minutes, processing-time timeouts are real ms).
 
     Late data: events are sorted within a micro-batch, but an event
     arriving in a LATER batch may precede the open session's end.  Any
@@ -92,7 +102,9 @@ def stream_sessionize(events: DataFrame, gap: int = 30,
             if s is not None:
                 state.update((s, e, n))
                 if idle_timeout:
-                    state.setTimeoutDuration(gap * 60 * 1000)
+                    state.setTimeoutDuration(
+                        timeout_ms if timeout_ms is not None
+                        else gap * 60 * 1000)
         yield pd.DataFrame(
             closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 

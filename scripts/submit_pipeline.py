@@ -29,6 +29,10 @@ def main() -> int:
     ap.add_argument("--out", required=True, help="output/checkpoint dir")
     ap.add_argument("--parts", type=int, default=32,
                     help="lineage partition count (resume granularity)")
+    ap.add_argument("--wave-parts", type=int, default=None,
+                    help="commit the annotate stage in waves of this many "
+                         "part_keys (bounded failure blast radius; a kill "
+                         "loses at most one wave — see plans/lineage.py)")
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -50,7 +54,8 @@ def main() -> int:
         pages = spark.read.parquet(args.input)
 
     info = run_pipeline(spark, pages, args.out, n_parts=args.parts,
-                        canonicalize=not args.no_canonicalize)
+                        canonicalize=not args.no_canonicalize,
+                        wave_parts=args.wave_parts)
     print(json.dumps(info))
 
     from python_mecab_ner_spark.plans.lineage import metrics_table

@@ -94,3 +94,48 @@ def test_batch_twin_agrees(spark):
     want_closed = {(r.user_id, r.session_start, r.session_end, r.n_events)
                    for r in batch if r is not last[r.user_id]}
     assert want_closed == {(1, 0, 5, 2), (1, 100, 101, 2), (2, 10, 10, 1)}
+
+
+def test_idle_timeout_real_trigger(spark, tmp_path):
+    """Round-3 verdict task 8: the documented availableNow +
+    ProcessingTimeTimeout non-termination has a tested always-on
+    workaround.  Drive the operator with a REAL processing-time
+    trigger and idle_timeout=True: the open session closes via the
+    state-store timeout (no new events needed), and q.stop() — not
+    awaitTermination — terminates the query cleanly."""
+    import time as _time
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("events", "out", "ckpt"))
+    spark.createDataFrame([(1, 0), (1, 5)], EVENTS_SCHEMA) \
+        .coalesce(1).write.parquet(src)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    q = None
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        q = (stream_sessionize(stream, gap=30, idle_timeout=True,
+                               timeout_ms=1500)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(processingTime="500 milliseconds").start())
+        got = set()
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            try:
+                got = {tuple(r) for r in spark.read.parquet(out).collect()}
+            except Exception:
+                got = set()
+            if got:
+                break
+            _time.sleep(1.0)
+        # the session closed via PROCESSING-TIME timeout: no second
+        # event batch ever arrived for user 1
+        assert got == {(1, 0, 5, 2)}
+    finally:
+        if q is not None:
+            q.stop()
+            # stop() signals the stream; awaitTermination now returns
+            assert q.awaitTermination(60)
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
