@@ -2,9 +2,15 @@
 query-directed multi-probe) and IVF vs the exact brute-force top-k,
 over several query vectors.
 
-Usage: python scripts/ann_recall.py [sf_dir] [n_queries] [k]
+Usage: python scripts/ann_recall.py [sf_dir|clustered:<n>] [n_queries] [k]
 Prints a markdown table (pasted into BENCH.md) with per-method mean
 recall@k and mean candidate-set size / scan fraction.
+
+The first arg accepts `clustered:<n_vecs>` to run against the
+mixture-of-32-Gaussians synthetic payload
+(sources.corpus.clustered_embeddings) instead of the near-isotropic
+testdata table — the frontier real encoders would see (round-3
+verdict task 7).
 """
 
 from __future__ import annotations
@@ -30,7 +36,11 @@ def main(sf_dir: str, n_queries: int = 8, k: int = 10) -> int:
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    if sf_dir.startswith("clustered:"):
+        from python_mecab_ner_spark.sources.corpus import clustered_embeddings
+        e = clustered_embeddings(spark, int(sf_dir.split(":", 1)[1])).cache()
+    else:
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     n = e.count()
     n_bands = 8
     dim = len(e.select("embedding").first()[0])
