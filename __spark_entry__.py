@@ -2448,6 +2448,56 @@ def q146_template_prefixes(spark, sf_dir):
         k=4, min_docs=2)
 
 
+def q147_bcubed_eval(spark, sf_dir):
+    """B-cubed clustering evaluation (operators.metrics.bcubed_ppm,
+    Bagga & Baldwin '98) — the standard entity-resolution metric,
+    here scoring the part table's brand "clustering" against the
+    leading p_type word as gold classes.  Three partial-aggregable
+    groupBys + a 1-row broadcast total, no windows; every division is
+    the two-level integer floor (Spark `div` == DuckDB `//`), so the
+    oracle matches bit-for-bit (the q26/q29 float-trap rule).  The
+    real consumer is kg_canonical_bcubed, which scores the LSH+CC
+    alias canonicalization on the extracted entity dimension."""
+    from python_mecab_ner_spark.operators.metrics import bcubed_ppm
+    p = _load(spark, sf_dir, "part")
+    return bcubed_ppm(
+        p.select("p_partkey", F.col("p_brand").alias("cl"),
+                 F.split(F.col("p_type"), " ")[0].alias("gd")),
+        item="p_partkey", cluster="cl", gold="gd")
+
+
+def q148_encoding_audit(spark, sf_dir):
+    """Per-source encoding-QA sheet (operators.profile.encoding_audit):
+    U+FFFD replacement-char and C0 control-char densities — the
+    mojibake dashboard a crawl ingests before trusting a source.
+    Deterministic fault injection (the q47-PII pattern): every 7th doc
+    gains a replacement char, every 11th a control char, so the sheet
+    has planted non-zero densities to certify.  Pure codegen counting
+    (length minus stripped length) + ONE combinable source groupBy."""
+    from python_mecab_ner_spark.operators.profile import encoding_audit
+    d = _load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("�"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\x01"))
+        .otherwise(F.lit("")))
+    return encoding_audit(d.select("source", page.alias("page")),
+                          "page", "source")
+
+
+def q149_ngram_diversity(spark, sf_dir):
+    """Distinct-3-gram diversity per source (operators.profile
+    .ngram_diversity): distinct word trigrams over total trigrams,
+    ppm — the distinct-n audit that catches template spam a per-doc
+    quality score misses.  N-grams are one per-row array expression
+    (sequence + transform + slice, no window), then two shuffles:
+    (source, gram) partial count, then the source rollup."""
+    from python_mecab_ner_spark.operators.profile import ngram_diversity
+    d = _loadp(spark, sf_dir, "documents")
+    return ngram_diversity(d, "text", "source", n=3)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -3319,6 +3369,26 @@ def kg_canonical_clusters(spark, sf_dir):
             .select("canonical", "n_aliases"))
 
 
+def kg_canonical_bcubed(spark, sf_dir):
+    """B-cubed score of the alias canonicalization against the
+    gazetteer's concept labels: item = entity, predicted cluster =
+    canonical_id (MinHash-LSH + CC, kg_canonical_clusters' map), gold
+    = the (large, small) concept an entity belongs to — do the alias
+    clusters respect concept boundaries?  Rows-only (LSH + iterative
+    CC aren't SQL-expressible); bcubed_ppm itself is hash-certified
+    by q147 and the python-twin test in tests/test_metrics.py."""
+    from python_mecab_ner_spark.operators.canonicalize import canonical_map
+    from python_mecab_ner_spark.operators.linking import canonical_entities
+    from python_mecab_ner_spark.operators.metrics import bcubed_ppm
+    from python_mecab_ner_spark.sources.gazetteer import gazetteer_df_from_tsv
+    ents = canonical_entities(gazetteer_df_from_tsv(spark))
+    assign = (ents.join(canonical_map(ents), "entity_id")
+              .select("entity_id", "canonical_id",
+                      F.concat_ws("/", "large", "small").alias("concept")))
+    return bcubed_ppm(assign, item="entity_id", cluster="canonical_id",
+                      gold="concept")
+
+
 def kg_extracted_text(spark, sf_dir):
     """The byte-identity anchor: per-url extracted text fingerprints."""
     g = _kg_graph(spark)
@@ -3684,6 +3754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_graph_moments": q144_graph_moments,
         "q145_warc_roundtrip": q145_warc_roundtrip,
         "q146_template_prefixes": q146_template_prefixes,
+        "q147_bcubed_eval": q147_bcubed_eval,
+        "q148_encoding_audit": q148_encoding_audit,
+        "q149_ngram_diversity": q149_ngram_diversity,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -3696,6 +3769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_reach": kg_entity_reach,
         "kg_entity_ppr": kg_entity_ppr,
         "kg_canonical_clusters": kg_canonical_clusters,
+        "kg_canonical_bcubed": kg_canonical_bcubed,
         "kg_extracted_text": kg_extracted_text,
         "kg_outlink_hosts": kg_outlink_hosts,
         "kg_host_rank": kg_host_rank,
@@ -4988,6 +5062,81 @@ def oracle_sql() -> dict[str, str]:
         "q142_inverse_preds": inverse_preds_sql,
         "q143_mix_weights": mix_weights_sql,
         "q144_graph_moments": graph_moments_sql,
+        "q148_encoding_audit": """
+            WITH p AS (SELECT source,
+                              text
+                              || CASE WHEN doc_id % 7 = 0
+                                      THEN chr(65533) ELSE '' END
+                              || CASE WHEN doc_id % 11 = 0
+                                      THEN chr(1) ELSE '' END AS page
+                       FROM documents),
+            m AS (SELECT source, length(page) AS len,
+                         length(page)
+                         - length(replace(page, chr(65533), '')) AS r,
+                         length(page) - length(regexp_replace(page,
+                             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '',
+                             'g')) AS c
+                  FROM p)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN r > 0 OR c > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bad_docs,
+                   CAST(sum(r) AS BIGINT) AS repl_chars,
+                   CAST(sum(c) AS BIGINT) AS ctrl_chars,
+                   CAST((1000000 * sum(r)) // sum(len) AS BIGINT)
+                       AS repl_ppm,
+                   CAST((1000000 * sum(c)) // sum(len) AS BIGINT)
+                       AS ctrl_ppm
+            FROM m GROUP BY source
+        """,
+        "q149_ngram_diversity": """
+            WITH t AS (SELECT source,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+') AS w
+                       FROM documents),
+            t2 AS (SELECT source, w FROM t WHERE len(w) >= 3),
+            g AS (SELECT source,
+                         unnest(list_transform(
+                             generate_series(1, len(w) - 2),
+                             i -> array_to_string(w[i:i+2], ' ')))
+                             AS gram
+                  FROM t2),
+            per AS (SELECT source, gram, count(*) AS c
+                    FROM g GROUP BY 1, 2)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS distinct_ngrams,
+                   CAST(sum(c) AS BIGINT) AS total_ngrams,
+                   CAST((1000000 * count(*)) // sum(c) AS BIGINT)
+                       AS distinct_ppm
+            FROM per GROUP BY source
+        """,
+        "q147_bcubed_eval": """
+            WITH a AS (SELECT p_partkey AS i, p_brand AS c,
+                              (regexp_split_to_array(p_type, ' '))[1] AS g
+                       FROM part),
+            pair AS (SELECT c, g, count(*) AS cnt FROM a GROUP BY 1, 2),
+            cs AS (SELECT c, count(*) AS cs FROM a GROUP BY 1),
+            gs AS (SELECT g, count(*) AS gs FROM a GROUP BY 1),
+            tot AS (SELECT count(*) AS n,
+                           count(DISTINCT c) AS nc,
+                           count(DISTINCT g) AS ng FROM a),
+            terms AS (SELECT sum((1000000 * cnt * cnt) // cs) AS pnum,
+                             sum((1000000 * cnt * cnt) // gs) AS rnum
+                      FROM pair JOIN cs USING (c) JOIN gs USING (g)),
+            pr AS (SELECT CAST(n AS BIGINT) AS n_items,
+                          CAST(nc AS BIGINT) AS n_clusters,
+                          CAST(ng AS BIGINT) AS n_gold,
+                          CAST(pnum // n AS BIGINT) AS b3_precision_ppm,
+                          CAST(rnum // n AS BIGINT) AS b3_recall_ppm
+                   FROM terms CROSS JOIN tot)
+            SELECT n_items, n_clusters, n_gold,
+                   b3_precision_ppm, b3_recall_ppm,
+                   CAST(CASE WHEN b3_precision_ppm + b3_recall_ppm = 0
+                        THEN 0
+                        ELSE (2 * b3_precision_ppm * b3_recall_ppm)
+                             // (b3_precision_ppm + b3_recall_ppm)
+                        END AS BIGINT) AS b3_f1_ppm
+            FROM pr
+        """,
         "q146_template_prefixes": f"""
             WITH p AS (SELECT doc_id,
                               CASE WHEN doc_id % 5 = 0

@@ -355,7 +355,8 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
                   context_df: DataFrame | None = None,
                   neighbor_stats_df: DataFrame | None = None,
                   core_stats_df: DataFrame | None = None,
-                  disambig: str = "neighbor") -> DataFrame:
+                  disambig: str = "neighbor",
+                  barrier_dir: str | None = None) -> DataFrame:
     """mentions (url, start, end, surface, large, small) ->
     + (entity_id, link_level, link_score); unlinkable mentions keep
     entity_id NULL at level LEVEL_UNLINKED.
@@ -443,7 +444,25 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
     # dedicated names: `candidates` is rebound to derived frames below,
     # and unpersist() on a derived frame is a silent no-op (the round-2
     # working-set leak).
-    cand_ws = l0.unionByName(l1).unionByName(l2).persist()
+    cand_union = l0.unionByName(l1).unionByName(l2)
+    if barrier_dir is not None:
+        # parquet-barrier variant (round-3 verdict task 5): truncate
+        # the candidate lineage by writing the l0-l2 working set to
+        # parquet and reading it back — a REAL plan barrier that cuts
+        # the ~15 MiB per-stage task binaries of the monolithic plan.
+        # MEASURED at 50k docs local[32] (scripts/bench_link.py
+        # --barrier): 30.8 s median vs 23.9 s cache — 29% SLOWER.
+        # Same verdict family as the eager-count dead end: the write
+        # is an eager sync point that forfeits inter-branch stage
+        # overlap, and the disk round-trip adds real I/O on top.  The
+        # task binaries ARE plan-size-bound constants; paying wall
+        # time to shrink them buys nothing.  Kept (off by default)
+        # as the documented measurement, not a recommended mode.
+        path = f"{barrier_dir}/link_cand_ws"
+        cand_union.write.mode("overwrite").parquet(path)
+        cand_ws = mentions_df.sparkSession.read.parquet(path)
+    else:
+        cand_ws = cand_union.persist()
     candidates = cand_ws
     l3_ws = None
     with_stats = (context_df is not None and neighbor_stats_df is not None)

@@ -79,3 +79,56 @@ def prf_report(pred_df: DataFrame, gold_df: DataFrame,
           round(f1, 6))],
         "n_pred bigint, n_gold bigint, tp bigint, "
         "precision double, recall double, f1 double")
+
+
+def bcubed_ppm(assign_df: DataFrame, item: str = "item",
+               cluster: str = "cluster", gold: str = "gold") -> DataFrame:
+    """B-cubed clustering evaluation vs gold classes, exact-integer ppm
+    (Bagga & Baldwin '98; the standard entity-resolution metric —
+    evaluates canonicalize.canonical_map the way pairwise F1 cannot,
+    since B3 weights every ITEM, not every pair, so giant clusters
+    don't drown the tail).
+
+        B3 precision = (1/N) * sum_i |C(i) ∩ G(i)| / |C(i)|
+                     = (1/N) * sum_{(c,g)} cnt_{c,g}^2 / size_c
+        B3 recall    = symmetric with gold-class sizes.
+
+    Scale shape: three partial-aggregable groupBys over the assignment
+    table (pair counts, cluster sizes, gold sizes) + a 1-row broadcast
+    total — no window, no self-join; linear at any corpus size.
+
+    Cross-engine exactness (the q26/q29 float-trap rule): each (c,g)
+    term is floored in INTEGER arithmetic — (10^6 * cnt^2) div size —
+    then the sum is div'd by N, so DuckDB (// operator) reproduces the
+    value bit-for-bit.  The two-level floor understates the true score
+    by < n_pairs/1e6 ppm — an audit metric, not a ranking key.
+    int64 bound: 10^6 * cnt^2 needs cnt < 3e6 items per (cluster,gold)
+    cell; shard the assignment by gold beyond that.
+
+    Input contract: one row per item (one cluster AND one gold per
+    item); duplicate items would double-count their mass.
+    """
+    a = assign_df.select(F.col(item).alias("i"),
+                         F.col(cluster).alias("c"),
+                         F.col(gold).alias("g"))
+    pair = a.groupBy("c", "g").agg(F.count("*").alias("cnt"))
+    csize = a.groupBy("c").agg(F.count("*").alias("cs"))
+    gsize = a.groupBy("g").agg(F.count("*").alias("gs"))
+    tot = a.agg(F.count("*").alias("n"),
+                F.countDistinct("c").alias("n_clusters"),
+                F.countDistinct("g").alias("n_gold"))
+    terms = (pair.join(csize, "c").join(gsize, "g")
+             .agg(F.sum(F.expr("(1000000 * cnt * cnt) div cs"))
+                  .alias("pnum"),
+                  F.sum(F.expr("(1000000 * cnt * cnt) div gs"))
+                  .alias("rnum")))
+    return (terms.crossJoin(F.broadcast(tot))
+            .select(F.col("n").alias("n_items"), "n_clusters", "n_gold",
+                    F.expr("pnum div n").alias("b3_precision_ppm"),
+                    F.expr("rnum div n").alias("b3_recall_ppm"))
+            .withColumn(
+                "b3_f1_ppm",
+                F.expr("CASE WHEN b3_precision_ppm + b3_recall_ppm = 0 "
+                       "THEN CAST(0 AS BIGINT) ELSE "
+                       "(2 * b3_precision_ppm * b3_recall_ppm) div "
+                       "(b3_precision_ppm + b3_recall_ppm) END")))

@@ -277,3 +277,64 @@ def template_prefixes(df: DataFrame, text_col: str, id_col: str,
             .select("prefix", "n_docs", "exemplar_id",
                     F.expr("(n_docs * 1000000) div total")
                     .cast("bigint").alias("share_ppm")))
+
+
+def encoding_audit(df: DataFrame, text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Per-source encoding-QA sheet: mojibake density a crawl pipeline
+    watches before trusting a source (bad transcodes show up as U+FFFD
+    replacement chars; truncated/binary content as C0 control chars).
+
+    Counting trick shared with the DuckDB twin: occurrences(x) =
+    length(t) - length(remove(x, t)) — exact in both engines, pure
+    codegen in the scan stage, then ONE combinable groupBy on the
+    source dimension.  Outputs integer: per-char densities in ppm
+    (two-level div), doc counts absolute."""
+    t = F.col(text_col)
+    n_repl = F.length(t) - F.length(F.replace(t, F.lit("�")))
+    n_ctrl = (F.length(t) - F.length(F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")))
+    return (df.select(F.col(group_col).alias("source"),
+                      F.length(t).alias("_len"),
+                      n_repl.alias("_r"), n_ctrl.alias("_c"))
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum(F.expr("CAST(_r > 0 OR _c > 0 AS INT)"))
+                 .cast("bigint").alias("n_bad_docs"),
+                 F.sum("_r").cast("bigint").alias("repl_chars"),
+                 F.sum("_c").cast("bigint").alias("ctrl_chars"),
+                 F.sum("_len").alias("_chars"))
+            .select("source", "n_docs", "n_bad_docs", "repl_chars",
+                    "ctrl_chars",
+                    F.expr("(1000000 * repl_chars) div _chars")
+                    .alias("repl_ppm"),
+                    F.expr("(1000000 * ctrl_chars) div _chars")
+                    .alias("ctrl_ppm")))
+
+
+def ngram_diversity(df: DataFrame, text_col: str = "text",
+                    group_col: str = "source", n: int = 3) -> DataFrame:
+    """Distinct-n diversity per source (the generation-diversity
+    metric applied as a corpus audit): distinct word n-grams over
+    total n-grams, ppm — a source whose score collapses is template
+    spam, no matter what per-doc quality says.
+
+    Shape: n-grams materialize as one per-row array expression (no
+    window, no self-join), then ONE groupBy(source, gram) partial
+    count feeding a per-source agg — two shuffles on (source, gram)
+    then (source); at 100 TB the gram key is high-cardinality and
+    skew-free.  Integer ppm via div."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    grams = F.expr(
+        f"transform(sequence(0, size(_w) - {n}), "
+        f"i -> concat_ws(' ', slice(_w, i + 1, {n})))")
+    g = (df.select(F.col(group_col).alias("source"), words.alias("_w"))
+         .where(F.size("_w") >= n)
+         .select("source", F.explode(grams).alias("gram")))
+    per = g.groupBy("source", "gram").agg(F.count("*").alias("c"))
+    return (per.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("distinct_ngrams"),
+                 F.sum("c").cast("bigint").alias("total_ngrams"))
+            .select("source", "distinct_ngrams", "total_ngrams",
+                    F.expr("(1000000 * distinct_ngrams) div total_ngrams")
+                    .alias("distinct_ppm")))

@@ -43,15 +43,48 @@ def completed_parts(spark, out_dir: str, stage: str) -> DataFrame | None:
     # probe by reading, not by local-FS existence: the production
     # out_dir is object storage where Path() semantics don't apply
     try:
-        return spark.read.parquet(_manifest_path(out_dir, stage)) \
-            .select("part_key").distinct()
+        return (spark.read.option("mergeSchema", "true")
+                .parquet(_manifest_path(out_dir, stage))
+                .select("part_key").distinct())
     except Exception:
         return None
 
 
+def latest_manifest(spark, out_dir: str, stage: str) -> DataFrame | None:
+    """One row per part_key — the most recent manifest row (a part
+    re-run by refresh mode appends a new row; the LATEST one describes
+    the data currently on disk).  max_by on completed_ts, one
+    combinable agg over the tiny manifest."""
+    try:
+        m = (spark.read.option("mergeSchema", "true")
+             .parquet(_manifest_path(out_dir, stage)))
+    except Exception:
+        return None
+    if "input_fp" not in m.columns:
+        m = m.withColumn("input_fp", F.lit(None).cast("bigint"))
+    return (m.groupBy("part_key")
+            .agg(F.max_by(F.struct("rows_out", "checksum", "input_fp",
+                                   "completed_ts"),
+                          "completed_ts").alias("_s"))
+            .select("part_key", "_s.rows_out", "_s.checksum",
+                    "_s.input_fp", "_s.completed_ts"))
+
+
+def input_fingerprints(inp_with_part: DataFrame) -> DataFrame:
+    """(part_key, input_fp): order-insensitive fold of row hashes over
+    the INPUT — the change detector for refresh mode.  One partial-agg
+    job over the input scan; commutative sum, so any partitioning
+    gives the same fingerprint."""
+    return (inp_with_part.groupBy("part_key")
+            .agg(F.sum(F.conv(F.substring(F.md5(F.to_json(
+                F.struct("*"))), 1, 8), 16, 10).cast("bigint"))
+                 .alias("input_fp")))
+
+
 def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
               key_col: str = "url", n_parts: int = 32,
-              wave_parts: int | None = None) -> DataFrame:
+              wave_parts: int | None = None,
+              refresh: bool = False) -> DataFrame:
     """Resumable stage execution.
 
     fn: DataFrame -> DataFrame (must preserve the part_key column or a
@@ -69,21 +102,48 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
     minutes of work — the failure-blast-radius vs barrier-overhead
     knob; each wave's input scan is part_key-pruned, so waves never
     re-read completed partitions.
+
+    refresh=True turns resume into INCREMENTAL RECOMPUTE: the stage
+    fingerprints its input per part_key (order-insensitive row-hash
+    fold, one partial-agg pass) and re-runs a completed part only when
+    its input fingerprint differs from the one stored in the latest
+    manifest row — the recrawl-refresh path (same urls, changed
+    content), which plain resume cannot detect.  Re-run parts append a
+    NEW manifest row; latest_manifest() is the per-part truth.  Cost:
+    one full input scan per run for the fingerprint — on Iceberg the
+    snapshot-diff API would replace it; here it is the storage-neutral
+    change detector, and it is still ~annotate_cost/20 cheaper than
+    recomputing everything.
     """
     inp = with_part_key(input_df, key_col, n_parts)
-    done = completed_parts(spark, out_dir, stage)
-    done_set: set[int] = (set() if done is None else
-                          {r[0] for r in done.collect()})  # <= n_parts rows
-    todo = inp if done is None else inp.join(done, "part_key", "left_anti")
-
+    fp_map: dict[int, int] = {}
     # one cheap action on the INPUT scan (not the stage fn): the part
     # keys this run will complete.  part_key is a pure function of the
     # input key, so every todo part materializes a partition dir — the
     # manifest can be derived from the input side without listing the
     # output (Path.iterdir is a local-FS assumption; the 100 TB
     # deployment writes to object storage).
-    todo_parts = sorted(r[0] for r in
-                        todo.select("part_key").distinct().collect())
+    if refresh:
+        fp_map = {r[0]: r[1] for r in
+                  input_fingerprints(inp).collect()}  # <= n_parts rows
+        latest = latest_manifest(spark, out_dir, stage)
+        stored = ({} if latest is None else
+                  {r["part_key"]: r["input_fp"] for r in latest.collect()})
+        done_set = {p for p in stored
+                    if stored[p] is not None and stored[p] == fp_map.get(p)}
+        todo_parts = sorted(set(fp_map) - done_set)
+        todo = (inp if not done_set else
+                inp.join(spark.createDataFrame(
+                    [(int(p),) for p in done_set], "part_key int"),
+                    "part_key", "left_anti"))
+    else:
+        done = completed_parts(spark, out_dir, stage)
+        done_set = (set() if done is None else
+                    {r[0] for r in done.collect()})  # <= n_parts rows
+        todo = inp if done is None else inp.join(done, "part_key",
+                                                 "left_anti")
+        todo_parts = sorted(r[0] for r in
+                            todo.select("part_key").distinct().collect())
     if wave_parts:
         waves = [todo_parts[i:i + wave_parts]
                  for i in range(0, len(todo_parts), wave_parts)]
@@ -108,6 +168,13 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
         # the unmanifested wave stays in the todo set and its dynamic
         # partition overwrite is idempotent.
         new_parts = sorted(set(wave) - done_set)
+        if fp_map:
+            fp_expr = F.create_map(
+                *[F.lit(x) for p in new_parts
+                  for x in (int(p), int(fp_map[p]))]
+            )[F.col("part_key")].cast("bigint")
+        else:
+            fp_expr = F.lit(None).cast("bigint")
         written = spark.read.parquet(_data_path(out_dir, stage))
         manifest = (written
                     .filter(F.col("part_key").isin(new_parts))
@@ -118,7 +185,8 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
                          .alias("checksum"))
                     .withColumn("stage", F.lit(stage))
                     .withColumn("wall_ms", F.lit(wall_ms))
-                    .withColumn("completed_ts", F.current_timestamp()))
+                    .withColumn("completed_ts", F.current_timestamp())
+                    .withColumn("input_fp", fp_expr))
         manifest.write.mode("append").parquet(_manifest_path(out_dir, stage))
     return spark.read.parquet(_data_path(out_dir, stage))
 
@@ -128,8 +196,10 @@ def metrics_table(spark, out_dir: str) -> DataFrame:
     (stage, part_key, rows_out, checksum, wall_ms, completed_ts).
     One wildcard read — manifests share a schema and the glob goes
     through the Hadoop FS layer, so this works on object storage
-    (no local-FS directory iteration)."""
+    (no local-FS directory iteration).  mergeSchema tolerates
+    pre-refresh manifests that lack the input_fp column."""
     try:
-        return spark.read.parquet(f"{out_dir}/*/_manifest")
+        return (spark.read.option("mergeSchema", "true")
+                .parquet(f"{out_dir}/*/_manifest"))
     except Exception as e:
         raise FileNotFoundError(f"no manifests under {out_dir}") from e

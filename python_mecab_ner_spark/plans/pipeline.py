@@ -34,7 +34,8 @@ def _training_mentions(mentions):
 
 def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
                   infer=True, canonicalize=True, learned_stats=True,
-                  kb_holdout_mod=None, disambig="neighbor"):
+                  kb_holdout_mod=None, disambig="neighbor",
+                  link_barrier_dir=None):
     """Returns a dict of lazily-planned DataFrames:
     annotated, mentions, spans, triples, entities, linked, vertices,
     edges (+ canonical when canonicalize=True; + context/neighbor_stats
@@ -96,7 +97,8 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
     linked = link_mentions(
         spans.withColumnRenamed("word", "surface"), entities,
         context_df=context, neighbor_stats_df=nstats,
-        core_stats_df=cstats, disambig=disambig)
+        core_stats_df=cstats, disambig=disambig,
+        barrier_dir=link_barrier_dir)
 
     canonical = canonical_map(entities) if canonicalize else None
     # label universe = the DETECTOR-side gazetteer larges (brute
@@ -135,7 +137,8 @@ def extract_graph(spark, pages_df, gazetteer_df=None, search_category=None,
 
 def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
                  canonicalize: bool = True, disambig: str = "neighbor",
-                 wave_parts: int | None = None) -> dict:
+                 wave_parts: int | None = None,
+                 refresh: bool = False) -> dict:
     """Execute with lineage + resume: the annotate stage (the heavy
     scan) is checkpointed per part_key; downstream relational stages
     re-derive from the persisted annotation (cheap relative to the
@@ -152,7 +155,7 @@ def run_pipeline(spark, pages_df, out_dir: str, n_parts: int = 32,
 
     annotated = run_stage(spark, "annotate", pages_df, annotate_fn,
                           out_dir, key_col="url", n_parts=n_parts,
-                          wave_parts=wave_parts)
+                          wave_parts=wave_parts, refresh=refresh)
 
     entities = canonical_entities(gaz_df)
     spans = spans_table(annotated)

@@ -33,6 +33,10 @@ def main() -> int:
                     help="commit the annotate stage in waves of this many "
                          "part_keys (bounded failure blast radius; a kill "
                          "loses at most one wave — see plans/lineage.py)")
+    ap.add_argument("--refresh", action="store_true",
+                    help="incremental recompute: fingerprint the input per "
+                         "partition and re-run ONLY partitions whose input "
+                         "changed (recrawl refresh; see plans/lineage.py)")
     ap.add_argument("--no-canonicalize", action="store_true")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
@@ -55,7 +59,7 @@ def main() -> int:
 
     info = run_pipeline(spark, pages, args.out, n_parts=args.parts,
                         canonicalize=not args.no_canonicalize,
-                        wave_parts=args.wave_parts)
+                        wave_parts=args.wave_parts, refresh=args.refresh)
     print(json.dumps(info))
 
     from python_mecab_ner_spark.plans.lineage import metrics_table

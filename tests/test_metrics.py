@@ -36,3 +36,50 @@ def test_prf_counts_mismatches(spark):
     row = prf_report(pred, gold).first()
     assert (row.n_pred, row.n_gold, row.tp) == (2, 1, 1)
     assert row.precision == 0.5 and row.recall == 1.0
+
+
+def _bcubed_py(assign):
+    """Exact python twin of bcubed_ppm's two-level integer floor."""
+    from collections import Counter
+    cs = Counter(c for _, c, _ in assign)
+    gs = Counter(g for _, _, g in assign)
+    pair = Counter((c, g) for _, c, g in assign)
+    n = len(assign)
+    pnum = sum((1_000_000 * cnt * cnt) // cs[c]
+               for (c, g), cnt in pair.items())
+    rnum = sum((1_000_000 * cnt * cnt) // gs[g]
+               for (c, g), cnt in pair.items())
+    p, r = pnum // n, rnum // n
+    f1 = 0 if p + r == 0 else (2 * p * r) // (p + r)
+    return (n, len(cs), len(gs), p, r, f1)
+
+
+def test_bcubed_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.metrics import bcubed_ppm
+
+    # deterministic pseudo-random assignment: 120 items, 7 predicted
+    # clusters, 5 gold classes, hash-derived so re-runs agree
+    assign = [(i, (i * i + 3 * i) % 7, (i * 5 + 1) % 5 if i % 3 else 0)
+              for i in range(120)]
+    df = spark.createDataFrame(assign, "item int, cluster int, gold int")
+    got = tuple(bcubed_ppm(df).first())
+    assert got == _bcubed_py(assign)
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    from python_mecab_ner_spark.operators.metrics import bcubed_ppm
+
+    # clusters == gold -> precision == recall == f1 == 1.0 (ppm)
+    perfect = [(i, i % 4, i % 4) for i in range(40)]
+    row = bcubed_ppm(spark.createDataFrame(
+        perfect, "item int, cluster int, gold int")).first()
+    assert (row.b3_precision_ppm, row.b3_recall_ppm,
+            row.b3_f1_ppm) == (1_000_000, 1_000_000, 1_000_000)
+
+    # everything in ONE cluster vs 8 singleton-ish gold classes:
+    # recall perfect, precision = avg gold-class share
+    lump = [(i, 0, i % 8) for i in range(64)]
+    row = bcubed_ppm(spark.createDataFrame(
+        lump, "item int, cluster int, gold int")).first()
+    assert row.b3_recall_ppm == 1_000_000
+    assert row.b3_precision_ppm == 125_000  # 8/64 per item

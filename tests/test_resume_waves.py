@@ -109,3 +109,120 @@ def test_wave_complete_stage_is_noop_on_rerun(spark, tmp_path):
 
     done = completed_parts(spark, out, "s")
     assert done is not None and done.count() == N_PARTS
+
+
+def test_refresh_recomputes_only_changed_parts(spark, tmp_path):
+    """refresh=True = incremental recompute: same urls, changed
+    content -> ONLY the partitions whose input fingerprint moved are
+    re-run; everything else is read back from the previous run."""
+    from python_mecab_ner_spark.plans.lineage import (input_fingerprints,
+                                                      with_part_key)
+
+    out = str(tmp_path / "out")
+    v1 = _inp(spark)
+    run_stage(spark, "s", v1, _fn, out, key_col="url",
+              n_parts=N_PARTS, refresh=True)
+    m1 = _manifest(spark, out, "s")
+    assert set(m1) == set(range(N_PARTS))
+
+    # re-run on the SAME input: pure no-op (fingerprints all match)
+    def never(d):
+        raise AssertionError("unchanged input must not re-run")
+
+    run_stage(spark, "s", v1, never, out, key_col="url",
+              n_parts=N_PARTS, refresh=True)
+
+    # v2: recrawl-style change — urls unchanged, v bumped for ids 0, 50
+    v2 = (spark.range(200)
+          .select(F.concat(F.lit("https://h/"), F.col("id")).alias("url"),
+                  (F.col("id") * 7 +
+                   F.when(F.col("id").isin(0, 50), 1).otherwise(0))
+                  .alias("v")))
+    changed_parts = {r[0] for r in
+                     with_part_key(v2.where(F.col("id").isin(0, 50)),
+                                   "url", N_PARTS)
+                     .select("part_key").distinct().collect()}
+    assert 0 < len(changed_parts) < N_PARTS
+
+    seen: list[list[int]] = []
+
+    def recording(d):
+        seen.append(sorted(
+            r[0] for r in d.select("part_key").distinct().collect()))
+        return _fn(d)
+
+    res = run_stage(spark, "s", v2, recording, out, key_col="url",
+                    n_parts=N_PARTS, refresh=True)
+    assert {p for w in seen for p in w} == changed_parts
+
+    # output reflects v2 everywhere (changed parts rewritten in place)
+    want = {(r["url"], r["v"], len(r["url"]) + r["v"])
+            for r in v2.collect()}
+    got = {(r["url"], r["v"], r["y"])
+           for r in res.select("url", "v", "y").collect()}
+    assert got == want
+
+    # latest_manifest: one row per part, changed parts updated
+    from python_mecab_ner_spark.plans.lineage import latest_manifest
+    lm = {r["part_key"]: (r["rows_out"], r["checksum"], r["input_fp"])
+          for r in latest_manifest(spark, out, "s").collect()}
+    assert set(lm) == set(range(N_PARTS))
+    fp2 = {r[0]: r[1] for r in
+           input_fingerprints(with_part_key(v2, "url", N_PARTS)).collect()}
+    assert all(lm[p][2] == fp2[p] for p in lm)
+    for p in set(range(N_PARTS)) - changed_parts:   # untouched rows intact
+        assert lm[p][:2] == m1[p][:2]
+
+
+def test_refresh_annotate_on_recrawl(spark, tmp_path):
+    """End-to-end refresh on the REAL annotate stage with recrawl
+    input: same urls, alt-seed content for doc_id % 20 == 0 — refresh
+    re-annotates only the touched partitions and converges to
+    per-partition checksum parity with a from-scratch run on the new
+    crawl."""
+    from python_mecab_ner_spark.operators.annotate import annotate_pages
+    from python_mecab_ner_spark.plans.lineage import (latest_manifest,
+                                                      with_part_key)
+    from python_mecab_ner_spark.sources.corpus import (pages_dataframe,
+                                                       recrawl_pages)
+    from python_mecab_ner_spark.sources.gazetteer import broadcast_rows
+
+    bc = broadcast_rows(spark)
+    cols = ["url", "warc_ts", "text", "lang"]
+
+    def ann_fn(part):
+        return annotate_pages(part.select(*cols), bc)
+
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    crawl1 = pages_dataframe(spark, 60, seed=5, partitions=2).select(*cols)
+    run_stage(spark, "annotate", crawl1, ann_fn, out1,
+              key_col="url", n_parts=N_PARTS, refresh=True)
+
+    crawl2 = recrawl_pages(spark, 60, seed=5, overlap_start=0,
+                           change_mod=20, ts_shift_min=0,
+                           partitions=2).select(*cols)
+    changed = crawl2.subtract(crawl1)
+    changed_parts = {r[0] for r in
+                     with_part_key(changed, "url", N_PARTS)
+                     .select("part_key").distinct().collect()}
+    assert 0 < len(changed_parts) < N_PARTS
+
+    seen: list[set] = []
+
+    def rec(d):
+        seen.append({r[0] for r in
+                     d.select("part_key").distinct().collect()})
+        return ann_fn(d)
+
+    run_stage(spark, "annotate", crawl2, rec, out1,
+              key_col="url", n_parts=N_PARTS, refresh=True)
+    assert set().union(*seen) == changed_parts
+
+    # parity: a from-scratch run over crawl 2
+    run_stage(spark, "annotate", crawl2, ann_fn, out2,
+              key_col="url", n_parts=N_PARTS, refresh=True)
+    a = {r["part_key"]: (r["rows_out"], r["checksum"], r["input_fp"])
+         for r in latest_manifest(spark, out1, "annotate").collect()}
+    b = {r["part_key"]: (r["rows_out"], r["checksum"], r["input_fp"])
+         for r in latest_manifest(spark, out2, "annotate").collect()}
+    assert a == b
