@@ -450,14 +450,15 @@ def link_mentions(mentions_df: DataFrame, entities_df: DataFrame,
         # the candidate lineage by writing the l0-l2 working set to
         # parquet and reading it back — a REAL plan barrier that cuts
         # the ~15 MiB per-stage task binaries of the monolithic plan.
-        # MEASURED at 50k docs local[32] (scripts/bench_link.py
-        # --barrier): 30.8 s median vs 23.9 s cache — 29% SLOWER.
-        # Same verdict family as the eager-count dead end: the write
-        # is an eager sync point that forfeits inter-branch stage
-        # overlap, and the disk round-trip adds real I/O on top.  The
-        # task binaries ARE plan-size-bound constants; paying wall
-        # time to shrink them buys nothing.  Kept (off by default)
-        # as the documented measurement, not a recommended mode.
+        # MEASURED at 50k docs local[32], 8 interleaved cache/barrier
+        # pairs in one session (burst-robust protocol, table in
+        # BENCH_EXTRAS.md): per-pair wall ratio median 0.93, spread
+        # 0.54-1.40 — a statistical tie.  Unlike the eager-count dead
+        # end (56% slower), the single post-union barrier costs no
+        # measurable wall time, so this is a LEGITIMATE mode when the
+        # ladder grows deep enough for plan size to bite; cache stays
+        # the default because it needs no temp-dir lifecycle and the
+        # task binaries are plan-size-bound constants today.
         path = f"{barrier_dir}/link_cand_ws"
         cand_union.write.mode("overwrite").parquet(path)
         cand_ws = mentions_df.sparkSession.read.parquet(path)

@@ -329,3 +329,23 @@ def test_kg_reach_registers_exact_and_estimate_tracks_ball(spark):
         ratios.append(hll_estimate(regs, 16) / len(exact[v]))
     mean = sum(ratios) / len(ratios)
     assert 0.6 < mean < 1.4, mean
+
+
+def test_link_barrier_variant_matches_cache(spark, tmp_path):
+    """link_mentions(barrier_dir=...) — the parquet-barrier working
+    set (BENCH_EXTRAS round-4 A/B: statistical tie with cache) — must
+    produce the IDENTICAL linked table."""
+    pages = pages_dataframe(spark, 80, seed=3, partitions=2).cache()
+    pages.count()
+    key = ["url", "start", "end", "link_level"]
+    g1 = extract_graph(spark, pages, canonicalize=False,
+                       kb_holdout_mod=20)
+    a = sorted(tuple(r) for r in g1["linked"].select(*key).collect())
+    g1["release"]()
+    g2 = extract_graph(spark, pages, canonicalize=False,
+                       kb_holdout_mod=20,
+                       link_barrier_dir=str(tmp_path / "b"))
+    b = sorted(tuple(r) for r in g2["linked"].select(*key).collect())
+    g2["release"]()
+    pages.unpersist()
+    assert a == b and len(a) > 0
