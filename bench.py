@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "q20_ann_bruteforce", "q21_ann_lsh", "q43_dup_argmax",
     "q44_evidence_scores", "q48_line_dedup", "q50_bigram_pmi",
     "q54_window_dedup",
+    # round 4 additions (comparisons vs earlier rounds use the shared
+    # subset, as in VERDICT r3's like-for-like table)
+    "q147_bcubed_eval", "q148_encoding_audit", "q149_ngram_diversity",
 ]
 
 
