@@ -2498,6 +2498,107 @@ def q149_ngram_diversity(spark, sf_dir):
     return ngram_diversity(d, "text", "source", n=3)
 
 
+def _rule_triples(spark, sf_dir):
+    """Typed triple fixture for the rule miner (q150): the q140 table
+    shape RESTRICTED to l_orderkey % 16 == 0 (the body join squares
+    per-entity degree, so the fixture keeps supplier fan-in ~35 not
+    ~500) PLUS a planted head predicate ``supplied_from``: for EVEN
+    parts only, (part, nation of one of its suppliers).  By
+    construction supplied_from(x, z) holds for exactly the even-x
+    bindings of the body made_by(x, y) AND in_nation(y, z) — so the
+    rule scores ~5e5 standard confidence (odd parts disprove it
+    closed-world) but exactly 1e6 PCA confidence (no odd part has ANY
+    supplied_from edge, so open-world they don't count) — the
+    CWA-vs-PCA gap AMIE exists to exploit.  Byte-identical DuckDB
+    twin in oracle_sql."""
+    li = (_load(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") % 16 == 0))
+    su = _load(spark, sf_dir, "supplier")
+    od = _load(spark, sf_dir, "orders")
+    ps = li.select((F.col("l_partkey") * 10).alias("p"),
+                   (F.col("l_suppkey") * 10 + 1).alias("s")).distinct()
+
+    def row(pred, subj, obj):
+        return (F.lit(pred).alias("pred"),
+                subj.cast("bigint").alias("subj"),
+                obj.cast("bigint").alias("obj"))
+
+    made_by = ps.select(*row("made_by", F.col("p"), F.col("s")))
+    makes = ps.select(*row("makes", F.col("s"), F.col("p")))
+    in_nation = su.select(*row("in_nation",
+                               F.col("s_suppkey") * 10 + 1,
+                               F.col("s_nationkey") * 10 + 3))
+    ordered = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+               .select(*row("ordered", F.col("o_custkey") * 10 + 2,
+                            F.col("l_partkey") * 10)))
+    linked = li.select(*row(
+        "linked",
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("l_partkey") * 10)
+        .otherwise(F.col("l_suppkey") * 10 + 1),
+        (F.col("l_suppkey") % 25) * 10 + 3))
+    supplied_from = (li.join(su, li["l_suppkey"] == su["s_suppkey"])
+                     .where(F.col("l_partkey") % 2 == 0)
+                     .select(*row("supplied_from",
+                                  F.col("l_partkey") * 10,
+                                  F.col("s_nationkey") * 10 + 3))
+                     .distinct())
+    return (made_by.unionByName(makes).unionByName(in_nation)
+            .unionByName(ordered).unionByName(linked)
+            .unionByName(supplied_from))
+
+
+def q150_rule_mining(spark, sf_dir):
+    """AMIE-style horn-rule mining (operators.ontology.rule_mining):
+    every p(x,y) AND q(y,z) => r(x,z) candidate with support >= 2,
+    scored by standard (CWA) and PCA confidence in exact-integer ppm.
+    The planted supplied_from rule pins pca_conf_ppm = 1e6 against
+    ~5e5 standard — AMIE's reason to exist.  Body join keyed on the
+    shared entity; the degree cap (max_join_degree) stays off here so
+    the fixture is cap-free — the capped path is pinned by the
+    python-twin unit test."""
+    from python_mecab_ner_spark.operators.ontology import rule_mining
+    # the persisted working sets stay attached via out.unpersist_input
+    # (the q141/q142 convention: callers that collect may release)
+    return rule_mining(_rule_triples(spark, sf_dir), min_support=2)
+
+
+def q151_edge_lifespan(spark, sf_dir):
+    """Temporal edge lifespan / SCD2 over a versioned edge table
+    (operators.temporal.edge_lifespan): three deterministic crawl
+    versions of the (orderkey -> partkey) edge set — v1 keeps
+    l_linenumber <= 4, v2 >= 2, v3 odd — so edges flap: a
+    linenumber-1-only edge is asserted by v1 and v3 but not v2
+    (n_gaps = 1, the resurrection signature).  One combinable
+    groupBy on the edge key + a 1-row broadcast current-version
+    total; duplicate (version, key) witness rows collapse via
+    countDistinct."""
+    from python_mecab_ner_spark.operators.temporal import edge_lifespan
+    li = _load(spark, sf_dir, "lineitem")
+
+    def ver(cond, v):
+        return (li.where(cond)
+                .select(F.col("l_orderkey").cast("bigint").alias("src"),
+                        F.col("l_partkey").cast("bigint").alias("dst"),
+                        F.lit(v).alias("version")))
+
+    edges = (ver(F.col("l_linenumber") <= 4, 1)
+             .unionByName(ver(F.col("l_linenumber") >= 2, 2))
+             .unionByName(ver(F.col("l_linenumber") % 2 == 1, 3)))
+    return edge_lifespan(edges, ["src", "dst"])
+
+
+def q152_term_salience(spark, sf_dir):
+    """Lead-position term salience (operators.profile.term_salience):
+    per document the most-salient term — frequency * 1000 plus an
+    earliness bonus bounded below 1000 so the fields never interfere
+    — with the max-then-min deterministic tie-break (no window).
+    Runs over the shared _doc_context token table (url, idx, word),
+    one cache entry across the stats family."""
+    from python_mecab_ner_spark.operators.profile import term_salience
+    return term_salience(_doc_context(spark, sf_dir), id_col="url",
+                         min_len=5, pos_cap=500)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -3435,6 +3536,37 @@ def kg_truth_triples(spark, sf_dir):
     return res
 
 
+def kg_edge_lifespan(spark, sf_dir):
+    """Temporal lifespan of the REAL extracted edges
+    (operators.temporal.edge_lifespan): the corpus' warc_ts stamps
+    span ~3.5 crawl days (one doc per minute), so the crawl day is a
+    genuine version axis — per (src, pred, dst) edge key: first/last
+    crawl day asserting it, day count, gap count, currency against
+    the newest day.  Same one-groupBy shape the snapshot-stacked
+    variant (temporal.lifespan_of_snapshots) runs over committed
+    Iceberg-style versions."""
+    from python_mecab_ner_spark.operators.temporal import edge_lifespan
+    g = _kg_graph(spark)
+    e = g["edges"].select(
+        "src_id", "pred", "dst_id",
+        F.expr("unix_timestamp(warc_ts) div 86400").alias("version"))
+    return edge_lifespan(e, ["src_id", "pred", "dst_id"])
+
+
+def kg_entity_salience(spark, sf_dir):
+    """Lead-position salience over REAL gazetteer mentions
+    (operators.profile.term_salience with char offsets as positions):
+    per page the most-salient surfaced entity — mention count * 1000
+    plus the bounded earliness bonus, max-then-min tie-break.  The
+    q152 formula with actual extraction offsets instead of the
+    length->=5 token heuristic."""
+    from python_mecab_ner_spark.operators.profile import term_salience
+    g = _kg_graph(spark)
+    return term_salience(g["mentions"], id_col="url",
+                         word_col="surface", idx_col="start",
+                         min_len=1, pos_cap=500)
+
+
 def kg_schema_stats(spark, sf_dir):
     """PARIS functionality over the REAL extracted KG
     (operators.ontology.predicate_functionality on g["triples"]):
@@ -3757,6 +3889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_bcubed_eval": q147_bcubed_eval,
         "q148_encoding_audit": q148_encoding_audit,
         "q149_ngram_diversity": q149_ngram_diversity,
+        "q150_rule_mining": q150_rule_mining,
+        "q151_edge_lifespan": q151_edge_lifespan,
+        "q152_term_salience": q152_term_salience,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -3780,6 +3915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_host_cocitation": kg_host_cocitation,
         "kg_html_text": kg_html_text,
         "kg_truth_triples": kg_truth_triples,
+        "kg_edge_lifespan": kg_edge_lifespan,
+        "kg_entity_salience": kg_entity_salience,
     }
 
 
@@ -5108,6 +5245,109 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * count(*)) // sum(c) AS BIGINT)
                        AS distinct_ppm
             FROM per GROUP BY source
+        """,
+        # q150: byte-identical twin of _rule_triples +
+        # ontology.rule_mining (min_support=2, no degree cap)
+        "q150_rule_mining": """
+            WITH li AS (SELECT * FROM lineitem
+                        WHERE l_orderkey % 16 = 0),
+            ps AS (SELECT DISTINCT l_partkey * 10 AS p,
+                                   l_suppkey * 10 + 1 AS s FROM li),
+            tri AS (
+                SELECT 'made_by' AS pred, p AS subj, s AS obj FROM ps
+                UNION ALL SELECT 'makes', s, p FROM ps
+                UNION ALL SELECT 'in_nation', s_suppkey * 10 + 1,
+                                 s_nationkey * 10 + 3 FROM supplier
+                UNION ALL SELECT 'ordered', o_custkey * 10 + 2,
+                                 l_partkey * 10
+                          FROM li JOIN orders ON l_orderkey = o_orderkey
+                UNION ALL SELECT 'linked',
+                                 CASE WHEN l_linenumber % 2 = 1
+                                      THEN l_partkey * 10
+                                      ELSE l_suppkey * 10 + 1 END,
+                                 (l_suppkey % 25) * 10 + 3
+                          FROM li
+                UNION ALL SELECT DISTINCT 'supplied_from',
+                                 l_partkey * 10, s_nationkey * 10 + 3
+                          FROM li JOIN supplier
+                            ON l_suppkey = s_suppkey
+                          WHERE l_partkey % 2 = 0),
+            pairs AS (SELECT DISTINCT pred, subj, obj FROM tri),
+            body AS (SELECT DISTINCT a.pred AS p, b.pred AS q,
+                            a.subj AS x, b.obj AS z
+                     FROM pairs a JOIN pairs b ON a.obj = b.subj),
+            nb AS (SELECT p, q, count(*) AS n_body
+                   FROM body GROUP BY 1, 2),
+            supp AS (SELECT p, q, h.pred AS r, count(*) AS n_support
+                     FROM body JOIN pairs h
+                       ON h.subj = x AND h.obj = z
+                     GROUP BY 1, 2, 3),
+            rsubj AS (SELECT DISTINCT pred AS r, subj AS x FROM pairs),
+            pca AS (SELECT p, q, r, count(*) AS n_pca
+                    FROM body JOIN rsubj ON rsubj.x = body.x
+                    GROUP BY 1, 2, 3)
+            SELECT p AS pred_p, q AS pred_q, r AS pred_r,
+                   CAST(n_body AS BIGINT) AS n_body,
+                   CAST(n_support AS BIGINT) AS n_support,
+                   CAST(n_pca AS BIGINT) AS n_pca,
+                   CAST((n_support * 1000000) // n_body AS BIGINT)
+                       AS conf_ppm,
+                   CAST((n_support * 1000000) // n_pca AS BIGINT)
+                       AS pca_conf_ppm
+            FROM supp JOIN pca USING (p, q, r) JOIN nb USING (p, q)
+            WHERE n_support >= 2
+        """,
+        # q151: twin of operators.temporal.edge_lifespan over the
+        # three deterministic crawl versions of (orderkey, partkey)
+        "q151_edge_lifespan": """
+            WITH e AS (
+                SELECT l_orderkey AS src, l_partkey AS dst,
+                       1 AS version
+                FROM lineitem WHERE l_linenumber <= 4
+                UNION ALL SELECT l_orderkey, l_partkey, 2
+                          FROM lineitem WHERE l_linenumber >= 2
+                UNION ALL SELECT l_orderkey, l_partkey, 3
+                          FROM lineitem WHERE l_linenumber % 2 = 1),
+            g AS (SELECT src, dst, min(version) AS first_seen,
+                         max(version) AS last_seen,
+                         count(DISTINCT version) AS n_versions
+                  FROM e GROUP BY 1, 2),
+            c AS (SELECT max(version) AS cur FROM e)
+            SELECT CAST(src AS BIGINT) AS src,
+                   CAST(dst AS BIGINT) AS dst,
+                   CAST(first_seen AS BIGINT) AS first_seen,
+                   CAST(last_seen AS BIGINT) AS last_seen,
+                   CAST(n_versions AS BIGINT) AS n_versions,
+                   CAST(last_seen - first_seen + 1 - n_versions
+                        AS BIGINT) AS n_gaps,
+                   CAST(CASE WHEN last_seen = cur THEN 1 ELSE 0 END
+                        AS INT) AS is_current
+            FROM g CROSS JOIN c
+        """,
+        # q152: twin of profile.term_salience over the _doc_context
+        # token split (0-based idx BEFORE the empty-word filter)
+        "q152_term_salience": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+') AS w
+                       FROM documents),
+            px AS (SELECT doc_id, unnest(w) AS word,
+                          unnest(range(0, len(w))) AS idx
+                   FROM t),
+            g AS (SELECT doc_id AS id, word, count(*) AS cnt,
+                         min(idx) AS first_idx
+                  FROM px WHERE word <> '' AND length(word) >= 5
+                  GROUP BY 1, 2),
+            s AS (SELECT id, word,
+                         cnt * 1000 + greatest(0, 499 - first_idx)
+                             AS sal
+                  FROM g),
+            tp AS (SELECT id, max(sal) AS top_sal FROM s GROUP BY 1)
+            SELECT s.id, min(word) AS top_word,
+                   CAST(max(sal) AS BIGINT) AS salience,
+                   CAST(max(sal) // 1000 AS BIGINT) AS n_mentions
+            FROM s JOIN tp ON tp.id = s.id AND sal = top_sal
+            GROUP BY 1
         """,
         "q147_bcubed_eval": """
             WITH a AS (SELECT p_partkey AS i, p_brand AS c,

@@ -122,6 +122,105 @@ def domain_range(triples: DataFrame, types: DataFrame,
     return out
 
 
+def rule_mining(triples: DataFrame, min_support: int = 2,
+                max_join_degree: int | None = None,
+                pred_col: str = "pred", subj_col: str = "subj",
+                obj_col: str = "obj") -> DataFrame:
+    """AMIE-style closed-path horn rules over a triple table:
+    ``p(x, y) AND q(y, z) => r(x, z)`` (Galárraga et al., WWW 2013),
+    the schema-mining pass a web KG runs to propose inference rules
+    and flag redundant extractions.
+
+    Per rule (p, q, r):
+
+    * ``n_body``    — distinct (x, z) bindings of the body join
+      (multiple intermediate y witnesses collapse: AMIE counts head
+      bindings, not paths);
+    * ``n_support`` — body bindings for which r(x, z) holds;
+    * ``conf_ppm``  — standard confidence, 1e6 * n_support div n_body
+      (closed-world: every unproven head counts against the rule);
+    * ``n_pca``     — body bindings whose x has at least ONE r-edge;
+    * ``pca_conf_ppm`` — AMIE's PCA confidence, 1e6 * n_support div
+      n_pca (open-world: only x-es known to participate in r at all
+      count against the rule — the planted supplied_from rule in the
+      q150 fixture scores 1e6 here but ~5e5 standard, AMIE's whole
+      point).
+
+    Scale shape: the body join is the one superlinear step and it is
+    keyed on the shared entity y — a co-partitioned hash join whose
+    per-key fan-out is out_deg(y) * in_deg(y).  ``max_join_degree``
+    caps it per (pred, node): a-side rows whose (pred, obj) in-degree
+    exceeds the cap and b-side rows whose (pred, subj) out-degree
+    exceeds the cap are dropped BEFORE the join (the degree-capped
+    wedge-join pattern from graph.butterfly_counts; at web scale hub
+    entities — countries, years — would otherwise square).  The cap
+    is part of the rule semantics and must be mirrored by any oracle
+    (q150 runs uncapped so the fixture stays cap-free; the cap path
+    is pinned by the python-twin unit test).  The support and PCA
+    joins are equi-joins on the (x, z) pair / the x key.  The
+    distinct pair set feeds five consumers and is persisted; callers
+    release via ``unpersist_input``.
+    """
+    pairs = (triples.select(F.col(pred_col).alias("pred"),
+                            F.col(subj_col).alias("subj"),
+                            F.col(obj_col).alias("obj"))
+             .distinct().persist())
+    a = pairs
+    b = pairs
+    if max_join_degree is not None:
+        in_deg = (pairs.groupBy("pred", "obj")
+                  .agg(F.count("*").alias("d"))
+                  .where(F.col("d") <= max_join_degree)
+                  .select("pred", "obj"))
+        out_deg = (pairs.groupBy("pred", "subj")
+                   .agg(F.count("*").alias("d"))
+                   .where(F.col("d") <= max_join_degree)
+                   .select("pred", "subj"))
+        a = pairs.join(in_deg, ["pred", "obj"])
+        b = pairs.join(out_deg, ["pred", "subj"])
+    body = (a.select(F.col("pred").alias("p"),
+                     F.col("subj").alias("x"),
+                     F.col("obj").alias("y"))
+            .join(b.select(F.col("pred").alias("q"),
+                           F.col("subj").alias("y"),
+                           F.col("obj").alias("z")), "y")
+            .select("p", "q", "x", "z").distinct().persist())
+    n_body = body.groupBy("p", "q").agg(F.count("*").alias("n_body"))
+    heads = pairs.select(F.col("pred").alias("r"),
+                         F.col("subj").alias("x"),
+                         F.col("obj").alias("z"))
+    support = (body.join(heads, ["x", "z"])
+               .groupBy("p", "q", "r")
+               .agg(F.count("*").alias("n_support")))
+    r_subj = (pairs.select(F.col("pred").alias("r"),
+                           F.col("subj").alias("x"))
+              .distinct())
+    # body is distinct on (p,q,x,z) and r_subj on (r,x), so the join
+    # is already distinct on (p,q,r,x,z) — aggregate directly
+    pca = (body.join(r_subj, "x")
+           .groupBy("p", "q", "r")
+           .agg(F.count("*").alias("n_pca")))
+    out = (support.where(F.col("n_support") >= min_support)
+           .join(pca, ["p", "q", "r"])
+           .join(n_body, ["p", "q"])
+           .select(F.col("p").alias("pred_p"),
+                   F.col("q").alias("pred_q"),
+                   F.col("r").alias("pred_r"),
+                   F.col("n_body").cast("bigint").alias("n_body"),
+                   F.col("n_support").cast("bigint").alias("n_support"),
+                   F.col("n_pca").cast("bigint").alias("n_pca"),
+                   F.expr(f"(n_support * {PPM}) div n_body")
+                   .cast("bigint").alias("conf_ppm"),
+                   F.expr(f"(n_support * {PPM}) div n_pca")
+                   .cast("bigint").alias("pca_conf_ppm")))
+
+    def _release():
+        pairs.unpersist()
+        body.unpersist()
+    out.unpersist_input = _release
+    return out
+
+
 def inverse_predicates(triples: DataFrame, pred_col: str = "pred",
                        subj_col: str = "subj",
                        obj_col: str = "obj") -> DataFrame:

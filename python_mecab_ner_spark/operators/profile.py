@@ -338,3 +338,50 @@ def ngram_diversity(df: DataFrame, text_col: str = "text",
             .select("source", "distinct_ngrams", "total_ngrams",
                     F.expr("(1000000 * distinct_ngrams) div total_ngrams")
                     .alias("distinct_ppm")))
+
+
+def term_salience(tokens: DataFrame, id_col: str = "url",
+                  word_col: str = "word", idx_col: str = "idx",
+                  min_len: int = 5, pos_cap: int = 500) -> DataFrame:
+    """Most-salient term per document from a token table
+    ``(id, idx, word)`` with 0-based positions: salience =
+    n_mentions * 1000 + max(0, pos_cap - 1 - first_idx) — frequency
+    dominates, earliness breaks frequency ties (lead-position
+    salience, the classic wire-service heuristic: what the page is
+    ABOUT appears early and often).  Fields don't interfere: the
+    position bonus lives in [0, pos_cap) < 1000, so
+    n_mentions = salience div 1000 is recoverable exactly.
+
+    Deterministic output: one row per doc — the max-salience term,
+    lexicographically smallest word among exact ties (the
+    ontology._modal_type max-then-min pattern; no window).
+
+    Scale shape: one groupBy (id, word) over the token table, a
+    per-doc max aggregate, and the tie-break join keyed on id —
+    all combinable, skew follows the doc-id key (uniform).  Short
+    words (< min_len chars) drop before the first shuffle.
+
+    KG twin: kg_entity_salience runs the same formula over REAL
+    mention offsets (operators.annotate mentions), replacing the
+    length heuristic with actual gazetteer hits.
+    """
+    g = (tokens.where(F.length(F.col(word_col)) >= min_len)
+         .groupBy(F.col(id_col).alias("id"),
+                  F.col(word_col).alias("word"))
+         .agg(F.count("*").alias("cnt"),
+              F.min(F.col(idx_col)).alias("first_idx")))
+    scored = g.select(
+        "id", "word",
+        (F.col("cnt") * 1000
+         + F.greatest(F.lit(0),
+                      F.lit(pos_cap - 1) - F.col("first_idx")))
+        .cast("bigint").alias("salience"))
+    top = scored.groupBy("id").agg(F.max("salience").alias("top_sal"))
+    return (scored.join(top, "id")
+            .where(F.col("salience") == F.col("top_sal"))
+            .groupBy("id")
+            .agg(F.min("word").alias("top_word"),
+                 F.max("salience").cast("bigint").alias("salience"))
+            .select("id", "top_word", "salience",
+                    F.expr("salience div 1000").cast("bigint")
+                    .alias("n_mentions")))

@@ -38,6 +38,17 @@ def test_snapshot_commit_time_travel_and_diff(spark, tmp_path):
     with pytest.raises(ValueError):
         read_snapshot(spark, base, 99)
 
+    # the temporal layer consumes the same manifest: stacked
+    # snapshot versions -> per-key lifespan against the latest commit
+    from python_mecab_ner_spark.operators.temporal import (
+        lifespan_of_snapshots)
+    life = {r.id: (r.first_seen, r.last_seen, r.is_current)
+            for r in lifespan_of_snapshots(spark, base,
+                                           ["id"]).collect()}
+    assert life[0] == (1, 1, 0)    # dropped by v2
+    assert life[5] == (1, 2, 1)    # in both
+    assert life[12] == (2, 2, 1)   # born in v2
+
 
 def test_orphan_snapshot_dir_is_invisible(spark, tmp_path):
     """Crash between data write and manifest commit leaves an orphan
