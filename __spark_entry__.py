@@ -2599,6 +2599,25 @@ def q152_term_salience(spark, sf_dir):
                          min_len=5, pos_cap=500)
 
 
+def q153_rank_eval(spark, sf_dir):
+    """Link-prediction ranking eval (operators.metrics.rank_eval):
+    MRR + Hits@k of the in-degree popularity baseline over the q82
+    edge set and its deterministic negatives — the eval half of the
+    KG-embedding training-prep pair (q82 generates the pairs, this
+    scores a model over them; the popularity floor is what a learned
+    model must beat).  No window, no per-query sort: ranks are
+    strictly-better counts on the (src, dst) key, floor-exact MRR in
+    ppm."""
+    from python_mecab_ner_spark.operators.graph import negative_samples
+    from python_mecab_ner_spark.operators.metrics import rank_eval
+    li = _load(spark, sf_dir, "lineitem")
+    edges = (li.where(F.col("l_partkey") <= 200)
+             .select((F.col("l_partkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    return rank_eval(edges, negative_samples(edges, k=2))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -3892,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_rule_mining": q150_rule_mining,
         "q151_edge_lifespan": q151_edge_lifespan,
         "q152_term_salience": q152_term_salience,
+        "q153_rank_eval": q153_rank_eval,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -6207,6 +6227,62 @@ def oracle_sql() -> dict[str, str]:
             FROM c2 LEFT JOIN e t
                  ON t.src = c2.src AND t.dst = c2.dst_neg
             WHERE t.src IS NULL
+        """,
+        # q153: metrics.rank_eval over the q82 negatives — same
+        # negative-sampling CTE chain, then rank = 1 + strictly-
+        # better count against the in-degree popularity scorer
+        "q153_rank_eval": f"""
+            WITH e AS (SELECT DISTINCT l_partkey * 2 AS src,
+                              l_suppkey * 2 + 1 AS dst
+                       FROM lineitem WHERE l_partkey <= 200),
+            nv AS (SELECT node,
+                          row_number() OVER (ORDER BY node) - 1 AS rid
+                   FROM (SELECT DISTINCT src AS node FROM e
+                         UNION SELECT dst FROM e)),
+            nn AS (SELECT count(*) AS n FROM nv),
+            cand AS (SELECT src, dst, i,
+                            ({md5_int_sql(
+                                "concat_ws(':', src, dst, i)")}) % nn.n
+                            AS rid
+                     FROM e
+                     CROSS JOIN (SELECT 0 AS i UNION ALL SELECT 1)
+                     CROSS JOIN nn),
+            c2 AS (SELECT src, dst, i, node AS dst_neg
+                   FROM cand JOIN nv USING (rid)),
+            negs AS (SELECT c2.src, c2.dst, c2.dst_neg AS cand
+                     FROM c2 LEFT JOIN e t
+                          ON t.src = c2.src AND t.dst = c2.dst_neg
+                     WHERE t.src IS NULL),
+            deg AS (SELECT dst AS node, count(*) AS score
+                    FROM e GROUP BY 1),
+            nsc AS (SELECT n.src, n.dst, n.cand,
+                           coalesce(d.score, 0) AS score
+                    FROM negs n LEFT JOIN deg d ON d.node = n.cand),
+            tsc AS (SELECT e.src, e.dst,
+                           coalesce(d.score, 0) AS true_score
+                    FROM e LEFT JOIN deg d ON d.node = e.dst),
+            rk AS (SELECT n.src, n.dst,
+                          sum(CASE WHEN n.score > t.true_score
+                                     OR (n.score = t.true_score
+                                         AND n.cand < n.dst)
+                                   THEN 1 ELSE 0 END) AS n_better
+                   FROM nsc n JOIN tsc t
+                     ON t.src = n.src AND t.dst = n.dst
+                   GROUP BY 1, 2),
+            rr AS (SELECT t.src, t.dst,
+                          coalesce(rk.n_better, 0) + 1 AS rank
+                   FROM tsc t LEFT JOIN rk
+                     ON rk.src = t.src AND rk.dst = t.dst)
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(1000000 // rank) // count(*) AS BIGINT)
+                       AS mrr_ppm,
+                   CAST(sum(CASE WHEN rank <= 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits1,
+                   CAST(sum(CASE WHEN rank <= 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits3,
+                   CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits10
+            FROM rr
         """,
         "q81_crawl_budget": """
             WITH c AS (SELECT l_suppkey AS host,
