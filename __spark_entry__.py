@@ -899,16 +899,20 @@ def q48_line_dedup(spark, sf_dir):
 
 
 def q49_khop(spark, sf_dir):
-    """2-hop neighborhood size per node (operators.graph
-    .khop_neighbors) over the q40 part<->supplier bipartite graph:
-    the KG expansion primitive ("entities within two relations"),
-    iterative frontier join with localCheckpoint per round."""
-    from python_mecab_ner_spark.operators.graph import khop_neighbors
+    """2-hop neighborhood size per node (operators.graph.khop_counts)
+    over the q40 part<->supplier bipartite graph: the KG expansion
+    primitive ("entities within two relations").  Counting fast path —
+    raw hop expansions into ONE countDistinct aggregate, never
+    materializing the reach pair set (540 s -> 7.8 s at sf0.1 vs the
+    khop_neighbors pair-set path, which kg_entity_khop still uses
+    because it joins the pairs downstream)."""
+    from python_mecab_ner_spark.operators.graph import khop_counts
     edges = _ps_edges(spark, sf_dir)
-    return (khop_neighbors(edges, k=2)
-            .groupBy("node")
-            .agg(F.count("*").cast("bigint").alias("n_khop"))
-            .select(F.col("node").cast("bigint").alias("node"), "n_khop"))
+    out = khop_counts(edges, k=2)
+    res = out.select(F.col("node").cast("bigint").alias("node"),
+                     "n_khop")
+    res.unpersist_input = out.unpersist_input
+    return res
 
 
 def q50_bigram_pmi(spark, sf_dir):
@@ -2618,6 +2622,239 @@ def q153_rank_eval(spark, sf_dir):
     return rank_eval(edges, negative_samples(edges, k=2))
 
 
+def q154_modularity(spark, sf_dir):
+    """Modularity Q of the q70 LPA partition (operators.graph.
+    modularity_ppm): exact-integer partition-quality score over the
+    same symmetrized weighted part<->supplier graph — the audit that
+    says whether the communities are structure or noise.  Oracle
+    reuses the unrolled-LPA CTE chain verbatim and appends the
+    modularity arithmetic (shift-by-W^2 keeps the dividend
+    non-negative so Spark div == DuckDB //)."""
+    from python_mecab_ner_spark.operators.graph import (
+        label_propagation_int, modularity_ppm)
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = (li.groupBy((F.col("l_partkey") * 2).alias("p"),
+                        (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .agg(F.count("*").cast("bigint").alias("w")))
+    edges = (pairs.select(F.col("p").alias("src"),
+                          F.col("s").alias("dst"), "w")
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"), "w"))
+             .persist())
+    comm = label_propagation_int(edges, iters=2, weight="w")
+    out = modularity_ppm(edges, comm, weight="w")
+    out.unpersist_input = edges.unpersist
+    return out
+
+
+def q155_entity_alignment(spark, sf_dir):
+    """PARIS-style instance alignment across two KG snapshots
+    (operators.ontology.align_entities): snapshot A = part attribute
+    statements (name / brand / ptype predicates, subj =
+    p_partkey); snapshot B = the same statements under surrogate ids
+    (+10M) with ~30% deterministically dropped (md5 % 10 >= 7) — the
+    recrawl-reconciliation shape.  Inverse-functionality weighting
+    makes near-unique predicates (name) dominate hub predicates
+    (brand/ptype, df-capped away).  Output: B-entity -> best A-entity with
+    integer evidence score."""
+    from python_mecab_ner_spark.operators.ontology import \
+        align_entities
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    part = _load(spark, sf_dir, "part").where(F.col("p_partkey") <= 2000)
+    a = part.selectExpr(
+        "p_partkey AS subj",
+        "stack(3, 'name', p_name, 'brand', p_brand, "
+        "'ptype', p_type) AS (pred, obj)")
+    b = (a.withColumn(
+        "_h", md5_int(F.concat_ws(":", F.col("subj").cast("string"),
+                                  "pred", "obj"), salt="align:"))
+        .where(F.col("_h") % 10 < 7)
+        .select((F.col("subj") + 10_000_000).alias("subj"),
+                "pred", "obj"))
+    return (align_entities(a, b, max_df=64)
+            .select(F.col("entity_b").cast("bigint").alias("entity_b"),
+                    F.col("entity_a").cast("bigint").alias("entity_a"),
+                    "score_milli", "n_partners"))
+
+
+def q156_type_propagation(spark, sf_dir):
+    """Seeded entity-type inference (operators.ontology.
+    propagate_types): suppliers are typed by nation (the seed dim);
+    two synchronous rounds propagate the modal neighbor type to the
+    untyped part side of the symmetrized part<->supplier graph, seeds
+    clamped — the Zhu/Ghahramani semi-supervised step that fills the
+    type column schema induction (q141) needs.  Bit-exact vs the
+    unrolled-SQL oracle."""
+    from python_mecab_ner_spark.operators.ontology import \
+        propagate_types
+    li = _load(spark, sf_dir, "lineitem")
+    sup = _load(spark, sf_dir, "supplier")
+    pairs = (li.select((F.col("l_partkey") * 2).alias("p"),
+                       (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("p").alias("src"),
+                          F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    seeds = sup.select((F.col("s_suppkey") * 2 + 1).alias("node"),
+                       F.col("s_nationkey").cast("bigint")
+                       .alias("type_id"))
+    return (propagate_types(edges, seeds, iters=2)
+            .where(F.col("type_id").isNotNull())
+            .select(F.col("node").cast("bigint").alias("node"),
+                    "type_id"))
+
+
+def q157_edge_cut(spark, sf_dir):
+    """Partition-layout edge-cut audit (operators.graph.
+    edge_cut_audit) for the materialized part->supplier edge table:
+    md5-hash mod 32 vs key-range (div 4096) vs mod-8 layouts, one
+    combinable aggregate per layout — the measured input to the
+    'how do we partition the edge table' design decision the
+    north rule demands."""
+    from python_mecab_ner_spark.operators.graph import edge_cut_audit
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    li = _load(spark, sf_dir, "lineitem")
+    edges = (li.select((F.col("l_partkey") * 2).alias("src"),
+                       (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct())
+    layouts = {
+        "hash32": lambda c: md5_int(c.cast("string"), salt="cut:")
+        % 32,
+        # ids are non-negative, so truncating cast == integer div
+        "range4096": lambda c: (c / 4096).cast("bigint"),
+        "mod8": lambda c: c % 8,
+    }
+    return edge_cut_audit(edges, layouts)
+
+
+def _harmonic_oracle_sql(radius: int = 3, scale: int = 1000) -> str:
+    """Unrolled exact-BFS harmonic-centrality twin of q158: ball
+    tables per distance, MATERIALIZED (each later round anti-joins
+    the union of all earlier rounds — inlining re-expands the whole
+    frontier chain per reference)."""
+    s = """
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        e AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+        r AS (SELECT p_partkey * 2 AS root FROM part
+              WHERE p_partkey <= 200),
+        b1 AS MATERIALIZED (
+            SELECT DISTINCT e.src AS root, e.dst AS v
+            FROM e JOIN r ON r.root = e.src
+            WHERE e.dst <> e.src)"""
+    prev_union = "SELECT root, v FROM b1"
+    for k in range(2, radius + 1):
+        s += f""",
+        f{k} AS MATERIALIZED (
+            SELECT DISTINCT b.root, e.dst AS v
+            FROM b{k - 1} b JOIN e ON e.src = b.v
+            WHERE e.dst <> b.root),
+        b{k} AS MATERIALIZED (
+            SELECT f.root, f.v FROM f{k} f
+            LEFT JOIN ({prev_union}) u
+              ON u.root = f.root AND u.v = f.v
+            WHERE u.root IS NULL)"""
+        prev_union += f" UNION ALL SELECT root, v FROM b{k}"
+    reach = " UNION ALL ".join(
+        f"SELECT root, v, {k} AS d FROM b{k}"
+        for k in range(1, radius + 1))
+    return s + f""",
+        reach AS ({reach})
+        SELECT CAST(root AS BIGINT) AS root,
+               CAST(count(*) AS BIGINT) AS n_reached,
+               CAST(sum({scale} // d) AS BIGINT) AS harmonic_milli
+        FROM reach GROUP BY 1"""
+
+
+def _typeprop_oracle_sql(iters: int = 2, type_bits: int = 20) -> str:
+    """Unrolled seeded type-propagation twin of q156 (same packed
+    argmax + seed clamp per round)."""
+    cap = 1 << type_bits
+    s = """
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        e AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        sd AS (SELECT s_suppkey * 2 + 1 AS node,
+                      CAST(s_nationkey AS BIGINT) AS seed_ty
+               FROM supplier),
+        lab0 AS MATERIALIZED (
+            SELECT n.node, sd.seed_ty AS ty
+            FROM nodes n LEFT JOIN sd ON sd.node = n.node)"""
+    for k in range(1, iters + 1):
+        s += f""",
+        v{k} AS (SELECT e.dst AS node, l.ty AS ty, count(*) AS c
+                 FROM e JOIN lab{k - 1} l ON l.node = e.src
+                 WHERE l.ty IS NOT NULL GROUP BY 1, 2),
+        p{k} AS (SELECT node,
+                        max(c * {cap} + ({cap - 1} - ty)) AS mx
+                 FROM v{k} GROUP BY 1),
+        lab{k} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST(coalesce(s.seed_ty,
+                                 {cap - 1} - (mx & {cap - 1}),
+                                 n.ty) AS BIGINT) AS ty
+            FROM lab{k - 1} n
+            LEFT JOIN p{k} p ON p.node = n.node
+            LEFT JOIN sd s ON s.node = n.node)"""
+    return s + f"""
+        SELECT CAST(node AS BIGINT) AS node, ty AS type_id
+        FROM lab{iters} WHERE ty IS NOT NULL"""
+
+
+_MODULARITY_FINAL = """,
+        tot AS (SELECT sum(w) AS w_tot FROM e),
+        deg AS (SELECT src AS node, sum(w) AS sd FROM e GROUP BY 1),
+        sc AS (SELECT l.lab AS community, sum(d.sd) AS s_c
+               FROM deg d JOIN lab2 l ON l.node = d.node GROUP BY 1),
+        wc AS (SELECT ls.lab AS community, sum(e.w) AS w_c
+               FROM e JOIN lab2 ls ON ls.node = e.src
+                      JOIN lab2 ld ON ld.node = e.dst
+               WHERE ls.lab = ld.lab GROUP BY 1),
+        per AS (SELECT sc.community, sc.s_c,
+                       coalesce(wc.w_c, 0) AS w_c
+                FROM sc LEFT JOIN wc USING (community)),
+        sums AS (SELECT count(*) AS n_communities,
+                        sum(w_c) AS intra_w,
+                        sum(s_c * s_c) AS s2 FROM per)
+        SELECT CAST(n_communities AS BIGINT) AS n_communities,
+               CAST(w_tot AS BIGINT) AS w_tot,
+               CAST(intra_w AS BIGINT) AS intra_w,
+               CAST((1000000 * (w_tot * intra_w - s2
+                                + w_tot * w_tot))
+                    // (w_tot * w_tot) - 1000000 AS BIGINT)
+                   AS modularity_ppm
+        FROM sums, tot"""
+
+
+def q158_harmonic(spark, sf_dir):
+    """Exact bounded-radius harmonic centrality (operators.graph.
+    harmonic_centrality, radius 3) for a 200-part root sample of the
+    symmetrized part<->supplier graph — the exact-audit twin of the
+    HyperBall sketch path (q123/kg_entity_reach), hash-matched
+    against the unrolled-BFS oracle."""
+    from python_mecab_ner_spark.operators.graph import \
+        harmonic_centrality
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    pairs = (li.select((F.col("l_partkey") * 2).alias("p"),
+                       (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("p").alias("src"),
+                          F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    roots = (part.where(F.col("p_partkey") <= 200)
+             .select((F.col("p_partkey") * 2).alias("node")))
+    return (harmonic_centrality(edges, radius=3, roots=roots)
+            .select(F.col("root").cast("bigint").alias("root"),
+                    "n_reached", "harmonic_milli"))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -2976,9 +3213,13 @@ def q70_communities(spark, sf_dir):
                     "community"))
 
 
-def _lpa_oracle_sql(iters: int = 2, id_bits: int = 44) -> str:
+def _lpa_oracle_sql(iters: int = 2, id_bits: int = 44,
+                    final: str | None = None) -> str:
     """Unrolled synchronous-LPA SQL twin of q70 (same packed-integer
-    argmax per round, generated per iteration)."""
+    argmax per round, generated per iteration).  ``final`` replaces
+    the default label projection with a caller-supplied SELECT over
+    the chain (q154 appends the modularity computation); it may start
+    with ",more CTEs" by convention of the f-string below."""
     cap = 1 << id_bits
     s = f"""
         WITH pairs AS (SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s,
@@ -3002,9 +3243,11 @@ def _lpa_oracle_sql(iters: int = 2, id_bits: int = 44) -> str:
                                         n.lab) AS BIGINT) AS lab
                    FROM lab{k - 1} n
                    LEFT JOIN p{k} ON p{k}.node = n.node)"""
-    return s + f"""
+    if final is None:
+        final = f"""
         SELECT CAST(node AS BIGINT) AS node, lab AS community
         FROM lab{iters}"""
+    return s + final
 
 
 def q79_hits(spark, sf_dir):
@@ -3912,6 +4155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_edge_lifespan": q151_edge_lifespan,
         "q152_term_salience": q152_term_salience,
         "q153_rank_eval": q153_rank_eval,
+        "q154_modularity": q154_modularity,
+        "q155_entity_alignment": q155_entity_alignment,
+        "q156_type_propagation": q156_type_propagation,
+        "q157_edge_cut": q157_edge_cut,
+        "q158_harmonic": q158_harmonic,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -6284,6 +6532,90 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS hits10
             FROM rr
         """,
+        # q154: the unrolled-LPA chain + modularity arithmetic (the
+        # +W^2 shift keeps the dividend non-negative -> div == //)
+        "q154_modularity": _lpa_oracle_sql(
+            iters=2, final=_MODULARITY_FINAL),
+        # q155: PARIS alignment — same stack/drop/df-cap/packed-argmax
+        # chain; cap = 2^32
+        "q155_entity_alignment": f"""
+            WITH pa AS (
+                SELECT p_partkey AS subj, 'name' AS pred,
+                       p_name AS obj
+                FROM part WHERE p_partkey <= 2000
+                UNION ALL
+                SELECT p_partkey, 'brand', p_brand
+                FROM part WHERE p_partkey <= 2000
+                UNION ALL
+                SELECT p_partkey, 'ptype', p_type
+                FROM part WHERE p_partkey <= 2000),
+            a AS (SELECT DISTINCT pred, obj, subj AS subj_a FROM pa),
+            pb AS (SELECT subj AS subj0, pred, obj FROM pa
+                   WHERE ({md5_int_sql(
+                       "concat_ws(':', subj, pred, obj)",
+                       salt="align:")}) % 10 < 7),
+            b AS (SELECT DISTINCT pred, obj,
+                         subj0 + 10000000 AS subj_b FROM pb),
+            ap AS (SELECT DISTINCT pred, subj, obj FROM pa),
+            wt AS (SELECT pred,
+                          ((count(DISTINCT obj) * 1000000)
+                           // count(*)) // 1000 AS w_milli
+                   FROM ap GROUP BY 1),
+            dfa AS (SELECT pred, obj FROM a
+                    GROUP BY 1, 2 HAVING count(*) <= 64),
+            dfb AS (SELECT pred, obj FROM b
+                    GROUP BY 1, 2 HAVING count(*) <= 64),
+            keys AS (SELECT pred, obj
+                     FROM dfa JOIN dfb USING (pred, obj)),
+            sh AS (SELECT b.subj_b, a.subj_a, w.w_milli
+                   FROM a JOIN keys USING (pred, obj)
+                          JOIN b USING (pred, obj)
+                          JOIN wt w USING (pred)),
+            sc AS (SELECT subj_b, subj_a,
+                          sum(w_milli) AS score
+                   FROM sh GROUP BY 1, 2),
+            best AS (SELECT subj_b AS entity_b,
+                            max(score * 4294967296
+                                + (4294967295 - subj_a)) AS p,
+                            count(*) AS n_partners
+                     FROM sc GROUP BY 1)
+            SELECT CAST(entity_b AS BIGINT) AS entity_b,
+                   CAST(4294967295 - (p & 4294967295) AS BIGINT)
+                       AS entity_a,
+                   CAST(p // 4294967296 AS BIGINT) AS score_milli,
+                   CAST(n_partners AS BIGINT) AS n_partners
+            FROM best
+        """,
+        "q156_type_propagation": _typeprop_oracle_sql(iters=2),
+        "q157_edge_cut": f"""
+            WITH e AS (SELECT DISTINCT l_partkey * 2 AS src,
+                              l_suppkey * 2 + 1 AS dst
+                       FROM lineitem),
+            c AS (SELECT
+                    CAST(count(*) AS BIGINT) AS n_edges,
+                    sum(CASE WHEN ({md5_int_sql("src", salt="cut:")})
+                             % 32 <> ({md5_int_sql("dst", salt="cut:")})
+                             % 32 THEN 1 ELSE 0 END) AS cut_hash,
+                    sum(CASE WHEN src // 4096 <> dst // 4096
+                             THEN 1 ELSE 0 END) AS cut_range,
+                    sum(CASE WHEN src % 8 <> dst % 8
+                             THEN 1 ELSE 0 END) AS cut_mod
+                  FROM e)
+            SELECT 'hash32' AS layout, n_edges,
+                   CAST(cut_hash AS BIGINT) AS cut_edges,
+                   CAST((cut_hash * 1000000) // n_edges AS BIGINT)
+                       AS cut_ppm
+            FROM c
+            UNION ALL
+            SELECT 'range4096', n_edges, CAST(cut_range AS BIGINT),
+                   CAST((cut_range * 1000000) // n_edges AS BIGINT)
+            FROM c
+            UNION ALL
+            SELECT 'mod8', n_edges, CAST(cut_mod AS BIGINT),
+                   CAST((cut_mod * 1000000) // n_edges AS BIGINT)
+            FROM c
+        """,
+        "q158_harmonic": _harmonic_oracle_sql(radius=3),
         "q81_crawl_budget": """
             WITH c AS (SELECT l_suppkey AS host,
                               CAST(count(*) AS BIGINT) AS score

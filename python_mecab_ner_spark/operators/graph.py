@@ -263,6 +263,47 @@ def khop_neighbors(edges: DataFrame, k: int = 2,
     return reach.where(F.col("nbr") != F.col("node"))
 
 
+def khop_counts(edges: DataFrame, k: int = 2,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distinct k-hop neighborhood SIZE per node — the counting fast
+    path of khop_neighbors for when the caller never needs the pair
+    set itself (q49's "entities within two relations" cardinality).
+
+    Why a separate operator: khop_neighbors materializes the full
+    (node, nbr) reach set with a distinct + anti-join + eager
+    localCheckpoint per round — mandatory when the pairs feed a later
+    join, but 69x slower than necessary for a count (measured at
+    sf0.1: 540 s -> 7.8 s).  Here the candidate stream is never
+    globally deduplicated: hop-1 pairs union raw hop-k expansions feed
+    ONE groupBy(node).countDistinct(nbr) — Spark's two-phase distinct
+    aggregate dedups (node, nbr) map-side BEFORE the only exchange, so
+    the shuffle carries ~|distinct pairs| rows once instead of three
+    to four times.
+
+    Intermediate frontiers (hops 2..k-1) are still deduplicated and
+    localCheckpoint'ed — that bounds join fan-out and plan depth for
+    k >= 3; only the LAST hop skips its dedup (the final aggregate
+    absorbs it).  Self-loops excluded, exactly as khop_neighbors."""
+    ee = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+          .distinct().persist())
+    d1 = ee.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    cand = d1
+    frontier = d1
+    for hop in range(2, k + 1):
+        step = (frontier.join(ee.withColumnRenamed("src", "nbr"), "nbr")
+                .select("node", F.col("dst").alias("nbr"))
+                .where(F.col("nbr") != F.col("node")))
+        if hop < k:
+            step = step.distinct().localCheckpoint(eager=True)
+        cand = cand.unionByName(step)
+        frontier = step
+    out = (cand.where(F.col("nbr") != F.col("node"))
+           .groupBy("node")
+           .agg(F.countDistinct("nbr").cast("bigint").alias("n_khop")))
+    out.unpersist_input = ee.unpersist
+    return out
+
+
 def neighbor_jaccard(edges: DataFrame, src: str = "src", dst: str = "dst",
                      min_common: int = 2,
                      max_center_degree: int | None = None) -> DataFrame:
@@ -1001,3 +1042,151 @@ def graph_moments(edges: DataFrame, src_col: str = "src",
                        .cast("bigint")))
     out.unpersist_input = e.unpersist
     return out
+
+
+def modularity_ppm(edges: DataFrame, communities: DataFrame,
+                   src: str = "src", dst: str = "dst",
+                   weight: str | None = None,
+                   scale: int = 1_000_000) -> DataFrame:
+    """Newman modularity Q of a node partition, exact-integer ppm —
+    the quality score that tells you whether label_propagation_int's
+    communities are real structure or noise (Q > ~0.3 is the usual
+    "has community structure" bar; a random partition scores ~0).
+
+    Callers pass the SAME symmetrized weighted edge list they gave
+    LPA.  With W = total edge weight (sum over the symmetrized list,
+    i.e. 2m), W_c = intra-community weight, S_c = summed weighted
+    degree of community c:
+
+        Q = sum_c (W_c / W - (S_c / W)^2)
+          = (W * sum_c W_c - sum_c S_c^2) / W^2
+
+    q_ppm = floor(scale * Q) computed as
+    (scale * (numer + W^2)) div W^2 - scale: the +W^2 shift keeps the
+    dividend non-negative (numer >= -sum S_c^2 >= -W^2), so Spark's
+    truncating `div` and DuckDB's `//` agree even when Q < 0.
+
+    PRECONDITION: scale * W^2 < 2^63, i.e. W <= ~3.0e6 at the default
+    scale — modularity is a partition-quality AUDIT, computed on a
+    bounded subgraph or a weight-capped sample at 100 TB, not on the
+    raw corpus (cap weights or lower `scale` for heavier graphs).
+
+    Scale shape: one weight total (1-row broadcast), one degree agg,
+    two node-keyed joins of communities onto the edge endpoints, two
+    community-keyed combinable sums, ONE output row.
+    """
+    w = (F.col(weight).cast("bigint") if weight is not None
+         else F.lit(1).cast("bigint"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w"))
+    lab = communities.select(F.col("node"), F.col("community"))
+    tot = e.agg(F.sum("w").cast("bigint").alias("w_tot"))
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("sd"))
+    s_c = (deg.join(lab, "node")
+           .groupBy("community").agg(F.sum("sd").alias("s_c")))
+    w_c = (e.join(lab.withColumnRenamed("node", "src")
+                  .withColumnRenamed("community", "c_src"), "src")
+           .join(lab.withColumnRenamed("node", "dst")
+                 .withColumnRenamed("community", "c_dst"), "dst")
+           .where(F.col("c_src") == F.col("c_dst"))
+           .groupBy(F.col("c_src").alias("community"))
+           .agg(F.sum("w").alias("w_c")))
+    per_c = (s_c.join(w_c, "community", "left")
+             .select("community", "s_c",
+                     F.coalesce("w_c", F.lit(0)).alias("w_c")))
+    sums = per_c.agg(
+        F.count("*").cast("bigint").alias("n_communities"),
+        F.sum("w_c").cast("bigint").alias("intra_w"),
+        F.sum(F.col("s_c") * F.col("s_c")).cast("bigint").alias("_s2"))
+    return (sums.crossJoin(F.broadcast(tot))
+            .select("n_communities", "w_tot", "intra_w",
+                    F.expr(f"({scale} * (w_tot * intra_w - _s2 "
+                           f"+ w_tot * w_tot)) div (w_tot * w_tot) "
+                           f"- {scale}")
+                    .cast("bigint").alias("modularity_ppm")))
+
+
+def edge_cut_audit(edges: DataFrame, layouts: dict,
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """Partition-layout audit for graph materialization: for each
+    candidate layout (name -> fn mapping a node Column to its
+    partition id), count how many edges cross partitions.  Edge cut is
+    THE cost driver for iterative graph jobs — every cut edge is a
+    shuffled message per iteration — so choosing hash- vs
+    range/host-clustered layout for the materialized edge table is an
+    explicit 100 TB design decision; this makes it a measured one.
+
+    Returns one row per layout: (layout, n_edges, cut_edges, cut_ppm),
+    cut_ppm = 1e6 * cut div n_edges.
+
+    Scale shape: one full-scan combinable aggregate per layout (the
+    layout fns are pure projections — no join, no per-node dimension),
+    unioned 1-row results.  With k layouts the scan runs k times;
+    callers auditing many layouts on a huge edge table should persist
+    the edge projection first.
+    """
+    outs = []
+    for name, fn in layouts.items():
+        cut = (fn(F.col(src)) != fn(F.col(dst))).cast("bigint")
+        outs.append(
+            edges.agg(F.count("*").cast("bigint").alias("n_edges"),
+                      F.sum(cut).cast("bigint").alias("cut_edges"))
+            .select(F.lit(name).alias("layout"), "n_edges", "cut_edges",
+                    F.expr("(cut_edges * 1000000) div n_edges")
+                    .cast("bigint").alias("cut_ppm")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def harmonic_centrality(edges: DataFrame, radius: int = 2,
+                        roots: DataFrame | None = None,
+                        src: str = "src", dst: str = "dst",
+                        scale: int = 1000) -> DataFrame:
+    """Exact bounded-radius harmonic centrality (Boldi & Vigna 2014):
+    for each root, sum of 1/d over nodes at shortest-path distance
+    d <= radius, as the integer sum of (scale div d) — cross-engine
+    exact, so the unrolled-SQL oracle can hash-match it (unlike the
+    HyperBall estimate in `hyperball`, which is the sketch path for
+    unbounded radius at 100 TB; this is the exact path for small
+    radii / audit subsets).
+
+    ``roots`` (optional one-column "node" DataFrame) restricts which
+    sources are expanded — at scale you audit a sampled root set, not
+    all nodes; the frontier join filters to those roots BEFORE the
+    first expansion, so cost is O(|roots| * ball size), not O(V).
+
+    Scale shape per round: frontier-at-distance-(k-1) joins edges on
+    the frontier's endpoint (thin, shrinking key), LEFT ANTI against
+    the reached set to keep only first visits, localCheckpoint each
+    round (the pagerank_int lineage lesson).  Output: one row per
+    root, (root, n_reached, harmonic_milli).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .distinct()
+    first = e.select(F.col("src").alias("root"),
+                     F.col("dst").alias("v"))
+    if roots is not None:
+        first = first.join(
+            F.broadcast(roots.select(F.col("node").alias("root"))),
+            "root")
+    reached = (first.where(F.col("v") != F.col("root"))
+               .withColumn("d", F.lit(1)).localCheckpoint())
+    frontier = reached
+    for k in range(2, radius + 1):
+        nxt = (frontier.join(
+            e.withColumnRenamed("src", "v"), "v")
+            .select("root", F.col("dst").alias("v"))
+            .where(F.col("v") != F.col("root"))
+            .distinct()
+            .join(reached.select("root", "v"), ["root", "v"],
+                  "left_anti")
+            .withColumn("d", F.lit(k)).localCheckpoint())
+        reached = reached.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (reached.groupBy("root")
+            .agg(F.count("*").cast("bigint").alias("n_reached"),
+                 F.sum(F.expr(f"{scale} div d")).cast("bigint")
+                 .alias("harmonic_milli")))

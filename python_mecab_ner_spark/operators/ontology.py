@@ -264,3 +264,132 @@ def inverse_predicates(triples: DataFrame, pred_col: str = "pred",
                    .cast("bigint").alias("jaccard_ppm")))
     out.unpersist_input = pairs.unpersist
     return out
+
+
+def align_entities(triples_a: DataFrame, triples_b: DataFrame,
+                   max_df: int = 64, id_bits: int = 32,
+                   pred_col: str = "pred", subj_col: str = "subj",
+                   obj_col: str = "obj") -> DataFrame:
+    """PARIS-style instance alignment (Suchanek et al. VLDB 2012 §5)
+    between two KG snapshots: which entity of snapshot A is the same
+    real-world thing as each entity of snapshot B?  The recrawl /
+    cross-source merge step of KG construction — snapshot B arrives
+    with its own surrogate ids and must be reconciled against the
+    canonical table before its edges can land.
+
+    Evidence for (e_b ~ e_a) is the shared (pred, obj) statements of
+    the two subjects, each weighted by how IDENTIFYING that predicate
+    is: weight = inv_func_milli(pred) from snapshot A (an
+    inverse-functional predicate like "email" pins an entity; a
+    many-valued one like "links_to" barely counts — PARIS's core
+    insight).  score_milli = sum of weights over shared pairs; the
+    winner per e_b is the packed-integer argmax (ties -> smaller
+    e_a id, the house encoding).
+
+    PRECONDITIONS: entity ids in [0, 2^id_bits); score_milli <
+    2^(62 - id_bits) (weights are milli <= 1000, so up to ~4M shared
+    statements per pair at the default 32 bits — far past max_df).
+
+    Scale shape: both sides dedup to distinct (pred, obj, subj)
+    statements; hub (pred, obj) keys with more than ``max_df``
+    distinct subjects on EITHER side are dropped before the equi-join
+    (the n-gram-Jaccard df-cap pattern — an obj shared by everyone
+    identifies nothing, and the cap bounds per-key fan-out at
+    max_df^2); the join runs ON the (pred, obj) key, co-partitioned,
+    never all-pairs; per-pair scoring and the argmax are one
+    combinable aggregate each.  Output: (entity_b, entity_a,
+    score_milli, n_partners)."""
+    cap = 1 << id_bits
+    a = (triples_a.select(F.col(pred_col).alias("pred"),
+                          F.col(obj_col).alias("obj"),
+                          F.col(subj_col).alias("subj_a"))
+         .distinct())
+    b = (triples_b.select(F.col(pred_col).alias("pred"),
+                          F.col(obj_col).alias("obj"),
+                          F.col(subj_col).alias("subj_b"))
+         .distinct())
+    wt = (predicate_functionality(
+        triples_a, pred_col=pred_col, subj_col=subj_col,
+        obj_col=obj_col)
+        .select("pred", F.expr("inv_func_ppm div 1000")
+                .cast("bigint").alias("w_milli")))
+    df_a = (a.groupBy("pred", "obj").agg(F.count("*").alias("df_a"))
+            .where(F.col("df_a") <= max_df))
+    df_b = (b.groupBy("pred", "obj").agg(F.count("*").alias("df_b"))
+            .where(F.col("df_b") <= max_df))
+    keys = df_a.join(df_b, ["pred", "obj"]).select("pred", "obj")
+    shared = (a.join(keys, ["pred", "obj"])
+              .join(b.join(keys, ["pred", "obj"]), ["pred", "obj"])
+              .join(F.broadcast(wt), "pred"))
+    scores = (shared.groupBy("subj_b", "subj_a")
+              .agg(F.sum("w_milli").cast("bigint")
+                   .alias("score_milli")))
+    best = (scores
+            .groupBy(F.col("subj_b").alias("entity_b"))
+            .agg(F.max(F.col("score_milli") * F.lit(cap)
+                       + (F.lit(cap - 1) - F.col("subj_a")))
+                 .alias("_p"),
+                 F.count("*").cast("bigint").alias("n_partners")))
+    return best.select(
+        "entity_b",
+        (F.lit(cap - 1)
+         - F.col("_p").bitwiseAND(F.lit(cap - 1))).cast("bigint")
+        .alias("entity_a"),
+        F.expr(f"_p div {cap}").cast("bigint").alias("score_milli"),
+        "n_partners")
+
+
+def propagate_types(edges: DataFrame, seeds: DataFrame,
+                    iters: int = 2, type_bits: int = 20,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """Semi-supervised entity-type inference: a small seed set of
+    typed nodes (from the gazetteer's categories, or a curated
+    dimension) propagates along graph edges; each round an untyped
+    node adopts the modal type of its typed in-neighbors (packed
+    argmax: highest count, ties -> smallest type id).  SEEDS ARE
+    CLAMPED — a seed never changes type, the Zhu/Ghahramani label-
+    propagation discipline that distinguishes this from
+    label_propagation_int (where every node floats and labels ARE
+    node ids).
+
+    Synchronous, fixed ``iters``, integer-only -> the unrolled-SQL
+    oracle is bit-exact.  Nodes unreached after ``iters`` rounds come
+    back with type_id NULL (callers filter or default).
+
+    PRECONDITION: type ids in [0, 2^type_bits); per-node typed
+    in-degree < 2^(62 - type_bits).
+
+    Scale shape per round: one edges x labels join on src (only
+    LABELED rows survive — the join input shrinks to the typed
+    frontier's out-edges), one (node, type) count, one packed max per
+    node, seed clamp via coalesce against the broadcast-sized seed
+    dim.  Same silhouette as label_propagation_int; the same
+    localCheckpoint-before-iterating contract applies to deep inputs.
+    """
+    cap = 1 << type_bits
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sd = seeds.select(F.col("node"),
+                      F.col("type_id").cast("bigint").alias("seed_ty"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    lab = (nodes.join(sd, "node", "left")
+           .select("node", F.col("seed_ty").alias("ty")))
+    for _ in range(iters):
+        votes = (e.join(lab.withColumnRenamed("node", "src"), "src")
+                 .where(F.col("ty").isNotNull())
+                 .groupBy(F.col("dst").alias("node"), "ty")
+                 .agg(F.count("*").alias("c")))
+        best = (votes
+                .groupBy("node")
+                .agg(F.max(F.col("c") * F.lit(cap)
+                           + (F.lit(cap - 1) - F.col("ty")))
+                     .alias("_p")))
+        lab = (lab.join(best, "node", "left")
+               .join(sd, "node", "left")
+               .select("node",
+                       F.coalesce(
+                           F.col("seed_ty"),
+                           F.lit(cap - 1) - F.col("_p")
+                           .bitwiseAND(F.lit(cap - 1)),
+                           F.col("ty")).cast("bigint").alias("ty")))
+    return lab.select("node", F.col("ty").alias("type_id"))

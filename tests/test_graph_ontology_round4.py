@@ -1,0 +1,184 @@
+"""Round-4 operators: modularity, edge-cut audit, exact harmonic
+centrality, PARIS instance alignment, seeded type propagation.
+
+Each test recomputes the expected answer with plain Python on a tiny
+hand-built graph — the engine-vs-python agreement discipline of
+test_ontology_mix.py — so the DuckDB oracles (q154-q158) are not the
+only cross-check.
+"""
+
+from pyspark.sql import functions as F
+
+from python_mecab_ner_spark.operators.graph import (
+    edge_cut_audit, harmonic_centrality, label_propagation_int,
+    modularity_ppm)
+from python_mecab_ner_spark.operators.ontology import (
+    align_entities, propagate_types)
+
+
+def _sym(spark, pairs, weighted=False):
+    cols = ["src", "dst"] + (["w"] if weighted else [])
+    rows = pairs + [tuple([p[1], p[0]] + list(p[2:])) for p in pairs]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_modularity_two_cliques(spark):
+    # two triangles joined by one bridge edge: the textbook
+    # two-community graph.  Communities = the cliques.
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    edges = _sym(spark, tri1 + tri2 + [(3, 4)])
+    comm = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 4) for n in (4, 5, 6)],
+        ["node", "community"])
+    row = modularity_ppm(edges, comm).collect()[0]
+    # W = 14 (7 undirected edges symmetrized); intra = 12;
+    # degrees: nodes 3,4 have 3, others 2 -> S_c = 7 each
+    # Q = 12/14 - 2*(7/14)^2 = 6/7 - 1/2 = 5/14 = 0.357142...
+    assert row.n_communities == 2
+    assert row.w_tot == 14
+    assert row.intra_w == 12
+    assert row.modularity_ppm == (10**6 * (14 * 12 - 2 * 49)
+                                  + 10**6 * 196) // 196 - 10**6
+    assert row.modularity_ppm == 357142
+
+
+def test_modularity_trivial_partition_scores_zero(spark):
+    # one community holding everything: Q = W*W/W^2 - 1 = 0 exactly
+    edges = _sym(spark, [(1, 2), (2, 3)])
+    comm = spark.createDataFrame([(n, 1) for n in (1, 2, 3)],
+                                 ["node", "community"])
+    assert modularity_ppm(edges, comm).collect()[0].modularity_ppm == 0
+
+
+def test_modularity_agrees_with_lpa_python_twin(spark):
+    # barbell-ish weighted graph through the real LPA partition;
+    # python recompute of Q from first principles
+    pairs = [(1, 2, 5), (2, 3, 5), (1, 3, 5),
+             (4, 5, 5), (5, 6, 5), (4, 6, 5), (3, 4, 1)]
+    edges = _sym(spark, pairs, weighted=True)
+    comm = label_propagation_int(edges, iters=2, weight="w")
+    got = modularity_ppm(edges, comm, weight="w").collect()[0]
+    labs = {r.node: r.community for r in comm.collect()}
+    ew = [(s, d, w) for s, d, w in pairs] + \
+        [(d, s, w) for s, d, w in pairs]
+    W = sum(w for _, _, w in ew)
+    intra = sum(w for s, d, w in ew if labs[s] == labs[d])
+    deg = {}
+    for s, _, w in ew:
+        deg[s] = deg.get(s, 0) + w
+    s_c = {}
+    for n, c in labs.items():
+        s_c[c] = s_c.get(c, 0) + deg[n]
+    s2 = sum(v * v for v in s_c.values())
+    expect = (10**6 * (W * intra - s2 + W * W)) // (W * W) - 10**6
+    assert got.modularity_ppm == expect
+    assert got.w_tot == W and got.intra_w == intra
+
+
+def test_edge_cut_audit_exact_counts(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5), (8, 9), (0, 8)], ["src", "dst"])
+    out = {r.layout: r for r in edge_cut_audit(
+        edges, {"div8": lambda c: (c / 8).cast("bigint"),
+                "mod2": lambda c: c % 2}).collect()}
+    # div8: only (0,8) crosses (0 vs 1); (8,9) stays (both 1)
+    assert out["div8"].cut_edges == 1
+    assert out["div8"].n_edges == 5
+    assert out["div8"].cut_ppm == 200000
+    # mod2: every (even, odd) pair crosses except (0,8)
+    assert out["mod2"].cut_edges == 4
+
+
+def test_harmonic_centrality_path_graph(spark):
+    # path 1-2-3-4: from node 1, d(2)=1, d(3)=2, d(4)=3
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4)])
+    roots = spark.createDataFrame([(1,)], ["node"])
+    rows = harmonic_centrality(edges, radius=3, roots=roots).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.root == 1 and r.n_reached == 3
+    assert r.harmonic_milli == 1000 + 500 + 333
+
+
+def test_harmonic_centrality_radius_bound_and_min_dist(spark):
+    # diamond 1-2, 1-3, 2-4, 3-4 plus tail 4-5: node 4 is at min
+    # distance 2 (two paths — counted once); radius 2 excludes node 5
+    edges = _sym(spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)])
+    roots = spark.createDataFrame([(1,)], ["node"])
+    r = harmonic_centrality(edges, radius=2, roots=roots).collect()[0]
+    assert r.n_reached == 3  # 2, 3 at d1; 4 at d2; 5 excluded
+    assert r.harmonic_milli == 1000 + 1000 + 500
+
+
+def test_align_entities_recovers_mapping(spark):
+    # A: two entities with one identifying statement each + one hub
+    # statement shared by both; B: same world, ids shifted by 100
+    a = spark.createDataFrame(
+        [(1, "name", "alpha"), (2, "name", "beta"),
+         (1, "color", "red"), (2, "color", "red")],
+        ["subj", "pred", "obj"])
+    b = spark.createDataFrame(
+        [(101, "name", "alpha"), (102, "name", "beta"),
+         (101, "color", "red"), (102, "color", "red")],
+        ["subj", "pred", "obj"])
+    got = {r.entity_b: r for r in
+           align_entities(a, b, max_df=64).collect()}
+    assert got[101].entity_a == 1 and got[102].entity_a == 2
+    # name: n_pairs=2, n_obj=2 -> inv_func 1e6 -> w 1000
+    # color: n_pairs=2, n_obj=1 -> inv_func 500000 -> w 500
+    assert got[101].score_milli == 1500
+    # the hub 'color,red' statement also links 101 to entity 2
+    assert got[101].n_partners == 2
+
+
+def test_align_entities_df_cap_drops_hub_keys(spark):
+    # every A-entity shares the same statement: df = 3 > max_df=2
+    # -> no candidates at all
+    rows = [(i, "p", "hub") for i in (1, 2, 3)]
+    a = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    b = spark.createDataFrame([(r[0] + 100, r[1], r[2]) for r in rows],
+                              ["subj", "pred", "obj"])
+    assert align_entities(a, b, max_df=2).count() == 0
+
+
+def test_align_entities_tie_breaks_to_smaller_id(spark):
+    # B-entity shares the identical statement set with A-entities
+    # 7 and 3 -> equal scores, winner must be 3
+    a = spark.createDataFrame(
+        [(7, "name", "x"), (3, "name", "x")], ["subj", "pred", "obj"])
+    b = spark.createDataFrame([(200, "name", "x")],
+                              ["subj", "pred", "obj"])
+    r = align_entities(a, b, max_df=64).collect()[0]
+    assert r.entity_a == 3 and r.n_partners == 2
+
+
+def test_propagate_types_seeds_clamped_and_modal(spark):
+    # star: seeds 1 (type 5) and 2,3 (type 7) all point at node 10;
+    # node 10 takes the modal type 7; seed nodes never move even
+    # though 10 (typed after round 1) points back at them
+    edges = _sym(spark, [(1, 10), (2, 10), (3, 10)])
+    seeds = spark.createDataFrame(
+        [(1, 5), (2, 7), (3, 7)], ["node", "type_id"])
+    got = {r.node: r.type_id for r in
+           propagate_types(edges, seeds, iters=2).collect()}
+    assert got[10] == 7
+    assert got[1] == 5 and got[2] == 7 and got[3] == 7
+
+
+def test_propagate_types_tie_prefers_smaller_type(spark):
+    edges = spark.createDataFrame([(1, 10), (2, 10)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1, 9), (2, 4)],
+                                  ["node", "type_id"])
+    got = {r.node: r.type_id for r in
+           propagate_types(edges, seeds, iters=1).collect()}
+    assert got[10] == 4
+
+
+def test_propagate_types_unreached_stays_null(spark):
+    edges = spark.createDataFrame([(1, 2), (3, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1, 6)], ["node", "type_id"])
+    out = propagate_types(edges, seeds, iters=2)
+    got = {r.node: r.type_id for r in out.collect()}
+    assert got[2] == 6
+    assert got[3] is None and got[4] is None
