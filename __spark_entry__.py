@@ -904,8 +904,8 @@ def q49_khop(spark, sf_dir):
     primitive ("entities within two relations").  Counting fast path —
     raw hop expansions into ONE countDistinct aggregate, never
     materializing the reach pair set (540 s -> 7.8 s at sf0.1 vs the
-    khop_neighbors pair-set path, which kg_entity_khop still uses
-    because it joins the pairs downstream)."""
+    khop_neighbors pair-set path, which remains for callers that join
+    the pairs downstream)."""
     from python_mecab_ner_spark.operators.graph import khop_counts
     edges = _ps_edges(spark, sf_dir)
     out = khop_counts(edges, k=2)
@@ -3655,18 +3655,18 @@ def kg_entity_rank(spark, sf_dir):
 
 def kg_entity_khop(spark, sf_dir):
     """2-hop reach per entity over the extracted KG edges
-    (operators.graph.khop_neighbors — same frontier-join kernel the
-    q49 lineitem-graph oracle certifies): 'entities within two
+    (operators.graph.khop_counts — the counting fast path the q49
+    lineitem-graph oracle certifies): 'entities within two
     relations', the KG context-window expansion; top-10 by reach."""
-    from python_mecab_ner_spark.operators.graph import khop_neighbors
+    from python_mecab_ner_spark.operators.graph import khop_counts
     g = _kg_graph(spark)
     # same deep-lineage guard as kg_entity_rank: truncate the
     # extraction plan before the iterative operator references it
     edges = (g["edges"].select(F.col("src_id").alias("src"),
                                F.col("dst_id").alias("dst"))
              .localCheckpoint())
-    counts = (khop_neighbors(edges, k=2)
-              .groupBy("node").agg(F.count("*").alias("n_2hop")))
+    counts = khop_counts(edges, k=2) \
+        .withColumnRenamed("n_khop", "n_2hop")
     v = g["vertices"].select(F.col("entity_id").alias("node"), "canonical")
     return (counts.join(v, "node")
             .orderBy(F.col("n_2hop").desc(), F.col("node").asc())

@@ -541,7 +541,18 @@ def triangle_counts(edges: DataFrame,
     wedges instead of O(d^2) — the skew lever that makes the join
     survive power-law graphs at 100 TB.  Per-node counts are
     orientation-independent (each triangle contributes exactly once
-    to each of its three corners)."""
+    to each of its three corners).
+
+    MEASURED DEAD END (round 4, do not redo): persisting the
+    canonical edge set e (and adamic_adar's adj) to stop the apparent
+    "4x upstream replay" makes these operators 3-5x SLOWER (q52 18 ->
+    67 s, q91 4.2 -> 22 s at sf0.1): the replayed subtrees end in
+    IDENTICAL shuffle exchanges, which Spark already deduplicates via
+    ReusedExchange, while an InMemoryRelation blocks that reuse AND
+    hides stats from AQE's join planning.  Persist pays off only when
+    the repeated subtrees are NOT exchange-identical (domain_range's
+    two modal sides, q100's signature tables) — measure, never
+    pattern-match, before caching."""
     e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
                       F.greatest(F.col(src), F.col(dst)).alias("b"))
          .where(F.col("a") != F.col("b"))

@@ -182,3 +182,19 @@ def test_propagate_types_unreached_stays_null(spark):
     got = {r.node: r.type_id for r in out.collect()}
     assert got[2] == 6
     assert got[3] is None and got[4] is None
+
+
+def test_khop_counts_agrees_with_pair_set(spark):
+    # counting fast path == groupBy-count over the pair-set path,
+    # on a graph with a cycle, a direct+indirect duplicate, and a sink
+    from python_mecab_ner_spark.operators.graph import (
+        khop_counts, khop_neighbors)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 1), (3, 4), (5, 1)],
+        "src bigint, dst bigint")
+    for k in (1, 2, 3):
+        fast = {r.node: r.n_khop for r in khop_counts(e, k=k).collect()}
+        slow = {}
+        for r in khop_neighbors(e, k=k).collect():
+            slow[r.node] = slow.get(r.node, 0) + 1
+        assert fast == slow, f"k={k}: {fast} != {slow}"
