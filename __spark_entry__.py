@@ -3950,6 +3950,102 @@ def kg_entity_communities(spark, sf_dir):
             .limit(10))
 
 
+def _kg_dense_sym(spark):
+    """Shared prelude of the community-family kg queries: the real
+    CO-MENTION graph (unordered mention-surface pairs within 20
+    tokens on a page, the kg_entity_cooc kernel), dense-relabeled
+    (row_number nids — the packed-argmax id_bits precondition) and
+    symmetrized with the pair count as edge weight.  The co-mention
+    graph — NOT the directed subj->obj edge table — is the community
+    substrate: the triple graph is near-bipartite (subjects and
+    objects are mostly disjoint roles), and synchronous LPA provably
+    oscillates on bipartite structure (measured: intra_w = 4 of 990,
+    modularity NEGATIVE at every iteration count), while co-mention
+    edges are role-free and topical.  Returns
+    (sym_edges(src,dst,w), lpa_labels, n_nodes)."""
+    from python_mecab_ner_spark.operators.colloc import \
+        cooccurrence_counts
+    from python_mecab_ner_spark.operators.graph import \
+        label_propagation_int
+    g = _kg_graph(spark)
+    ctx = g["mentions"].select(
+        "url", F.col("start").alias("idx"),
+        F.col("surface").alias("word"))
+    pairs = (cooccurrence_counts(ctx, window=20, min_pairs=2, scale=60)
+             .select(F.col("w1").alias("a"), F.col("w2").alias("b"),
+                     F.col("n_pairs").alias("w"))
+             .localCheckpoint())
+    nodes = pairs.select(F.col("a").alias("node")).union(
+        pairs.select("b")).distinct()
+    dense = nodes.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1)
+        .cast("bigint").alias("nid"))
+    d = F.broadcast(dense)
+    e0 = (pairs.join(d.withColumnRenamed("node", "a"), "a")
+          .select(F.col("nid").alias("s"), "b", "w")
+          .join(d.withColumnRenamed("node", "b"), "b")
+          .select(F.col("s").alias("src"), F.col("nid").alias("dst"),
+                  "w"))
+    sym = (e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"), "w"))
+           .localCheckpoint())
+    # UNWEIGHTED LPA: measured at sf0.01, co-mention-count weights
+    # collapse the partition into a near-giant community around the
+    # head entities (Q = -0.10), while unweighted votes keep topical
+    # groups separate (Q = +0.17 at iters=1, +0.08 at iters=2) —
+    # weight is kept on the edges for downstream consumers, just not
+    # fed to the vote.
+    lpa = label_propagation_int(sym, iters=2).localCheckpoint()
+    return sym, lpa, dense.count()
+
+
+def kg_modularity(spark, sf_dir):
+    """Modularity Q of the LPA partition on the REAL co-mention
+    entity graph (operators.graph.modularity_ppm, the q154-certified
+    kernel): one row saying whether the communities on genuine
+    extracted mention co-occurrences are structure or noise
+    (unweighted graph, matching the vote)."""
+    from python_mecab_ner_spark.operators.graph import modularity_ppm
+    sym, lpa, _ = _kg_dense_sym(spark)
+    return modularity_ppm(sym, lpa)
+
+
+def kg_edge_cut(spark, sf_dir):
+    """Partition-layout audit on the REAL extracted entity graph:
+    edge cut under (a) md5-hash placement, (b) dense-id range
+    placement, (c) community-aligned placement (each node's partition
+    = its kg_entity_communities label mod 32, remainder hash).  The
+    100 TB materialization decision (which layout minimizes
+    iteration-time shuffle) made on the genuine KG —
+    community-aligned placement should cut materially fewer edges
+    than hash, and this measures it."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    sym, lpa, n_nodes = _kg_dense_sym(spark)
+    block = max(1, -(-n_nodes // 32))  # ceil: contiguous range blocks
+    part = F.broadcast(lpa.select(
+        "node", (F.col("community") % 32).alias("p")))
+    with_p = (sym.join(part.withColumnRenamed("node", "src")
+                       .withColumnRenamed("p", "p_src"), "src")
+              .join(part.withColumnRenamed("node", "dst")
+                    .withColumnRenamed("p", "p_dst"), "dst"))
+    comm_cut = with_p.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum((F.col("p_src") != F.col("p_dst")).cast("bigint"))
+        .cast("bigint").alias("cut_edges")).select(
+        F.lit("community32").alias("layout"), "n_edges", "cut_edges",
+        F.expr("(cut_edges * 1000000) div n_edges").cast("bigint")
+        .alias("cut_ppm"))
+    from python_mecab_ner_spark.operators.graph import edge_cut_audit
+    layouts = {
+        "hash32": lambda c: md5_int(c.cast("string"), salt="kgcut:")
+        % 32,
+        "range32": lambda c: (c / block).cast("bigint"),
+    }
+    return (edge_cut_audit(sym, layouts).unionByName(comm_cut)
+            .orderBy("layout"))
+
+
 def kg_host_rank(spark, sf_dir):
     """Host authority over the extracted web link graph: weighted
     integer PageRank (mass split by link count) — the crawl-
@@ -4161,6 +4257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_edge_cut": q157_edge_cut,
         "q158_harmonic": q158_harmonic,
         "kg_triples_by_pred": kg_triples_by_pred,
+        "kg_modularity": kg_modularity,
+        "kg_edge_cut": kg_edge_cut,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,

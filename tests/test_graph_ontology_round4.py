@@ -198,3 +198,24 @@ def test_khop_counts_agrees_with_pair_set(spark):
         for r in khop_neighbors(e, k=k).collect():
             slow[r.node] = slow.get(r.node, 0) + 1
         assert fast == slow, f"k={k}: {fast} != {slow}"
+
+
+def test_kg_modularity_and_edge_cut_invariants(spark):
+    # the real-KG demonstrations: structural invariants, not pinned
+    # numbers (the 400-doc graph is deterministic but these hold for
+    # ANY corpus) — Q in [-1, 1], identical edge totals per layout,
+    # and community-aligned placement cuts fewer edges than hash
+    # (the point of the audit)
+    import __spark_entry__ as entry
+    q = entry.kg_modularity(spark, None).collect()[0]
+    assert -1_000_000 <= q.modularity_ppm <= 1_000_000
+    assert q.intra_w <= q.w_tot
+    cuts = {r.layout: r for r in
+            entry.kg_edge_cut(spark, None).collect()}
+    assert set(cuts) == {"community32", "hash32", "range32"}
+    n = {r.n_edges for r in cuts.values()}
+    assert len(n) == 1
+    for r in cuts.values():
+        assert 0 <= r.cut_edges <= r.n_edges
+        assert r.cut_ppm == r.cut_edges * 1_000_000 // r.n_edges
+    assert cuts["community32"].cut_edges < cuts["hash32"].cut_edges
