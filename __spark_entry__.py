@@ -2855,6 +2855,91 @@ def q158_harmonic(spark, sf_dir):
                     "n_reached", "harmonic_milli"))
 
 
+def q159_warm_pagerank(spark, sf_dir):
+    """Incremental PageRank maintenance (operators.graph.pagerank_int
+    with init=): ranks of the PREVIOUS crawl's graph (90% of lineitem
+    edges, 2 cold iterations) warm-start ONE refresh iteration on the
+    full merged graph — the recrawl form where a converged snapshot +
+    one pass replaces a cold 3-iteration recompute.  New nodes enter
+    at the teleport base; integer arithmetic end-to-end, so the
+    two-phase recurrence hash-matches the generated oracle."""
+    from python_mecab_ner_spark.operators.graph import pagerank_int
+    li = _load(spark, sf_dir, "lineitem")
+
+    def mkedges(frame):
+        pairs = frame.select((F.col("l_partkey") * 2).alias("p"),
+                             (F.col("l_suppkey") * 2 + 1).alias("s")) \
+            .distinct()
+        return (pairs.select(F.col("p").alias("src"),
+                             F.col("s").alias("dst"))
+                .unionByName(pairs.select(F.col("s").alias("src"),
+                                          F.col("p").alias("dst"))))
+    old = mkedges(li.where(F.col("l_orderkey") % 10 != 0))
+    full = mkedges(li)
+    pr_old = pagerank_int(old, iters=2).localCheckpoint()
+    return (pagerank_int(full, iters=1, init=pr_old)
+            .select(F.col("node").cast("bigint").alias("node"), "pr"))
+
+
+def _warm_pr_oracle_sql(old_iters: int = 2) -> str:
+    """Generated twin of q159: the q40 unrolled-PR chain on the
+    filtered OLD graph, then one warm iteration on the full graph
+    with init = old ranks (new nodes at scale)."""
+
+    def chain(tag, edge_filter, iters, init_from=None):
+        s = f""",
+        pairs{tag} AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s
+                       FROM lineitem{edge_filter}),
+        e{tag} AS (SELECT p AS src, s AS dst FROM pairs{tag}
+                   UNION ALL SELECT s, p FROM pairs{tag}),
+        nodes{tag} AS (SELECT DISTINCT src AS node FROM e{tag}
+                       UNION SELECT dst FROM e{tag}),
+        od{tag} AS (SELECT src, count(*) AS od FROM e{tag} GROUP BY 1)"""
+        if init_from is None:
+            s += f""",
+        pr{tag}0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr
+                     FROM nodes{tag})"""
+        else:
+            s += f""",
+        pr{tag}0 AS (SELECT n.node,
+                            CAST(coalesce(i.pr, 1000000) AS BIGINT)
+                                AS pr
+                     FROM nodes{tag} n
+                     LEFT JOIN {init_from} i ON i.node = n.node)"""
+        for k in range(1, iters + 1):
+            s += f""",
+        m{tag}{k} AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+                      FROM e{tag} e JOIN pr{tag}{k - 1} p
+                        ON p.node = e.src
+                      JOIN od{tag} o ON o.src = e.src GROUP BY 1),
+        pr{tag}{k} AS (SELECT n.node,
+                              CAST(150000 + (85 * coalesce(m.m, 0))
+                                   // 100 AS BIGINT) AS pr
+                       FROM nodes{tag} n
+                       LEFT JOIN m{tag}{k} m ON m.node = n.node)"""
+        return s
+
+    body = chain("o", " WHERE l_orderkey % 10 <> 0", old_iters)
+    body += chain("f", "", 1, init_from=f"pro{old_iters}")
+    return ("WITH _x AS (SELECT 1)" + body + """
+        SELECT CAST(node AS BIGINT) AS node, pr FROM prf1""")
+
+
+def q160_contrastive_pairs(spark, sf_dir):
+    """Contrastive encoder training pairs (operators.pack.
+    contrastive_pairs): anchor = each documents chunk with a
+    successor, positive = the next overlapping chunk, negative = the
+    min-fingerprint representative of a content-hash bucket —
+    deterministic at any cluster size, same-doc false negatives
+    dropped.  The q67 chunking kernel underneath, so fingerprints
+    hash-match the DuckDB twin."""
+    from python_mecab_ner_spark.operators.pack import contrastive_pairs
+    docs = _load(spark, sf_dir, "documents")
+    return contrastive_pairs(docs, "text", "doc_id",
+                             size=32, stride=24, n_buckets=64)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4046,6 +4131,51 @@ def kg_edge_cut(spark, sf_dir):
             .orderBy("layout"))
 
 
+def kg_entity_alignment(spark, sf_dir):
+    """PARIS instance alignment on the REAL extracted KG (the
+    q155-certified operators.ontology.align_entities kernel):
+    snapshot B = the genuine triple statements under surrogate
+    subject ids with ~30% of statements hash-dropped (the
+    recrawl-with-new-ids shape), aligned back against snapshot A by
+    inverse-functionality-weighted shared (pred, obj) evidence.
+    Output is the one-row accuracy sheet: how many surrogate entities
+    re-identified, and how many correctly (ground truth = the id
+    offset)."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    from python_mecab_ner_spark.operators.ontology import \
+        align_entities
+    g = _kg_graph(spark)
+    tri = g["edges"].select(F.col("src_id").alias("subj"), "pred",
+                            F.col("dst_id").alias("obj"))
+    # 60-bit md5 subject ids exceed align_entities' 2^32 packed-argmax
+    # cap -> dense-relabel the subject dimension first (the
+    # kg_entity_communities discipline)
+    subs = tri.select(F.col("subj").alias("node")).distinct()
+    dense = F.broadcast(subs.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1)
+        .cast("bigint").alias("nid")))
+    a = (tri.join(dense.withColumnRenamed("node", "subj"), "subj")
+         .select(F.col("nid").alias("subj"), "pred", "obj")
+         .localCheckpoint())
+    b = (a.withColumn(
+        "_h", md5_int(F.concat_ws(
+            ":", F.col("subj").cast("string"), "pred",
+            F.col("obj").cast("string")), salt="kgalign:"))
+        .where(F.col("_h") % 10 < 7)
+        .select((F.col("subj") + 1_000_000).alias("subj"),
+                "pred", "obj"))
+    got = align_entities(a, b, max_df=64)
+    return got.agg(
+        F.count("*").cast("bigint").alias("n_aligned"),
+        F.sum((F.col("entity_a") == F.col("entity_b") - 1_000_000)
+              .cast("bigint")).cast("bigint").alias("n_correct")
+    ).select(
+        "n_aligned", "n_correct",
+        F.expr("(n_correct * 1000000) div n_aligned").cast("bigint")
+        .alias("acc_ppm"))
+
+
 def kg_host_rank(spark, sf_dir):
     """Host authority over the extracted web link graph: weighted
     integer PageRank (mass split by link count) — the crawl-
@@ -4256,9 +4386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_type_propagation": q156_type_propagation,
         "q157_edge_cut": q157_edge_cut,
         "q158_harmonic": q158_harmonic,
+        "q159_warm_pagerank": q159_warm_pagerank,
+        "q160_contrastive_pairs": q160_contrastive_pairs,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
+        "kg_entity_alignment": kg_entity_alignment,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -6714,6 +6847,51 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "q158_harmonic": _harmonic_oracle_sql(radius=3),
+        "q159_warm_pagerank": _warm_pr_oracle_sql(old_iters=2),
+        # q160: the q67 chunking CTE + deterministic bucket negatives
+        "q160_contrastive_pairs": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(regexp_replace(
+                                  lower(trim(text)), '\\s+', ' ', 'g'),
+                                  ' ') AS w
+                       FROM documents),
+            s AS (SELECT doc_id, w,
+                         unnest(range(0, greatest(len(w), 1), 24)) AS st
+                  FROM t),
+            c AS (SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+                         array_to_string(
+                             w[st + 1 : least(st + 32, len(w))], ' ')
+                             AS ct
+                  FROM s WHERE st < len(w)),
+            ch AS (SELECT doc_id, chunk_idx,
+                          {md5_int_sql('ct')} AS chunk_fp
+                   FROM c WHERE ct <> ''),
+            chb AS (SELECT *,
+                           ({md5_int_sql(
+                               "concat_ws(':', doc_id, chunk_idx)",
+                               salt="ctr:")}) % 64 AS nb
+                    FROM ch),
+            negf AS (SELECT nb, min(chunk_fp) AS neg_fp
+                     FROM chb GROUP BY 1),
+            negd AS (SELECT n.nb, n.neg_fp,
+                            min(c2.doc_id) AS neg_doc
+                     FROM negf n JOIN chb c2
+                       ON c2.nb = n.nb AND c2.chunk_fp = n.neg_fp
+                     GROUP BY 1, 2),
+            anch AS (SELECT a.doc_id, a.chunk_idx,
+                            a.chunk_fp AS anchor_fp,
+                            p.chunk_fp AS pos_fp,
+                            ({md5_int_sql(
+                                "concat_ws(':', a.doc_id, a.chunk_idx)",
+                                salt="ctr:q")}) % 64 AS qb
+                     FROM ch a JOIN ch p
+                       ON p.doc_id = a.doc_id
+                      AND p.chunk_idx = a.chunk_idx + 1)
+            SELECT a.doc_id, a.chunk_idx, a.anchor_fp, a.pos_fp,
+                   d.neg_fp
+            FROM anch a JOIN negd d ON d.nb = a.qb
+            WHERE d.neg_doc <> a.doc_id
+        """,
         "q81_crawl_budget": """
             WITH c AS (SELECT l_suppkey AS host,
                               CAST(count(*) AS BIGINT) AS score

@@ -123,7 +123,8 @@ def add_salt(edges: DataFrame, head_keys: DataFrame, key: str = "src_id",
 def pagerank_int(edges: DataFrame, iters: int = 3,
                  scale: int = 1_000_000, damping_num: int = 85,
                  damping_den: int = 100,
-                 src: str = "src", dst: str = "dst") -> DataFrame:
+                 src: str = "src", dst: str = "dst",
+                 init: DataFrame | None = None) -> DataFrame:
     """Integer fixed-point PageRank over (src, dst) edges:
 
         pr0(v)  = scale
@@ -141,13 +142,30 @@ def pagerank_int(edges: DataFrame, iters: int = 3,
     high-cardinality src key + one partial-aggregable groupBy on dst;
     at production scale localCheckpoint every few iterations truncates
     the lineage exactly like operators/canonicalize.py (here the
-    3-iteration unrolled lazy plan is bounded and cheap)."""
+    3-iteration unrolled lazy plan is bounded and cheap).
+
+    ``init`` (optional (node, pr) DataFrame) WARM-STARTS the
+    recurrence: nodes present in init start from their stored rank,
+    new nodes from `scale` — the incremental-maintenance form for
+    recrawls, where a previous snapshot's converged ranks plus ONE
+    refresh iteration on the merged graph replace a cold full
+    recompute.  Init nodes absent from the new edge set drop out
+    (ranks live on the current graph's node set)."""
     base = (scale * (damping_den - damping_num)) // damping_den
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct())
     outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
-    pr = nodes.withColumn("pr", F.lit(scale).cast("bigint"))
+    if init is None:
+        pr = nodes.withColumn("pr", F.lit(scale).cast("bigint"))
+    else:
+        pr = (nodes.join(init.select("node",
+                                     F.col("pr").alias("_ipr")),
+                         "node", "left")
+              .select("node",
+                      F.coalesce(F.col("_ipr"),
+                                 F.lit(scale).cast("bigint"))
+                      .cast("bigint").alias("pr")))
     for _ in range(iters):
         contrib = (e.join(pr.withColumnRenamed("node", "src"), "src")
                    .join(outdeg, "src")

@@ -91,3 +91,60 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     (F.size(F.split(F.col("_ct"), " "))).cast("int")
                     .alias("chunk_toks"),
                     md5_int(F.col("_ct")).alias("chunk_fp")))
+
+
+def contrastive_pairs(df: DataFrame, text_col: str, id_col: str,
+                      size: int = 32, stride: int = 24,
+                      n_buckets: int = 64,
+                      salt: str = "ctr:") -> DataFrame:
+    """Contrastive training-pair generation for retrieval/embedding
+    encoders (the SimCSE / DPR in-document positive recipe): every
+    chunk with a successor becomes an anchor, its positive is the
+    NEXT overlapping chunk of the same document, and its negative is
+    a deterministic corpus sample — the representative (min
+    fingerprint) chunk of a content-hash bucket probed by the
+    anchor's own hash.
+
+    The negative is the house content-hash discipline, not an RNG:
+    the same (anchor, negative) pairing at any cluster size, on
+    re-runs, and in the DuckDB twin.  Anchors whose probed bucket
+    representative comes from the SAME document are dropped (a
+    false-negative would otherwise poison the loss; the drop is
+    deterministic and ~1/n_docs rare).
+
+    Returns (doc_id, chunk_idx, anchor_fp, pos_fp, neg_fp) — chunk
+    fingerprints, not text (integer-exact cross-engine; downstream
+    trainers re-slice the text exactly as chunk_documents does).
+
+    Scale shape: chunking is per-row array code (zero shuffle); the
+    positive join is co-keyed on (doc_id, chunk_idx); the negative
+    dimension is TWO bounded aggregates over n_buckets keys plus one
+    broadcast probe join — no corpus-sized shuffle beyond the
+    positive self-join."""
+    ch = chunk_documents(df, text_col, id_col, size=size,
+                         stride=stride)
+    key = F.concat_ws(":", F.col("doc_id").cast("string"),
+                      F.col("chunk_idx").cast("string"))
+    chb = ch.withColumn(
+        "_nb", F.pmod(md5_int(key, salt=salt), F.lit(n_buckets)))
+    negf = chb.groupBy("_nb").agg(F.min("chunk_fp").alias("neg_fp"))
+    negd = (negf.join(chb.select("_nb",
+                                 F.col("chunk_fp").alias("neg_fp"),
+                                 F.col("doc_id").alias("neg_doc")),
+                      ["_nb", "neg_fp"])
+            .groupBy("_nb", "neg_fp")
+            .agg(F.min("neg_doc").alias("neg_doc")))
+    nxt = ch.select("doc_id",
+                    (F.col("chunk_idx") - 1).alias("chunk_idx"),
+                    F.col("chunk_fp").alias("pos_fp"))
+    anchors = (ch.join(nxt, ["doc_id", "chunk_idx"])
+               .withColumn("_qb",
+                           F.pmod(md5_int(key, salt=salt + "q"),
+                                  F.lit(n_buckets))))
+    return (anchors.join(F.broadcast(negd),
+                         anchors["_qb"] == negd["_nb"])
+            .where(F.col("neg_doc") != F.col("doc_id"))
+            .select("doc_id",
+                    F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                    F.col("chunk_fp").alias("anchor_fp"),
+                    "pos_fp", "neg_fp"))
