@@ -2940,6 +2940,101 @@ def q160_contrastive_pairs(spark, sf_dir):
                              size=32, stride=24, n_buckets=64)
 
 
+def q161_wl_classes(spark, sf_dir):
+    """Weisfeiler-Lehman refinement trajectory (operators.graph.
+    wl_signatures) on the symmetrized part<->supplier graph: distinct
+    structural-equivalence classes and largest class size per
+    refinement round — round 0 is one class, round 1 the in-degree
+    classes, round k the depth-k neighborhood shapes.  How fast the
+    trajectory individualizes is the graph-shape audit (template/farm
+    graphs plateau at few classes; organic graphs explode to
+    singletons — this one fully individualizes by round 2).
+    Bit-exact md5 labels vs the generated unrolled-SQL twin."""
+    from python_mecab_ner_spark.operators.graph import wl_signatures
+    edges = _ps_edges(spark, sf_dir)
+    outs = []
+    for it in (0, 1, 2):
+        outs.append(
+            wl_signatures(edges, iters=it)
+            .groupBy("wl_label").agg(F.count("*").alias("sz"))
+            .agg(F.count("*").cast("bigint").alias("n_classes"),
+                 F.max("sz").cast("bigint").alias("max_class"))
+            .select(F.lit(it).cast("int").alias("round"),
+                    "n_classes", "max_class"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _wl_oracle_sql(iters: int = 2) -> str:
+    """Unrolled WL color-refinement twin of q161 (same canonical
+    string, same md5 label derivation per round; one (n_classes,
+    max_class) row per round 0..iters)."""
+    s = """
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        e AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        lab0 AS (SELECT node, CAST(1 AS BIGINT) AS l FROM nodes)"""
+    for k in range(1, iters + 1):
+        joined = ("array_to_string(list_transform("
+                  f"list(l.l ORDER BY l.l), x -> CAST(x AS VARCHAR)), ',')")
+        s += f""",
+        nb{k} AS (SELECT e.dst AS node, {joined} AS ns
+                  FROM e JOIN lab{k - 1} l ON l.node = e.src
+                  GROUP BY 1),
+        lab{k} AS MATERIALIZED (
+            SELECT n.node,
+                   {md5_int_sql(
+                       "concat(CAST(n.l AS VARCHAR), ':', "
+                       "coalesce(nb.ns, ''))")} AS l
+            FROM lab{k - 1} n
+            LEFT JOIN nb{k} nb ON nb.node = n.node)"""
+    rounds = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS INT) AS round,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(max(sz) AS BIGINT) AS max_class
+            FROM (SELECT l, count(*) AS sz FROM lab{k} GROUP BY 1)"""
+        for k in range(0, iters + 1))
+    return s + f"""
+        {rounds}"""
+
+
+def q162_scc(spark, sf_dir):
+    """Strongly connected components (operators.graph.
+    strongly_connected_components, FW-BW min-coloring — exact, raises
+    rather than mislabel on round exhaustion) over a planted directed
+    graph on customer keys <= 300: thirty 10-cycles, forward
+    cycle-to-cycle links every other pair (SCC-DAG edges), and
+    back-links every fourth pair that merge two cycles into one
+    20-node SCC.  scc_id = min node id in the component; the oracle
+    is the recursive-CTE transitive closure's mutual-reachability
+    partition — the ground-truth definition, computed a completely
+    different way."""
+    from python_mecab_ner_spark.operators.graph import \
+        strongly_connected_components
+    cust = _load(spark, sf_dir, "customer") \
+        .where((F.col("c_custkey") >= 1) & (F.col("c_custkey") <= 300)) \
+        .select(F.col("c_custkey").cast("bigint").alias("i"))
+    ring = cust.select(
+        F.col("i").alias("src"),
+        F.when(F.col("i") % 10 == 0, F.col("i") - 9)
+        .otherwise(F.col("i") + 1).alias("dst"))
+    fwd = (cust.where((F.col("i") % 20 == 5) & (F.col("i") + 10 <= 300))
+           .select(F.col("i").alias("src"),
+                   (F.col("i") + 10).alias("dst")))
+    back = (cust.where((F.col("i") % 40 == 15) & (F.col("i") - 10 >= 1))
+            .select(F.col("i").alias("src"),
+                    (F.col("i") - 10).alias("dst")))
+    edges = ring.unionByName(fwd).unionByName(back)
+    return (strongly_connected_components(edges)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("scc_id").cast("bigint").alias("scc_id")))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4388,6 +4483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_harmonic": q158_harmonic,
         "q159_warm_pagerank": q159_warm_pagerank,
         "q160_contrastive_pairs": q160_contrastive_pairs,
+        "q161_wl_classes": q161_wl_classes,
+        "q162_scc": q162_scc,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -6848,6 +6945,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q158_harmonic": _harmonic_oracle_sql(radius=3),
         "q159_warm_pagerank": _warm_pr_oracle_sql(old_iters=2),
+        "q161_wl_classes": _wl_oracle_sql(iters=2),
+        # q162: ground-truth SCC from the recursive transitive
+        # closure (mutual reachability -> min partner id); the WITH
+        # RECURSIVE must prefix the whole chain (DuckDB rule)
+        "q162_scc": """
+            WITH RECURSIVE n AS (
+                SELECT CAST(c_custkey AS BIGINT) AS i FROM customer
+                WHERE c_custkey BETWEEN 1 AND 300),
+            e AS (
+                SELECT i AS src,
+                       CASE WHEN i % 10 = 0 THEN i - 9
+                            ELSE i + 1 END AS dst FROM n
+                UNION ALL
+                SELECT i, i + 10 FROM n
+                WHERE i % 20 = 5 AND i + 10 <= 300
+                UNION ALL
+                SELECT i, i - 10 FROM n
+                WHERE i % 40 = 15 AND i - 10 >= 1),
+            r(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM r JOIN e ON e.src = r.dst),
+            mutual AS (
+                SELECT a.src AS u, a.dst AS v
+                FROM r a JOIN r b ON b.src = a.dst AND b.dst = a.src),
+            mn AS (SELECT u, min(v) AS m FROM mutual GROUP BY 1)
+            SELECT n.i AS node,
+                   CAST(coalesce(least(mn.m, n.i), n.i) AS BIGINT)
+                       AS scc_id
+            FROM n LEFT JOIN mn ON mn.u = n.i
+        """,
         # q160: the q67 chunking CTE + deterministic bucket negatives
         "q160_contrastive_pairs": f"""
             WITH t AS (SELECT doc_id,

@@ -1219,3 +1219,146 @@ def harmonic_centrality(edges: DataFrame, radius: int = 2,
             .agg(F.count("*").cast("bigint").alias("n_reached"),
                  F.sum(F.expr(f"{scale} div d")).cast("bigint")
                  .alias("harmonic_milli")))
+
+
+def wl_signatures(edges: DataFrame, iters: int = 2,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Weisfeiler-Lehman structural node signatures (the 1-WL color
+    refinement behind graph-isomorphism screening and WL graph
+    kernels): each round, a node's label becomes the hash of (its own
+    label, the SORTED list of its in-neighbor labels).  After k
+    rounds, nodes with equal labels are structurally equivalent to
+    depth k — the graph-shape analogue of content fingerprinting, the
+    primitive for subgraph dedup (template/link-farm shapes repeat),
+    role discovery, and cheap graph-diff screening.
+
+    Labels are md5-derived 60-bit integers of a canonical string
+    (own_label ':' comma-joined sorted neighbor labels), so the
+    refinement is bit-exact cross-engine.  The initial color is
+    UNIFORM (1) — id-seeded colors would make every node its own
+    singleton class and the refinement pointless; uniform start means
+    round 1 classes = in-degree classes, round k = depth-k
+    neighborhood-shape classes, exactly the 1-WL test.  Pass
+    symmetrized edges for the undirected WL.
+
+    Scale shape per round: one edges x labels join on src + one
+    groupBy(dst) with a sort_array(collect_list(...)) aggregate.  The
+    collected list is per-node in-degree-sized — the same hub-skew
+    exposure as any adjacency aggregate; cap or salt hub in-degrees
+    upstream if a power-law head bites (the sorted-list hash NEEDS
+    the full multiset, so the cap is a documented truncation)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    lab = nodes.withColumn("l", F.lit(1).cast("bigint"))
+    for _ in range(iters):
+        nb = (e.join(lab.withColumnRenamed("node", "src"), "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.array_join(
+                  F.transform(F.array_sort(F.collect_list("l")),
+                              lambda x: x.cast("string")),
+                  ",").alias("_ns")))
+        lab = (lab.join(nb, "node", "left")
+               .select("node",
+                       md5_int(F.concat_ws(
+                           ":", F.col("l").cast("string"),
+                           F.coalesce(F.col("_ns"), F.lit(""))))
+                       .alias("l")))
+    return lab.select("node", F.col("l").alias("wl_label"))
+
+
+def strongly_connected_components(edges: DataFrame,
+                                  max_rounds: int = 12,
+                                  max_prop: int = 25,
+                                  src: str = "src",
+                                  dst: str = "dst") -> DataFrame:
+    """Strongly connected components of a directed graph, scc_id =
+    the minimum node id in the component — the cycle-structure
+    primitive behind redirect-loop detection, link-farm rings, and
+    collapsing mutual-citation clusters before DAG analytics.
+
+    FW-BW coloring (Orzan-style), deterministic and exact:
+    each outer round on the remaining subgraph
+      1. FORWARD min-label propagation to fixpoint: color(v) = min
+         node id that reaches v (including v).
+      2. Every color class contains its own root (color(c) = c); the
+         class members that reach BACK to the root through same-color
+         nodes are exactly SCC(root) — a backward propagation
+         restricted to equal colors, to fixpoint.
+      3. Settled nodes leave; their edges drop out by semi-join.
+    Outer rounds needed = depth of the SCC condensation along
+    min-id chains (small for real graphs); raises RuntimeError if
+    max_rounds is exhausted with nodes unsettled rather than
+    mislabeling them.
+
+    Scale shape: every step is a frontier join + combinable min/agg,
+    localCheckpoint per fixpoint iteration (the pagerank lineage
+    contract); the active vertex/edge sets shrink monotonically.
+    Driver-side convergence checks (one count per iteration) are the
+    standard price of fixpoint graph algorithms — same as
+    connected_components."""
+    e_all = (edges.select(F.col(src).alias("src"),
+                          F.col(dst).alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct().localCheckpoint())
+    active_n = (e_all.select(F.col("src").alias("node"))
+                .union(e_all.select("dst")).distinct()
+                .localCheckpoint())
+    e = e_all
+    done_parts = []
+    for _ in range(max_rounds):
+        if active_n.limit(1).count() == 0:
+            break
+        # 1) forward min propagation to fixpoint
+        col = active_n.withColumn("c", F.col("node").cast("bigint"))
+        for _p in range(max_prop):
+            msgs = (e.join(col.withColumnRenamed("node", "src"), "src")
+                    .select(F.col("dst").alias("node"), "c"))
+            new = (col.select("node", "c").union(msgs)
+                   .groupBy("node").agg(F.min("c").alias("c"))
+                   .localCheckpoint())
+            changed = (new.alias("n").join(col.alias("o"), "node")
+                       .where(F.col("n.c") != F.col("o.c"))
+                       .limit(1).count())
+            col = new
+            if changed == 0:
+                break
+        # 2) backward confinement: settled = reaches its root through
+        # same-color nodes.  Seed = the roots themselves.
+        ecol = (e.join(col.withColumnRenamed("node", "src")
+                       .withColumnRenamed("c", "c_src"), "src")
+                .join(col.withColumnRenamed("node", "dst")
+                      .withColumnRenamed("c", "c_dst"), "dst")
+                .where(F.col("c_src") == F.col("c_dst"))
+                .select("src", "dst", F.col("c_src").alias("c"))
+                .localCheckpoint())
+        settled = (col.where(F.col("node") == F.col("c"))
+                   .select("node", "c").localCheckpoint())
+        for _p in range(max_prop):
+            back = (ecol.join(settled.withColumnRenamed("node", "dst")
+                              .drop("c"), "dst")
+                    .select(F.col("src").alias("node"), "c")
+                    .distinct())
+            new = (settled.union(back).groupBy("node")
+                   .agg(F.min("c").alias("c")).localCheckpoint())
+            if new.count() == settled.count():
+                settled = new
+                break
+            settled = new
+        done_parts.append(settled)
+        # 3) shrink actives
+        active_n = (active_n.join(settled.select("node"), "node",
+                                  "left_anti").localCheckpoint())
+        e = (e.join(settled.select(F.col("node").alias("src")),
+                    "src", "left_anti")
+             .join(settled.select(F.col("node").alias("dst")),
+                   "dst", "left_anti")
+             .select("src", "dst").localCheckpoint())
+    if active_n.limit(1).count() != 0:
+        raise RuntimeError(
+            "strongly_connected_components: max_rounds exhausted "
+            "with nodes unsettled — raise max_rounds")
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out.select("node", F.col("c").alias("scc_id"))

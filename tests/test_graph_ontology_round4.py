@@ -232,3 +232,99 @@ def test_kg_entity_alignment_recovers_majority(spark):
     assert 0 < r.n_correct <= r.n_aligned
     assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_aligned
     assert r.acc_ppm >= 500_000
+
+
+def test_wl_signatures_structural_equivalence(spark):
+    from python_mecab_ner_spark.operators.graph import wl_signatures
+    # two disjoint isomorphic stars (hub + 2 leaves) with DIFFERENT
+    # node ids: uniform initial color -> id-free refinement, so ALL
+    # leaves coincide across stars, hubs coincide, hub != leaf
+    edges = _sym(spark, [(1, 2), (1, 3), (10, 20), (10, 30)])
+    got = {r.node: r.wl_label for r in
+           wl_signatures(edges, iters=2).collect()}
+    assert got[2] == got[3] == got[20] == got[30]
+    assert got[1] == got[10]
+    assert got[1] != got[2]
+
+
+def test_wl_signatures_separates_roles_on_path(spark):
+    from python_mecab_ner_spark.operators.graph import wl_signatures
+    # path a-b-c-d: symmetric roles {a,d} (ends) and {b,c} (middles)
+    # are exactly the depth-2 classes
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r.node: r.wl_label for r in
+           wl_signatures(edges, iters=2).collect()}
+    assert got[1] == got[4] and got[2] == got[3]
+    assert got[1] != got[2]
+
+
+def test_scc_basic_cycle_and_dag(spark):
+    from python_mecab_ner_spark.operators.graph import \
+        strongly_connected_components as scc
+    # 1->2->3->1 (cycle), 3->4->5 (tail), 5->4 (2-cycle), 6->1 (feeder)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4), (6, 1)],
+        "src bigint, dst bigint")
+    got = {r.node: r.scc_id for r in scc(e).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
+    assert got[6] == 6
+
+
+def test_scc_python_twin_random(spark):
+    import itertools
+    from python_mecab_ner_spark.operators.graph import \
+        strongly_connected_components as scc
+    import hashlib
+    # deterministic pseudo-random digraph on 40 nodes
+    nodes = list(range(1, 41))
+    edges = []
+    for u, v in itertools.product(nodes, nodes):
+        if u != v and int(hashlib.md5(
+                f"scc:{u}:{v}".encode()).hexdigest(), 16) % 23 == 0:
+            edges.append((u, v))
+    # python twin: Tarjan via iterative Kosaraju
+    adj, radj = {}, {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        radj.setdefault(v, []).append(u)
+    seen, order = set(), []
+
+    def dfs1(s):
+        stack = [(s, iter(adj.get(s, [])))]
+        seen.add(s)
+        while stack:
+            n, it = stack[-1]
+            adv = False
+            for m in it:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append((m, iter(adj.get(m, []))))
+                    adv = True
+                    break
+            if not adv:
+                order.append(n)
+                stack.pop()
+    incident = sorted({u for u, _ in edges} | {v for _, v in edges})
+    for s in incident:
+        if s not in seen:
+            dfs1(s)
+    comp = {}
+    for s in reversed(order):
+        if s in comp:
+            continue
+        stack, members = [s], []
+        comp[s] = None
+        while stack:
+            n = stack.pop()
+            members.append(n)
+            for m in radj.get(n, []):
+                if m not in comp:
+                    comp[m] = None
+                    stack.append(m)
+        cid = min(members)
+        for m in members:
+            comp[m] = cid
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.scc_id for r in scc(e, max_rounds=40).collect()}
+    assert got == comp
