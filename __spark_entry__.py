@@ -4321,6 +4321,31 @@ def kg_host_cocitation(spark, sf_dir):
         .select("n1", "n2", "common", "jac_ppm"))
 
 
+def kg_host_scc(spark, sf_dir):
+    """Strongly connected components of the REAL extracted host link
+    graph (the q162-certified FW-BW operator): the web's bowtie
+    decomposition at host level — the giant SCC is the crawlable
+    core, nodes outside it are IN/OUT/tendril hosts whose recrawl
+    priority differs.  Output: SCC size histogram (size,
+    n_components) plus a core-share row via the largest SCC."""
+    from python_mecab_ner_spark.operators.graph import \
+        strongly_connected_components
+    from python_mecab_ner_spark.operators.weblinks import host_graph
+    g = _kg_graph(spark)
+    hg = host_graph(g["pages"])
+    edges = (hg.select(md5_int(F.col("src_host")).alias("src"),
+                       md5_int(F.col("dst_host")).alias("dst"))
+             .localCheckpoint())
+    scc = strongly_connected_components(edges, max_rounds=30)
+    return (scc.groupBy("scc_id")
+            .agg(F.count("*").alias("sz"))
+            .groupBy("sz")
+            .agg(F.count("*").cast("bigint").alias("n_components"))
+            .orderBy(F.col("sz").desc())
+            .select(F.col("sz").cast("bigint").alias("scc_size"),
+                    "n_components"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4489,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
         "kg_entity_alignment": kg_entity_alignment,
+        "kg_host_scc": kg_host_scc,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,

@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     # round 4 additions (comparisons vs earlier rounds use the shared
     # subset, as in VERDICT r3's like-for-like table)
     "q147_bcubed_eval", "q148_encoding_audit", "q149_ngram_diversity",
+    "q154_modularity", "q157_edge_cut", "q160_contrastive_pairs",
+    "q161_wl_classes",
 ]
 
 

@@ -328,3 +328,44 @@ def test_scc_python_twin_random(spark):
     e = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r.node: r.scc_id for r in scc(e, max_rounds=40).collect()}
     assert got == comp
+
+
+def test_propagate_types_python_twin_random(spark):
+    # deterministic pseudo-random digraph + seed set vs a pure-python
+    # recompute of the clamped synchronous modal-vote recurrence
+    import hashlib
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest(), 16)
+    nodes = list(range(1, 31))
+    edges = [(u, v) for u in nodes for v in nodes
+             if u != v and h(f"tp:{u}:{v}") % 9 == 0]
+    seeds = {n: h(f"ty:{n}") % 5 for n in nodes if h(f"seed:{n}") % 3 == 0}
+    iters = 3
+    lab = {n: seeds.get(n) for n in nodes}
+    for _ in range(iters):
+        votes = {}
+        for u, v in edges:
+            if lab[u] is not None:
+                votes.setdefault(v, {}).setdefault(lab[u], 0)
+                votes[v][lab[u]] += 1
+        new = {}
+        for n in nodes:
+            if n in seeds:
+                new[n] = seeds[n]
+            elif n in votes:
+                best = max(votes[n].items(),
+                           key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            else:
+                new[n] = lab[n]
+        lab = new
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    sd = spark.createDataFrame(list(seeds.items()),
+                               "node bigint, type_id bigint")
+    got = {r.node: r.type_id for r in
+           propagate_types(e, sd, iters=iters).collect()}
+    # operator's node set = edge-incident nodes only
+    incident = {u for u, _ in edges} | {v for _, v in edges}
+    expect = {n: lab[n] for n in incident}
+    assert got == expect
