@@ -4142,7 +4142,8 @@ def _kg_dense_sym(spark):
     oscillates on bipartite structure (measured: intra_w = 4 of 990,
     modularity NEGATIVE at every iteration count), while co-mention
     edges are role-free and topical.  Returns
-    (sym_edges(src,dst,w), lpa_labels, n_nodes)."""
+    (sym_edges(src,dst,w), lpa_labels, n_nodes, dense) where dense is
+    the (node=surface, nid) relabeling dimension."""
     from python_mecab_ner_spark.operators.colloc import \
         cooccurrence_counts
     from python_mecab_ner_spark.operators.graph import \
@@ -4177,7 +4178,7 @@ def _kg_dense_sym(spark):
     # weight is kept on the edges for downstream consumers, just not
     # fed to the vote.
     lpa = label_propagation_int(sym, iters=2).localCheckpoint()
-    return sym, lpa, dense.count()
+    return sym, lpa, dense.count(), dense
 
 
 def kg_modularity(spark, sf_dir):
@@ -4187,7 +4188,7 @@ def kg_modularity(spark, sf_dir):
     extracted mention co-occurrences are structure or noise
     (unweighted graph, matching the vote)."""
     from python_mecab_ner_spark.operators.graph import modularity_ppm
-    sym, lpa, _ = _kg_dense_sym(spark)
+    sym, lpa, _, _ = _kg_dense_sym(spark)
     return modularity_ppm(sym, lpa)
 
 
@@ -4201,7 +4202,7 @@ def kg_edge_cut(spark, sf_dir):
     community-aligned placement should cut materially fewer edges
     than hash, and this measures it."""
     from python_mecab_ner_spark.functions.hashing import md5_int
-    sym, lpa, n_nodes = _kg_dense_sym(spark)
+    sym, lpa, n_nodes, _ = _kg_dense_sym(spark)
     block = max(1, -(-n_nodes // 32))  # ceil: contiguous range blocks
     part = F.broadcast(lpa.select(
         "node", (F.col("community") % 32).alias("p")))
@@ -4344,6 +4345,69 @@ def kg_host_scc(spark, sf_dir):
             .orderBy(F.col("sz").desc())
             .select(F.col("sz").cast("bigint").alias("scc_size"),
                     "n_components"))
+
+
+def kg_type_propagation(spark, sf_dir):
+    """Semi-supervised type inference on the REAL KG (the
+    q156-certified operators.ontology.propagate_types kernel), with a
+    genuine held-out eval: seed types = modal gazetteer category of
+    surfaces linked at the EXACT dictionary rungs (levels 0/1);
+    propagate 2 clamped rounds over the co-mention graph; score the
+    predictions against the known detector categories of surfaces
+    whose links were INFERRED (levels 2-4) — the surfaces whose KB
+    entries the kb_holdout removed.  One-row sheet:
+    (n_eval, n_predicted, n_correct, acc_ppm)."""
+    from python_mecab_ner_spark.operators.ontology import \
+        propagate_types
+    g = _kg_graph(spark)
+    sym, _, _, dense = _kg_dense_sym(spark)
+    d = F.broadcast(dense)
+    lk = g["linked"].where(F.col("surface").isNotNull())
+    tdim = F.broadcast(
+        lk.select(F.col("large").alias("ty")).distinct()
+        .select("ty", (F.row_number().over(Window.orderBy("ty")) - 1)
+                .cast("bigint").alias("tid")))
+
+    def modal_type(mentions):
+        # modal category per surface, ties -> smaller tid (packed max)
+        cnt = (mentions.join(tdim, mentions["large"] == tdim["ty"])
+               .groupBy("surface", "tid")
+               .agg(F.count("*").alias("c")))
+        cap = 1 << 20
+        return (cnt.groupBy("surface")
+                .agg(F.max(F.col("c") * F.lit(cap)
+                           + (F.lit(cap - 1) - F.col("tid")))
+                     .alias("_p"))
+                .select("surface",
+                        (F.lit(cap - 1)
+                         - F.col("_p").bitwiseAND(F.lit(cap - 1)))
+                        .cast("bigint").alias("tid")))
+    seed_sf = modal_type(lk.where(F.col("link_level") <= 1)) \
+        .localCheckpoint()
+    eval_sf = (modal_type(lk.where(F.col("link_level").isin(2, 3, 4)))
+               .join(seed_sf.select("surface"), "surface", "left_anti")
+               .localCheckpoint())
+    seeds = (seed_sf.join(d.withColumnRenamed("node", "surface"),
+                          "surface")
+             .select(F.col("nid").alias("node"),
+                     F.col("tid").alias("type_id")))
+    pred = propagate_types(sym.drop("w"), seeds, iters=2)
+    ev = (eval_sf.join(d.withColumnRenamed("node", "surface"),
+                       "surface")
+          .select(F.col("nid").alias("node"),
+                  F.col("tid").alias("gold")))
+    joined = ev.join(pred, "node", "left")
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum(F.col("type_id").isNotNull().cast("bigint"))
+        .cast("bigint").alias("n_predicted"),
+        F.sum((F.col("type_id") == F.col("gold")).cast("bigint"))
+        .cast("bigint").alias("n_correct")
+    ).select(
+        "n_eval", "n_predicted", "n_correct",
+        F.when(F.col("n_predicted") > 0,
+               F.expr("(n_correct * 1000000) div n_predicted"))
+        .otherwise(F.lit(0)).cast("bigint").alias("acc_ppm"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4515,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edge_cut": kg_edge_cut,
         "kg_entity_alignment": kg_entity_alignment,
         "kg_host_scc": kg_host_scc,
+        "kg_type_propagation": kg_type_propagation,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,

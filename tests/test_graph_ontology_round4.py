@@ -369,3 +369,12 @@ def test_propagate_types_python_twin_random(spark):
     incident = {u for u, _ in edges} | {v for _, v in edges}
     expect = {n: lab[n] for n in incident}
     assert got == expect
+
+
+def test_kg_type_propagation_sheet_invariants(spark):
+    import __spark_entry__ as entry
+    r = entry.kg_type_propagation(spark, None).collect()[0]
+    assert r.n_correct <= r.n_predicted <= r.n_eval
+    assert r.n_eval > 0
+    if r.n_predicted:
+        assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_predicted
