@@ -3035,6 +3035,93 @@ def q162_scc(spark, sf_dir):
                     F.col("scc_id").cast("bigint").alias("scc_id")))
 
 
+def q163_itemsets(spark, sf_dir):
+    """A-priori frequent 3-itemsets (operators.colloc.
+    frequent_itemsets3) over order baskets of part brands: the
+    market-basket miner — level-wise support pruning, candidate
+    closure against broadcast L2, distinct-basket support counted on
+    the co-partitioned basket key.  The co-mention-set generalization
+    of pairwise PMI (q50)."""
+    from python_mecab_ner_spark.operators.colloc import \
+        frequent_itemsets3
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    baskets = (li.join(part, li["l_partkey"] == part["p_partkey"])
+               .select(F.col("l_orderkey").alias("basket"),
+                       F.col("p_brand").alias("item")))
+    out = frequent_itemsets3(baskets, min_support=50)
+    res = out.select("item_a", "item_b", "item_c", "support")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
+_CONTRACTION_FINAL = """,
+        ec AS (SELECT ls.lab AS cs, ld.lab AS cd, e.w
+               FROM e JOIN lab2 ls ON ls.node = e.src
+                      JOIN lab2 ld ON ld.node = e.dst),
+        sums AS (SELECT count(*) AS n_edges,
+                        sum(CASE WHEN cs = cd THEN w ELSE 0 END)
+                            AS intra_w,
+                        sum(CASE WHEN cs <> cd THEN w ELSE 0 END)
+                            AS inter_w
+                 FROM ec),
+        sn AS (SELECT count(DISTINCT lab) AS n_supernodes FROM lab2),
+        se AS (SELECT count(*) AS n_superedges
+               FROM (SELECT DISTINCT cs, cd FROM ec WHERE cs <> cd))
+        SELECT CAST(n_supernodes AS BIGINT) AS n_supernodes,
+               CAST(n_superedges AS BIGINT) AS n_superedges,
+               CAST(n_edges AS BIGINT) AS n_edges,
+               CAST(intra_w AS BIGINT) AS intra_w,
+               CAST(inter_w AS BIGINT) AS inter_w,
+               CAST((n_superedges * 1000000) // n_edges AS BIGINT)
+                   AS compression_ppm
+        FROM sn, se, sums"""
+
+
+def q164_graph_contraction(spark, sf_dir):
+    """Community-contraction graph summarization: collapse the q70
+    LPA communities into supernodes and count the surviving distinct
+    super-edges — the compression audit behind graph-summary storage
+    and multi-level (coarsened) graph processing.  One row:
+    supernode/superedge counts, intra/inter weight mass, and the
+    edge-compression ratio in ppm.  Reuses the unrolled-LPA oracle
+    chain verbatim."""
+    from python_mecab_ner_spark.operators.graph import \
+        label_propagation_int
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = (li.groupBy((F.col("l_partkey") * 2).alias("p"),
+                        (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .agg(F.count("*").cast("bigint").alias("w")))
+    edges = (pairs.select(F.col("p").alias("src"),
+                          F.col("s").alias("dst"), "w")
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"), "w"))
+             .localCheckpoint())
+    comm = label_propagation_int(edges, iters=2, weight="w") \
+        .localCheckpoint()
+    ec = (edges.join(comm.withColumnRenamed("node", "src")
+                     .withColumnRenamed("community", "cs"), "src")
+          .join(comm.withColumnRenamed("node", "dst")
+                .withColumnRenamed("community", "cd"), "dst")
+          .select("cs", "cd", "w"))
+    sums = ec.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), F.col("w"))
+              .otherwise(0)).cast("bigint").alias("intra_w"),
+        F.sum(F.when(F.col("cs") != F.col("cd"), F.col("w"))
+              .otherwise(0)).cast("bigint").alias("inter_w"))
+    sn = comm.agg(F.countDistinct("community").cast("bigint")
+                  .alias("n_supernodes"))
+    se = (ec.where(F.col("cs") != F.col("cd"))
+          .select("cs", "cd").distinct()
+          .agg(F.count("*").cast("bigint").alias("n_superedges")))
+    return (sums.crossJoin(F.broadcast(sn)).crossJoin(F.broadcast(se))
+            .select("n_supernodes", "n_superedges", "n_edges",
+                    "intra_w", "inter_w",
+                    F.expr("(n_superedges * 1000000) div n_edges")
+                    .cast("bigint").alias("compression_ppm")))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4574,6 +4661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_contrastive_pairs": q160_contrastive_pairs,
         "q161_wl_classes": q161_wl_classes,
         "q162_scc": q162_scc,
+        "q163_itemsets": q163_itemsets,
+        "q164_graph_contraction": q164_graph_contraction,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -6955,6 +7044,36 @@ def oracle_sql() -> dict[str, str]:
         # +W^2 shift keeps the dividend non-negative -> div == //)
         "q154_modularity": _lpa_oracle_sql(
             iters=2, final=_MODULARITY_FINAL),
+        "q164_graph_contraction": _lpa_oracle_sql(
+            iters=2, final=_CONTRACTION_FINAL),
+        # q163: level-wise a-priori twin, same pruning order
+        "q163_itemsets": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                        FROM lineitem JOIN part
+                          ON p_partkey = l_partkey),
+            l1 AS (SELECT i FROM bi GROUP BY 1
+                   HAVING count(*) >= 50),
+            bi1 AS (SELECT b.b, b.i FROM bi b JOIN l1 USING (i)),
+            l2 AS (SELECT x.i AS a, y.i AS c FROM bi1 x
+                   JOIN bi1 y ON y.b = x.b AND x.i < y.i
+                   GROUP BY 1, 2 HAVING count(*) >= 50),
+            c3 AS (SELECT p.a AS ia, p.c AS ib, q.c AS ic
+                   FROM l2 p JOIN l2 q
+                     ON q.a = p.a AND p.c < q.c
+                   WHERE EXISTS (SELECT 1 FROM l2 z
+                                 WHERE z.a = p.c AND z.c = q.c)),
+            sup AS (SELECT c3.ia AS item_a, c3.ib AS item_b,
+                           c3.ic AS item_c,
+                           count(DISTINCT t1.b) AS support
+                    FROM c3
+                    JOIN bi1 t1 ON t1.i = c3.ia
+                    JOIN bi1 t2 ON t2.b = t1.b AND t2.i = c3.ib
+                    JOIN bi1 t3 ON t3.b = t1.b AND t3.i = c3.ic
+                    GROUP BY 1, 2, 3)
+            SELECT item_a, item_b, item_c,
+                   CAST(support AS BIGINT) AS support
+            FROM sup WHERE support >= 50
+        """,
         # q155: PARIS alignment — same stack/drop/df-cap/packed-argmax
         # chain; cap = 2^32
         "q155_entity_alignment": f"""

@@ -173,3 +173,64 @@ def cooccurrence_counts(ctx: DataFrame, window: int = 5,
                  F.sum(F.floor(F.lit(scale) / F.col("_d")))
                  .cast("bigint").alias("w_sum"))
             .where(F.col("n_pairs") >= min_pairs))
+
+
+def frequent_itemsets3(baskets: DataFrame, basket_col: str = "basket",
+                       item_col: str = "item",
+                       min_support: int = 2) -> DataFrame:
+    """A-priori frequent 3-itemsets over (basket, item) rows — the
+    market-basket pattern miner, here for co-mention sets ("entities
+    that appear TOGETHER across many pages"), co-purchase motifs, and
+    gazetteer-expansion candidates beyond pairwise PMI.
+
+    Classic level-wise pruning, all exact:
+      L1 = items with support >= min_support
+      L2 = within-basket pairs (a < b), both L1, support >= min_support
+      C3 = L2 pairs sharing their first item, (a,b)+(a,c), b < c,
+           kept only if (b,c) is ALSO in L2 (the a-priori closure)
+      L3 = C3 with counted support >= min_support
+    Support = number of DISTINCT baskets containing the whole set.
+
+    Scale shape: baskets dedup to distinct (basket, item); the pair
+    step is a within-basket self-join (fan-out C(basket_size, 2) —
+    cap basket sizes upstream if a pathological basket bites); L2 is
+    support-pruned BEFORE the candidate join, and candidates verify
+    against broadcast L2 (frequent-pair dimensions are small by
+    construction — that is the a-priori insight); the final support
+    count joins the basket-item table three times ON THE BASKET KEY,
+    co-partitioned.  Returns (item_a, item_b, item_c, support),
+    item_a < item_b < item_c."""
+    bi = (baskets.select(F.col(basket_col).alias("b"),
+                         F.col(item_col).alias("i"))
+          .distinct().persist())
+    l1 = (bi.groupBy("i").agg(F.count("*").alias("s"))
+          .where(F.col("s") >= min_support).select("i"))
+    bi1 = bi.join(F.broadcast(l1), "i").select("b", "i")
+    x, y = bi1.alias("x"), bi1.alias("y")
+    l2 = (x.join(y, (F.col("x.b") == F.col("y.b"))
+                 & (F.col("x.i") < F.col("y.i")))
+          .groupBy(F.col("x.i").alias("a"), F.col("y.i").alias("c"))
+          .agg(F.count("*").alias("s"))
+          .where(F.col("s") >= min_support)
+          .select("a", "c"))
+    p, q = l2.alias("p"), l2.alias("q")
+    c3 = (p.join(q, (F.col("p.a") == F.col("q.a"))
+                 & (F.col("p.c") < F.col("q.c")))
+          .select(F.col("p.a").alias("ia"), F.col("p.c").alias("ib"),
+                  F.col("q.c").alias("ic")))
+    closure = l2.select(F.col("a").alias("ib"),
+                        F.col("c").alias("ic"))
+    c3 = c3.join(F.broadcast(closure), ["ib", "ic"], "left_semi")
+    t1 = bi1.select(F.col("b"), F.col("i").alias("ia"))
+    t2 = bi1.select(F.col("b"), F.col("i").alias("ib"))
+    t3 = bi1.select(F.col("b"), F.col("i").alias("ic"))
+    sup = (c3.join(t1, "ia").join(t2, ["b", "ib"])
+           .join(t3, ["b", "ic"])
+           .groupBy("ia", "ib", "ic")
+           .agg(F.countDistinct("b").cast("bigint").alias("support"))
+           .where(F.col("support") >= min_support))
+    out = sup.select(F.col("ia").alias("item_a"),
+                     F.col("ib").alias("item_b"),
+                     F.col("ic").alias("item_c"), "support")
+    out.unpersist_input = bi.unpersist
+    return out

@@ -378,3 +378,27 @@ def test_kg_type_propagation_sheet_invariants(spark):
     assert r.n_eval > 0
     if r.n_predicted:
         assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_predicted
+
+
+def test_frequent_itemsets3_apriori_exact(spark):
+    from python_mecab_ner_spark.operators.colloc import \
+        frequent_itemsets3
+    import itertools
+    baskets = {
+        1: {"a", "b", "c"}, 2: {"a", "b", "c", "d"},
+        3: {"a", "b", "d"}, 4: {"b", "c", "d"},
+        5: {"a", "b", "c"}, 6: {"x"},
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = {(r.item_a, r.item_b, r.item_c): r.support
+           for r in frequent_itemsets3(df, min_support=3).collect()}
+    # brute-force twin
+    expect = {}
+    items = sorted({i for s in baskets.values() for i in s})
+    for t in itertools.combinations(items, 3):
+        s = sum(1 for bs in baskets.values() if set(t) <= bs)
+        if s >= 3:
+            expect[t] = s
+    assert got == expect
+    assert got[("a", "b", "c")] == 3
