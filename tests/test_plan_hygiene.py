@@ -520,3 +520,38 @@ def test_q146_template_audit_single_agg_no_window(spark, sf01):
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_contrastive_negative_dim_broadcasts(spark, sf01):
+    # q160's negative dimension is n_buckets rows — the probe join
+    # must broadcast it, and the positive join must not global-sort
+    plan = _plan(entry.q160_contrastive_pairs(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_itemsets_closure_verifies_against_broadcast(spark, sf01):
+    # the a-priori candidate closure check is a semi-join against the
+    # frequent-pair dimension — broadcast, never shuffled
+    plan = _plan(entry.q163_itemsets(spark, sf01))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    df = entry.q163_itemsets(spark, sf01)
+    rel = getattr(df, "unpersist_input", None)
+    if rel:
+        rel()
+
+
+def test_alignment_weight_dim_broadcasts(spark, sf01):
+    # q155: the per-predicate functionality weights are a tiny dim —
+    # broadcast into the shared-statement join
+    plan = _plan(entry.q155_entity_alignment(spark, sf01))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_edge_cut_is_scan_plus_aggregate_only(spark, sf01):
+    # layout audit must stay join-free: pure projections + combinable
+    # aggregates per layout, then a union of 1-row results
+    plan = _plan(entry.q157_edge_cut(spark, sf01))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                "CartesianProduct"):
+        assert bad not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
