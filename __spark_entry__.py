@@ -3122,6 +3122,23 @@ def q164_graph_contraction(spark, sf_dir):
                     .cast("bigint").alias("compression_ppm")))
 
 
+def q165_epoch_allocation(spark, sf_dir):
+    """Data-constrained token-budget allocation (operators.sample.
+    epoch_allocation, Muennighoff et al. 2023): a 1M-char budget
+    split uniformly across language groups with a 4-epoch repeat cap
+    — small languages hit their cap and the surplus re-flows to
+    headroom by the exact-integer Hamilton step.  Invariant
+    sum(take) == min(budget, sum cap) holds bit-exactly on both
+    engines."""
+    from python_mecab_ner_spark.operators.sample import \
+        epoch_allocation
+    docs = _load(spark, sf_dir, "documents")
+    src = (docs.groupBy(F.coalesce("lang", F.lit("unk"))
+                        .alias("source"))
+           .agg(F.sum("n_chars").cast("bigint").alias("tokens")))
+    return epoch_allocation(src, budget=1_000_000, max_epochs=4)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4663,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_scc": q162_scc,
         "q163_itemsets": q163_itemsets,
         "q164_graph_contraction": q164_graph_contraction,
+        "q165_epoch_allocation": q165_epoch_allocation,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7046,6 +7064,50 @@ def oracle_sql() -> dict[str, str]:
             iters=2, final=_MODULARITY_FINAL),
         "q164_graph_contraction": _lpa_oracle_sql(
             iters=2, final=_CONTRACTION_FINAL),
+        # q165: the same arithmetic as epoch_allocation, step by step
+        "q165_epoch_allocation": """
+            WITH s AS (SELECT coalesce(lang, 'unk') AS k,
+                              CAST(sum(n_chars) AS BIGINT) AS t
+                       FROM documents GROUP BY 1),
+            s2 AS (SELECT k, t, CAST(1 AS BIGINT) AS w,
+                          t * 4 AS cap FROM s),
+            tot AS (SELECT sum(w) AS tw, sum(cap) AS tc FROM s2),
+            base AS (SELECT k, t, cap, tw, tc,
+                            least(cap, (1000000 * w) // tw) AS take0
+                     FROM s2, tot),
+            l0 AS (SELECT least(1000000, max(tc)) - sum(take0)
+                       AS left0 FROM base),
+            head AS (SELECT b.*, left0, cap - take0 AS hr
+                     FROM base b, l0),
+            htt AS (SELECT sum(hr) AS ht FROM head),
+            fl AS (SELECT h.*, ht,
+                          CASE WHEN ht > 0
+                               THEN least(hr, (left0 * hr) // ht)
+                               ELSE 0 END AS add1
+                   FROM head h, htt),
+            fl2 AS (SELECT *,
+                           CASE WHEN ht > 0 AND hr > add1
+                                THEN (left0 * hr) % ht
+                                ELSE -1 END AS rem
+                    FROM fl),
+            l1 AS (SELECT max(left0) - sum(add1) AS left1 FROM fl2),
+            rk AS (SELECT f.*,
+                          row_number() OVER (ORDER BY rem DESC, k ASC)
+                              AS rk, left1
+                   FROM fl2 f, l1),
+            fin AS (SELECT k, t, cap, tc,
+                           take0 + add1
+                           + CASE WHEN rk <= left1 AND rem >= 0
+                                  THEN 1 ELSE 0 END AS take
+                    FROM rk)
+            SELECT k AS source, t AS tokens,
+                   CAST(cap AS BIGINT) AS cap,
+                   CAST(take AS BIGINT) AS take_tokens,
+                   CAST((take * 1000) // t AS BIGINT) AS epochs_milli,
+                   CAST(greatest(0, 1000000 - tc) AS BIGINT)
+                       AS budget_unmet
+            FROM fin
+        """,
         # q163: level-wise a-priori twin, same pruning order
         "q163_itemsets": """
             WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i

@@ -306,3 +306,87 @@ def temperature_mix_weights(df: DataFrame,
                         F.expr("(w_ppm * 1000000) "
                                "div greatest(nat_ppm, 1)")
                         .cast("bigint")))
+
+
+def epoch_allocation(sources: DataFrame, budget: int,
+                     max_epochs: int = 4, key: str = "source",
+                     tokens: str = "tokens",
+                     weight: str | None = None) -> DataFrame:
+    """Token-budget allocation across sources with a repeat cap — the
+    data-constrained mixing table (Muennighoff et al. 2023: repeating
+    a source beyond ~4 epochs stops helping, so the budget that
+    proportional mixing would over-assign to small sources must
+    re-flow to sources with headroom):
+
+        cap(s)   = tokens(s) * max_epochs
+        ideal(s) = (budget * w(s)) div sum(w)   (w = ``weight`` col,
+                   default 1 per source — the uniform mix that
+                   over-asks small sources, which is what makes the
+                   cap bind; NOTE a token-proportional weight binds
+                   uniformly or never, since ideal/tokens is then
+                   constant across sources)
+        take(s)  = min(cap(s), ideal(s))
+        leftover re-flows proportionally to HEADROOM (cap - take),
+        its own remainder placed by the largest-remainder rank
+        (ties -> smaller key) — the crawl_budget Hamilton step.
+
+    Exact invariant on any engine: sum(take) == min(budget, sum cap);
+    when sum(cap) < budget the output flags the shortfall instead of
+    silently over-repeating (budget_unmet > 0 on every row).
+
+    Single-pass headroom redistribution is deliberate (documented
+    divergence from iterative waterfilling): one extra flow step
+    covers the common one-sided imbalance, stays a closed-form
+    integer spec a SQL oracle can mirror, and never exceeds any cap.
+
+    Scale shape: two 1-row totals broadcast back + one rank window
+    over the SOURCE DIMENSION (a vocabulary of sources, never the
+    corpus).  Returns (source, tokens, cap, take_tokens,
+    epochs_milli, budget_unmet)."""
+    from pyspark.sql import Window
+    wcol = (F.col(weight).cast("bigint") if weight is not None
+            else F.lit(1).cast("bigint"))
+    s = sources.select(F.col(key).alias("k"),
+                       F.col(tokens).cast("bigint").alias("t"),
+                       wcol.alias("w"))
+    s = s.withColumn("cap", F.col("t") * F.lit(max_epochs))
+    tot = s.agg(F.sum("w").alias("tw"), F.sum("cap").alias("tc"))
+    base = (s.crossJoin(F.broadcast(tot))
+            .select("k", "t", "cap", "tw", "tc",
+                    F.least(F.col("cap"),
+                            F.expr(f"({budget} * w) div tw"))
+                    .alias("take0")))
+    l0 = base.agg(
+        (F.least(F.lit(budget), F.max("tc")) - F.sum("take0"))
+        .alias("left0"))
+    head = (base.crossJoin(F.broadcast(l0))
+            .withColumn("hr", F.col("cap") - F.col("take0")))
+    htot = head.agg(F.sum("hr").alias("ht"))
+    flowed = (head.crossJoin(F.broadcast(htot))
+              .withColumn(
+                  "add1",
+                  F.when(F.col("ht") > 0,
+                         F.expr("least(hr, (left0 * hr) div ht)"))
+                  .otherwise(F.lit(0)))
+              .withColumn(
+                  "rem",
+                  F.when((F.col("ht") > 0) & (F.col("hr") > F.col("add1")),
+                         F.expr("(left0 * hr) % ht"))
+                  .otherwise(F.lit(-1))))
+    l1 = flowed.agg((F.max("left0") - F.sum("add1")).alias("left1"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("k").asc())
+    out = (flowed.withColumn("rk", F.row_number().over(w))
+           .crossJoin(F.broadcast(l1))
+           .withColumn("take",
+                       F.col("take0") + F.col("add1")
+                       + F.when((F.col("rk") <= F.col("left1"))
+                                & (F.col("rem") >= 0), 1)
+                       .otherwise(0)))
+    return out.select(
+        F.col("k").alias(key), F.col("t").cast("bigint").alias(tokens),
+        F.col("cap").cast("bigint").alias("cap"),
+        F.col("take").cast("bigint").alias("take_tokens"),
+        F.expr("(take * 1000) div t").cast("bigint")
+        .alias("epochs_milli"),
+        F.greatest(F.lit(0), F.lit(budget) - F.col("tc"))
+        .cast("bigint").alias("budget_unmet"))

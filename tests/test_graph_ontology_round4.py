@@ -402,3 +402,24 @@ def test_frequent_itemsets3_apriori_exact(spark):
             expect[t] = s
     assert got == expect
     assert got[("a", "b", "c")] == 3
+
+
+def test_epoch_allocation_invariants(spark):
+    from python_mecab_ner_spark.operators.sample import \
+        epoch_allocation
+    import hashlib
+    rows = [(f"s{i}",
+             1 + int(hashlib.md5(f"ea:{i}".encode()).hexdigest(),
+                     16) % 1000)
+            for i in range(9)]
+    df = spark.createDataFrame(rows, ["source", "tokens"])
+    total_cap = sum(t for _, t in rows) * 4
+    for budget in (50, 700, total_cap - 3, total_cap + 100):
+        got = epoch_allocation(df, budget=budget,
+                               max_epochs=4).collect()
+        assert sum(r.take_tokens for r in got) == min(budget,
+                                                      total_cap), budget
+        for r in got:
+            assert 0 <= r.take_tokens <= r.cap == r.tokens * 4
+            assert r.epochs_milli == r.take_tokens * 1000 // r.tokens
+            assert r.budget_unmet == max(0, budget - total_cap)
