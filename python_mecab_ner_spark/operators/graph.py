@@ -1267,6 +1267,50 @@ def wl_signatures(edges: DataFrame, iters: int = 2,
     return lab.select("node", F.col("l").alias("wl_label"))
 
 
+def wl_trajectory(edges: DataFrame, iters: int = 2,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Refinement trajectory of wl_signatures in ONE pass: per round
+    0..iters, the number of distinct structural classes and the
+    largest class size — how fast the graph individualizes (template
+    farms plateau, organic graphs explode to singletons).
+
+    Shares wl_signatures' recurrence exactly; each round's label
+    table is localCheckpoint'ed so the per-round 1-row aggregates
+    read materialized labels instead of replaying the join chain
+    (running wl_signatures k+1 times costs O(k^2) joins — measured
+    5.6 s vs one pass at sf0.1)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint())
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct())
+    lab = nodes.withColumn("l", F.lit(1).cast("bigint")) \
+        .localCheckpoint()
+
+    def sheet(lab_df, rnd):
+        return (lab_df.groupBy("l").agg(F.count("*").alias("sz"))
+                .agg(F.count("*").cast("bigint").alias("n_classes"),
+                     F.max("sz").cast("bigint").alias("max_class"))
+                .select(F.lit(rnd).cast("int").alias("round"),
+                        "n_classes", "max_class"))
+    out = sheet(lab, 0)
+    for k in range(1, iters + 1):
+        nb = (e.join(lab.withColumnRenamed("node", "src"), "src")
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.array_join(
+                  F.transform(F.array_sort(F.collect_list("l")),
+                              lambda x: x.cast("string")),
+                  ",").alias("_ns")))
+        lab = (lab.join(nb, "node", "left")
+               .select("node",
+                       md5_int(F.concat_ws(
+                           ":", F.col("l").cast("string"),
+                           F.coalesce(F.col("_ns"), F.lit(""))))
+                       .alias("l"))
+               .localCheckpoint())
+        out = out.unionByName(sheet(lab, k))
+    return out
+
+
 def strongly_connected_components(edges: DataFrame,
                                   max_rounds: int = 12,
                                   max_prop: int = 25,

@@ -120,9 +120,15 @@ def contrastive_pairs(df: DataFrame, text_col: str, id_col: str,
     positive join is co-keyed on (doc_id, chunk_idx); the negative
     dimension is TWO bounded aggregates over n_buckets keys plus one
     broadcast probe join — no corpus-sized shuffle beyond the
-    positive self-join."""
+    positive self-join.  The chunk table is persisted: four consumers
+    (bucketing, the negative-dim join-back, both sides of the
+    positive join) would otherwise each replay the NARROW
+    split/explode/md5 pipeline — no exchange to reuse, so this is
+    the persist-pays case (measured 20.8 -> 4.3 s at sf0.1), the
+    opposite call from the wedge-join dead end.  Release via
+    .unpersist_input."""
     ch = chunk_documents(df, text_col, id_col, size=size,
-                         stride=stride)
+                         stride=stride).persist()
     key = F.concat_ws(":", F.col("doc_id").cast("string"),
                       F.col("chunk_idx").cast("string"))
     chb = ch.withColumn(
@@ -141,10 +147,12 @@ def contrastive_pairs(df: DataFrame, text_col: str, id_col: str,
                .withColumn("_qb",
                            F.pmod(md5_int(key, salt=salt + "q"),
                                   F.lit(n_buckets))))
-    return (anchors.join(F.broadcast(negd),
-                         anchors["_qb"] == negd["_nb"])
-            .where(F.col("neg_doc") != F.col("doc_id"))
-            .select("doc_id",
-                    F.col("chunk_idx").cast("int").alias("chunk_idx"),
-                    F.col("chunk_fp").alias("anchor_fp"),
-                    "pos_fp", "neg_fp"))
+    out = (anchors.join(F.broadcast(negd),
+                        anchors["_qb"] == negd["_nb"])
+           .where(F.col("neg_doc") != F.col("doc_id"))
+           .select("doc_id",
+                   F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                   F.col("chunk_fp").alias("anchor_fp"),
+                   "pos_fp", "neg_fp"))
+    out.unpersist_input = ch.unpersist
+    return out
