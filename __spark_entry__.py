@@ -3129,6 +3129,23 @@ def q165_epoch_allocation(spark, sf_dir):
     return epoch_allocation(src, budget=1_000_000, max_epochs=4)
 
 
+def q166_robust_outliers(spark, sf_dir):
+    """Per-source robust length-outlier sheet (operators.profile.
+    robust_outliers): exact integer median + MAD over the
+    (source, n_chars) histogram — the ingest drift alarm that
+    mean/stddev monitoring cannot give (outliers blow up the very
+    stddev that should flag them).  Histogram-cumulative medians, no
+    corpus sort; z threshold 4448 milli ~= 3 sigma."""
+    from python_mecab_ner_spark.operators.profile import \
+        robust_outliers
+    docs = _load(spark, sf_dir, "documents")
+    out = robust_outliers(docs, group="source", value="n_chars")
+    res = out.select("source", "n_docs", "median", "mad",
+                     "n_outliers", "outlier_ppm")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4671,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_itemsets": q163_itemsets,
         "q164_graph_contraction": q164_graph_contraction,
         "q165_epoch_allocation": q165_epoch_allocation,
+        "q166_robust_outliers": q166_robust_outliers,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7054,6 +7072,46 @@ def oracle_sql() -> dict[str, str]:
             iters=2, final=_MODULARITY_FINAL),
         "q164_graph_contraction": _lpa_oracle_sql(
             iters=2, final=_CONTRACTION_FINAL),
+        # q166: histogram-cumulative median/MAD twin
+        "q166_robust_outliers": """
+            WITH hist AS (SELECT source AS g,
+                                 CAST(n_chars AS BIGINT) AS v,
+                                 count(*) AS c
+                          FROM documents GROUP BY 1, 2),
+            tot AS (SELECT g, sum(c) AS n FROM hist GROUP BY 1),
+            cum AS (SELECT g, v, c,
+                           sum(c) OVER (PARTITION BY g ORDER BY v)
+                               AS cum
+                    FROM hist),
+            med AS (SELECT cum.g, min(v) AS med
+                    FROM cum JOIN tot USING (g)
+                    WHERE cum >= (n + 1) // 2 GROUP BY 1),
+            dh AS (SELECT h.g, abs(v - med) AS d, sum(c) AS c
+                   FROM hist h JOIN med USING (g) GROUP BY 1, 2),
+            cumd AS (SELECT g, d, c,
+                            sum(c) OVER (PARTITION BY g ORDER BY d)
+                                AS cum
+                     FROM dh),
+            mad AS (SELECT cumd.g, min(d) AS mad
+                    FROM cumd JOIN tot USING (g)
+                    WHERE cum >= (n + 1) // 2 GROUP BY 1),
+            fl AS (SELECT h.g,
+                          sum(CASE WHEN (CASE WHEN mad.mad > 0
+                                   THEN abs(h.v - med.med) * 1000
+                                        > 4448 * mad.mad
+                                   ELSE abs(h.v - med.med) > 0 END)
+                              THEN c ELSE 0 END) AS n_out
+                   FROM hist h JOIN med USING (g) JOIN mad USING (g)
+                   GROUP BY 1)
+            SELECT tot.g AS source, CAST(n AS BIGINT) AS n_docs,
+                   CAST(med AS BIGINT) AS median,
+                   CAST(mad.mad AS BIGINT) AS mad,
+                   CAST(coalesce(n_out, 0) AS BIGINT) AS n_outliers,
+                   CAST((coalesce(n_out, 0) * 1000000) // n AS BIGINT)
+                       AS outlier_ppm
+            FROM tot JOIN med USING (g) JOIN mad USING (g)
+            LEFT JOIN fl USING (g)
+        """,
         # q165: the same arithmetic as epoch_allocation, step by step
         "q165_epoch_allocation": """
             WITH s AS (SELECT coalesce(lang, 'unk') AS k,

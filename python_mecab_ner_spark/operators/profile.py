@@ -385,3 +385,71 @@ def term_salience(tokens: DataFrame, id_col: str = "url",
             .select("id", "top_word", "salience",
                     F.expr("salience div 1000").cast("bigint")
                     .alias("n_mentions")))
+
+
+def robust_outliers(df: DataFrame, group: str = "source",
+                    value: str = "n_chars",
+                    z_milli: int = 4448) -> DataFrame:
+    """Per-group robust outlier sheet: exact integer median and MAD
+    (median absolute deviation) with an outlier count at
+    |v - median| * 1000 > z_milli * MAD — the drift/corruption alarm
+    for ingest monitoring (a source whose length distribution grows a
+    heavy tail is scraping boilerplate or truncating; mean/stddev
+    alarms are blown by the very outliers they hunt, median/MAD are
+    not).  Default z_milli = 4448 ~= 3 sigma * 1.4826 (the normal
+    consistency constant), kept integer.
+
+    Exact WITHOUT sorting the corpus (the quality_gate_histogram
+    discipline): both medians walk cumulative counts over the
+    (group, value) HISTOGRAM — windows partition by group over
+    DISTINCT VALUES, a dimension bounded by the value range, never
+    corpus rows.  Lower median at even counts (rank (n+1) div 2),
+    deterministic.  MAD = 0 (over half the mass on one value)
+    degenerates to flagging any v != median — documented convention.
+
+    Scale shape: one combinable (group, value) aggregate; the
+    histogram is persisted (three consumers: median walk, deviation
+    re-bin, flag pass); medians broadcast back.  Returns one row per
+    group: (group, n_docs, median, mad, n_outliers, outlier_ppm)."""
+    from pyspark.sql import Window
+    hist = (df.groupBy(F.col(group).alias("g"),
+                       F.col(value).cast("bigint").alias("v"))
+            .agg(F.count("*").alias("c")).persist())
+    tot = hist.groupBy("g").agg(F.sum("c").alias("n"))
+    wv = (Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    med = (hist.withColumn("cum", F.sum("c").over(wv))
+           .join(F.broadcast(tot), "g")
+           .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+           .groupBy("g").agg(F.min("v").alias("med")))
+    dh = (hist.join(F.broadcast(med), "g")
+          .groupBy("g", F.abs(F.col("v") - F.col("med")).alias("d"))
+          .agg(F.sum("c").alias("c")))
+    wd = (Window.partitionBy("g").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    mad = (dh.withColumn("cum", F.sum("c").over(wd))
+           .join(F.broadcast(tot), "g")
+           .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+           .groupBy("g").agg(F.min("d").alias("mad")))
+    is_out = F.when(
+        F.col("mad") > 0,
+        F.abs(F.col("v") - F.col("med")) * 1000
+        > F.lit(z_milli) * F.col("mad")) \
+        .otherwise(F.abs(F.col("v") - F.col("med")) > 0)
+    counted = (hist.join(F.broadcast(med), "g")
+               .join(F.broadcast(mad), "g")
+               .groupBy("g")
+               .agg(F.sum(F.when(is_out, F.col("c")).otherwise(0))
+                    .alias("n_out")))
+    out = (tot.join(med, "g").join(mad, "g")
+           .join(counted, "g", "left")
+           .select(F.col("g").alias(group),
+                   F.col("n").cast("bigint").alias("n_docs"),
+                   F.col("med").cast("bigint").alias("median"),
+                   F.col("mad").cast("bigint").alias("mad"),
+                   F.coalesce("n_out", F.lit(0)).cast("bigint")
+                   .alias("n_outliers"),
+                   F.expr("(coalesce(n_out, 0) * 1000000) div n")
+                   .cast("bigint").alias("outlier_ppm")))
+    out.unpersist_input = hist.unpersist
+    return out

@@ -423,3 +423,21 @@ def test_epoch_allocation_invariants(spark):
             assert 0 <= r.take_tokens <= r.cap == r.tokens * 4
             assert r.epochs_milli == r.take_tokens * 1000 // r.tokens
             assert r.budget_unmet == max(0, budget - total_cap)
+
+
+def test_robust_outliers_exact_median_mad(spark):
+    from python_mecab_ner_spark.operators.profile import robust_outliers
+    # group A: median 10, MAD 1 over {8,9,10,11,12,100}:
+    # sorted v = 8,9,10,11,12,100 -> lower median rank 3 -> 10
+    # |v-10| = 2,1,0,1,2,90 sorted 0,1,1,2,2,90 -> MAD rank 3 -> 1
+    # outliers at 4448 milli: |v-10|*1000 > 4448 -> only 100
+    rows = [("A", v) for v in (8, 9, 10, 11, 12, 100)]
+    # group B: constant values -> MAD 0 -> degenerate rule flags v!=med
+    rows += [("B", v) for v in (5, 5, 5, 7)]
+    df = spark.createDataFrame(rows, ["source", "n_chars"])
+    got = {r.source: r for r in robust_outliers(df).collect()}
+    a = got["A"]
+    assert (a.n_docs, a.median, a.mad, a.n_outliers) == (6, 10, 1, 1)
+    assert a.outlier_ppm == 1_000_000 // 6
+    b = got["B"]
+    assert (b.median, b.mad, b.n_outliers) == (5, 0, 1)
