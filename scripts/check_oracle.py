@@ -40,10 +40,15 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
 
     import __spark_entry__ as entrymod
 
+    # 8g driver: the suite runs ~200 queries in ONE session and the
+    # accumulated broadcast/persist/localCheckpoint state flakes a
+    # late query under the 1g default (observed once at 196 queries:
+    # a kg collect failed mid-suite, clean on every isolated re-run)
     spark = (SparkSession.builder.master("local[8]")
              .appName("oracle-check")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     con = duckdb.connect()
@@ -68,6 +73,10 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
+            # operators expose unpersist_input when they persist a
+            # working set — release per query so 200 queries don't
+            # stack cache entries in one session
+            getattr(sdf, "unpersist_input", lambda: None)()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL {name}: spark error {str(e)[:200]}")
