@@ -3146,6 +3146,43 @@ def q166_robust_outliers(spark, sf_dir):
     return res
 
 
+def q167_phrase_search(spark, sf_dir):
+    """Exact phrase query (operators.retrieval.phrase_search,
+    'table part') via the positional-postings join — the consecutive-
+    words capability bag-of-words BM25 cannot answer: per matching
+    document, occurrence count and first position."""
+    from python_mecab_ner_spark.operators.retrieval import \
+        phrase_search
+    docs = _load(spark, sf_dir, "documents")
+    return phrase_search(docs, "text", "doc_id", "table part")
+
+
+def q168_symspell(spark, sf_dir):
+    """Edit-distance-1 alias candidates (operators.retrieval.
+    symspell_alias_pairs): the documents vocabulary plus planted
+    deterministic OCR corruptions ('x' replacing the first letter of
+    every md5%3==0 word) — symmetric-deletion keys guarantee every
+    distance-1 pair collides, the exact levenshtein verify (both
+    engines bit-identical) confirms.  The gazetteer typo/variant
+    alias generator feeding canonicalization."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    from python_mecab_ner_spark.operators.retrieval import \
+        symspell_alias_pairs
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                    r"\s+", " "), " ")
+    v0 = (docs.select(F.explode(toks).alias("term"))
+          .where(F.col("term") != "").distinct())
+    corrupted = (v0.where((F.length("term") > 2)
+                          & (md5_int(F.col("term")) % 3 == 0))
+                 .select(F.concat(F.lit("x"),
+                                  F.col("term").substr(F.lit(2),
+                                                       F.length("term")))
+                         .alias("term")))
+    vocab = v0.unionByName(corrupted)
+    return symspell_alias_pairs(vocab)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4689,6 +4726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_graph_contraction": q164_graph_contraction,
         "q165_epoch_allocation": q165_epoch_allocation,
         "q166_robust_outliers": q166_robust_outliers,
+        "q167_phrase_search": q167_phrase_search,
+        "q168_symspell": q168_symspell,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7072,6 +7111,52 @@ def oracle_sql() -> dict[str, str]:
             iters=2, final=_MODULARITY_FINAL),
         "q164_graph_contraction": _lpa_oracle_sql(
             iters=2, final=_CONTRACTION_FINAL),
+        # q167: positional phrase join ('table part', 0-based pos)
+        "q167_phrase_search": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(regexp_replace(
+                                  lower(trim(text)), '\\s+', ' ', 'g'),
+                                  ' ') AS w
+                       FROM documents),
+            p AS (SELECT doc_id, w[i + 1] AS term, i AS pos
+                  FROM t, UNNEST(range(0, len(w))) AS r(i)),
+            m AS (SELECT a.doc_id, a.pos AS start
+                  FROM p a JOIN p b
+                    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  WHERE a.term = 'table' AND b.term = 'part')
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(min(start) AS BIGINT) AS first_pos
+            FROM m GROUP BY 1
+        """,
+        # q168: symmetric-deletion candidates + exact levenshtein
+        # verify, planted 'x'-substitution corruptions
+        "q168_symspell": f"""
+            WITH v0 AS (
+                SELECT DISTINCT term FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                       'g'), ' ')) AS term
+                    FROM documents)
+                WHERE term <> ''),
+            v AS (SELECT term FROM v0
+                  UNION
+                  SELECT 'x' || substr(term, 2) FROM v0
+                  WHERE length(term) > 2
+                    AND ({md5_int_sql('term')}) % 3 = 0),
+            vl AS (SELECT term FROM v
+                   WHERE length(term) <= 24 AND length(term) > 0),
+            keys AS (SELECT DISTINCT term, k
+                     FROM vl, UNNEST(list_prepend(term,
+                          list_transform(range(1, length(term) + 1),
+                              i -> substr(term, 1, i - 1)
+                                   || substr(term, i + 1)))) AS u(k)),
+            cand AS (SELECT DISTINCT a.term AS term_a,
+                            b.term AS term_b
+                     FROM keys a JOIN keys b
+                       ON b.k = a.k AND a.term < b.term)
+            SELECT term_a, term_b FROM cand
+            WHERE levenshtein(term_a, term_b) <= 1
+        """,
         # q166: histogram-cumulative median/MAD twin
         "q166_robust_outliers": """
             WITH hist AS (SELECT source AS g,

@@ -235,3 +235,80 @@ def postings_table(docs: DataFrame, text_col: str, id_col: str,
                         F.col("_sample"),
                         lambda d: d.cast("string")), ",")
                     .alias("posting_sample")))
+
+
+def phrase_search(docs: DataFrame, text_col: str, id_col: str,
+                  phrase: str) -> DataFrame:
+    """Exact phrase query over a POSITIONAL postings join — the
+    retrieval capability a bag-of-words index (postings_table/BM25)
+    cannot answer: documents containing the words of ``phrase``
+    CONSECUTIVELY, with match counts and first position.
+
+    The standard positional-index algorithm: per phrase term i, the
+    postings list (doc, pos) filtered to that term, joined on
+    (doc, pos - i) so rows that survive all joins are exact phrase
+    starts.  The first (rarest-is-better left to the optimizer —
+    term postings are filtered BEFORE any shuffle, so each join input
+    is |postings(term)|, never the corpus) join keys on (doc, start).
+
+    Scale shape: ONE tokenize/posexplode scan filtered to the phrase
+    vocabulary (pushdown-friendly isin), then k-1 equi-joins on the
+    (doc, start) composite key — co-partitioned, thin inputs.
+    Returns (doc_id, n_matches, first_pos)."""
+    words = phrase.lower().split()
+    assert len(words) >= 2, "phrase needs at least two words"
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    pos = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(toks).alias("pos", "term"))
+           .where(F.col("term").isin(words)))
+    out = None
+    for i, w in enumerate(words):
+        side = (pos.where(F.col("term") == w)
+                .select("doc_id", (F.col("pos") - i).alias("start")))
+        out = side if out is None else out.join(side,
+                                                ["doc_id", "start"])
+    return (out.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_matches"),
+                 F.min("start").cast("bigint").alias("first_pos")))
+
+
+def symspell_alias_pairs(terms: DataFrame, term_col: str = "term",
+                         max_len: int = 24) -> DataFrame:
+    """Edit-distance-1 alias candidates over a vocabulary by
+    SYMMETRIC DELETION (SymSpell): every term emits itself plus its
+    single-character deletions as join keys; two terms within
+    Levenshtein distance 1 MUST share a key, so the verification
+    join touches only key-colliding pairs — never the all-pairs
+    product a naive fuzzy join needs.  The gazetteer typo/variant
+    alias-candidate generator (OCR slips, elided particles) feeding
+    the canonicalization ladder.
+
+    Verification = exact levenshtein(a, b) <= 1 (both engines provide
+    it bit-identically); a < b canonicalizes the pair.  Terms longer
+    than ``max_len`` are dropped (deletion fan-out is O(len) per
+    term — the cap bounds it, a documented truncation).
+
+    Scale shape: deletion-key explode (fan-out len+1, bounded by
+    max_len), one equi-join on the key, distinct pairs, then the
+    cheap scalar verify — O(vocab x len) join input, the SymSpell
+    guarantee.  Returns (term_a, term_b) at distance exactly 1."""
+    t = (terms.select(F.col(term_col).alias("term")).distinct()
+         .where((F.length("term") <= max_len) & (F.length("term") > 0)))
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("term")),
+        lambda i: F.concat(
+            F.col("term").substr(F.lit(1), i - 1),
+            F.col("term").substr(i + 1, F.length("term"))))
+    keys = (t.select("term",
+                     F.explode(F.concat(F.array(F.col("term")), dels))
+                     .alias("key"))
+            .distinct())
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.term") < F.col("b.term")))
+            .select(F.col("a.term").alias("term_a"),
+                    F.col("b.term").alias("term_b"))
+            .distinct())
+    return (cand.where(F.levenshtein("term_a", "term_b") <= 1)
+            .select("term_a", "term_b"))

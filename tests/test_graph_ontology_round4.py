@@ -441,3 +441,51 @@ def test_robust_outliers_exact_median_mad(spark):
     assert a.outlier_ppm == 1_000_000 // 6
     b = got["B"]
     assert (b.median, b.mad, b.n_outliers) == (5, 0, 1)
+
+
+def test_phrase_search_positions_and_counts(spark):
+    from python_mecab_ner_spark.operators.retrieval import phrase_search
+    docs = spark.createDataFrame(
+        [(1, "a b c a b a b"), (2, "b a x a b"), (3, "c c c")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_matches, r.first_pos) for r in
+           phrase_search(docs, "text", "doc_id", "a b").collect()}
+    assert got == {1: (3, 0), 2: (1, 3)}
+    three = {r.doc_id: (r.n_matches, r.first_pos) for r in
+             phrase_search(docs, "text", "doc_id", "a b c").collect()}
+    assert three == {1: (1, 0)}
+
+
+def test_symspell_finds_all_edit1_kinds_and_rejects_edit2(spark):
+    from python_mecab_ner_spark.operators.retrieval import \
+        symspell_alias_pairs
+    vocab = spark.createDataFrame(
+        [("table",), ("tble",),     # deletion
+         ("tables",),               # insertion
+         ("tabls",),                # none vs table (dist 2)? t-a-b-l-s: sub l->_? table->tabls = sub 'e'->'s'? tab(le) vs tab(ls): positions 4,5 'le' vs 'ls' -> one substitution
+         ("cable",),                # substitution t->c
+         ("chair",)],               # unrelated
+        ["term"])
+    got = {(r.term_a, r.term_b) for r in
+           symspell_alias_pairs(vocab).collect()}
+    assert ("table", "tble") in got
+    assert ("table", "tables") in got
+    assert ("cable", "table") in got
+    assert ("table", "tabls") in got
+    assert not any("chair" in p for p in got)
+    # python twin: brute-force levenshtein over the vocab
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+    words = [r.term for r in vocab.collect()]
+    expect = {tuple(sorted((a, b)))
+              for a, b in itertools.combinations(words, 2)
+              if lev(a, b) <= 1}
+    assert got == expect
