@@ -3183,6 +3183,43 @@ def q168_symspell(spark, sf_dir):
     return symspell_alias_pairs(vocab)
 
 
+def q169_heaps_law(spark, sf_dir):
+    """Vocabulary-growth (Heaps law) audit over hash-nested corpus
+    subsets: distinct terms at 25% / 50% / 100% of documents
+    (md5(doc) % 4 < 1 ⊂ < 2 ⊂ < 4 — NESTED by construction, so the
+    three points are a genuine growth curve, not three random
+    samples).  Sublinear vocab growth is the expected shape; a
+    LINEAR curve means unbounded surface forms (ids, hashes,
+    boilerplate noise) — the tokenizer/normalization alarm.  ONE
+    scan, one aggregate: per level, conditional countDistinct."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                    r"\s+", " "), " ")
+    t = (docs.select(F.col("doc_id"),
+                     F.pmod(md5_int(F.col("doc_id").cast("string"),
+                                    salt="heaps:"), F.lit(4))
+                     .alias("h"),
+                     F.explode(toks).alias("term"))
+         .where(F.col("term") != ""))
+    aggs = []
+    for lvl in (1, 2, 4):
+        c = F.col("h") < lvl
+        aggs += [
+            F.countDistinct(F.when(c, F.col("doc_id")))
+            .cast("bigint").alias(f"docs_{lvl}"),
+            F.sum(c.cast("bigint")).cast("bigint")
+            .alias(f"tokens_{lvl}"),
+            F.countDistinct(F.when(c, F.col("term")))
+            .cast("bigint").alias(f"vocab_{lvl}")]
+    one = t.agg(*aggs)
+    return one.selectExpr(
+        "stack(3, 1, docs_1, tokens_1, vocab_1, "
+        "2, docs_2, tokens_2, vocab_2, "
+        "4, docs_4, tokens_4, vocab_4) "
+        "AS (level, n_docs, n_tokens, vocab)")
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4558,6 +4595,22 @@ def kg_type_propagation(spark, sf_dir):
         .otherwise(F.lit(0)).cast("bigint").alias("acc_ppm"))
 
 
+def kg_alias_candidates(spark, sf_dir):
+    """SymSpell edit-distance-1 alias candidates over the REAL
+    extracted mention surfaces (the q168-certified kernel at syllable
+    granularity) — one-syllable variants of the same entity surface,
+    the cheap complement to the jamo-shingle MinHash blocking that
+    kg_canonical_clusters runs (symmetric deletion catches the
+    adjacent single-slip pairs LSH banding can miss at short
+    lengths).  Rows-only; output sorted pairs."""
+    from python_mecab_ner_spark.operators.retrieval import \
+        symspell_alias_pairs
+    g = _kg_graph(spark)
+    surf = g["mentions"].select(F.col("surface").alias("term"))
+    return (symspell_alias_pairs(surf)
+            .orderBy("term_a", "term_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4728,12 +4781,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_robust_outliers": q166_robust_outliers,
         "q167_phrase_search": q167_phrase_search,
         "q168_symspell": q168_symspell,
+        "q169_heaps_law": q169_heaps_law,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
         "kg_entity_alignment": kg_entity_alignment,
         "kg_host_scc": kg_host_scc,
         "kg_type_propagation": kg_type_propagation,
+        "kg_alias_candidates": kg_alias_candidates,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -7111,6 +7166,38 @@ def oracle_sql() -> dict[str, str]:
             iters=2, final=_MODULARITY_FINAL),
         "q164_graph_contraction": _lpa_oracle_sql(
             iters=2, final=_CONTRACTION_FINAL),
+        # q169: nested-subset vocabulary growth, one conditional agg
+        "q169_heaps_law": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       ({md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                     salt="heaps:")}) % 4 AS h,
+                       unnest(regexp_split_to_array(regexp_replace(
+                           lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+                           AS term
+                FROM documents),
+            tt AS (SELECT * FROM t WHERE term <> ''),
+            agg AS (SELECT
+                count(DISTINCT CASE WHEN h < 1 THEN doc_id END) AS d1,
+                sum(CASE WHEN h < 1 THEN 1 ELSE 0 END) AS t1,
+                count(DISTINCT CASE WHEN h < 1 THEN term END) AS v1,
+                count(DISTINCT CASE WHEN h < 2 THEN doc_id END) AS d2,
+                sum(CASE WHEN h < 2 THEN 1 ELSE 0 END) AS t2,
+                count(DISTINCT CASE WHEN h < 2 THEN term END) AS v2,
+                count(DISTINCT doc_id) AS d4,
+                count(*) AS t4,
+                count(DISTINCT term) AS v4
+                FROM tt)
+            SELECT 1 AS level, CAST(d1 AS BIGINT) AS n_docs,
+                   CAST(t1 AS BIGINT) AS n_tokens,
+                   CAST(v1 AS BIGINT) AS vocab FROM agg
+            UNION ALL
+            SELECT 2, CAST(d2 AS BIGINT), CAST(t2 AS BIGINT),
+                   CAST(v2 AS BIGINT) FROM agg
+            UNION ALL
+            SELECT 4, CAST(d4 AS BIGINT), CAST(t4 AS BIGINT),
+                   CAST(v4 AS BIGINT) FROM agg
+        """,
         # q167: positional phrase join ('table part', 0-based pos)
         "q167_phrase_search": """
             WITH t AS (SELECT doc_id,
