@@ -3220,6 +3220,34 @@ def q169_heaps_law(spark, sf_dir):
         "AS (level, n_docs, n_tokens, vocab)")
 
 
+def q170_symspell_d2(spark, sf_dir):
+    """Edit-distance-2 alias candidates (operators.retrieval.
+    symspell_alias_pairs(max_dist=2), round-4 verdict task 7): the
+    documents vocabulary plus planted DOUBLE corruptions ('x'
+    replacing the first letter AND the last letter dropped, for
+    md5%5==0 words longer than 4 chars — exactly distance 2 from the
+    source word, invisible to the q168 distance-1 pass).  Depth-2
+    symmetric-deletion keys guarantee every distance<=2 pair
+    collides; exact levenshtein verifies and reports the distance."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    from python_mecab_ner_spark.operators.retrieval import \
+        symspell_alias_pairs
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                    r"\s+", " "), " ")
+    v0 = (docs.select(F.explode(toks).alias("term"))
+          .where(F.col("term") != "").distinct())
+    corrupted = (v0.where((F.length("term") > 4)
+                          & (md5_int(F.col("term")) % 5 == 0))
+                 .select(F.concat(
+                     F.lit("x"),
+                     F.col("term").substr(F.lit(2),
+                                          F.length("term") - 2))
+                     .alias("term")))
+    vocab = v0.unionByName(corrupted)
+    return symspell_alias_pairs(vocab, max_dist=2)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4030,14 +4058,19 @@ def kg_entity_khop(spark, sf_dir):
     edges = (g["edges"].select(F.col("src_id").alias("src"),
                                F.col("dst_id").alias("dst"))
              .localCheckpoint())
-    counts = khop_counts(edges, k=2) \
-        .withColumnRenamed("n_khop", "n_2hop")
+    out = khop_counts(edges, k=2)
+    counts = out.withColumnRenamed("n_khop", "n_2hop")
     v = g["vertices"].select(F.col("entity_id").alias("node"), "canonical")
-    return (counts.join(v, "node")
-            .orderBy(F.col("n_2hop").desc(), F.col("node").asc())
-            .limit(10)
-            .select("canonical",
-                    F.col("n_2hop").cast("bigint").alias("n_2hop")))
+    res = (counts.join(v, "node")
+           .orderBy(F.col("n_2hop").desc(), F.col("node").asc())
+           .limit(10)
+           .select("canonical",
+                   F.col("n_2hop").cast("bigint").alias("n_2hop")))
+    # withColumnRenamed returns a NEW DataFrame without the attribute
+    # — re-attach so check_oracle's per-query release sees it (the
+    # q49/q163/q166 convention; leak flagged by round-4 advice)
+    res.unpersist_input = out.unpersist_input
+    return res
 
 
 def kg_entity_reach(spark, sf_dir):
@@ -4782,6 +4815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_phrase_search": q167_phrase_search,
         "q168_symspell": q168_symspell,
         "q169_heaps_law": q169_heaps_law,
+        "q170_symspell_d2": q170_symspell_d2,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7243,6 +7277,45 @@ def oracle_sql() -> dict[str, str]:
                        ON b.k = a.k AND a.term < b.term)
             SELECT term_a, term_b FROM cand
             WHERE levenshtein(term_a, term_b) <= 1
+        """,
+        # q170: depth-2 symmetric-deletion candidates + exact
+        # levenshtein verify, planted sub+del double corruptions
+        "q170_symspell_d2": f"""
+            WITH v0 AS (
+                SELECT DISTINCT term FROM (
+                    SELECT unnest(regexp_split_to_array(
+                        regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                       'g'), ' ')) AS term
+                    FROM documents)
+                WHERE term <> ''),
+            v AS (SELECT term FROM v0
+                  UNION
+                  SELECT 'x' || substr(term, 2, length(term) - 2)
+                  FROM v0
+                  WHERE length(term) > 4
+                    AND ({md5_int_sql('term')}) % 5 = 0),
+            vl AS (SELECT term, list_transform(
+                       range(1, length(term) + 1),
+                       i -> substr(term, 1, i - 1)
+                            || substr(term, i + 1)) AS d1
+                   FROM v
+                   WHERE length(term) <= 24 AND length(term) > 0),
+            keys AS (SELECT DISTINCT term, k
+                     FROM vl, UNNEST(list_distinct(list_concat(
+                          list_prepend(term, d1),
+                          flatten(list_transform(d1,
+                              d -> list_transform(
+                                  range(1, length(d) + 1),
+                                  j -> substr(d, 1, j - 1)
+                                       || substr(d, j + 1))))))) AS u(k)),
+            cand AS (SELECT DISTINCT a.term AS term_a,
+                            b.term AS term_b
+                     FROM keys a JOIN keys b
+                       ON b.k = a.k AND a.term < b.term)
+            SELECT term_a, term_b,
+                   CAST(levenshtein(term_a, term_b) AS INT) AS dist
+            FROM cand
+            WHERE levenshtein(term_a, term_b) <= 2
         """,
         # q166: histogram-cumulative median/MAD twin
         "q166_robust_outliers": """

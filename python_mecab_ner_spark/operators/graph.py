@@ -1095,10 +1095,13 @@ def modularity_ppm(edges: DataFrame, communities: DataFrame,
     dividend non-negative (numer >= -sum S_c^2 >= -W^2), so Spark's
     truncating `div` and DuckDB's `//` agree even when Q < 0.
 
-    PRECONDITION: scale * W^2 < 2^63, i.e. W <= ~3.0e6 at the default
-    scale — modularity is a partition-quality AUDIT, computed on a
-    bounded subgraph or a weight-capped sample at 100 TB, not on the
-    raw corpus (cap weights or lower `scale` for heavier graphs).
+    PRECONDITION: 2 * scale * W^2 < 2^63, i.e. W <= ~2.1e6 at the
+    default scale (the shifted dividend scale*(W*intra_w - _s2 + W^2)
+    reaches ~2*scale*W^2 when intra_w ~ W and _s2 is small — a mostly
+    -intra partition with many tiny communities; asserted at runtime)
+    — modularity is a partition-quality AUDIT, computed on a bounded
+    subgraph or a weight-capped sample at 100 TB, not on the raw
+    corpus (cap weights or lower `scale` for heavier graphs).
 
     Scale shape: one weight total (1-row broadcast), one degree agg,
     two node-keyed joins of communities onto the edge endpoints, two
@@ -1128,6 +1131,23 @@ def modularity_ppm(edges: DataFrame, communities: DataFrame,
         F.count("*").cast("bigint").alias("n_communities"),
         F.sum("w_c").cast("bigint").alias("intra_w"),
         F.sum(F.col("s_c") * F.col("s_c")).cast("bigint").alias("_s2"))
+    # int64-overflow guard (round-4 advice): the shifted dividend can
+    # reach ~2*scale*W^2, so enforce W <= isqrt(2^62/scale).  The
+    # assert_true is FOLDED INTO w_tot itself (value-preserving
+    # + coalesce(NULL)) — a standalone check column would be pruned
+    # by Catalyst and never evaluate; riding w_tot means it fires on
+    # the broadcast side BEFORE any dividend multiply (with ANSI on,
+    # an s_c^2 ArithmeticException remains the loud backstop).
+    import math
+    w_lim = math.isqrt((2 ** 62) // scale)
+    chk = F.assert_true(
+        F.col("w_tot") <= F.lit(w_lim),
+        F.lit(f"modularity_ppm: w_tot exceeds int64-safe bound "
+              f"{w_lim} (2*scale*W^2 < 2^63); cap weights or "
+              f"lower scale"))
+    tot = tot.select(
+        (F.col("w_tot") + F.coalesce(chk.cast("bigint"), F.lit(0)))
+        .cast("bigint").alias("w_tot"))
     return (sums.crossJoin(F.broadcast(tot))
             .select("n_communities", "w_tot", "intra_w",
                     F.expr(f"({scale} * (w_tot * intra_w - _s2 "
@@ -1221,8 +1241,50 @@ def harmonic_centrality(edges: DataFrame, radius: int = 2,
                  .alias("harmonic_milli")))
 
 
+def _wl_neighbor_strings(e: DataFrame, lab: DataFrame,
+                         max_in_degree: int | None) -> DataFrame:
+    """One WL round's neighbor-multiset strings: (node, _ns) where
+    _ns = comma-joined SORTED in-neighbor labels.
+
+    max_in_degree=None is the exact path (one groupBy with a
+    sort_array(collect_list) — per-node in-degree-sized buffer).
+    With a cap N, the multiset is truncated DETERMINISTICALLY to its
+    N lowest label values and the overflow COUNT is folded into the
+    string as '|+<overflow>' — two hubs get equal labels iff their
+    lowest-N multisets AND overflow counts agree.  The bounding
+    mechanism is a row_number window (sort-based, spill-safe) so no
+    aggregate buffer ever exceeds N elements: collect_list sees a
+    when() that nulls rows past the cap, and collect_list skips
+    nulls (round-4 verdict task: the one unbounded per-key aggregate
+    left in the file)."""
+    pairs = (e.join(lab.withColumnRenamed("node", "src"), "src")
+             .select(F.col("dst").alias("node"), "l"))
+    joined = F.array_join(
+        F.transform(F.array_sort(F.collect_list("l")),
+                    lambda x: x.cast("string")), ",")
+    if max_in_degree is None:
+        return pairs.groupBy("node").agg(joined.alias("_ns"))
+    w = Window.partitionBy("node").orderBy(F.col("l").asc())
+    kept = pairs.withColumn("_rn", F.row_number().over(w))
+    capped = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("_rn") <= max_in_degree, F.col("l")))),
+            lambda x: x.cast("string")), ",")
+    return (kept.groupBy("node")
+            .agg(capped.alias("_kept"),
+                 F.count("*").alias("_deg"))
+            .select("node",
+                    F.when(F.col("_deg") > max_in_degree,
+                           F.concat(F.col("_kept"), F.lit("|+"),
+                                    (F.col("_deg") - max_in_degree)
+                                    .cast("string")))
+                    .otherwise(F.col("_kept")).alias("_ns")))
+
+
 def wl_signatures(edges: DataFrame, iters: int = 2,
-                  src: str = "src", dst: str = "dst") -> DataFrame:
+                  src: str = "src", dst: str = "dst",
+                  max_in_degree: int | None = None) -> DataFrame:
     """Weisfeiler-Lehman structural node signatures (the 1-WL color
     refinement behind graph-isomorphism screening and WL graph
     kernels): each round, a node's label becomes the hash of (its own
@@ -1244,20 +1306,17 @@ def wl_signatures(edges: DataFrame, iters: int = 2,
     Scale shape per round: one edges x labels join on src + one
     groupBy(dst) with a sort_array(collect_list(...)) aggregate.  The
     collected list is per-node in-degree-sized — the same hub-skew
-    exposure as any adjacency aggregate; cap or salt hub in-degrees
-    upstream if a power-law head bites (the sorted-list hash NEEDS
-    the full multiset, so the cap is a documented truncation)."""
+    exposure as any adjacency aggregate; on a power-law graph set
+    max_in_degree: the multiset is truncated to its N lowest labels
+    with the overflow count folded into the hash (deterministic; see
+    _wl_neighbor_strings), bounding every aggregate buffer at N.
+    Default off — the exact 1-WL refinement."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct())
     lab = nodes.withColumn("l", F.lit(1).cast("bigint"))
     for _ in range(iters):
-        nb = (e.join(lab.withColumnRenamed("node", "src"), "src")
-              .groupBy(F.col("dst").alias("node"))
-              .agg(F.array_join(
-                  F.transform(F.array_sort(F.collect_list("l")),
-                              lambda x: x.cast("string")),
-                  ",").alias("_ns")))
+        nb = _wl_neighbor_strings(e, lab, max_in_degree)
         lab = (lab.join(nb, "node", "left")
                .select("node",
                        md5_int(F.concat_ws(
@@ -1268,7 +1327,8 @@ def wl_signatures(edges: DataFrame, iters: int = 2,
 
 
 def wl_trajectory(edges: DataFrame, iters: int = 2,
-                  src: str = "src", dst: str = "dst") -> DataFrame:
+                  src: str = "src", dst: str = "dst",
+                  max_in_degree: int | None = None) -> DataFrame:
     """Refinement trajectory of wl_signatures in ONE pass: per round
     0..iters, the number of distinct structural classes and the
     largest class size — how fast the graph individualizes (template
@@ -1294,12 +1354,7 @@ def wl_trajectory(edges: DataFrame, iters: int = 2,
                         "n_classes", "max_class"))
     out = sheet(lab, 0)
     for k in range(1, iters + 1):
-        nb = (e.join(lab.withColumnRenamed("node", "src"), "src")
-              .groupBy(F.col("dst").alias("node"))
-              .agg(F.array_join(
-                  F.transform(F.array_sort(F.collect_list("l")),
-                              lambda x: x.cast("string")),
-                  ",").alias("_ns")))
+        nb = _wl_neighbor_strings(e, lab, max_in_degree)
         lab = (lab.join(nb, "node", "left")
                .select("node",
                        md5_int(F.concat_ws(
@@ -1333,7 +1388,12 @@ def strongly_connected_components(edges: DataFrame,
     Outer rounds needed = depth of the SCC condensation along
     min-id chains (small for real graphs); raises RuntimeError if
     max_rounds is exhausted with nodes unsettled rather than
-    mislabeling them.
+    mislabeling them.  The INNER fixpoints carry the same contract:
+    if the forward min-propagation still changes colors after
+    max_prop passes, or the backward confinement is still growing,
+    the round would settle TRUNCATED components — so both raise
+    RuntimeError (raise max_prop; its bound is the graph's
+    propagation diameter, e.g. the longest simple cycle).
 
     Scale shape: every step is a frontier join + combinable min/agg,
     localCheckpoint per fixpoint iteration (the pagerank lineage
@@ -1355,6 +1415,7 @@ def strongly_connected_components(edges: DataFrame,
             break
         # 1) forward min propagation to fixpoint
         col = active_n.withColumn("c", F.col("node").cast("bigint"))
+        changed = 1
         for _p in range(max_prop):
             msgs = (e.join(col.withColumnRenamed("node", "src"), "src")
                     .select(F.col("dst").alias("node"), "c"))
@@ -1367,6 +1428,11 @@ def strongly_connected_components(edges: DataFrame,
             col = new
             if changed == 0:
                 break
+        if changed != 0:
+            raise RuntimeError(
+                "strongly_connected_components: forward propagation "
+                "did not converge within max_prop passes — settling "
+                "now would split components; raise max_prop")
         # 2) backward confinement: settled = reaches its root through
         # same-color nodes.  Seed = the roots themselves.
         ecol = (e.join(col.withColumnRenamed("node", "src")
@@ -1378,6 +1444,7 @@ def strongly_connected_components(edges: DataFrame,
                 .localCheckpoint())
         settled = (col.where(F.col("node") == F.col("c"))
                    .select("node", "c").localCheckpoint())
+        converged = False
         for _p in range(max_prop):
             back = (ecol.join(settled.withColumnRenamed("node", "dst")
                               .drop("c"), "dst")
@@ -1387,8 +1454,14 @@ def strongly_connected_components(edges: DataFrame,
                    .agg(F.min("c").alias("c")).localCheckpoint())
             if new.count() == settled.count():
                 settled = new
+                converged = True
                 break
             settled = new
+        if not converged:
+            raise RuntimeError(
+                "strongly_connected_components: backward confinement "
+                "still growing after max_prop passes — settling now "
+                "would truncate a component; raise max_prop")
         done_parts.append(settled)
         # 3) shrink actives
         active_n = (active_n.join(settled.select("node"), "node",

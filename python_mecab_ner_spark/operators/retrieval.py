@@ -273,36 +273,58 @@ def phrase_search(docs: DataFrame, text_col: str, id_col: str,
                  F.min("start").cast("bigint").alias("first_pos")))
 
 
+def _char_deletions(col):
+    """array<string> of every single-character deletion of ``col``
+    (a length-L string yields L strings of length L-1; '' for L=1)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.concat(col.substr(F.lit(1), i - 1),
+                           col.substr(i + 1, F.length(col))))
+
+
 def symspell_alias_pairs(terms: DataFrame, term_col: str = "term",
-                         max_len: int = 24) -> DataFrame:
-    """Edit-distance-1 alias candidates over a vocabulary by
-    SYMMETRIC DELETION (SymSpell): every term emits itself plus its
-    single-character deletions as join keys; two terms within
-    Levenshtein distance 1 MUST share a key, so the verification
+                         max_len: int = 24,
+                         max_dist: int = 1) -> DataFrame:
+    """Edit-distance <= ``max_dist`` (1 or 2) alias candidates over a
+    vocabulary by SYMMETRIC DELETION (SymSpell): every term emits
+    itself plus its deletions up to depth max_dist as join keys; two
+    terms within Levenshtein distance d <= max_dist MUST share a key
+    (delete the edited positions from each side), so the verification
     join touches only key-colliding pairs — never the all-pairs
     product a naive fuzzy join needs.  The gazetteer typo/variant
     alias-candidate generator (OCR slips, elided particles) feeding
-    the canonicalization ladder.
+    the canonicalization ladder; distance 2 catches the double-slip
+    OCR variants distance 1 misses (round-4 verdict task 7).
 
-    Verification = exact levenshtein(a, b) <= 1 (both engines provide
-    it bit-identically); a < b canonicalizes the pair.  Terms longer
-    than ``max_len`` are dropped (deletion fan-out is O(len) per
-    term — the cap bounds it, a documented truncation).
+    Verification = exact levenshtein(a, b) <= max_dist (both engines
+    provide it bit-identically); a < b canonicalizes the pair.  Terms
+    longer than ``max_len`` are dropped (deletion fan-out is O(len)
+    per term at depth 1 and O(len^2/2) at depth 2 — the cap bounds
+    it, a documented truncation).
 
-    Scale shape: deletion-key explode (fan-out len+1, bounded by
-    max_len), one equi-join on the key, distinct pairs, then the
-    cheap scalar verify — O(vocab x len) join input, the SymSpell
-    guarantee.  Returns (term_a, term_b) at distance exactly 1."""
+    Scale shape: deletion-key explode (fan-out 1+L at depth 1,
+    ~1+L+L(L-1)/2 distinct keys at depth 2, both bounded by max_len),
+    one equi-join on the key, distinct pairs, then the cheap scalar
+    verify — O(vocab x len^max_dist) join input, the SymSpell
+    guarantee.  The depth-1 array is MATERIALIZED in its own
+    projection before the depth-2 transform references it (Spark HOFs
+    are interpreted with no CSE — an inline _d1 would re-evaluate per
+    element).  Returns (term_a, term_b) at distance 1 for max_dist=1
+    (schema-stable for q168); (term_a, term_b, dist) for max_dist=2."""
+    assert max_dist in (1, 2), "max_dist must be 1 or 2"
     t = (terms.select(F.col(term_col).alias("term")).distinct()
-         .where((F.length("term") <= max_len) & (F.length("term") > 0)))
-    dels = F.transform(
-        F.sequence(F.lit(1), F.length("term")),
-        lambda i: F.concat(
-            F.col("term").substr(F.lit(1), i - 1),
-            F.col("term").substr(i + 1, F.length("term"))))
-    keys = (t.select("term",
-                     F.explode(F.concat(F.array(F.col("term")), dels))
-                     .alias("key"))
+         .where((F.length("term") <= max_len) & (F.length("term") > 0))
+         .withColumn("_d1", _char_deletions(F.col("term"))))
+    if max_dist == 1:
+        keyarr = F.concat(F.array(F.col("term")), F.col("_d1"))
+    else:
+        t = t.withColumn(
+            "_d2", F.flatten(F.transform(F.col("_d1"),
+                                         lambda d: _char_deletions(d))))
+        keyarr = F.array_distinct(
+            F.concat(F.array(F.col("term")), F.col("_d1"),
+                     F.col("_d2")))
+    keys = (t.select("term", F.explode(keyarr).alias("key"))
             .distinct())
     a, b = keys.alias("a"), keys.alias("b")
     cand = (a.join(b, (F.col("a.key") == F.col("b.key"))
@@ -310,5 +332,10 @@ def symspell_alias_pairs(terms: DataFrame, term_col: str = "term",
             .select(F.col("a.term").alias("term_a"),
                     F.col("b.term").alias("term_b"))
             .distinct())
-    return (cand.where(F.levenshtein("term_a", "term_b") <= 1)
-            .select("term_a", "term_b"))
+    verified = cand.where(
+        F.levenshtein("term_a", "term_b") <= max_dist)
+    if max_dist == 1:
+        return verified.select("term_a", "term_b")
+    return verified.select(
+        "term_a", "term_b",
+        F.levenshtein("term_a", "term_b").cast("int").alias("dist"))

@@ -39,6 +39,23 @@ def _data_path(out_dir: str, stage: str) -> str:
     return f"{out_dir}/{stage}/data"
 
 
+def _delete_partition_dirs(spark, data_path: str, parts) -> None:
+    """Remove `part_key=<p>` partition directories through the Hadoop
+    FS API — the object-store-safe path (local Path() semantics don't
+    exist on the 100 TB deployment's storage).  Missing dirs are a
+    no-op; <= n_parts driver-side calls."""
+    if not parts:
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for p in parts:
+        jpath = jvm.org.apache.hadoop.fs.Path(
+            f"{data_path}/part_key={int(p)}")
+        fs = jpath.getFileSystem(hconf)
+        if fs.exists(jpath):
+            fs.delete(jpath, True)
+
+
 def completed_parts(spark, out_dir: str, stage: str) -> DataFrame | None:
     # probe by reading, not by local-FS existence: the production
     # out_dir is object storage where Path() semantics don't apply
@@ -114,6 +131,19 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
     snapshot-diff API would replace it; here it is the storage-neutral
     change detector, and it is still ~annotate_cost/20 cheaper than
     recomputing everything.
+
+    STALENESS INVALIDATION (round-4 advice): dynamic partition
+    overwrite only touches partitions PRESENT in the wave's output,
+    so (a) a re-run part whose fn output is EMPTY would keep its old
+    parquet data — refresh therefore deletes the partition dirs of
+    re-run parts via the Hadoop FS API (object-store-safe) right
+    before the wave write, and manifests an explicit rows_out=0 row
+    when the re-run produced nothing; (b) a part_key absent from the
+    CURRENT input (urls dropped since the last run) keeps its old
+    data on disk — the refresh return value filters the read to
+    fp_map's part keys, so vanished partitions never leak into the
+    stage output (their dirs are garbage to be reclaimed by
+    retention, not silently served).
     """
     inp = with_part_key(input_df, key_col, n_parts)
     fp_map: dict[int, int] = {}
@@ -123,6 +153,7 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
     # manifest can be derived from the input side without listing the
     # output (Path.iterdir is a local-FS assumption; the 100 TB
     # deployment writes to object storage).
+    stored: dict[int, int | None] = {}
     if refresh:
         fp_map = {r[0]: r[1] for r in
                   input_fingerprints(inp).collect()}  # <= n_parts rows
@@ -156,6 +187,16 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
         out = fn(wave_df)
         if "part_key" not in out.columns:
             out = with_part_key(out, key_col, n_parts)
+        if refresh:
+            # dynamic overwrite skips partitions ABSENT from the
+            # output: a re-run part whose new output is empty would
+            # keep its stale data.  Drop re-run partition dirs first
+            # (Hadoop FS API — works on object storage); a kill
+            # between delete and write just leaves the part in the
+            # todo set (its manifest fp still mismatches).
+            _delete_partition_dirs(
+                spark, _data_path(out_dir, stage),
+                [p for p in wave if p in stored])
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (out.write.mode("overwrite").partitionBy("part_key")
          .parquet(_data_path(out_dir, stage)))
@@ -175,8 +216,12 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
             )[F.col("part_key")].cast("bigint")
         else:
             fp_expr = F.lit(None).cast("bigint")
-        written = spark.read.parquet(_data_path(out_dir, stage))
-        manifest = (written
+        try:
+            written = spark.read.parquet(_data_path(out_dir, stage))
+        except Exception:
+            written = None  # every wave so far produced zero rows
+        manifest = (None if written is None else
+                    written
                     .filter(F.col("part_key").isin(new_parts))
                     .groupBy("part_key")
                     .agg(F.count("*").alias("rows_out"),
@@ -187,8 +232,36 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
                     .withColumn("wall_ms", F.lit(wall_ms))
                     .withColumn("completed_ts", F.current_timestamp())
                     .withColumn("input_fp", fp_expr))
-        manifest.write.mode("append").parquet(_manifest_path(out_dir, stage))
-    return spark.read.parquet(_data_path(out_dir, stage))
+        # wave parts whose output is EMPTY get an explicit rows_out=0
+        # manifest row — without it they would be re-processed on
+        # every resume, and a refreshed-to-empty part would keep its
+        # stale fp forever (round-4 advice)
+        present = (set() if manifest is None else
+                   {r["part_key"] for r in
+                    manifest.select("part_key").collect()})
+        zero_parts = [int(p) for p in new_parts if int(p) not in present]
+        if zero_parts:
+            zdf = (spark.createDataFrame(
+                [(p, 0, 0) for p in zero_parts],
+                "part_key int, rows_out bigint, checksum bigint")
+                .withColumn("stage", F.lit(stage))
+                .withColumn("wall_ms", F.lit(wall_ms))
+                .withColumn("completed_ts", F.current_timestamp())
+                .withColumn("input_fp", fp_expr))
+            manifest = (zdf if manifest is None else
+                        manifest.unionByName(zdf))
+        if manifest is not None:
+            manifest.write.mode("append").parquet(
+                _manifest_path(out_dir, stage))
+    res = spark.read.parquet(_data_path(out_dir, stage))
+    if refresh:
+        # drop partitions whose part_key vanished from the current
+        # input — dynamic overwrite never touched them, so their old
+        # data is stale (round-4 advice); isin over <= n_parts keys
+        # partition-prunes at the scan
+        res = res.filter(
+            F.col("part_key").isin([int(p) for p in fp_map]))
+    return res
 
 
 def metrics_table(spark, out_dir: str) -> DataFrame:

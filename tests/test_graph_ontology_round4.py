@@ -489,3 +489,126 @@ def test_symspell_finds_all_edit1_kinds_and_rejects_edit2(spark):
               for a, b in itertools.combinations(words, 2)
               if lev(a, b) <= 1}
     assert got == expect
+
+
+def test_scc_raises_on_inner_fixpoint_exhaustion(spark):
+    # ADVICE r4 (graph.py forward/backward fixpoints): a directed
+    # 30-cycle needs ~29 forward passes; max_prop=5 must RAISE, not
+    # settle truncated colors that split the cycle across scc_ids.
+    import pytest
+    from python_mecab_ner_spark.operators.graph import \
+        strongly_connected_components as scc
+    n = 30
+    e = spark.createDataFrame(
+        [(i, i % n + 1) for i in range(1, n + 1)],
+        "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="max_prop"):
+        scc(e, max_prop=5).collect()
+    got = {r.node: r.scc_id for r in scc(e, max_prop=35).collect()}
+    assert set(got.values()) == {1} and len(got) == n
+
+
+def test_modularity_overflow_guard_raises(spark):
+    # round-4 advice: W above isqrt(2^62/scale) must raise in-plan
+    # (the guard is folded into the output expression so Catalyst
+    # cannot prune it), not silently overflow the bigint dividend
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from python_mecab_ner_spark.operators.graph import modularity_ppm
+    e = spark.createDataFrame(
+        [(1, 2, 2_200_000_000), (2, 1, 2_200_000_000)],
+        "src bigint, dst bigint, w bigint")
+    lab = spark.createDataFrame([(1, 1), (2, 1)],
+                                "node bigint, community bigint")
+    # either our assert message (guard evaluated first) or the ANSI
+    # ArithmeticException backstop — never a silent wrong answer
+    with pytest.raises(Exception,
+                       match="int64-safe bound|ARITHMETIC_OVERFLOW"):
+        modularity_ppm(e, lab, weight="w").collect()
+
+
+def test_wl_hub_degree_cap(spark):
+    """Round-4 verdict task 3: max_in_degree bounds the WL neighbor
+    aggregate on power-law hubs.  Two 10^4-in-degree hubs with equal
+    lowest-N multisets AND equal overflow counts coincide; a
+    5000-in-degree hub differs (overflow folded into the hash);
+    leaves are untouched; the capped run is deterministic."""
+    from pyspark.sql import functions as F
+    from python_mecab_ner_spark.operators.graph import wl_signatures
+    leavesA = spark.range(100, 10100).select(
+        F.col("id").alias("src"), F.lit(1).cast("bigint").alias("dst"))
+    leavesB = spark.range(20000, 30000).select(
+        F.col("id").alias("src"), F.lit(2).cast("bigint").alias("dst"))
+    leavesC = spark.range(40000, 45000).select(
+        F.col("id").alias("src"), F.lit(3).cast("bigint").alias("dst"))
+    e = leavesA.unionByName(leavesB).unionByName(leavesC)
+    got = {r.node: r.wl_label for r in
+           wl_signatures(e, iters=2, max_in_degree=64).collect()}
+    assert got[1] == got[2]          # same truncated multiset + overflow
+    assert got[1] != got[3]          # different overflow count
+    assert got[100] == got[20000] == got[40000]  # leaves coincide
+    assert got[100] != got[1]
+    # deterministic under re-run
+    again = {r.node: r.wl_label for r in
+             wl_signatures(e, iters=2, max_in_degree=64).collect()}
+    assert again == got
+    # plan hygiene: the capped path bounds the aggregate via a
+    # row_number window (spill-safe) — no unbounded collect_list
+    plan = (wl_signatures(e, iters=1, max_in_degree=64)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "row_number" in plan.lower()
+    # the default path stays the exact refinement (no window)
+    plan0 = (wl_signatures(e, iters=1)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "row_number" not in plan0.lower()
+
+
+def test_wl_cap_above_degree_matches_exact(spark):
+    # a cap LARGER than every in-degree must reproduce the exact
+    # refinement bit-for-bit (no '|+' suffix fires)
+    from python_mecab_ner_spark.operators.graph import wl_signatures
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4), (1, 3)])
+    exact = {r.node: r.wl_label for r in
+             wl_signatures(edges, iters=3).collect()}
+    capped = {r.node: r.wl_label for r in
+              wl_signatures(edges, iters=3, max_in_degree=100).collect()}
+    assert exact == capped
+
+
+def test_symspell_distance2_python_twin(spark):
+    """Round-4 verdict task 7: max_dist=2 finds every pair at
+    levenshtein <= 2 (brute-force twin), reports the exact distance,
+    and distance 1 alone misses the double-edit pairs."""
+    import itertools
+    from python_mecab_ner_spark.operators.retrieval import \
+        symspell_alias_pairs
+    words = ["table", "tble", "tbl",        # 1-del, 2-del chain
+             "cable", "cuble",              # sub, sub+sub
+             "stables",                     # 2 inserts vs table
+             "xable",                       # sub vs table/cable
+             "chair", "chairs", "hairy",    # mixed
+             "zq"]                          # short unrelated
+    vocab = spark.createDataFrame([(w,) for w in words], ["term"])
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    got = {(r.term_a, r.term_b): r.dist for r in
+           symspell_alias_pairs(vocab, max_dist=2).collect()}
+    expect = {tuple(sorted((a, b))): lev(a, b)
+              for a, b in itertools.combinations(words, 2)
+              if lev(a, b) <= 2}
+    assert got == expect
+    assert got[("table", "tbl")] == 2        # the d1-invisible pair
+    assert got[("cable", "cuble")] == 1      # single substitution
+    d1 = {(r.term_a, r.term_b) for r in
+          symspell_alias_pairs(vocab).collect()}
+    assert ("table", "tbl") not in d1 and ("stables", "table") not in d1
+    assert d1 == {p for p, v in got.items() if v == 1}
+    assert all(v in (1, 2) for v in got.values())

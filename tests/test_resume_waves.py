@@ -226,3 +226,69 @@ def test_refresh_annotate_on_recrawl(spark, tmp_path):
     b = {r["part_key"]: (r["rows_out"], r["checksum"], r["input_fp"])
          for r in latest_manifest(spark, out2, "annotate").collect()}
     assert a == b
+
+
+def test_refresh_drops_vanished_parts(spark, tmp_path):
+    """Round-4 advice: a part_key absent from the CURRENT input must
+    not leak its old parquet rows into the refresh return value."""
+    from python_mecab_ner_spark.plans.lineage import with_part_key
+
+    out = str(tmp_path / "out")
+    v1 = _inp(spark)
+    run_stage(spark, "s", v1, _fn, out, key_col="url",
+              n_parts=N_PARTS, refresh=True)
+
+    keyed = with_part_key(v1, "url", N_PARTS)
+    keep_parts = {0, 1, 2}
+    v2 = keyed.where(F.col("part_key").isin(list(keep_parts))) \
+        .drop("part_key")
+    n_keep = v2.count()
+    assert 0 < n_keep < 200
+
+    def never(d):
+        raise AssertionError("surviving parts are unchanged")
+
+    res = run_stage(spark, "s", v2, never, out, key_col="url",
+                    n_parts=N_PARTS, refresh=True)
+    assert res.count() == n_keep
+    got_parts = {r[0] for r in res.select("part_key").distinct().collect()}
+    assert got_parts == keep_parts
+
+
+def test_refresh_empty_output_part_invalidated(spark, tmp_path):
+    """Round-4 advice: a re-run part whose fn output is EMPTY must not
+    keep its stale data (dynamic overwrite alone would), and must get
+    an explicit rows_out=0 manifest row so the next refresh is a
+    no-op."""
+    from python_mecab_ner_spark.plans.lineage import (latest_manifest,
+                                                      with_part_key)
+
+    out = str(tmp_path / "out")
+    v1 = _inp(spark)
+    run_stage(spark, "s", v1, _fn, out, key_col="url",
+              n_parts=N_PARTS, refresh=True)
+
+    # v2: bump every row's v; fn now drops part 3 entirely
+    v2 = v1.withColumn("v", F.col("v") + 1)
+
+    def drop3(d):
+        return _fn(d).where(F.col("part_key") != 3)
+
+    res = run_stage(spark, "s", v2, drop3, out, key_col="url",
+                    n_parts=N_PARTS, refresh=True)
+    assert res.where(F.col("part_key") == 3).count() == 0  # no stale rows
+    n3 = with_part_key(v2, "url", N_PARTS) \
+        .where(F.col("part_key") == 3).count()
+    assert res.count() == 200 - n3
+
+    lm = {r["part_key"]: r["rows_out"]
+          for r in latest_manifest(spark, out, "s").collect()}
+    assert lm[3] == 0
+
+    # third run, same input: everything (incl. the empty part) is done
+    def never(d):
+        raise AssertionError("unchanged input must not re-run")
+
+    res3 = run_stage(spark, "s", v2, never, out, key_col="url",
+                     n_parts=N_PARTS, refresh=True)
+    assert res3.count() == 200 - n3
