@@ -4644,7 +4644,62 @@ def kg_alias_candidates(spark, sf_dir):
             .orderBy("term_a", "term_b"))
 
 
+# The grading driver's CORRECTNESS snapshot records only the FIRST 50
+# queries() entries (README: snapshot cap).  Insertion order therefore
+# decides which operator families get the externally-computed hard
+# signal: the 50 below span core SQL, NER/linking, text quality,
+# dedup, ANN, BPE, graph, ontology, retrieval, sampling, monitoring,
+# sketches, crawl/web, multimodal, and kg rows-only (round-4 verdict
+# task 2).  The full suite is unchanged — check_oracle.py runs all
+# entries regardless of order.
+_SNAPSHOT_FIRST_50 = [
+    # core SQL
+    "q01_pricing_summary", "q04_event_islands",
+    # NER / linking / disambiguation
+    "q19_mention_firstpos", "q33_neighbor_stats", "q34_context_argmax",
+    "q36_bio_export", "q44_evidence_scores",
+    # text quality / cleaning
+    "q12_lang_id", "q13_quality_score", "q47_pii_redact",
+    "q139_c4_line_rules",
+    # dedup family
+    "q15_exact_dedup", "q16_jaccard_pairs", "q17_lsh_pairs",
+    "q48_line_dedup", "q100_incremental_lsh",
+    # ANN / embeddings
+    "q21_ann_lsh", "q29_ann_ivf", "q51_quantized_ann",
+    # BPE
+    "q73_bpe_merges", "q74_bpe_token_counts", "q97_bpe_fertility",
+    # graph
+    "q40_pagerank", "q49_khop", "q154_modularity", "q161_wl_classes",
+    "q162_scc",
+    # ontology / schema induction
+    "q140_pred_functionality", "q141_domain_range",
+    "q142_inverse_preds", "q155_entity_alignment",
+    # retrieval
+    "q59_bm25", "q101_kwic", "q167_phrase_search", "q170_symspell_d2",
+    # sampling / mixture
+    "q55_stratified_sample", "q95_quality_hist_gate",
+    "q165_epoch_allocation",
+    # monitoring / profiling
+    "q120_vocab_drift", "q166_robust_outliers", "q169_heaps_law",
+    # sketches
+    "q71_cm_heavy_hitters", "q75_hll_registers",
+    # crawl / web
+    "q66_url_canonical", "q135_recrawl_schedule", "q145_warc_roundtrip",
+    # multimodal plumbing
+    "q24_image_features",
+    # real-KG rows-only
+    "kg_link_levels", "kg_triples_by_pred", "kg_host_scc",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    full = _queries_all()
+    out = {k: full[k] for k in _SNAPSHOT_FIRST_50}
+    out.update((k, v) for k, v in full.items() if k not in out)
+    return out
+
+
+def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_region_revenue": q02_region_revenue,
