@@ -6,6 +6,13 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "docs_per_sec": ..., "triples_per_sec": ...}
 
+Burst-immune protocol (round-4 verdict task 1): repeats are
+interleaved ROUND-ROBIN across queries, any query whose spread
+exceeds 50% of its median is auto re-measured in a fresh window,
+and three zero-Spark host-speed controls (before/between/after)
+ride in the artifact — "control_ratio" near 1.0 certifies a quiet
+host; "burst_suspect" lists queries still wide after re-measure.
+
 The kg_pipeline entry is the headline: synthesized pages corpus sized
 to the scale factor (sf0.1 -> 50,000 docs) through the fused annotate
 stage to materialized triple counts.  Scaling-efficiency evidence
@@ -55,12 +62,72 @@ def build_spark(cpus: int):
 
 
 REPEATS = 3
+# a query is re-measured when its spread exceeds this fraction of its
+# median (and the median is above the noise floor where 50% swings are
+# sub-100ms scheduler jitter, not host bursts)
+SPREAD_FRAC = 0.5
+SPREAD_FLOOR_SEC = 0.4
+EXTRA_REPEATS = 4
 
 
 def _median(xs):
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _control_sec(docs: int = 1500) -> float:
+    """Zero-Spark host-speed probe: the kernel pipeline (gen ->
+    tokenize -> match -> triples) single-threaded on a fixed doc
+    count.  Run before/between/after the suite; if the probes
+    disagree the HOST was bursty during the window and the artifact
+    says so (round-4 verdict task 1: BENCH_r04 was committed from
+    inside a burst with no in-artifact evidence)."""
+    from python_mecab_ner_spark.kernel.lexicon import (default_lexicon,
+                                                       load_gazetteer_rows)
+    from python_mecab_ner_spark.kernel.matcher import (CompiledGazetteer,
+                                                       find_mentions,
+                                                       infer_extend,
+                                                       ner_spans)
+    from python_mecab_ner_spark.kernel.tokenizer import tokenize
+    from python_mecab_ner_spark.kernel.triples import extract_triples
+    from python_mecab_ner_spark.sources.corpus import gen_pages
+    lex = default_lexicon()
+    gaz = CompiledGazetteer(load_gazetteer_rows())
+
+    def one() -> float:
+        t0 = time.time()
+        for page in gen_pages(docs, seed=7, start=0):
+            toks = tokenize(page["text"], lex)
+            if toks:
+                spans = ner_spans(toks,
+                                  infer_extend(find_mentions(toks, gaz),
+                                               toks))
+                extract_triples(toks, spans)
+        return time.time() - t0
+
+    # each probe is itself a median-of-3 so one descheduled slice
+    # doesn't fake a burst verdict
+    return _median([one(), one(), one()])
+
+
+def _run_once(spark, qs, name: str) -> float:
+    t0 = time.time()
+    qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def _measure_interleaved(spark, qs, names, repeats):
+    """ROUND-ROBIN repeats: pass r runs every query once before any
+    query runs its pass r+1.  A host burst therefore lands on ONE
+    repeat of many queries (rejected per-query by the median) instead
+    of on ALL repeats of one query (unfixable) — the parquet-barrier
+    A/B pairing trick generalized to the whole suite."""
+    runs = {n: [] for n in names}
+    for _ in range(repeats):
+        for n in names:
+            runs[n].append(_run_once(spark, qs, n))
+    return runs
 
 
 def run_kg_pipeline(spark, n_docs: int) -> dict:
@@ -127,6 +194,9 @@ def main() -> int:
     kg = run_kg_pipeline(spark, N_DOCS)
     timings["kg_pipeline"] = round(kg["sec"], 3)
 
+    _control_sec(docs=300)   # warm imports + gen caches out of probe 1
+    control = [round(_control_sec(), 3)]
+
     qs = entrymod.queries()
     # warmup pass at the smallest sf: first-use whole-stage codegen /
     # JIT / parquet-footer caching happens once per query SHAPE, and
@@ -134,21 +204,33 @@ def main() -> int:
     for name in BENCH_QUERIES:
         qs[name](spark, SF_DIR.replace(f"sf{SF}", "sf0.001")) \
             .write.format("noop").mode("overwrite").save()
-    # median-of-REPEATS per query with a dispersion field: this box is
-    # a shared host with heavy run-to-run variance (observed 4x swings
-    # on UNCHANGED queries; the round-2 driver artifact inverted the
-    # q16 story on a single noisy pass).  The median is robust to one
-    # outlier and the spread makes a noisy run visible IN the artifact.
+    # burst-immune protocol (round-4 verdict task 1): interleaved
+    # round-robin repeats (a burst hits one repeat of many queries,
+    # not all repeats of one), per-query median + spread in the
+    # artifact, auto re-measure of any query whose spread exceeds
+    # SPREAD_FRAC of its median, and zero-Spark host-speed controls
+    # before/between/after so a bursty window is visible IN the JSON.
+    runs = _measure_interleaved(spark, qs, BENCH_QUERIES, REPEATS)
+    control.append(round(_control_sec(), 3))
+    flagged = [n for n in BENCH_QUERIES
+               if max(runs[n]) - min(runs[n])
+               > max(SPREAD_FRAC * _median(runs[n]), SPREAD_FLOOR_SEC)]
+    if flagged:
+        # the re-measurement window REPLACES the contaminated one —
+        # mixing would keep the burst inside the spread forever; if
+        # the re-run is wide too, burst_suspect says so
+        extra = _measure_interleaved(spark, qs, flagged, EXTRA_REPEATS)
+        for n in flagged:
+            runs[n] = extra[n]
+    control.append(round(_control_sec(), 3))
+
     spread: dict[str, float] = {"kg_pipeline": kg["spread"]}
     for name in BENCH_QUERIES:
-        runs = []
-        for _ in range(REPEATS):
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(_median(runs), 3)
-        spread[name] = round(max(runs) - min(runs), 3)
+        timings[name] = round(_median(runs[name]), 3)
+        spread[name] = round(max(runs[name]) - min(runs[name]), 3)
+    still_wide = [n for n in BENCH_QUERIES
+                  if spread[n] > max(SPREAD_FRAC * timings[n],
+                                     SPREAD_FLOOR_SEC)]
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -158,6 +240,10 @@ def main() -> int:
         "queries": timings,
         "spread": spread,
         "repeats": REPEATS,
+        "remeasured": flagged,
+        "burst_suspect": still_wide,
+        "control_sec": control,
+        "control_ratio": round(max(control) / min(control), 3),
         "sf": SF,
         "kg_gen_sec": round(kg["gen_sec"], 3),
         "kg_docs": kg["docs"],
