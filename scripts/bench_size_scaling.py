@@ -40,9 +40,15 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--corpus-parts", type=int, default=256)
+    ap.add_argument("--sizes", default=None,
+                    help="comma list of doc counts (overrides "
+                         "--docs/--factor); the whole curve is "
+                         "measured in one session and written as one "
+                         "artifact, e.g. 400000,1600000,6400000")
     args = ap.parse_args()
 
-    sizes = [args.docs, args.docs * args.factor]
+    sizes = ([int(x) for x in args.sizes.split(",")] if args.sizes
+             else [args.docs, args.docs * args.factor])
     med = {}
     for n_docs in sizes:
         corpus = f"/tmp/kg_scaling_corpus_v3_{n_docs}_{args.corpus_parts}"
@@ -62,13 +68,17 @@ def main() -> int:
             "sec": statistics.median(x["sec"] for x in runs),
         }
 
-    small, big = sizes
+    small, big = sizes[0], sizes[-1]
     lin = med[big]["docs_per_sec"] / med[small]["docs_per_sec"]
     summary = {
         "metric": "corpus_size_linearity",
         "cpus": args.cpus, "sizes": sizes, "repeats": args.repeats,
         "median": med,
         "throughput_ratio_big_over_small": round(lin, 3),
+        "ratio_vs_smallest": {
+            str(n): round(med[n]["docs_per_sec"]
+                          / med[small]["docs_per_sec"], 3)
+            for n in sizes},
         "note": "1.0 = perfectly linear in corpus size at fixed cores",
     }
     print(json.dumps(summary))
