@@ -76,13 +76,8 @@ def _median(xs):
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _control_sec(docs: int = 1500) -> float:
-    """Zero-Spark host-speed probe: the kernel pipeline (gen ->
-    tokenize -> match -> triples) single-threaded on a fixed doc
-    count.  Run before/between/after the suite; if the probes
-    disagree the HOST was bursty during the window and the artifact
-    says so (round-4 verdict task 1: BENCH_r04 was committed from
-    inside a burst with no in-artifact evidence)."""
+def _control_worker(args):
+    start, docs = args
     from python_mecab_ner_spark.kernel.lexicon import (default_lexicon,
                                                        load_gazetteer_rows)
     from python_mecab_ner_spark.kernel.matcher import (CompiledGazetteer,
@@ -94,16 +89,34 @@ def _control_sec(docs: int = 1500) -> float:
     from python_mecab_ner_spark.sources.corpus import gen_pages
     lex = default_lexicon()
     gaz = CompiledGazetteer(load_gazetteer_rows())
+    for page in gen_pages(docs, seed=7, start=start):
+        toks = tokenize(page["text"], lex)
+        if toks:
+            spans = ner_spans(toks, infer_extend(find_mentions(toks, gaz),
+                                                 toks))
+            extract_triples(toks, spans)
+    return docs
+
+
+def _control_sec(docs: int = 1500, procs: int = 8) -> float:
+    """Zero-Spark host-speed probe: the kernel pipeline (gen ->
+    tokenize -> match -> triples) over a multiprocessing pool.
+    PARALLEL on purpose — a co-tenant eating cores inflates 32-way
+    suite timings uniformly while barely moving a single-thread
+    probe (measured: suite +35% inside a loadavg-3.7 window whose
+    1-thread control read only +20%); a multi-core probe sees the
+    contention the suite feels.  Run before/between/after the suite;
+    control_ratio far from 1.0 (or all probes slow vs a committed
+    quiet-host reference, ~0.12 s at 8 procs) marks a dirty window
+    in the artifact itself (round-4 verdict task 1)."""
+    import multiprocessing as mp
+    per = max(200, docs // procs)
 
     def one() -> float:
         t0 = time.time()
-        for page in gen_pages(docs, seed=7, start=0):
-            toks = tokenize(page["text"], lex)
-            if toks:
-                spans = ner_spans(toks,
-                                  infer_extend(find_mentions(toks, gaz),
-                                               toks))
-                extract_triples(toks, spans)
+        with mp.Pool(procs) as pool:
+            pool.map(_control_worker,
+                     [(i * per, per) for i in range(procs)])
         return time.time() - t0
 
     # each probe is itself a median-of-3 so one descheduled slice
@@ -194,7 +207,7 @@ def main() -> int:
     kg = run_kg_pipeline(spark, N_DOCS)
     timings["kg_pipeline"] = round(kg["sec"], 3)
 
-    _control_sec(docs=300)   # warm imports + gen caches out of probe 1
+    _control_sec(docs=300, procs=2)  # warm imports out of probe 1
     control = [round(_control_sec(), 3)]
 
     qs = entrymod.queries()
