@@ -3248,6 +3248,76 @@ def q170_symspell_d2(spark, sf_dir):
     return symspell_alias_pairs(vocab, max_dist=2)
 
 
+def q171_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood ER blocking (operators.dedup
+    .sorted_neighborhood_pairs, Hernandez & Stolfo): documents ordered
+    by the first 16 chars of normalized text, candidate pairs within a
+    4-record sliding window — the skew-immune third blocking strategy
+    next to token-key (q16/q17) and deletion-key (q168) blocking.
+    The global order comes from global_rank (range partition +
+    partition-offset row numbers, Spark's native TB-sort path — no
+    single-partition window), certified here against the oracle's
+    one-window row_number()."""
+    from python_mecab_ner_spark.operators.dedup import \
+        sorted_neighborhood_pairs
+    docs = _load(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+        1, 16)
+    base = docs.select(key.alias("blk"),
+                       F.col("doc_id").cast("bigint").alias("doc_id"))
+    out = sorted_neighborhood_pairs(base, "blk", "doc_id", window=4)
+    res = out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                     F.col("id_b").cast("bigint").alias("id_b"),
+                     "key_a", "key_b", "gap")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
+def q172_prefix_filter_join(spark, sf_dir):
+    """Exact set-similarity self-join at Jaccard >= 0.9 via prefix
+    filtering (operators.dedup.prefix_filter_pairs, the PPJoin
+    family): candidates COMPLETE at the threshold with no df cap and
+    no LSH recall loss — rare-token prefixes are the join keys, hot
+    stopwords never enter one (and the higher the threshold the
+    shorter the prefix: at 0.9 a doc contributes ~n/10 join keys).
+    The oracle recomputes the same df-ordered prefixes and full-set
+    integer Jaccard in DuckDB."""
+    from python_mecab_ner_spark.operators.dedup import prefix_filter_pairs
+    docs = _load(spark, sf_dir, "documents")
+    out = prefix_filter_pairs(docs, "text", "doc_id", t_ppm=900_000)
+    res = out.select(F.col("doc_a").cast("bigint").alias("doc_a"),
+                     F.col("doc_b").cast("bigint").alias("doc_b"),
+                     "inter", "uni")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 3
+
+
+def q173_ktruss(spark, sf_dir):
+    """k-truss peel (operators.graph.ktruss) of the thin co-purchase
+    graph (parts sharing an order, quantity <= 15): every surviving
+    edge sits in >= k-2 triangles among survivors — the edge-level
+    cohesion filter that cuts star spam hubs k-core (q94) keeps.
+    Fixed 3 rounds against the unrolled oracle; the peel cascades
+    genuinely here (3874 -> 3639 -> 3637 edges at sf0.01, fixpoint at
+    round 3) and support is recomputed on the final survivor set."""
+    from python_mecab_ner_spark.operators.graph import ktruss
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 15)
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("src"),
+                     F.col("l2.l_partkey").alias("dst"))
+             .distinct())
+    return (ktruss(edges, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+            .select(F.col("a").cast("bigint").alias("a"),
+                    F.col("b").cast("bigint").alias("b"), "support"))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4895,6 +4965,9 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_symspell": q168_symspell,
         "q169_heaps_law": q169_heaps_law,
         "q170_symspell_d2": q170_symspell_d2,
+        "q171_sorted_neighborhood": q171_sorted_neighborhood,
+        "q172_prefix_filter_join": q172_prefix_filter_join,
+        "q173_ktruss": q173_ktruss,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -5037,6 +5110,50 @@ def oracle_sql() -> dict[str, str]:
         FROM r{HYPERBALL_ITERS}
     """)
     hyperball_sql = "".join(_hb)
+
+    # k-truss unrolled peel rounds (q173): per round, naive x<y<z
+    # triangle enumeration over the surviving canonical edge set
+    # (orientation independence is what the hash match certifies, as
+    # in q52's oracle), per-edge support via the three sides, filter
+    # support >= k-2.  CTEs MUST be MATERIALIZED — each round's edge
+    # set feeds three self-join arms AND the next round (the q94
+    # lesson: inlining explodes 3^rounds).
+    _kt = [f"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l2.l_orderkey = l1.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+          WHERE l1.l_quantity <= 15 AND l2.l_quantity <= 15)
+    """]
+    for _r in range(KTRUSS_ROUNDS + 1):
+        _kt.append(f"""
+        , t{_r} AS MATERIALIZED (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e{_r} e1
+          JOIN e{_r} e2 ON e2.a = e1.a AND e2.b > e1.b
+          JOIN e{_r} e3 ON e3.a = e1.b AND e3.b = e2.b)
+        , s{_r} AS MATERIALIZED (
+          SELECT a, b, count(*) AS sup FROM (
+            SELECT x AS a, y AS b FROM t{_r}
+            UNION ALL SELECT x AS a, z AS b FROM t{_r}
+            UNION ALL SELECT y AS a, z AS b FROM t{_r})
+          GROUP BY 1, 2)
+        """)
+        if _r < KTRUSS_ROUNDS:
+            _kt.append(f"""
+        , e{_r + 1} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{_r} e
+          JOIN s{_r} s ON s.a = e.a AND s.b = e.b
+           AND s.sup >= {KTRUSS_K - 2})
+        """)
+    _kt.append(f"""
+        SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+               CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+        FROM e{KTRUSS_ROUNDS} e
+        LEFT JOIN s{KTRUSS_ROUNDS} s ON s.a = e.a AND s.b = e.b
+    """)
+    ktruss_sql = "".join(_kt)
 
     _bl = TX.blocklist_phrase_counts_sql("text")
     _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
@@ -7396,6 +7513,65 @@ def oracle_sql() -> dict[str, str]:
             FROM cand
             WHERE levenshtein(term_a, term_b) <= 2
         """,
+        # q171: sorted-neighborhood blocking — ONE global row_number
+        # window (the oracle affords what the engine must not)
+        "q171_sorted_neighborhood": """
+            WITH base AS (
+                SELECT substr(regexp_replace(lower(trim(text)), '\\s+',
+                              ' ', 'g'), 1, 16) AS blk,
+                       CAST(doc_id AS BIGINT) AS doc_id
+                FROM documents),
+            ranked AS (
+                SELECT blk, doc_id,
+                       row_number() OVER (ORDER BY blk, doc_id) AS rn
+                FROM base)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.blk AS key_a, b.blk AS key_b,
+                   CAST(b.rn - a.rn AS INT) AS gap
+            FROM ranked a JOIN ranked b
+              ON b.rn > a.rn AND b.rn <= a.rn + 3
+        """,
+        # q172: prefix-filtering exact Jaccard join — same df-ordered
+        # prefixes, full-set integer verify
+        "q172_prefix_filter_join": """
+            WITH toks AS (
+                SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                        regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                       'g'), ' ')) AS token
+                    FROM documents)
+                WHERE token <> ''),
+            tdf AS (SELECT token, count(*) AS tdf FROM toks GROUP BY 1),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+            ordered AS (
+                SELECT t.doc_id, t.token, s.n,
+                       row_number() OVER (PARTITION BY t.doc_id
+                                          ORDER BY d.tdf, t.token) AS rn
+                FROM toks t JOIN tdf d USING (token)
+                JOIN sizes s USING (doc_id)),
+            prefix AS (
+                SELECT doc_id, token FROM ordered
+                WHERE rn <= n - ((900000 * n + 999999) // 1000000) + 1),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM prefix a JOIN prefix b
+                  ON b.token = a.token AND a.doc_id < b.doc_id),
+            i AS (
+                SELECT c.doc_a, c.doc_b, count(*) AS inter
+                FROM cand c
+                JOIN toks ta ON ta.doc_id = c.doc_a
+                JOIN toks tb ON tb.doc_id = c.doc_b
+                 AND tb.token = ta.token
+                GROUP BY 1, 2)
+            SELECT CAST(i.doc_a AS BIGINT) AS doc_a,
+                   CAST(i.doc_b AS BIGINT) AS doc_b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+            FROM i JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE inter * 1000000 >= 900000 * (sa.n + sb.n - inter)
+        """,
+        "q173_ktruss": ktruss_sql,
         # q166: histogram-cumulative median/MAD twin
         "q166_robust_outliers": """
             WITH hist AS (SELECT source AS g,

@@ -798,3 +798,152 @@ def blocking_audit(df: DataFrame, text_col: str, id_col: str,
         cand_release()
     out.unpersist_input = _release
     return out
+
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                rank_col: str = "rnk") -> DataFrame:
+    """Scale-safe GLOBAL 1-based rank by a total order, without the
+    single-partition `Window.orderBy(...)` bottleneck: range-partition
+    on the order columns, row_number WITHIN each partition, then add
+    per-partition offsets (one collect of partition-count rows — a
+    dimension, like the IVF centroid pull in ann.py).  order_cols must
+    be a total order (include a unique id as the last tiebreak); the
+    resulting rank is then invariant to where the sampled range
+    boundaries happen to fall.
+
+    The pid-stamped input is persisted because TWO jobs consume it
+    (the offset count and the ranked output) and RangePartitioner's
+    sampled boundaries are not guaranteed identical across recomputes;
+    the returned plan exposes .unpersist_input (house convention)."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    stamped = (df.repartitionByRange(*cols)
+               .withColumn("_pid", F.spark_partition_id())
+               .persist())
+    # partition-count-sized dimension: cumulative offset per pid
+    counts = {r["_pid"]: r["c"] for r in
+              stamped.groupBy("_pid").agg(F.count("*").alias("c"))
+              .collect()}
+    off, acc = {}, 0
+    for pid in sorted(counts):
+        off[pid] = acc
+        acc += counts[pid]
+    offmap = F.create_map(
+        *[F.lit(x) for pid in sorted(counts)
+          for x in (pid, off[pid])]) if counts else F.create_map()
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    out = (stamped.withColumn("_rn", F.row_number().over(w))
+           .withColumn(rank_col,
+                       (offmap[F.col("_pid")] + F.col("_rn"))
+                       .cast("bigint"))
+           .drop("_pid", "_rn"))
+    out.unpersist_input = stamped.unpersist
+    return out
+
+
+def sorted_neighborhood_pairs(df: DataFrame, key_col: str, id_col: str,
+                              window: int = 5) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernandez & Stolfo 1995): order
+    records by a blocking key, emit every pair within a sliding window
+    of `window` consecutive records.  The third classing strategy next
+    to token-key blocking (jaccard/LSH) and deletion-key blocking
+    (SymSpell): O(w * n) candidates BY CONSTRUCTION, independent of
+    key-value skew — a million records sharing one hot key produce the
+    same pair count as a million distinct keys (where token-key
+    blocking explodes as df^2).  Multi-pass SN = union of calls with
+    different keys.
+
+    Scale shape: global_rank is a range-partition sort (Spark's
+    native TB-scale sort path) and pair generation is an equi-join on
+    the UNIQUE integer rank (b.rnk == a.rnk + gap, gap exploded
+    1..window-1) — no window function over a global order, no skew.
+
+    Returns (id_a, id_b, key_a, key_b, gap) with id_a the
+    sort-order-earlier record; gap = rank distance (1 = adjacent)."""
+    assert window >= 2
+    base = df.select(F.col(key_col).alias("key"), F.col(id_col).alias("id"))
+    ranked = global_rank(base, ["key", "id"])
+    release = ranked.unpersist_input
+    probes = ranked.select(
+        "rnk", F.col("id").alias("id_a"), F.col("key").alias("key_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("gap"))
+    right = ranked.select(F.col("rnk").alias("rnk_b"),
+                          F.col("id").alias("id_b"),
+                          F.col("key").alias("key_b"))
+    out = (probes.join(right,
+                       probes["rnk"] + probes["gap"] == right["rnk_b"])
+           .select("id_a", "id_b", "key_a", "key_b",
+                   F.col("gap").cast("int").alias("gap")))
+    out.unpersist_input = release
+    return out
+
+
+def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
+                        t_ppm: int = 500_000) -> DataFrame:
+    """Exact set-similarity join at Jaccard >= t via PREFIX FILTERING
+    (the PPJoin family, Xiao et al. 2008): order each document's
+    distinct tokens by ascending global document frequency (rarest
+    first, ties by token string), keep only the first
+    |s| - ceil(t*|s|) + 1 tokens as join keys — two sets with
+    Jaccard >= t MUST share a token inside these prefixes, so the
+    candidate set is COMPLETE at the threshold with no df cap
+    (jaccard_pairs' max_df trades exactness for boundedness; LSH
+    trades recall).  The skew lever is the ordering itself: hot
+    stopword tokens sort LAST and never enter a prefix, so join-key
+    fan-out concentrates on rare tokens — the higher the threshold,
+    the shorter the prefixes and the rarer the keys.
+
+    Verification is exact integer Jaccard over the FULL token sets,
+    computed by joining the (bounded) candidate pair list back
+    against the token table on (doc, token) composite keys — never a
+    raw token self-join.
+
+    ceil is exact-integer both engines: ceil(t*n) =
+    (t_ppm*n + 999_999) div 1_000_000.
+
+    Returns (doc_a, doc_b, inter, uni) with
+    inter * 1e6 >= t_ppm * uni."""
+    from pyspark.sql import Window
+
+    norm = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+", " "), " ")
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(norm)).alias("token"))
+            .where(F.col("token") != ""))
+    # token table feeds: df counts, prefix build, and two verify sides
+    toks = toks.persist()
+    tdf = toks.groupBy("token").agg(F.count("*").alias("tdf"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("tdf", "token")
+    ordered = (toks.join(tdf, "token")
+               .withColumn("rn", F.row_number().over(w))
+               .join(sizes, "doc_id"))
+    plen = (F.col("n")
+            - F.floor((F.lit(t_ppm) * F.col("n") + F.lit(999_999))
+                      / F.lit(1_000_000)) + 1)
+    prefix = ordered.where(F.col("rn") <= plen).select("doc_id", "token")
+    a, b = prefix.alias("pa"), prefix.alias("pb")
+    cand = (a.join(b, on="token")
+            .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+            .select(F.col("pa.doc_id").alias("doc_a"),
+                    F.col("pb.doc_id").alias("doc_b"))
+            .distinct())
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("n_a")), "doc_a")
+           .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("n_b")), "doc_b")
+           .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+           .where(F.col("inter") * F.lit(1_000_000)
+                  >= F.lit(t_ppm) * F.col("uni"))
+           .select("doc_a", "doc_b",
+                   F.col("inter").cast("bigint").alias("inter"),
+                   F.col("uni").cast("bigint").alias("uni")))
+    out.unpersist_input = toks.unpersist
+    return out

@@ -608,6 +608,89 @@ def triangle_counts(edges: DataFrame,
         F.count("*").cast("bigint").alias("n_tri"))
 
 
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-EDGE triangle participation count over a canonical (a < b,
+    distinct) edge list: the k-truss peel statistic.  Same
+    degree-oriented wedge join as triangle_counts (orientation bounds
+    wedge fan-out per center by the MIN endpoint degree — the
+    power-law survival lever), but each closed triangle emits its
+    THREE canonical edges instead of its three corners.  Do NOT
+    persist the oriented/wedge subtrees (the triangle_counts measured
+    dead end: they are exchange-identical, ReusedExchange already
+    dedups them and InMemoryRelation would block it + AQE stats)."""
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    withdeg = (e.join(F.broadcast(deg.withColumnRenamed("node", "a")
+                                  .withColumnRenamed("deg", "da")), "a")
+               .join(F.broadcast(deg.withColumnRenamed("node", "b")
+                                 .withColumnRenamed("deg", "db")), "b"))
+    fwd = ((F.col("da") < F.col("db"))
+           | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))))
+    oriented = withdeg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (o1.join(o2, (F.col("o1.lo") == F.col("o2.lo"))
+                      & (F.col("o1.hi") < F.col("o2.hi")))
+              .select(F.col("o1.lo").alias("x"),
+                      F.col("o1.hi").alias("y"),
+                      F.col("o2.hi").alias("z")))
+    closed = wedges.join(
+        e, (F.least(F.col("y"), F.col("z")) == F.col("a"))
+        & (F.greatest(F.col("y"), F.col("z")) == F.col("b")))
+    sides = closed.select(
+        F.least("x", "y").alias("ea"), F.greatest("x", "y").alias("eb")
+    ).unionByName(closed.select(
+        F.least("x", "z").alias("ea"), F.greatest("x", "z").alias("eb"))
+    ).unionByName(closed.select(
+        F.least("y", "z").alias("ea"), F.greatest("y", "z").alias("eb")))
+    return (sides.groupBy(F.col("ea").alias("a"), F.col("eb").alias("b"))
+            .agg(F.count("*").cast("bigint").alias("support")))
+
+
+def ktruss(edges: DataFrame, k: int = 4, rounds: int = 3,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-truss peel (Cohen 2008): iteratively delete edges whose
+    triangle support among REMAINING edges is < k-2; the surviving
+    subgraph is the k-truss — a strictly stronger cohesion filter
+    than the k-core's degree peel (q94): every edge must sit in k-2
+    triangles, so star spam hubs (degree-high, triangle-free) are cut
+    where k-core keeps them.  Fixed `rounds` to stay bit-exact
+    against the unrolled DuckDB oracle, exactly the q94 contract —
+    the peel is monotone (edges only leave), so a fixpoint reached
+    before round `rounds` just makes later rounds no-ops (asserted at
+    the suite graph in tests).
+
+    Scale shape per round: one degree-oriented wedge join (per-center
+    fan-out bounded by min endpoint degree) + one combinable per-edge
+    count + an edge filter; the surviving edge set is
+    localCheckpoint'ed per round (iterative-operator house rule —
+    unrolled rounds otherwise replicate the wedge-join plan per
+    round and planning alone can OOM the driver).
+
+    Returns surviving (a, b, support) with support recomputed on the
+    FINAL surviving set (0 if the last peel left a now-triangle-free
+    edge — only possible when rounds stops short of the fixpoint)."""
+    assert k >= 3
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                      F.greatest(F.col(src), F.col(dst)).alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        sup = _edge_support(e)
+        e = (e.join(sup, ["a", "b"], "left")
+             .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+             .select("a", "b")
+             .localCheckpoint(eager=True))
+    sup = _edge_support(e)
+    return (e.join(sup, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce(F.col("support"), F.lit(0))
+                    .cast("bigint").alias("support")))
+
+
 def clustering_coefficient(edges: DataFrame, src: str = "src",
                            dst: str = "dst",
                            scale: int = 1_000_000) -> DataFrame:
