@@ -3318,6 +3318,24 @@ def q173_ktruss(spark, sf_dir):
                     F.col("b").cast("bigint").alias("b"), "support"))
 
 
+def q174_multi_blocking_audit(spark, sf_dir):
+    """Three-strategy blocking audit (operators.dedup
+    .multi_blocking_audit): recall/precision of banded LSH (q17),
+    sorted-neighborhood (q171), and prefix-filter (q172) candidate
+    sets against the SAME exact capped-Jaccard truth (q16 at >= 0.5)
+    — one row per strategy, the sheet that picks the production
+    blocker before any of them runs at 100 TB."""
+    from python_mecab_ner_spark.operators.dedup import \
+        multi_blocking_audit
+    d = _loadp(spark, sf_dir, "documents")
+    out = multi_blocking_audit(d, "text", "doc_id", k=3, min_shared=2,
+                               max_df=MAX_SH_DF)
+    res = out.select("strategy", "n_truth", "n_cand", "n_hit",
+                     "recall_ppm", "precision_ppm")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4504,6 +4522,22 @@ def kg_modularity(spark, sf_dir):
     return modularity_ppm(sym, lpa)
 
 
+def kg_ktruss(spark, sf_dir):
+    """k-truss core of the REAL co-mention entity graph (the
+    q173-certified peel on the _kg_dense_sym substrate): the
+    surviving edges are the entity pairs whose association is
+    triangle-supported — co-mentions corroborated by a third entity
+    co-mentioned with both — which is the evidence grade a KG edge
+    promotion wants, versus raw pair counts that star-shaped head
+    entities dominate.  Returns per-truss-edge rows
+    (a, b, support)."""
+    from python_mecab_ner_spark.operators.graph import ktruss
+    sym, _, _, _ = _kg_dense_sym(spark)
+    return (ktruss(sym, k=4, rounds=3)
+            .select(F.col("a").cast("bigint").alias("a"),
+                    F.col("b").cast("bigint").alias("b"), "support"))
+
+
 def kg_edge_cut(spark, sf_dir):
     """Partition-layout audit on the REAL extracted entity graph:
     edge cut under (a) md5-hash placement, (b) dense-id range
@@ -4968,9 +5002,11 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_sorted_neighborhood": q171_sorted_neighborhood,
         "q172_prefix_filter_join": q172_prefix_filter_join,
         "q173_ktruss": q173_ktruss,
+        "q174_multi_blocking_audit": q174_multi_blocking_audit,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
+        "kg_ktruss": kg_ktruss,
         "kg_entity_alignment": kg_entity_alignment,
         "kg_host_scc": kg_host_scc,
         "kg_type_propagation": kg_type_propagation,
@@ -5351,6 +5387,91 @@ def oracle_sql() -> dict[str, str]:
                CAST((n_hit * 1000000) // greatest(n_cand, 1)
                     AS BIGINT) AS precision_ppm
         FROM tt CROSS JOIN cc
+    """
+
+    # three-strategy blocking audit (q174): q128's truth + LSH cand,
+    # plus sorted-neighborhood (q171 fragment, canonicalized pair
+    # key) and prefix-filter (q172 candidate fragment) — one stat row
+    # per strategy via a shared folding template
+    def _audit_stat(name: str, cand_cte: str) -> str:
+        return f"""
+        SELECT '{name}' AS strategy,
+               CAST(t.n_truth AS BIGINT) AS n_truth,
+               CAST(c.n_cand AS BIGINT) AS n_cand,
+               CAST(t.n_hit AS BIGINT) AS n_hit,
+               CAST((t.n_hit * 1000000) // greatest(t.n_truth, 1)
+                    AS BIGINT) AS recall_ppm,
+               CAST((t.n_hit * 1000000) // greatest(c.n_cand, 1)
+                    AS BIGINT) AS precision_ppm
+        FROM (SELECT count(*) AS n_truth,
+                     coalesce(sum(CASE WHEN c.doc_a IS NOT NULL
+                                       THEN 1 ELSE 0 END), 0) AS n_hit
+              FROM truth t LEFT JOIN {cand_cte} c
+                ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) t
+        CROSS JOIN (SELECT count(*) AS n_cand FROM {cand_cte}) c
+        """
+
+    multi_audit_sql = shingle_cte + f"""
+        , keep AS (SELECT shingle FROM sh
+                   GROUP BY shingle HAVING count(*) <= {MAX_SH_DF}),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN keep USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
+        ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS inter
+               FROM shc a JOIN shc b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+        truth AS (SELECT doc_a, doc_b FROM ex
+                  JOIN sizes sa ON sa.doc_id = ex.doc_a
+                  JOIN sizes sb ON sb.doc_id = ex.doc_b
+                  WHERE inter >= 2
+                    AND inter * 1000000
+                        >= 500000 * (sa.n_sh + sb.n_sh - inter)),
+        sig AS (SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id),
+        banded AS ({band_keys}),
+        lshcand AS (SELECT DISTINCT a.doc_id AS doc_a,
+                           b.doc_id AS doc_b
+                    FROM banded a JOIN banded b
+                      ON a.band_idx = b.band_idx
+                     AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id),
+        snbase AS (SELECT substr(regexp_replace(lower(trim(text)),
+                          '\\s+', ' ', 'g'), 1, 16) AS blk,
+                          CAST(doc_id AS BIGINT) AS doc_id
+                   FROM documents),
+        snranked AS (SELECT blk, doc_id,
+                            row_number() OVER (ORDER BY blk, doc_id)
+                                AS rn
+                     FROM snbase),
+        sncand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                          greatest(a.doc_id, b.doc_id) AS doc_b
+                   FROM snranked a JOIN snranked b
+                     ON b.rn > a.rn AND b.rn <= a.rn + 3),
+        ptok AS (SELECT DISTINCT doc_id, token FROM (
+                    SELECT doc_id, unnest(regexp_split_to_array(
+                        regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                       'g'), ' ')) AS token
+                    FROM documents)
+                 WHERE token <> ''),
+        ptdf AS (SELECT token, count(*) AS tdf FROM ptok GROUP BY 1),
+        psizes AS (SELECT doc_id, count(*) AS n FROM ptok GROUP BY 1),
+        pord AS (SELECT t.doc_id, t.token, s.n,
+                        row_number() OVER (PARTITION BY t.doc_id
+                                           ORDER BY d.tdf, t.token)
+                            AS rn
+                 FROM ptok t JOIN ptdf d USING (token)
+                 JOIN psizes s USING (doc_id)),
+        pprefix AS (SELECT doc_id, token FROM pord
+                    WHERE rn <= n - ((900000 * n + 999999) // 1000000)
+                              + 1),
+        pfcand AS (SELECT DISTINCT a.doc_id AS doc_a,
+                          b.doc_id AS doc_b
+                   FROM pprefix a JOIN pprefix b
+                     ON b.token = a.token AND a.doc_id < b.doc_id)
+        {_audit_stat('lsh', 'lshcand')}
+        UNION ALL {_audit_stat('sorted_neighborhood', 'sncand')}
+        UNION ALL {_audit_stat('prefix_filter', 'pfcand')}
     """
 
     # calibration oracle (q126): q125's chain nested as a CTE, then
@@ -7572,6 +7693,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1000000 >= 900000 * (sa.n + sb.n - inter)
         """,
         "q173_ktruss": ktruss_sql,
+        "q174_multi_blocking_audit": multi_audit_sql,
         # q166: histogram-cumulative median/MAD twin
         "q166_robust_outliers": """
             WITH hist AS (SELECT source AS g,

@@ -880,7 +880,8 @@ def sorted_neighborhood_pairs(df: DataFrame, key_col: str, id_col: str,
 
 
 def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
-                        t_ppm: int = 500_000) -> DataFrame:
+                        t_ppm: int = 500_000,
+                        candidates_only: bool = False) -> DataFrame:
     """Exact set-similarity join at Jaccard >= t via PREFIX FILTERING
     (the PPJoin family, Xiao et al. 2008): order each document's
     distinct tokens by ascending global document frequency (rarest
@@ -903,7 +904,9 @@ def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
     (t_ppm*n + 999_999) div 1_000_000.
 
     Returns (doc_a, doc_b, inter, uni) with
-    inter * 1e6 >= t_ppm * uni."""
+    inter * 1e6 >= t_ppm * uni; with candidates_only=True, the
+    pre-verification (doc_a, doc_b) candidate set instead (the
+    blocking-audit input)."""
     from pyspark.sql import Window
 
     norm = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
@@ -929,6 +932,9 @@ def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
             .select(F.col("pa.doc_id").alias("doc_a"),
                     F.col("pb.doc_id").alias("doc_b"))
             .distinct())
+    if candidates_only:
+        cand.unpersist_input = toks.unpersist
+        return cand
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
     inter = (cand.join(ta, "doc_a").join(tb, ["doc_b", "token"])
@@ -946,4 +952,81 @@ def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
                    F.col("inter").cast("bigint").alias("inter"),
                    F.col("uni").cast("bigint").alias("uni")))
     out.unpersist_input = toks.unpersist
+    return out
+
+
+def multi_blocking_audit(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 3, min_shared: int = 2,
+                         max_df: int | None = None, n_hashes: int = 8,
+                         bands: int = 4, jaccard_ppm: int = 500_000,
+                         sn_key_chars: int = 16, sn_window: int = 4,
+                         prefix_t_ppm: int = 900_000) -> DataFrame:
+    """Three-strategy blocking audit: recall/precision of banded LSH
+    (token-key), sorted-neighborhood (order-key), and prefix-filter
+    (rare-token-key) candidate generation against the SAME exact
+    capped-Jaccard truth — the sheet that picks the production
+    blocker per corpus before any of them runs at 100 TB.  Extends
+    blocking_audit (q128, LSH only): the three families fail
+    differently (LSH misses by probability, SN by key-prefix
+    divergence, prefix-filter by its different similarity space —
+    token sets vs k-gram shingles), so one number per strategy on
+    identical truth is the only fair comparison.
+
+    One row per strategy: (strategy, n_truth, n_cand, n_hit,
+    recall_ppm, precision_ppm), integers only.
+
+    Scale shape: truth is persisted (three consumers — the
+    multi-consumer-dimension persist rule); each candidate set keeps
+    its own generator's bounded shape and is folded by one pair-key
+    join + single-row aggregates."""
+    exact = jaccard_pairs(df, text_col, id_col, k=k,
+                          min_shared=min_shared, max_df=max_df)
+    truth_release = exact.unpersist_input
+    truth = (exact.where(F.col("inter") * F.lit(1_000_000)
+                         >= F.lit(jaccard_ppm) * F.col("uni"))
+             .select("doc_a", "doc_b").persist())
+    releases = [truth_release, truth.unpersist]
+
+    lsh = lsh_candidate_pairs(df, text_col, id_col, k=k,
+                              n_hashes=n_hashes, bands=bands)
+    releases.append(lsh.unpersist_input)
+
+    blk = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1, sn_key_chars)
+    sn_raw = sorted_neighborhood_pairs(
+        df.select(blk.alias("blk"), F.col(id_col).alias("sid")),
+        "blk", "sid", window=sn_window)
+    releases.append(sn_raw.unpersist_input)
+    # SN emits pairs in blocking-key order; canonicalize to the
+    # truth's (doc_a < doc_b) pair key
+    sn = sn_raw.select(F.least("id_a", "id_b").alias("doc_a"),
+                       F.greatest("id_a", "id_b").alias("doc_b"))
+
+    pf = prefix_filter_pairs(df, text_col, id_col, t_ppm=prefix_t_ppm,
+                             candidates_only=True)
+    releases.append(pf.unpersist_input)
+
+    out = None
+    for name, cand in (("lsh", lsh), ("sorted_neighborhood", sn),
+                       ("prefix_filter", pf)):
+        c = cand.select("doc_a", "doc_b").withColumn("_c", F.lit(1))
+        hits = (truth.join(c, ["doc_a", "doc_b"], "left")
+                .agg(F.count("*").cast("bigint").alias("n_truth"),
+                     F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint")
+                     .alias("n_hit")))
+        totals = c.agg(F.count("*").cast("bigint").alias("n_cand"))
+        row = (hits.crossJoin(F.broadcast(totals))
+               .select(F.lit(name).alias("strategy"),
+                       "n_truth", "n_cand", "n_hit",
+                       F.expr("(n_hit * 1000000) div greatest(n_truth, 1)")
+                       .cast("bigint").alias("recall_ppm"),
+                       F.expr("(n_hit * 1000000) div greatest(n_cand, 1)")
+                       .cast("bigint").alias("precision_ppm")))
+        out = row if out is None else out.unionByName(row)
+
+    def _release():
+        for r in releases:
+            r()
+    out.unpersist_input = _release
     return out

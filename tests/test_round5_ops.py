@@ -168,6 +168,51 @@ def test_ktruss_python_twin_random(spark):
         assert got == _truss_twin(pairs, k, 3)
 
 
+def test_multi_blocking_audit_invariants(spark):
+    # near-dup pairs planted by duplication; every strategy's counts
+    # must satisfy hits <= min(truth, cand) and recall/precision <=
+    # 1e6; prefix-filter on near-identical docs must reach the truth
+    rng = random.Random(9)
+    vocab = ["tok%d" % i for i in range(40)]
+    base = [" ".join(rng.sample(vocab, 12)) for _ in range(30)]
+    docs = [(i, t) for i, t in enumerate(base)]
+    docs += [(100 + i, t) for i, t in enumerate(base[:10])]  # exact dups
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(4)
+    from python_mecab_ner_spark.operators.dedup import \
+        multi_blocking_audit
+    out = multi_blocking_audit(df, "text", "doc_id", k=3, min_shared=2)
+    rows = {r.strategy: r for r in out.collect()}
+    out.unpersist_input()
+    assert set(rows) == {"lsh", "sorted_neighborhood", "prefix_filter"}
+    truths = {r.n_truth for r in rows.values()}
+    assert len(truths) == 1 and truths.pop() > 0
+    for r in rows.values():
+        assert r.n_hit <= min(r.n_truth, r.n_cand)
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert 0 <= r.precision_ppm <= 1_000_000
+    # exact duplicates share every token AND every 16-char prefix:
+    # the prefix-filter and sorted-neighborhood blockers must see them
+    assert rows["prefix_filter"].recall_ppm == 1_000_000
+    assert rows["sorted_neighborhood"].n_hit > 0
+
+
+def test_prefix_filter_candidates_only_superset(spark):
+    docs = [(1, "a b c d"), (2, "a b c d"), (3, "x y z w"),
+            (4, "a q r s")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from python_mecab_ner_spark.operators.dedup import \
+        prefix_filter_pairs
+    cand = prefix_filter_pairs(df, "text", "doc_id", t_ppm=500_000,
+                               candidates_only=True)
+    cpairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    cand.unpersist_input()
+    ver = prefix_filter_pairs(df, "text", "doc_id", t_ppm=500_000)
+    vpairs = {(r.doc_a, r.doc_b) for r in ver.collect()}
+    ver.unpersist_input()
+    assert vpairs <= cpairs
+    assert (1, 2) in vpairs
+
+
 def test_ktruss_fixpoint_extra_round_is_noop(spark):
     clique = [(a, b) for a, b in itertools.combinations([1, 2, 3, 4], 2)]
     df = spark.createDataFrame(clique + [(4, 5)], ["src", "dst"])
