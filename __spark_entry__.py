@@ -3336,6 +3336,46 @@ def q174_multi_blocking_audit(spark, sf_dir):
     return res
 
 
+def q175_incremental_cc(spark, sf_dir):
+    """Warm-start connected components (operators.graph
+    .incremental_components): the thin customer<->supplier graph is
+    hash-split 3:1 into yesterday's edges and today's delta;
+    yesterday's labeling (batch connected_components) plus the delta
+    goes through the CONTRACTED-graph merge, and the oracle recomputes
+    components on the FULL union from scratch — the hash match IS the
+    exact-equivalence contract that makes the incremental path safe
+    to run instead of the recompute at 100 TB."""
+    from python_mecab_ner_spark.functions.hashing import md5_int
+    from python_mecab_ner_spark.operators.canonicalize import \
+        connected_components
+    from python_mecab_ner_spark.operators.graph import \
+        incremental_components
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    e = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .where((F.col("o_orderdate") >= "1998-01-01")
+                & (F.col("l_quantity") <= 2))
+         .select((F.col("o_custkey") * 2).alias("src"),
+                 (F.col("l_suppkey") * 2 + 1).alias("dst"))
+         .distinct())
+    h = F.pmod(md5_int(F.concat(F.col("src").cast("string"), F.lit(":"),
+                                F.col("dst").cast("string")),
+                       salt="ccd:"), F.lit(4))
+    old = e.where(h != 0)
+    delta = e.where(h == 0)
+    verts = (old.select(F.col("src").alias("entity_id"))
+             .unionByName(old.select(F.col("dst").alias("entity_id")))
+             .distinct())
+    labels_old = (connected_components(
+        old.select(F.col("src").alias("a_id"),
+                   F.col("dst").alias("b_id")), verts)
+        .select(F.col("entity_id").alias("id"),
+                F.col("canonical_id").alias("comp")))
+    out = incremental_components(labels_old, delta)
+    return out.select(F.col("id").cast("bigint").alias("id"),
+                      F.col("comp").cast("bigint").alias("comp"))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -5003,6 +5043,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_prefix_filter_join": q172_prefix_filter_join,
         "q173_ktruss": q173_ktruss,
         "q174_multi_blocking_audit": q174_multi_blocking_audit,
+        "q175_incremental_cc": q175_incremental_cc,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7694,6 +7735,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q173_ktruss": ktruss_sql,
         "q174_multi_blocking_audit": multi_audit_sql,
+        # q175: full-recompute components on old UNION delta — the
+        # exact-equivalence twin of the warm-start incremental path
+        "q175_incremental_cc": """
+            WITH RECURSIVE raw AS (
+                SELECT DISTINCT o_custkey * 2 AS src,
+                                l_suppkey * 2 + 1 AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderdate >= '1998-01-01' AND l_quantity <= 2),
+            edges AS (SELECT src AS a, dst AS b FROM raw
+                      UNION SELECT dst, src FROM raw),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            reach(n, m) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m)
+            SELECT CAST(n AS BIGINT) AS id,
+                   CAST(min(m) AS BIGINT) AS comp
+            FROM reach GROUP BY 1
+        """,
         # q166: histogram-cumulative median/MAD twin
         "q166_robust_outliers": """
             WITH hist AS (SELECT source AS g,

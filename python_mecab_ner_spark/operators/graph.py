@@ -1059,6 +1059,87 @@ def hyperball(edges: DataFrame, iters: int = 2, n_registers: int = 16,
     return regs
 
 
+def incremental_components(labels_old: DataFrame, delta_edges: DataFrame,
+                           id_col: str = "id", comp_col: str = "comp",
+                           src: str = "src", dst: str = "dst",
+                           max_rounds: int = 12) -> DataFrame:
+    """Warm-start connected components from a previous run's labels
+    plus an edge DELTA — the daily-graph-delta path (the CC analogue
+    of warm-start PageRank, q159): yesterday's labeling of a 100 TB
+    graph is a materialized table, today's crawl adds edges, and
+    re-propagating min-labels across every settled vertex repays
+    nothing.  Instead, propagation runs on the CONTRACTED graph —
+    each old component collapsed to its label, delta edges mapped to
+    component endpoints — whose size is bounded by the DELTA (touched
+    components), not the corpus; members are relabeled by one
+    broadcast-sized mapping join at the end.
+
+    EXACT equivalence contract (oracled, q175): old labels are
+    min-vertex-id per component (what connected_components emits), so
+    the contracted min-propagation yields precisely the full-recompute
+    labeling of (old ∪ delta) — min over merged old components = min
+    vertex id over the merged vertex set; delta-only vertices enter as
+    their own singleton components.
+
+    Raises RuntimeError if the contracted graph has not reached its
+    fixpoint within max_rounds (the SCC discipline: never return a
+    partially-merged labeling) — its diameter is the number of OLD
+    components chained by the delta, so 12 rounds covers any sane
+    daily delta; raise max_rounds for pathological chains.
+
+    Returns (id, comp) for every vertex of old ∪ delta."""
+    lab = labels_old.select(F.col(id_col).alias("id"),
+                            F.col(comp_col).alias("comp"))
+    de = (delta_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+          .where(F.col("u") != F.col("v")))
+    # map delta endpoints to old component labels (unknown -> own id)
+    lu = lab.withColumnRenamed("id", "u").withColumnRenamed("comp", "cu")
+    lv = lab.withColumnRenamed("id", "v").withColumnRenamed("comp", "cv")
+    mapped = (de.join(lu, "u", "left").join(lv, "v", "left")
+              .select(F.coalesce("cu", "u").alias("ca"),
+                      F.coalesce("cv", "v").alias("cb")))
+    ce = (mapped.where(F.col("ca") != F.col("cb"))
+          .select("ca", "cb").distinct())
+    sym = (ce.unionByName(ce.select(F.col("cb").alias("ca"),
+                                    F.col("ca").alias("cb")))
+           .distinct().localCheckpoint(eager=True))
+    cl = (sym.select(F.col("ca").alias("cid"))
+          .distinct()
+          .select("cid", F.col("cid").alias("newc"))
+          .localCheckpoint(eager=True))
+    converged = False
+    for _ in range(max_rounds):
+        msgs = (sym.join(cl.withColumnRenamed("cid", "ca"), "ca")
+                .select(F.col("cb").alias("cid"), "newc"))
+        nxt = (cl.unionByName(msgs)
+               .groupBy("cid").agg(F.min("newc").alias("newc"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.alias("n").join(cl.alias("o"), "cid")
+                   .where(F.col("n.newc") != F.col("o.newc"))
+                   .limit(1).count())
+        cl = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "incremental_components: contracted-graph min-propagation "
+            "did not converge within max_rounds — returning now would "
+            "split a merged component; raise max_rounds")
+    # relabel: old members through the touched-component mapping,
+    # plus delta-only vertices (their singleton 'component' is the id)
+    m = cl.withColumnRenamed("cid", "comp")
+    old_out = (lab.join(m, "comp", "left")
+               .select("id", F.coalesce("newc", "comp").alias("comp")))
+    dv = (de.select(F.col("u").alias("id"))
+          .unionByName(de.select(F.col("v").alias("id")))
+          .distinct()
+          .join(lab.select("id"), "id", "left_anti"))
+    new_out = (dv.join(m.withColumnRenamed("comp", "id"), "id", "left")
+               .select("id", F.coalesce("newc", "id").alias("comp")))
+    return old_out.unionByName(new_out)
+
+
 def resolve_redirects(redirects: DataFrame, src_col: str = "src",
                       dst_col: str = "dst",
                       rounds: int = 6) -> DataFrame:
