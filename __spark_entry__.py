@@ -4829,16 +4829,17 @@ _SNAPSHOT_FIRST_50 = [
     # text quality / cleaning
     "q12_lang_id", "q13_quality_score", "q47_pii_redact",
     "q139_c4_line_rules",
-    # dedup family
+    # dedup / blocking family
     "q15_exact_dedup", "q16_jaccard_pairs", "q17_lsh_pairs",
-    "q48_line_dedup", "q100_incremental_lsh",
+    "q48_line_dedup", "q171_sorted_neighborhood",
+    "q174_multi_blocking_audit",
     # ANN / embeddings
-    "q21_ann_lsh", "q29_ann_ivf", "q51_quantized_ann",
+    "q21_ann_lsh", "q29_ann_ivf",
     # BPE
-    "q73_bpe_merges", "q74_bpe_token_counts", "q97_bpe_fertility",
+    "q73_bpe_merges", "q97_bpe_fertility",
     # graph
     "q40_pagerank", "q49_khop", "q154_modularity", "q161_wl_classes",
-    "q162_scc",
+    "q162_scc", "q173_ktruss", "q175_incremental_cc",
     # ontology / schema induction
     "q140_pred_functionality", "q141_domain_range",
     "q142_inverse_preds", "q155_entity_alignment",
@@ -4852,7 +4853,7 @@ _SNAPSHOT_FIRST_50 = [
     # sketches
     "q71_cm_heavy_hitters", "q75_hll_registers",
     # crawl / web
-    "q66_url_canonical", "q135_recrawl_schedule", "q145_warc_roundtrip",
+    "q66_url_canonical", "q145_warc_roundtrip",
     # multimodal plumbing
     "q24_image_features",
     # real-KG rows-only
