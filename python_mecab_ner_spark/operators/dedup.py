@@ -801,7 +801,8 @@ def blocking_audit(df: DataFrame, text_col: str, id_col: str,
 
 
 def global_rank(df: DataFrame, order_cols: list[str],
-                rank_col: str = "rnk") -> DataFrame:
+                rank_col: str = "rnk",
+                num_parts: int | None = None) -> DataFrame:
     """Scale-safe GLOBAL 1-based rank by a total order, without the
     single-partition `Window.orderBy(...)` bottleneck: range-partition
     on the order columns, row_number WITHIN each partition, then add
@@ -814,13 +815,18 @@ def global_rank(df: DataFrame, order_cols: list[str],
     The pid-stamped input is persisted because TWO jobs consume it
     (the offset count and the ranked output) and RangePartitioner's
     sampled boundaries are not guaranteed identical across recomputes;
-    the returned plan exposes .unpersist_input (house convention)."""
+    the returned plan exposes .unpersist_input (house convention).
+
+    num_parts sizes the range exchange (default: session
+    spark.sql.shuffle.partitions) — a 100 TB caller sets it so each
+    range partition's sort fits executor memory; the offset collect
+    stays num_parts-sized either way."""
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in order_cols]
-    stamped = (df.repartitionByRange(*cols)
-               .withColumn("_pid", F.spark_partition_id())
-               .persist())
+    rp = (df.repartitionByRange(num_parts, *cols) if num_parts
+          else df.repartitionByRange(*cols))
+    stamped = rp.withColumn("_pid", F.spark_partition_id()).persist()
     # partition-count-sized dimension: cumulative offset per pid
     counts = {r["_pid"]: r["c"] for r in
               stamped.groupBy("_pid").agg(F.count("*").alias("c"))

@@ -30,6 +30,15 @@ def test_global_rank_matches_sorted_enumerate(spark):
     assert got == want
 
 
+def test_global_rank_explicit_num_parts(spark):
+    rows = [("k%02d" % (i % 9), i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["key", "id"])
+    ranked = global_rank(df, ["key", "id"], num_parts=3)
+    got = {(r.key, r.id): r.rnk for r in ranked.collect()}
+    ranked.unpersist_input()
+    assert got == {kv: i + 1 for i, kv in enumerate(sorted(rows))}
+
+
 def test_global_rank_single_row_and_release(spark):
     df = spark.createDataFrame([("a", 1)], ["key", "id"])
     ranked = global_rank(df, ["key", "id"])
