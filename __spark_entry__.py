@@ -5504,13 +5504,15 @@ def oracle_sql() -> dict[str, str]:
                             AS rn
                  FROM ptok t JOIN ptdf d USING (token)
                  JOIN psizes s USING (doc_id)),
-        pprefix AS (SELECT doc_id, token FROM pord
+        pprefix AS (SELECT doc_id, token, n FROM pord
                     WHERE rn <= n - ((900000 * n + 999999) // 1000000)
                               + 1),
         pfcand AS (SELECT DISTINCT a.doc_id AS doc_a,
                           b.doc_id AS doc_b
                    FROM pprefix a JOIN pprefix b
-                     ON b.token = a.token AND a.doc_id < b.doc_id)
+                     ON b.token = a.token AND a.doc_id < b.doc_id
+                    AND 900000 * greatest(a.n, b.n)
+                        <= 1000000 * least(a.n, b.n))
         {_audit_stat('lsh', 'lshcand')}
         UNION ALL {_audit_stat('sorted_neighborhood', 'sncand')}
         UNION ALL {_audit_stat('prefix_filter', 'pfcand')}
@@ -7713,12 +7715,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks t JOIN tdf d USING (token)
                 JOIN sizes s USING (doc_id)),
             prefix AS (
-                SELECT doc_id, token FROM ordered
+                SELECT doc_id, token, n FROM ordered
                 WHERE rn <= n - ((900000 * n + 999999) // 1000000) + 1),
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM prefix a JOIN prefix b
-                  ON b.token = a.token AND a.doc_id < b.doc_id),
+                  ON b.token = a.token AND a.doc_id < b.doc_id
+                 AND 900000 * greatest(a.n, b.n)
+                     <= 1000000 * least(a.n, b.n)),
             i AS (
                 SELECT c.doc_a, c.doc_b, count(*) AS inter
                 FROM cand c

@@ -931,10 +931,20 @@ def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
     plen = (F.col("n")
             - F.floor((F.lit(t_ppm) * F.col("n") + F.lit(999_999))
                       / F.lit(1_000_000)) + 1)
-    prefix = ordered.where(F.col("rn") <= plen).select("doc_id", "token")
+    prefix = (ordered.where(F.col("rn") <= plen)
+              .select("doc_id", "token", "n"))
     a, b = prefix.alias("pa"), prefix.alias("pb")
+    # PPJoin length filter: Jaccard >= t forces
+    # t * max(|a|,|b|) <= min(|a|,|b|) (inter <= min and
+    # inter >= t*uni >= t*max), so size-incompatible pairs are pruned
+    # INSIDE the prefix join — on mixed-length corpora this is the
+    # second big candidate cut after the prefix itself
     cand = (a.join(b, on="token")
-            .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+            .where((F.col("pa.doc_id") < F.col("pb.doc_id"))
+                   & (F.lit(t_ppm)
+                      * F.greatest(F.col("pa.n"), F.col("pb.n"))
+                      <= F.lit(1_000_000)
+                      * F.least(F.col("pa.n"), F.col("pb.n"))))
             .select(F.col("pa.doc_id").alias("doc_a"),
                     F.col("pb.doc_id").alias("doc_b"))
             .distinct())
