@@ -3376,6 +3376,28 @@ def q175_incremental_cc(spark, sf_dir):
                       F.col("comp").cast("bigint").alias("comp"))
 
 
+def q176_star_cc(spark, sf_dir):
+    """Web-scale connected components via alternating large-star /
+    small-star (operators.graph.connected_components_star): the input
+    is 8 PATH components of diameter n/8 (consecutive event_ids
+    within each event_id%8 residue chain), where diameter-bound
+    min-label propagation would need ~1250 rounds at sf0.01 and the
+    alternating algorithm converges in about a dozen.  The graph is
+    constructed so ground truth is analytic — each chain's component
+    is its min id — giving the O(log n) algorithm an exact oracle
+    with no recursive CTE."""
+    from python_mecab_ner_spark.operators.graph import \
+        connected_components_star
+    ev = _load(spark, sf_dir, "events").select("event_id")
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (a.join(b, F.col("b.event_id") == F.col("a.event_id") + 8)
+             .select(F.col("a.event_id").alias("src"),
+                     F.col("b.event_id").alias("dst")))
+    return (connected_components_star(edges)
+            .select(F.col("id").cast("bigint").alias("id"),
+                    F.col("comp").cast("bigint").alias("comp")))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4840,6 +4862,7 @@ _SNAPSHOT_FIRST_50 = [
     # graph
     "q40_pagerank", "q49_khop", "q154_modularity", "q161_wl_classes",
     "q162_scc", "q173_ktruss", "q175_incremental_cc",
+    "q176_star_cc",
     # ontology / schema induction
     "q140_pred_functionality", "q141_domain_range",
     "q142_inverse_preds", "q155_entity_alignment",
@@ -4849,7 +4872,7 @@ _SNAPSHOT_FIRST_50 = [
     "q55_stratified_sample", "q95_quality_hist_gate",
     "q165_epoch_allocation",
     # monitoring / profiling
-    "q120_vocab_drift", "q166_robust_outliers", "q169_heaps_law",
+    "q166_robust_outliers", "q169_heaps_law",
     # sketches
     "q71_cm_heavy_hitters", "q75_hll_registers",
     # crawl / web
@@ -5045,6 +5068,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_ktruss": q173_ktruss,
         "q174_multi_blocking_audit": q174_multi_blocking_audit,
         "q175_incremental_cc": q175_incremental_cc,
+        "q176_star_cc": q176_star_cc,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7740,6 +7764,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q173_ktruss": ktruss_sql,
         "q174_multi_blocking_audit": multi_audit_sql,
+        # q176: path-chain components — ground truth is analytic
+        # (chain component = min id of the residue class), no
+        # recursion needed; the ENGINE side does real O(log n) CC
+        "q176_star_cc": """
+            WITH e AS (
+                SELECT a.event_id AS src, b.event_id AS dst
+                FROM events a JOIN events b
+                  ON b.event_id = a.event_id + 8),
+            verts AS (SELECT src AS id FROM e
+                      UNION SELECT dst FROM e)
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(min(id) OVER (PARTITION BY id % 8) AS BIGINT)
+                       AS comp
+            FROM verts
+        """,
         # q175: full-recompute components on old UNION delta — the
         # exact-equivalence twin of the warm-start incremental path
         "q175_incremental_cc": """

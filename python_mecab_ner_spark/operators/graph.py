@@ -1059,6 +1059,107 @@ def hyperball(edges: DataFrame, iters: int = 2, n_registers: int = 16,
     return regs
 
 
+def connected_components_star(edges: DataFrame, src: str = "src",
+                              dst: str = "dst",
+                              max_rounds: int = 30) -> DataFrame:
+    """Web-scale connected components via alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): converges in O(log n) ROUNDS regardless of
+    component diameter, where plain min-label propagation
+    (canonicalize.connected_components, the blocking-graph path) pays
+    one round PER HOP of the longest shortest path — on a 100 TB web
+    graph whose host chains run thousands of hops, diameter-bound
+    propagation is not runnable and this is the standard replacement.
+    q176 drives it across 8 path components of diameter ~1250 in
+    <= a dozen alternations (min-propagation would need 1250 rounds).
+
+    Per alternation: two groupBy-min aggregates + two joins, all
+    keyed by node — map-side combinable, no skew beyond the graph's
+    own degree distribution; the edge set is localCheckpoint'ed per
+    alternation (iterative-operator house rule) and convergence is an
+    exact edge-multiset signature (count + sum of pair hashes), not a
+    heuristic.
+
+    large-star(u): m = min(N(u) ∪ {u}); emit (m, v) for v ∈ N(u),
+    v > u.  small-star(u over edges oriented larger→smaller):
+    m = min smaller-neighbor; emit (m, v) for the other smaller
+    neighbors and (m, u).  Both preserve connectivity and strictly
+    shrink potential (per the paper); at the fixpoint every edge is
+    (root, member) with root = component min.
+
+    Raises RuntimeError if the signature has not stabilized within
+    max_rounds (the SCC/incremental-CC discipline: never return a
+    partially-contracted labeling).
+
+    Returns (id, comp) for every vertex of the input edge set."""
+    from ..functions.hashing import md5_int
+
+    e0 = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                       F.greatest(F.col(src), F.col(dst)).alias("b"))
+          .where(F.col("a") != F.col("b"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    verts = (e0.select(F.col("a").alias("id"))
+             .unionByName(e0.select(F.col("b").alias("id")))
+             .distinct())
+
+    def _large(e: DataFrame) -> DataFrame:
+        sym = (e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+               .unionByName(e.select(F.col("b").alias("u"),
+                                     F.col("a").alias("v"))))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        out = (sym.join(mins, "u")
+               .where(F.col("v") > F.col("u"))
+               .select(F.col("m").alias("a"), F.col("v").alias("b")))
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    def _small(e: DataFrame) -> DataFrame:
+        sym = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins = sym.groupBy("u").agg(F.min("v").alias("m"))
+        nb = (sym.join(mins, "u")
+              .select(F.col("m").alias("a"), F.col("v").alias("b"))
+              .where(F.col("a") != F.col("b")))
+        own = mins.select(F.col("m").alias("a"), F.col("u").alias("b"))
+        return nb.unionByName(own).distinct()
+
+    def _sig(e: DataFrame):
+        # multiset signature: count + two independent 32-bit-folded
+        # hash sums (raw md5_int is ~60 bits and a plain sum overflows
+        # int64 after a handful of edges; folded sums stay < 2^63 up
+        # to 2^31 edges per partition-tree, and two salts make a
+        # false "stable" verdict a ~2^-64 event)
+        pair = F.concat(F.col("a").cast("string"), F.lit(","),
+                        F.col("b").cast("string"))
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(md5_int(pair, salt="ccsig1:")
+                             % F.lit(1 << 32)), F.lit(0)).alias("h1"),
+            F.coalesce(F.sum(md5_int(pair, salt="ccsig2:")
+                             % F.lit(1 << 32)), F.lit(0)).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    e = e0
+    prev = _sig(e)
+    converged = False
+    for _ in range(max_rounds):
+        e = _small(_large(e)).localCheckpoint(eager=True)
+        cur = _sig(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            "connected_components_star: edge signature still moving "
+            "after max_rounds alternations — returning now could "
+            "label a partially contracted component; raise max_rounds")
+    members = e.select(F.col("b").alias("id"), F.col("a").alias("comp"))
+    return (verts.join(members, "id", "left")
+            .select("id", F.coalesce("comp", F.col("id")).alias("comp")))
+
+
 def incremental_components(labels_old: DataFrame, delta_edges: DataFrame,
                            id_col: str = "id", comp_col: str = "comp",
                            src: str = "src", dst: str = "dst",

@@ -284,6 +284,44 @@ def test_incremental_components_delta_only_vertices(spark):
     assert got == {1: 1, 2: 1, 5: 1, 10: 1, 11: 1}
 
 
+def test_star_cc_python_twin_random(spark):
+    from python_mecab_ner_spark.operators.graph import \
+        connected_components_star
+    rng = random.Random(23)
+    for trial in range(3):
+        pairs = list({tuple(sorted((rng.randrange(60),
+                                    rng.randrange(60))))
+                      for _ in range(50)})
+        pairs = [p for p in pairs if p[0] != p[1]]
+        df = spark.createDataFrame(pairs, ["src", "dst"])
+        got = {r.id: r.comp
+               for r in connected_components_star(df).collect()}
+        assert got == _cc_twin(pairs), f"trial {trial}"
+
+
+def test_star_cc_long_path_beats_diameter(spark):
+    # a 300-hop path: min-label propagation needs 300 rounds; the
+    # alternating algorithm must finish inside 20 — the whole point
+    from python_mecab_ner_spark.operators.graph import \
+        connected_components_star
+    pairs = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {r.id: r.comp
+           for r in connected_components_star(df, max_rounds=20)
+           .collect()}
+    assert got == {i: 0 for i in range(301)}
+
+
+def test_star_cc_raises_on_round_exhaustion(spark):
+    from python_mecab_ner_spark.operators.graph import \
+        connected_components_star
+    pairs = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    import pytest
+    with pytest.raises(RuntimeError, match="still moving"):
+        connected_components_star(df, max_rounds=1)
+
+
 def test_incremental_components_raises_on_round_exhaustion(spark):
     from python_mecab_ner_spark.operators.graph import \
         incremental_components
