@@ -128,6 +128,15 @@ def connected_components(edges: DataFrame, vertices: DataFrame,
     min per vertex.  localCheckpoint truncates the growing plan; the
     loop exits when no label changes (bounded by max_iters — component
     diameters beyond that indicate a pathological blocking graph).
+
+    DIAMETER CAVEAT: rounds = longest shortest path.  Alias/blocking
+    graphs are dense star-ish clusters (diameter ~2-4), where this is
+    the cheapest correct algorithm; for long-chain graphs (host link
+    chains, path-shaped dedup graphs) use
+    operators.graph.connected_components_star — O(log n) alternations
+    regardless of diameter (q176: diameter-1250 chains, ~a dozen
+    rounds).  For daily edge deltas over an existing labeling, use
+    operators.graph.incremental_components (q175).
     """
     e = edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
