@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q147_bcubed_eval", "q148_encoding_audit", "q149_ngram_diversity",
     "q154_modularity", "q157_edge_cut", "q160_contrastive_pairs",
     "q161_wl_classes",
+    # round 5 additions
+    "q171_sorted_neighborhood", "q173_ktruss",
 ]
 
 
