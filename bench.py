@@ -255,6 +255,10 @@ def main() -> int:
         "queries": timings,
         "spread": spread,
         "repeats": REPEATS,
+        # remeasured queries' medians/spreads come from a REPLACEMENT
+        # window of this many runs, not `repeats` (review finding:
+        # the artifact must say which window produced each number)
+        "repeats_remeasured": EXTRA_REPEATS,
         "remeasured": flagged,
         "burst_suspect": still_wide,
         "control_sec": control,

@@ -928,9 +928,11 @@ def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
     ordered = (toks.join(tdf, "token")
                .withColumn("rn", F.row_number().over(w))
                .join(sizes, "doc_id"))
-    plen = (F.col("n")
-            - F.floor((F.lit(t_ppm) * F.col("n") + F.lit(999_999))
-                      / F.lit(1_000_000)) + 1)
+    # exact integer div (never float `/` + floor: double spacing
+    # exceeds the 1e-6 quotient step once t_ppm*n passes ~2^52 — the
+    # CLAUDE.md cross-engine float trap, and exactly the 100 TB
+    # regime); `div` matches the oracle's `//` bit-for-bit
+    plen = F.expr(f"n - (({t_ppm} * n + 999999) div 1000000) + 1")
     prefix = (ordered.where(F.col("rn") <= plen)
               .select("doc_id", "token", "n"))
     a, b = prefix.alias("pa"), prefix.alias("pb")

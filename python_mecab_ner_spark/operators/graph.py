@@ -575,32 +575,7 @@ def triangle_counts(edges: DataFrame,
                       F.greatest(F.col(src), F.col(dst)).alias("b"))
          .where(F.col("a") != F.col("b"))
          .distinct())
-    deg = (e.select(F.col("a").alias("node"))
-           .unionByName(e.select(F.col("b").alias("node")))
-           .groupBy("node").agg(F.count("*").alias("deg")))
-    # orient lo -> hi by (deg, id); broadcast degrees (vocabulary-of-
-    # nodes table is corpus-bounded; swap for shuffle join beyond it)
-    withdeg = (e.join(F.broadcast(deg.withColumnRenamed("node", "a")
-                                  .withColumnRenamed("deg", "da")), "a")
-               .join(F.broadcast(deg.withColumnRenamed("node", "b")
-                                 .withColumnRenamed("deg", "db")), "b"))
-    oriented = withdeg.select(
-        F.when((F.col("da") < F.col("db"))
-               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-               F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when((F.col("da") < F.col("db"))
-               | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-               F.col("b")).otherwise(F.col("a")).alias("hi"))
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedges = (o1.join(o2, (F.col("o1.lo") == F.col("o2.lo"))
-                      & (F.col("o1.hi") < F.col("o2.hi")))
-              .select(F.col("o1.lo").alias("x"),
-                      F.col("o1.hi").alias("y"),
-                      F.col("o2.hi").alias("z")))
-    closed = wedges.join(
-        e, (F.least(F.col("y"), F.col("z")) == F.col("a"))
-        & (F.greatest(F.col("y"), F.col("z")) == F.col("b")))
+    closed = _closed_triangles(e)
     corners = (closed.select(F.col("x").alias("node"))
                .unionByName(closed.select(F.col("y").alias("node")))
                .unionByName(closed.select(F.col("z").alias("node"))))
@@ -608,16 +583,16 @@ def triangle_counts(edges: DataFrame,
         F.count("*").cast("bigint").alias("n_tri"))
 
 
-def _edge_support(e: DataFrame) -> DataFrame:
-    """Per-EDGE triangle participation count over a canonical (a < b,
-    distinct) edge list: the k-truss peel statistic.  Same
-    degree-oriented wedge join as triangle_counts (orientation bounds
-    wedge fan-out per center by the MIN endpoint degree — the
-    power-law survival lever), but each closed triangle emits its
-    THREE canonical edges instead of its three corners.  Do NOT
-    persist the oriented/wedge subtrees (the triangle_counts measured
-    dead end: they are exchange-identical, ReusedExchange already
-    dedups them and InMemoryRelation would block it + AQE stats)."""
+def _closed_triangles(e: DataFrame) -> DataFrame:
+    """One (x, y, z) row per triangle of a canonical (a < b, distinct)
+    edge list — the degree-oriented wedge enumeration shared by
+    triangle_counts (corners) and _edge_support / ktruss (sides), so
+    an orientation or join-strategy fix lands in both.
+
+    Orients each edge from the (deg, id)-smaller endpoint, builds
+    wedges by self-joining on the center, and closes them against the
+    canonical edge set; degrees are broadcast (node vocabulary is
+    corpus-bounded; swap for a shuffle join beyond it)."""
     deg = (e.select(F.col("a").alias("node"))
            .unionByName(e.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -630,15 +605,30 @@ def _edge_support(e: DataFrame) -> DataFrame:
     oriented = withdeg.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"))
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
     wedges = (o1.join(o2, (F.col("o1.lo") == F.col("o2.lo"))
                       & (F.col("o1.hi") < F.col("o2.hi")))
               .select(F.col("o1.lo").alias("x"),
                       F.col("o1.hi").alias("y"),
                       F.col("o2.hi").alias("z")))
-    closed = wedges.join(
+    return wedges.join(
         e, (F.least(F.col("y"), F.col("z")) == F.col("a"))
-        & (F.greatest(F.col("y"), F.col("z")) == F.col("b")))
+        & (F.greatest(F.col("y"), F.col("z")) == F.col("b"))
+    ).select("x", "y", "z")
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-EDGE triangle participation count over a canonical (a < b,
+    distinct) edge list: the k-truss peel statistic.  Rides the
+    shared _closed_triangles wedge join (orientation bounds wedge
+    fan-out per center by the MIN endpoint degree — the power-law
+    survival lever); each closed triangle emits its THREE canonical
+    edges instead of its three corners.  Do NOT persist the
+    oriented/wedge subtrees (the triangle_counts measured dead end:
+    they are exchange-identical, ReusedExchange already dedups them
+    and InMemoryRelation would block it + AQE stats)."""
+    closed = _closed_triangles(e)
     sides = closed.select(
         F.least("x", "y").alias("ea"), F.greatest("x", "y").alias("eb")
     ).unionByName(closed.select(
@@ -1377,7 +1367,12 @@ def modularity_ppm(edges: DataFrame, communities: DataFrame,
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      w.alias("w"))
     lab = communities.select(F.col("node"), F.col("community"))
-    tot = e.agg(F.sum("w").cast("bigint").alias("w_tot"))
+    # coalesce: F.sum over an EMPTY edge set is NULL, and a NULL
+    # condition trips the overflow assert below with a misleading
+    # "exceeds int64-safe bound" message — an empty graph must reach
+    # the final projection (n_communities=0 row) instead
+    tot = e.agg(F.coalesce(F.sum("w"), F.lit(0))
+                .cast("bigint").alias("w_tot"))
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("sd"))
     s_c = (deg.join(lab, "node")
@@ -1414,10 +1409,14 @@ def modularity_ppm(edges: DataFrame, communities: DataFrame,
         (F.col("w_tot") + F.coalesce(chk.cast("bigint"), F.lit(0)))
         .cast("bigint").alias("w_tot"))
     return (sums.crossJoin(F.broadcast(tot))
-            .select("n_communities", "w_tot", "intra_w",
-                    F.expr(f"({scale} * (w_tot * intra_w - _s2 "
+            .select("n_communities", "w_tot",
+                    F.coalesce("intra_w", F.lit(0)).cast("bigint")
+                    .alias("intra_w"),
+                    F.expr(f"CASE WHEN w_tot = 0 THEN 0 ELSE "
+                           f"({scale} * (w_tot * coalesce(intra_w, 0) "
+                           f"- coalesce(_s2, 0) "
                            f"+ w_tot * w_tot)) div (w_tot * w_tot) "
-                           f"- {scale}")
+                           f"- {scale} END")
                     .cast("bigint").alias("modularity_ppm")))
 
 

@@ -57,14 +57,22 @@ def _delete_partition_dirs(spark, data_path: str, parts) -> None:
 
 
 def completed_parts(spark, out_dir: str, stage: str) -> DataFrame | None:
-    # probe by reading, not by local-FS existence: the production
-    # out_dir is object storage where Path() semantics don't apply
-    try:
-        return (spark.read.option("mergeSchema", "true")
-                .parquet(_manifest_path(out_dir, stage))
-                .select("part_key").distinct())
-    except Exception:
+    """part_keys whose LATEST manifest row is live (rows_out >= 0).
+
+    Latest-row semantics, not mere row existence: refresh mode
+    appends a rows_out = -1 TOMBSTONE before invalidating a re-run
+    part's data (see run_stage), so a kill inside the
+    invalidate-recompute window leaves the part visibly incomplete to
+    BOTH resume modes instead of a completed-looking part with
+    deleted data (review finding: the old any-row-means-done read
+    made that kill window silently lose the part under a plain
+    resume).  Probes by reading, not local-FS existence — the
+    production out_dir is object storage."""
+    latest = latest_manifest(spark, out_dir, stage)
+    if latest is None:
         return None
+    return (latest.where(F.col("rows_out") >= 0)
+            .select("part_key").distinct())
 
 
 def latest_manifest(spark, out_dir: str, stage: str) -> DataFrame | None:
@@ -132,18 +140,24 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
     change detector, and it is still ~annotate_cost/20 cheaper than
     recomputing everything.
 
-    STALENESS INVALIDATION (round-4 advice): dynamic partition
-    overwrite only touches partitions PRESENT in the wave's output,
-    so (a) a re-run part whose fn output is EMPTY would keep its old
-    parquet data — refresh therefore deletes the partition dirs of
-    re-run parts via the Hadoop FS API (object-store-safe) right
-    before the wave write, and manifests an explicit rows_out=0 row
-    when the re-run produced nothing; (b) a part_key absent from the
-    CURRENT input (urls dropped since the last run) keeps its old
-    data on disk — the refresh return value filters the read to
-    fp_map's part keys, so vanished partitions never leak into the
-    stage output (their dirs are garbage to be reclaimed by
-    retention, not silently served).
+    STALENESS INVALIDATION (round-4 advice, hardened round 5):
+    dynamic partition overwrite only touches partitions PRESENT in
+    the wave's output, so (a) a re-run part whose fn output is EMPTY
+    would keep its old parquet data — each wave therefore appends a
+    rows_out=-1 TOMBSTONE manifest row for its re-run parts FIRST,
+    then clears the wave parts' partition dirs via the Hadoop FS API
+    (object-store-safe), then writes; completed_parts reads
+    latest-row liveness, so a kill anywhere inside that window
+    leaves the part incomplete to BOTH resume modes (tombstone-
+    before-delete closes the round-5 review's data-loss window where
+    delete-then-kill left a completed-looking manifest row over
+    missing data).  An explicit rows_out=0 row is manifested when the
+    re-run produced nothing.  (b) a part_key absent from the CURRENT
+    input (urls dropped since the last run) keeps its old data on
+    disk — the refresh return value filters the read to fp_map's part
+    keys, so vanished partitions never leak into the stage output
+    (their dirs are garbage to be reclaimed by retention, not
+    silently served).
     """
     inp = with_part_key(input_df, key_col, n_parts)
     fp_map: dict[int, int] = {}
@@ -188,15 +202,33 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
         if "part_key" not in out.columns:
             out = with_part_key(out, key_col, n_parts)
         if refresh:
-            # dynamic overwrite skips partitions ABSENT from the
-            # output: a re-run part whose new output is empty would
-            # keep its stale data.  Drop re-run partition dirs first
-            # (Hadoop FS API — works on object storage); a kill
-            # between delete and write just leaves the part in the
-            # todo set (its manifest fp still mismatches).
-            _delete_partition_dirs(
-                spark, _data_path(out_dir, stage),
-                [p for p in wave if p in stored])
+            # invalidate BEFORE touching data: append a rows_out=-1
+            # TOMBSTONE manifest row for each re-run part, so a kill
+            # anywhere inside the delete/recompute window leaves the
+            # part visibly incomplete to both resume modes
+            # (completed_parts reads latest-row liveness).  The old
+            # delete-first order lost the part under a plain resume:
+            # its stale manifest row still said done while its data
+            # was gone (review finding).
+            rerun = [int(p) for p in wave if p in stored]
+            if rerun:
+                (spark.createDataFrame(
+                    [(p, -1, 0, None) for p in rerun],
+                    "part_key int, rows_out bigint, checksum bigint, "
+                    "input_fp bigint")
+                 .withColumn("stage", F.lit(stage))
+                 .withColumn("wall_ms", F.lit(0))
+                 .withColumn("completed_ts", F.current_timestamp())
+                 .write.mode("append")
+                 .parquet(_manifest_path(out_dir, stage)))
+        # clear the wave parts' partition dirs in BOTH modes: every
+        # part in a wave is incomplete by construction (missing,
+        # tombstoned, or fp-mismatched), so whatever sits in its dir
+        # is garbage — a partially-written dir from a killed run, or
+        # refresh-stale data that dynamic overwrite would keep when
+        # the new output is empty.  <= wave_parts driver-side Hadoop
+        # FS calls (object-store-safe), no-ops for absent dirs.
+        _delete_partition_dirs(spark, _data_path(out_dir, stage), wave)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (out.write.mode("overwrite").partitionBy("part_key")
          .parquet(_data_path(out_dir, stage)))
@@ -204,23 +236,19 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
         # the stage fn's plan executes exactly ONCE per wave (the write
         # above): newly completed part keys come from the input-side
         # key set, never from re-running `out`; the checksum pass below
-        # reads back ONLY those partitions via partition pruning.  A
-        # kill between the data write and this manifest append is safe:
-        # the unmanifested wave stays in the todo set and its dynamic
-        # partition overwrite is idempotent.
+        # reads back ONLY those partitions via partition pruning, and
+        # runs exactly once (collected — the tiny <= n_parts manifest
+        # is then written back via createDataFrame instead of
+        # re-executing the aggregate for the write; review finding).
+        # A kill between the data write and this manifest append is
+        # safe: the unmanifested wave stays in the todo set and its
+        # write is idempotent.
         new_parts = sorted(set(wave) - done_set)
-        if fp_map:
-            fp_expr = F.create_map(
-                *[F.lit(x) for p in new_parts
-                  for x in (int(p), int(fp_map[p]))]
-            )[F.col("part_key")].cast("bigint")
-        else:
-            fp_expr = F.lit(None).cast("bigint")
         try:
             written = spark.read.parquet(_data_path(out_dir, stage))
         except Exception:
             written = None  # every wave so far produced zero rows
-        manifest = (None if written is None else
+        agg_rows = ([] if written is None else
                     written
                     .filter(F.col("part_key").isin(new_parts))
                     .groupBy("part_key")
@@ -228,32 +256,45 @@ def run_stage(spark, stage: str, input_df: DataFrame, fn, out_dir: str,
                          F.sum(F.conv(F.substring(F.md5(F.to_json(
                              F.struct("*"))), 1, 8), 16, 10).cast("bigint"))
                          .alias("checksum"))
-                    .withColumn("stage", F.lit(stage))
-                    .withColumn("wall_ms", F.lit(wall_ms))
-                    .withColumn("completed_ts", F.current_timestamp())
-                    .withColumn("input_fp", fp_expr))
+                    .collect())
+        rows = [(int(r["part_key"]), int(r["rows_out"]),
+                 int(r["checksum"])) for r in agg_rows]
         # wave parts whose output is EMPTY get an explicit rows_out=0
         # manifest row — without it they would be re-processed on
         # every resume, and a refreshed-to-empty part would keep its
         # stale fp forever (round-4 advice)
-        present = (set() if manifest is None else
-                   {r["part_key"] for r in
-                    manifest.select("part_key").collect()})
-        zero_parts = [int(p) for p in new_parts if int(p) not in present]
-        if zero_parts:
-            zdf = (spark.createDataFrame(
-                [(p, 0, 0) for p in zero_parts],
-                "part_key int, rows_out bigint, checksum bigint")
-                .withColumn("stage", F.lit(stage))
-                .withColumn("wall_ms", F.lit(wall_ms))
-                .withColumn("completed_ts", F.current_timestamp())
-                .withColumn("input_fp", fp_expr))
-            manifest = (zdf if manifest is None else
-                        manifest.unionByName(zdf))
-        if manifest is not None:
-            manifest.write.mode("append").parquet(
-                _manifest_path(out_dir, stage))
-    res = spark.read.parquet(_data_path(out_dir, stage))
+        present = {r[0] for r in rows}
+        rows += [(int(p), 0, 0) for p in new_parts
+                 if int(p) not in present]
+        if rows:
+            (spark.createDataFrame(
+                [(p, n, c, int(fp_map[p]) if p in fp_map else None)
+                 for p, n, c in rows],
+                "part_key int, rows_out bigint, checksum bigint, "
+                "input_fp bigint")
+             .withColumn("stage", F.lit(stage))
+             .withColumn("wall_ms", F.lit(wall_ms))
+             .withColumn("completed_ts", F.current_timestamp())
+             .write.mode("append")
+             .parquet(_manifest_path(out_dir, stage)))
+    try:
+        res = spark.read.parquet(_data_path(out_dir, stage))
+    except Exception:
+        # every part of every run produced zero rows: the data dir
+        # holds no parquet footers.  The stage still COMPLETED (its
+        # rows_out=0 manifest rows are written above) — return an
+        # empty frame with the stage fn's output schema instead of
+        # crashing on schema inference (review finding); `out` is
+        # bound whenever any wave ran this call.
+        if waves:
+            return spark.createDataFrame([], out.schema)
+        # nothing ran THIS call (an all-empty stage being resumed):
+        # derive the schema from the stage fn's plan — analysis only,
+        # no job runs over the empty todo frame
+        probe = fn(todo)
+        if "part_key" not in probe.columns:
+            probe = with_part_key(probe, key_col, n_parts)
+        return spark.createDataFrame([], probe.schema)
     if refresh:
         # drop partitions whose part_key vanished from the current
         # input — dynamic overwrite never touched them, so their old

@@ -36,6 +36,12 @@ def main() -> int:
     ap.add_argument("--attempts", type=int, default=6)
     ap.add_argument("--load", type=float, default=0.7)
     ap.add_argument("--ratio", type=float, default=1.3)
+    ap.add_argument("--control-abs", type=float, default=0.30,
+                    help="reject if the FASTEST zero-Spark control "
+                    "probe exceeds this many seconds — a sustained "
+                    "co-tenant load inflates all probes uniformly, "
+                    "which control_ratio alone cannot see (quiet-host "
+                    "reference: ~0.12 s at 8 procs; review finding)")
     ap.add_argument("--wait-max", type=int, default=900,
                     help="max seconds to wait for a quiet load per attempt")
     ap.add_argument("--out", default="BENCH_quiet.json")
@@ -61,9 +67,12 @@ def main() -> int:
             continue
         last = art
         clean = (art["control_ratio"] <= args.ratio
-                 and not art["burst_suspect"])
+                 and not art["burst_suspect"]
+                 and min(art["control_sec"]) <= args.control_abs)
         print(f"attempt {attempt}: control_ratio="
-              f"{art['control_ratio']}, suspects={art['burst_suspect']}"
+              f"{art['control_ratio']}, controls={art['control_sec']}"
+              f" (abs gate {args.control_abs}), "
+              f"suspects={art['burst_suspect']}"
               f" -> {'ACCEPT' if clean else 'retry'}", flush=True)
         if clean:
             Path(args.out).write_text(json.dumps(art))

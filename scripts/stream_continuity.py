@@ -124,10 +124,22 @@ def main() -> int:
     th = threading.Thread(target=dripper, daemon=True)
     th.start()
     th.join()
-    # drain: keep running until three consecutive idle triggers
+    # drain: keep running until three consecutive idle triggers.
+    # Guard against a dead query (review finding): lastProgress
+    # freezes at the last event when the query errors out, so polling
+    # it alone spins forever — check liveness and surface the
+    # exception instead.
     idle = 0
+    deadline = time.time() + 600
     while idle < 3:
         time.sleep(5)
+        if not q.isActive:
+            raise RuntimeError(
+                f"streaming query died during drain: {q.exception()}")
+        if time.time() > deadline:
+            q.stop()
+            raise RuntimeError("drain did not reach 3 idle triggers "
+                               "within 600s")
         p = q.lastProgress
         idle = idle + 1 if (p and p["numInputRows"] == 0) else 0
     n_batches = q.lastProgress["batchId"] + 1

@@ -292,3 +292,53 @@ def test_refresh_empty_output_part_invalidated(spark, tmp_path):
     res3 = run_stage(spark, "s", v2, never, out, key_col="url",
                      n_parts=N_PARTS, refresh=True)
     assert res3.count() == 200 - n3
+
+
+def test_tombstone_invalidated_part_recomputed_by_plain_resume(
+        spark, tmp_path):
+    """Round-5 review finding: a kill between refresh's invalidation
+    and its rewrite must leave the part INCOMPLETE to a plain
+    (non-refresh) resume.  Simulate the kill window by hand: append
+    the rows_out=-1 tombstone and delete the partition dir (exactly
+    what run_stage does before the wave write), then resume without
+    refresh and assert the part is recomputed with full parity."""
+    from python_mecab_ner_spark.plans.lineage import (
+        _data_path, _delete_partition_dirs, _manifest_path)
+    out = str(tmp_path / "o")
+    full = run_stage(spark, "s", _inp(spark), _fn, out,
+                     n_parts=N_PARTS).orderBy("url").collect()
+    # the kill window: tombstone part 3, drop its data
+    (spark.createDataFrame(
+        [(3, -1, 0, None)],
+        "part_key int, rows_out bigint, checksum bigint, input_fp bigint")
+     .withColumn("stage", F.lit("s"))
+     .withColumn("wall_ms", F.lit(0))
+     .withColumn("completed_ts", F.current_timestamp())
+     .write.mode("append").parquet(_manifest_path(out, "s")))
+    _delete_partition_dirs(spark, _data_path(out, "s"), [3])
+    done = {r[0] for r in completed_parts(spark, out, "s").collect()}
+    assert 3 not in done          # latest-row liveness, not any-row
+    res = run_stage(spark, "s", _inp(spark), _fn, out, n_parts=N_PARTS)
+    assert res.orderBy("url").collect() == full
+
+
+def test_all_empty_stage_returns_empty_frame_and_resumes(spark, tmp_path):
+    """Round-5 review finding: a stage whose fn yields zero rows for
+    every part must complete (rows_out=0 manifest rows), return an
+    empty frame with the fn's schema instead of crashing on parquet
+    schema inference, and be a no-op on resume."""
+    out = str(tmp_path / "o")
+
+    def _empty_fn(d):
+        return _fn(d).where(F.lit(False))
+
+    res = run_stage(spark, "s", _inp(spark), _empty_fn, out,
+                    n_parts=N_PARTS)
+    assert res.count() == 0
+    assert set(res.columns) >= {"url", "v", "y"}
+    done = {r[0] for r in completed_parts(spark, out, "s").collect()}
+    assert done == set(range(N_PARTS))   # explicit rows_out=0 rows
+    res2 = run_stage(spark, "s", _inp(spark), _empty_fn, out,
+                     n_parts=N_PARTS)   # resume: nothing todo, no crash
+    assert res2.count() == 0
+    assert set(res2.columns) >= {"url", "v", "y"}

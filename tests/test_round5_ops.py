@@ -230,6 +230,18 @@ def test_ktruss_fixpoint_extra_round_is_noop(spark):
     assert r3 == r4
 
 
+def test_modularity_empty_graph_returns_zero_row(spark):
+    # review finding: F.sum over zero edges is NULL and used to trip
+    # the overflow assert with a misleading bound message; an empty
+    # graph must yield a (0, 0, 0, 0) row instead
+    from python_mecab_ner_spark.operators.graph import modularity_ppm
+    edges = spark.createDataFrame([], "src long, dst long, w long")
+    comm = spark.createDataFrame([], "node long, community long")
+    row = modularity_ppm(edges, comm, weight="w").collect()[0]
+    assert (row.n_communities, row.w_tot, row.intra_w,
+            row.modularity_ppm) == (0, 0, 0, 0)
+
+
 # ------------------------------------------- incremental components
 
 def _cc_twin(pairs):
