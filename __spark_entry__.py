@@ -3398,6 +3398,48 @@ def q176_star_cc(spark, sf_dir):
                     F.col("comp").cast("bigint").alias("comp")))
 
 
+MIS_ROUNDS = 8
+
+
+def q177_mis(spark, sf_dir):
+    """Deterministic Luby-style maximal independent set
+    (operators.graph.maximal_independent_set) of the thin co-purchase
+    graph (q173's input): md5-priority winners per round, O(log n)
+    rounds regardless of diameter — the parallel seed/scheduling
+    primitive.  Converges in 5 rounds at sf0.01 AND sf0.1 (measured);
+    both engines run the identical 8-round budget, and the ROUND
+    TRAJECTORY (who entered in which round) is part of the hash
+    contract, not just the final set."""
+    from python_mecab_ner_spark.operators.graph import \
+        maximal_independent_set
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 15)
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("src"),
+                     F.col("l2.l_partkey").alias("dst"))
+             .distinct())
+    return (maximal_independent_set(edges, max_rounds=MIS_ROUNDS)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("mis_round").cast("int").alias("mis_round")))
+
+
+def q178_funnel(spark, sf_dir):
+    """First-touch conversion funnel (operators.spans.funnel_steps)
+    over the event stream: earliest view -> first click within 1 day
+    -> first purchase within 3 days of that click, per user; one row
+    per stage with integer-ppm conversion vs the previous stage and
+    vs stage 1.  All time math stays NAIVE (timestamp_ntz comparisons
+    + interval addition — zone-free and microsecond-exact in both
+    engines; epoch conversion on ntz input routes through Spark's
+    session timezone, the measured trap).  At sf0.01 the funnel reads
+    150 -> 60 -> 45 users."""
+    from python_mecab_ner_spark.operators.spans import funnel_steps
+    ev = _load(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"],
+                        [86_400, 259_200])
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -5069,6 +5111,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_multi_blocking_audit": q174_multi_blocking_audit,
         "q175_incremental_cc": q175_incremental_cc,
         "q176_star_cc": q176_star_cc,
+        "q177_mis": q177_mis,
+        "q178_funnel": q178_funnel,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -5256,6 +5300,55 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s{KTRUSS_ROUNDS} s ON s.a = e.a AND s.b = e.b
     """)
     ktruss_sql = "".join(_kt)
+
+    # q177 deterministic Luby MIS, unrolled rounds (converges in 5 at
+    # sf0.01/sf0.1; both engines run the same 8-round budget, rounds
+    # past the fixpoint are empty no-ops).  CTEs MUST be MATERIALIZED
+    # — each round's active set feeds the edge restriction twice, the
+    # winner anti-join, and the next round (the q94 lesson).
+    _mis = ["""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l2.l_orderkey = l1.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+          WHERE l1.l_quantity <= 15 AND l2.l_quantity <= 15),
+        sym AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM e0
+          UNION ALL SELECT b AS u, a AS v FROM e0),
+        a0 AS MATERIALIZED (
+          SELECT u AS node,
+                 md5(CAST(u AS VARCHAR)) || '#' || CAST(u AS VARCHAR)
+                     AS pri
+          FROM (SELECT DISTINCT u FROM sym))
+    """]
+    for _r in range(1, MIS_ROUNDS + 1):
+        _mis.append(f"""
+        , er{_r} AS MATERIALIZED (
+          SELECT s.u, s.v, av.pri AS pri_v
+          FROM sym s JOIN a{_r - 1} au ON au.node = s.u
+          JOIN a{_r - 1} av ON av.node = s.v)
+        , mn{_r} AS MATERIALIZED (
+          SELECT u, min(pri_v) AS mp FROM er{_r} GROUP BY 1)
+        , w{_r} AS MATERIALIZED (
+          SELECT a.node FROM a{_r - 1} a
+          LEFT JOIN mn{_r} m ON m.u = a.node
+          WHERE m.u IS NULL OR a.pri < m.mp)
+        , rm{_r} AS MATERIALIZED (
+          SELECT DISTINCT e.v AS node
+          FROM er{_r} e JOIN w{_r} w ON w.node = e.u)
+        , a{_r} AS MATERIALIZED (
+          SELECT a.node, a.pri FROM a{_r - 1} a
+          WHERE a.node NOT IN (SELECT node FROM w{_r})
+            AND a.node NOT IN (SELECT node FROM rm{_r}))
+        """)
+    _mis.append("SELECT CAST(node AS BIGINT) AS node, "
+                "CAST(r AS INT) AS mis_round FROM (")
+    _mis.append(" UNION ALL ".join(
+        f"SELECT node, {_r} AS r FROM w{_r}"
+        for _r in range(1, MIS_ROUNDS + 1)))
+    _mis.append(")")
+    mis_sql = "".join(_mis)
 
     _bl = TX.blocklist_phrase_counts_sql("text")
     _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
@@ -5528,7 +5621,7 @@ def oracle_sql() -> dict[str, str]:
                             AS rn
                  FROM ptok t JOIN ptdf d USING (token)
                  JOIN psizes s USING (doc_id)),
-        pprefix AS (SELECT doc_id, token, n FROM pord
+        pprefix AS (SELECT doc_id, token, n, rn FROM pord
                     WHERE rn <= n - ((900000 * n + 999999) // 1000000)
                               + 1),
         pfcand AS (SELECT DISTINCT a.doc_id AS doc_a,
@@ -5536,7 +5629,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM pprefix a JOIN pprefix b
                      ON b.token = a.token AND a.doc_id < b.doc_id
                     AND 900000 * greatest(a.n, b.n)
-                        <= 1000000 * least(a.n, b.n))
+                        <= 1000000 * least(a.n, b.n)
+                    AND least(a.n - a.rn, b.n - b.rn) + 1
+                        >= (900000 * (a.n + b.n) + 1899999)
+                           // 1900000)
         {_audit_stat('lsh', 'lshcand')}
         UNION ALL {_audit_stat('sorted_neighborhood', 'sncand')}
         UNION ALL {_audit_stat('prefix_filter', 'pfcand')}
@@ -7739,14 +7835,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks t JOIN tdf d USING (token)
                 JOIN sizes s USING (doc_id)),
             prefix AS (
-                SELECT doc_id, token, n FROM ordered
+                SELECT doc_id, token, n, rn FROM ordered
                 WHERE rn <= n - ((900000 * n + 999999) // 1000000) + 1),
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM prefix a JOIN prefix b
                   ON b.token = a.token AND a.doc_id < b.doc_id
                  AND 900000 * greatest(a.n, b.n)
-                     <= 1000000 * least(a.n, b.n)),
+                     <= 1000000 * least(a.n, b.n)
+                 AND least(a.n - a.rn, b.n - b.rn) + 1
+                     >= (900000 * (a.n + b.n) + 1899999) // 1900000),
             i AS (
                 SELECT c.doc_a, c.doc_b, count(*) AS inter
                 FROM cand c
@@ -7764,6 +7862,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q173_ktruss": ktruss_sql,
         "q174_multi_blocking_audit": multi_audit_sql,
+        "q177_mis": mis_sql,
+        # q178: first-touch funnel — NAIVE timestamp comparisons +
+        # interval addition (zone-free, exact to the microsecond in
+        # both engines; epoch conversion would route through Spark's
+        # session timezone on ntz input — measured trap)
+        "q178_funnel": """
+            WITH s1 AS (SELECT user_id AS u, min(ts) AS t
+                        FROM events WHERE event_type = 'view'
+                        GROUP BY 1),
+            s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                   FROM events e JOIN s1 ON s1.u = e.user_id
+                   WHERE e.event_type = 'click'
+                     AND e.ts > s1.t
+                     AND e.ts <= s1.t + INTERVAL 86400 SECOND
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+                   FROM events e JOIN s2 ON s2.u = e.user_id
+                   WHERE e.event_type = 'purchase'
+                     AND e.ts > s2.t
+                     AND e.ts <= s2.t + INTERVAL 259200 SECOND
+                   GROUP BY 1),
+            n AS (SELECT 0 AS step_idx, 'all' AS step,
+                         count(DISTINCT user_id) AS n_users FROM events
+                  UNION ALL SELECT 1, 'view', count(*) FROM s1
+                  UNION ALL SELECT 2, 'click', count(*) FROM s2
+                  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+            SELECT CAST(c.step_idx AS INT) AS step_idx, c.step,
+                   CAST(c.n_users AS BIGINT) AS n_users,
+                   CAST((c.n_users * 1000000) // greatest(p.n_users, 1)
+                        AS BIGINT) AS conv_prev_ppm,
+                   CAST((c.n_users * 1000000) // greatest(f.n_users, 1)
+                        AS BIGINT) AS conv_first_ppm
+            FROM n c JOIN n p ON p.step_idx = c.step_idx - 1
+            CROSS JOIN (SELECT n_users FROM n WHERE step_idx = 1) f
+            WHERE c.step_idx >= 1
+        """,
         # q176: path-chain components — ground truth is analytic
         # (chain component = min id of the residue class), no
         # recursion needed; the ENGINE side does real O(log n) CC

@@ -909,6 +909,20 @@ def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
     ceil is exact-integer both engines: ceil(t*n) =
     (t_ppm*n + 999_999) div 1_000_000.
 
+    POSITIONAL FILTER (the third PPJoin prune, after prefix + length):
+    Jaccard >= t forces overlap O >= ceil(t/(1+t) * (n_a+n_b)) = alpha
+    (from O >= t*(n_a+n_b-O)).  Both prefixes are sorted by the SAME
+    global token order, so at the pair's FIRST common token — which
+    the prefix guarantee places inside both prefixes at positions
+    (rn_a, rn_b) — every other common token sits strictly after it in
+    BOTH orderings, giving O <= min(n_a - rn_a, n_b - rn_b) + 1.  A
+    match row is kept only when that bound reaches alpha; the
+    first-common-token row of every true pair always passes, so the
+    candidate set stays COMPLETE while matches on late prefix
+    positions (where too little of either set remains) are dropped
+    before the distinct.  alpha is exact-integer:
+    (t_ppm*(n_a+n_b) + 1e6+t_ppm-1) div (1e6+t_ppm).
+
     Returns (doc_a, doc_b, inter, uni) with
     inter * 1e6 >= t_ppm * uni; with candidates_only=True, the
     pre-verification (doc_a, doc_b) candidate set instead (the
@@ -934,19 +948,24 @@ def prefix_filter_pairs(df: DataFrame, text_col: str, id_col: str,
     # regime); `div` matches the oracle's `//` bit-for-bit
     plen = F.expr(f"n - (({t_ppm} * n + 999999) div 1000000) + 1")
     prefix = (ordered.where(F.col("rn") <= plen)
-              .select("doc_id", "token", "n"))
+              .select("doc_id", "token", "n", "rn"))
     a, b = prefix.alias("pa"), prefix.alias("pb")
     # PPJoin length filter: Jaccard >= t forces
     # t * max(|a|,|b|) <= min(|a|,|b|) (inter <= min and
     # inter >= t*uni >= t*max), so size-incompatible pairs are pruned
     # INSIDE the prefix join — on mixed-length corpora this is the
     # second big candidate cut after the prefix itself
+    denom = 1_000_000 + t_ppm
+    pos_ok = F.expr(
+        f"least(pa.n - pa.rn, pb.n - pb.rn) + 1"
+        f" >= ({t_ppm} * (pa.n + pb.n) + {denom - 1}) div {denom}")
     cand = (a.join(b, on="token")
             .where((F.col("pa.doc_id") < F.col("pb.doc_id"))
                    & (F.lit(t_ppm)
                       * F.greatest(F.col("pa.n"), F.col("pb.n"))
                       <= F.lit(1_000_000)
-                      * F.least(F.col("pa.n"), F.col("pb.n"))))
+                      * F.least(F.col("pa.n"), F.col("pb.n")))
+                   & pos_ok)
             .select(F.col("pa.doc_id").alias("doc_a"),
                     F.col("pb.doc_id").alias("doc_b"))
             .distinct())

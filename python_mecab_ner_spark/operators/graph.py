@@ -1743,3 +1743,85 @@ def strongly_connected_components(edges: DataFrame,
     for p in done_parts[1:]:
         out = out.unionByName(p)
     return out.select("node", F.col("c").alias("scc_id"))
+
+
+def maximal_independent_set(edges: DataFrame, src: str = "src",
+                            dst: str = "dst",
+                            max_rounds: int = 12) -> DataFrame:
+    """Deterministic Luby-style maximal independent set (Luby 1986):
+    the standard parallel primitive behind conflict-free scheduling,
+    landmark/seed selection, and coloring — each round, every ACTIVE
+    node whose priority beats all its active neighbors' joins the MIS
+    and knocks its neighbors out, so the set is independent by
+    construction and maximal at the empty-active fixpoint.  Expected
+    O(log n) rounds regardless of diameter (each round removes a
+    constant fraction of remaining edges in expectation) — the same
+    round-budget class as connected_components_star, vs the
+    diameter-bound propagation loops (pagerank_int-style) that a
+    100 TB web graph cannot afford.
+
+    Priority is content-addressed and collision-proof:
+    md5(node) || '#' || node — a total order every engine computes
+    identically (string min), so the WHOLE trajectory (who wins WHICH
+    round) is bit-stable across Spark, DuckDB, and cluster sizes; no
+    RNG state to ship.
+
+    Per round: one edge-restriction join against the active set, one
+    per-node min aggregate (map-side combinable), two anti-joins; the
+    active set is localCheckpoint'ed per round (iterative-operator
+    house rule — unrolled rounds otherwise replicate the plan and
+    planning alone can OOM the driver).  Isolated active nodes (no
+    surviving neighbor) win their round unconditionally.
+
+    Raises RuntimeError if nodes remain active after max_rounds (the
+    SCC/star-CC discipline: never return a partial set — a truncated
+    MIS is silently non-maximal).
+
+    Returns (node, mis_round) — MIS members only, with the 1-based
+    round in which each entered (the round trajectory is part of the
+    oracle contract)."""
+    e0 = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                       F.greatest(F.col(src), F.col(dst)).alias("b"))
+          .where(F.col("a") != F.col("b"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    sym = (e0.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionByName(e0.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v"))))
+    pri = F.concat(F.md5(F.col("node").cast("string")), F.lit("#"),
+                   F.col("node").cast("string"))
+    act = (e0.select(F.col("a").alias("node"))
+           .unionByName(e0.select(F.col("b").alias("node")))
+           .distinct()
+           .select("node", pri.alias("pri"))
+           .localCheckpoint(eager=True))
+    winners_rounds: list[DataFrame] = []
+    for r in range(1, max_rounds + 1):
+        if act.limit(1).count() == 0:
+            break
+        ea = (sym.join(act.select(F.col("node").alias("u")), "u")
+              .join(act.select(F.col("node").alias("v"),
+                               F.col("pri").alias("pri_v")), "v"))
+        mn = ea.groupBy("u").agg(F.min("pri_v").alias("min_pri"))
+        win = (act.join(mn, act["node"] == mn["u"], "left")
+               .where(F.col("u").isNull()
+                      | (F.col("pri") < F.col("min_pri")))
+               .select("node")
+               .localCheckpoint(eager=True))
+        winners_rounds.append(
+            win.select("node", F.lit(r).cast("int").alias("mis_round")))
+        removed = (ea.join(win.select(F.col("node").alias("u")), "u")
+                   .select(F.col("v").alias("node")).distinct())
+        act = (act.join(win, "node", "left_anti")
+               .join(removed, "node", "left_anti")
+               .localCheckpoint(eager=True))
+    if act.limit(1).count() != 0:
+        raise RuntimeError(
+            "maximal_independent_set: max_rounds exhausted with nodes "
+            "still active — raise max_rounds")
+    if not winners_rounds:  # edgeless input: empty MIS, same schema
+        return act.select("node", F.lit(0).cast("int").alias("mis_round"))
+    out = winners_rounds[0]
+    for p in winners_rounds[1:]:
+        out = out.unionByName(p)
+    return out

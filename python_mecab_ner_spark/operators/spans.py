@@ -164,3 +164,75 @@ def burst_days(events: DataFrame, ts_col: str, key_col: str,
                     F.col("cnt").cast("bigint").alias("cnt"),
                     F.col("total").cast("bigint").alias("total"),
                     F.col("n_days").cast("bigint").alias("n_days")))
+
+
+def funnel_steps(events: DataFrame, steps: list, gaps_s: list,
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """First-touch funnel over an event stream: stage 1 anchors at
+    each user's EARLIEST `steps[0]` event; stage i at the earliest
+    `steps[i]` event strictly after the user's stage-(i-1) anchor and
+    within `gaps_s[i-1]` seconds of it.  This is the stepwise-greedy
+    semantics every funnel-analytics product ships (first touch per
+    stage), NOT maximal sequence matching — a later stage-1 event
+    that would enable a conversion the earliest one misses does not
+    count, and that is documented behavior, bit-stable across
+    engines.
+
+    All time arithmetic stays NAIVE (timestamp_ntz comparisons +
+    `+ INTERVAL n SECOND`): naive timestamps have no zone, so both
+    engines do exact microsecond-integer arithmetic with NO session-
+    timezone dependence — unix_micros/epoch ROUTES THROUGH THE
+    SESSION TIMEZONE for ntz input on the Spark side (measured: a
+    New-York session shifts the epoch by 5h vs DuckDB) and is the
+    cross-engine trap here, not the fix.
+
+    Returns one row per stage: (step_idx, step, n_users,
+    conv_prev_ppm, conv_first_ppm) — conversion vs the previous stage
+    (stage 1: vs all distinct users in the stream) and vs stage 1,
+    integer ppm (x*1e6 div y).
+
+    Scale shape: every stage is one filtered join keyed by the
+    high-cardinality user column + a map-side-combinable min
+    aggregate; stage tables shrink monotonically; the final
+    conversion sheet folds |steps| one-row aggregates — no windows,
+    no corpus sort, nothing grows with the event count except the
+    per-user min shuffles."""
+    assert len(gaps_s) == len(steps) - 1
+    base = events.select(F.col(user_col).alias("u"),
+                         F.col(ts_col).alias("ets"),
+                         F.col(type_col).alias("et"))
+    stage = (base.where(F.col("et") == steps[0])
+             .groupBy("u").agg(F.min("ets").alias("t")))
+    reached = stage.select(F.lit(1).alias("step_idx"), "u")
+    for i, step in enumerate(steps[1:], start=2):
+        gap = int(gaps_s[i - 2])
+        stage = (base.where(F.col("et") == step)
+                 .join(stage.select("u", F.col("t").alias("pt")), "u")
+                 .where((F.col("ets") > F.col("pt"))
+                        & (F.col("ets") <= F.col("pt")
+                           + F.expr(f"INTERVAL {gap} SECOND")))
+                 .groupBy("u").agg(F.min("ets").alias("t")))
+        reached = reached.unionByName(
+            stage.select(F.lit(i).alias("step_idx"), "u"))
+    counts = reached.groupBy("step_idx").agg(F.count("*").alias("n_users"))
+    all_users = base.select(
+        F.lit(0).alias("step_idx"),
+        F.countDistinct("u").alias("n_users"))
+    counts = counts.unionByName(all_users)
+    prev = counts.select(F.col("step_idx").alias("pi"),
+                         F.col("n_users").alias("prev_n"))
+    first = counts.where(F.col("step_idx") == 1).select(
+        F.col("n_users").alias("first_n"))
+    names = F.array(*[F.lit(s) for s in steps])
+    return (counts.where(F.col("step_idx") >= 1)
+            .join(prev, F.col("step_idx") - 1 == F.col("pi"))
+            .crossJoin(F.broadcast(first))
+            .select(F.col("step_idx").cast("int").alias("step_idx"),
+                    F.element_at(names, F.col("step_idx").cast("int"))
+                    .alias("step"),
+                    F.col("n_users").cast("bigint").alias("n_users"),
+                    F.expr("(n_users * 1000000) div greatest(prev_n, 1)")
+                    .cast("bigint").alias("conv_prev_ppm"),
+                    F.expr("(n_users * 1000000) div greatest(first_n, 1)")
+                    .cast("bigint").alias("conv_first_ppm")))
