@@ -3440,6 +3440,18 @@ def q178_funnel(spark, sf_dir):
                         [86_400, 259_200])
 
 
+def q179_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle (operators.spans.cohort_retention):
+    users bucketed by the week of their first event, per-offset
+    re-activity counts + integer-ppm retention vs cohort size.  Week
+    index = unix_date(naive date) div 7 — zone-free in both engines
+    (the q178 discipline); every cohort's offset-0 row reads exactly
+    1e6."""
+    from python_mecab_ner_spark.operators.spans import cohort_retention
+    ev = _load(spark, sf_dir, "events")
+    return cohort_retention(ev, period_days=7)
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -4642,6 +4654,23 @@ def kg_ktruss(spark, sf_dir):
                     F.col("b").cast("bigint").alias("b"), "support"))
 
 
+def kg_mis_seeds(spark, sf_dir):
+    """Deterministic MIS over the REAL co-mention entity graph (the
+    q177-certified Luby rounds on the _kg_dense_sym substrate): the
+    selected entities form a conflict-free seed set — no two seeds
+    co-mentioned — which is exactly what diversity-constrained
+    annotation sampling and one-hop-disjoint eval splits want (a seed
+    plus its neighborhood never leaks into another seed's).  Returns
+    (node, mis_round); the round trajectory is pinned by the same
+    md5-priority rule the q177 oracle certifies."""
+    from python_mecab_ner_spark.operators.graph import \
+        maximal_independent_set
+    sym, _, _, _ = _kg_dense_sym(spark)
+    return (maximal_independent_set(sym, max_rounds=MIS_ROUNDS)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("mis_round").cast("int").alias("mis_round")))
+
+
 def kg_edge_cut(spark, sf_dir):
     """Partition-layout audit on the REAL extracted entity graph:
     edge cut under (a) md5-hash placement, (b) dense-id range
@@ -5113,10 +5142,12 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_star_cc": q176_star_cc,
         "q177_mis": q177_mis,
         "q178_funnel": q178_funnel,
+        "q179_cohort_retention": q179_cohort_retention,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
         "kg_ktruss": kg_ktruss,
+        "kg_mis_seeds": kg_mis_seeds,
         "kg_entity_alignment": kg_entity_alignment,
         "kg_host_scc": kg_host_scc,
         "kg_type_propagation": kg_type_propagation,
@@ -7897,6 +7928,27 @@ def oracle_sql() -> dict[str, str]:
             FROM n c JOIN n p ON p.step_idx = c.step_idx - 1
             CROSS JOIN (SELECT n_users FROM n WHERE step_idx = 1) f
             WHERE c.step_idx >= 1
+        """,
+        # q179: cohort retention — naive-date week index (zone-free),
+        # integer-ppm retention vs the cohort's offset-0 size
+        "q179_cohort_retention": """
+            WITH p AS (SELECT user_id AS u,
+                              date_diff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) // 7 AS p
+                       FROM events),
+            f AS (SELECT u, min(p) AS cohort FROM p GROUP BY 1),
+            d AS (SELECT DISTINCT u, p FROM p),
+            act AS (SELECT f.cohort, d.p - f.cohort AS period_offset,
+                           count(DISTINCT d.u) AS n_active
+                    FROM d JOIN f ON f.u = d.u GROUP BY 1, 2),
+            sz AS (SELECT cohort, count(*) AS cohort_n FROM f
+                   GROUP BY 1)
+            SELECT CAST(a.cohort AS BIGINT) AS cohort_period,
+                   CAST(a.period_offset AS BIGINT) AS period_offset,
+                   CAST(a.n_active AS BIGINT) AS n_active,
+                   CAST((a.n_active * 1000000) // s.cohort_n
+                        AS BIGINT) AS retention_ppm
+            FROM act a JOIN sz s ON s.cohort = a.cohort
         """,
         # q176: path-chain components — ground truth is analytic
         # (chain component = min id of the residue class), no

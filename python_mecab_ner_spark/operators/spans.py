@@ -236,3 +236,45 @@ def funnel_steps(events: DataFrame, steps: list, gaps_s: list,
                     .cast("bigint").alias("conv_prev_ppm"),
                     F.expr("(n_users * 1000000) div greatest(first_n, 1)")
                     .cast("bigint").alias("conv_first_ppm")))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     period_days: int = 7) -> DataFrame:
+    """Cohort retention triangle: users are bucketed by the period of
+    their FIRST event (cohort = floor(days-since-1970 / period_days),
+    computed on the NAIVE date — zone-free in both engines, the q178
+    discipline), and each later period counts how many of that cohort
+    were active again.  The curve every ingest/engagement dashboard
+    draws; here it doubles as crawl-source retention (how many hosts
+    seen in week w still produce documents in week w+k).
+
+    Returns (cohort_period, period_offset, n_active, retention_ppm)
+    with retention_ppm = n_active * 1e6 div cohort size (the
+    offset-0 row of each cohort, so every cohort's offset-0 reads
+    exactly 1e6).
+
+    Scale shape: one per-user min (map-side combinable, keyed by the
+    high-cardinality user), one distinct over (user, period) — both
+    shuffles keyed by user — then a (cohort, offset) count and a
+    broadcast join of the per-cohort size dimension; nothing sorts
+    the corpus and no window runs over more than the cohort
+    dimension."""
+    period = (events.select(F.col(user_col).alias("u"),
+                            F.expr(f"unix_date(cast({ts_col} as date)) "
+                                   f"div {int(period_days)}").alias("p")))
+    first = period.groupBy("u").agg(F.min("p").alias("cohort"))
+    active = (period.distinct()
+              .join(first, "u")
+              .groupBy("cohort", (F.col("p") - F.col("cohort"))
+                       .alias("period_offset"))
+              .agg(F.countDistinct("u").alias("n_active")))
+    size = (first.groupBy("cohort")
+            .agg(F.count("*").alias("cohort_n")))
+    return (active.join(F.broadcast(size), "cohort")
+            .select(F.col("cohort").cast("bigint").alias("cohort_period"),
+                    F.col("period_offset").cast("bigint")
+                    .alias("period_offset"),
+                    F.col("n_active").cast("bigint").alias("n_active"),
+                    F.expr("(n_active * 1000000) div cohort_n")
+                    .cast("bigint").alias("retention_ppm")))

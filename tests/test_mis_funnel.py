@@ -119,3 +119,36 @@ def test_funnel_boundary_is_inclusive_and_strictly_after(spark):
     out = funnel_steps(_ev(spark, rows), ["a", "b"], [100])
     got = {r.step: r.n_users for r in out.collect()}
     assert got == {"a": 3, "b": 1}
+
+
+def test_cohort_retention_python_twin(spark):
+    from python_mecab_ner_spark.operators.spans import cohort_retention
+    rng = random.Random(9)
+    t0 = datetime.date(2024, 1, 1)
+    rows = [(rng.randrange(25),
+             datetime.datetime.combine(
+                 t0 + datetime.timedelta(days=rng.randrange(35)),
+                 datetime.time(rng.randrange(24))), "e")
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {(r.cohort_period, r.period_offset):
+           (r.n_active, r.retention_ppm)
+           for r in cohort_retention(df).collect()}
+    # python twin
+    per = {}
+    for u, ts, _ in rows:
+        p = (ts.date() - datetime.date(1970, 1, 1)).days // 7
+        per.setdefault(u, set()).add(p)
+    first = {u: min(ps) for u, ps in per.items()}
+    size = {}
+    for u, c in first.items():
+        size[c] = size.get(c, 0) + 1
+    want = {}
+    for u, ps in per.items():
+        for p in ps:
+            k = (first[u], p - first[u])
+            want[k] = want.get(k, 0) + 1
+    want = {k: (n, n * 1_000_000 // size[k[0]]) for k, n in want.items()}
+    assert got == want
+    # every cohort's offset-0 row is exactly 1e6
+    assert all(v[1] == 1_000_000 for k, v in got.items() if k[1] == 0)
