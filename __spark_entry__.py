@@ -3452,6 +3452,25 @@ def q179_cohort_retention(spark, sf_dir):
     return cohort_retention(ev, period_days=7)
 
 
+def q180_semantic_decon(spark, sf_dir):
+    """Embedding-level benchmark decontamination
+    (operators.ann.semantic_decontaminate): the embeddings table is
+    hash-split into a benchmark side (vec_id % 41 == 0) and the
+    corpus; corpus vectors whose int8-exact cosine against any bench
+    vector reaches 3/10 are flagged with hit count + max integer dot.
+    The semantic twin of q46's n-gram screen — catches paraphrased
+    eval leakage; threshold 0.3 because the synthetic payload is
+    near-isotropic (corpus max cosine 0.455, measured)."""
+    from python_mecab_ner_spark.operators.ann import \
+        semantic_decontaminate
+    emb = _load(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 41 == 0)
+    corpus = emb.where(F.col("vec_id") % 41 != 0)
+    return (semantic_decontaminate(corpus, bench, t_num=3, t_den=10)
+            .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                    "n_hits", "max_dot"))
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -5143,6 +5162,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_mis": q177_mis,
         "q178_funnel": q178_funnel,
         "q179_cohort_retention": q179_cohort_retention,
+        "q180_semantic_decon": q180_semantic_decon,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7949,6 +7969,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST((a.n_active * 1000000) // s.cohort_n
                         AS BIGINT) AS retention_ppm
             FROM act a JOIN sz s ON s.cohort = a.cohort
+        """,
+        # q180: embedding-level decontamination — q51's floor-clip
+        # int8 quantization, cosine >= 3/10 by integer
+        # cross-multiplication of squares (no sqrt, no float div)
+        "q180_semantic_decon": """
+            WITH qz AS (SELECT vec_id,
+                               list_transform(embedding,
+                                   x -> CAST(greatest(-128, least(127,
+                                        floor(CAST(x AS DOUBLE) * 127)))
+                                        AS BIGINT)) AS qe
+                        FROM embeddings),
+            bench AS (SELECT vec_id AS bid, qe AS bqe,
+                             list_sum(list_transform(qe, x -> x * x))
+                                 AS bn2
+                      FROM qz WHERE vec_id % 41 = 0),
+            corp AS (SELECT vec_id, qe,
+                            list_sum(list_transform(qe, x -> x * x))
+                                AS cn2
+                     FROM qz WHERE vec_id % 41 <> 0),
+            pairs AS (SELECT c.vec_id, b.bid,
+                             list_sum(list_transform(
+                                 range(1, len(c.qe) + 1),
+                                 i -> c.qe[i] * b.bqe[i])) AS dot,
+                             c.cn2, b.bn2
+                      FROM corp c CROSS JOIN bench b)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(max(dot) AS BIGINT) AS max_dot
+            FROM pairs
+            WHERE dot > 0 AND dot * dot * 100 >= 9 * cn2 * bn2
+            GROUP BY 1
         """,
         # q176: path-chain components — ground truth is analytic
         # (chain component = min id of the residue class), no

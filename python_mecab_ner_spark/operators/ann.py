@@ -672,3 +672,59 @@ def pq_topk(df: DataFrame, qvec: list[float], k: int = 10,
     w = Window.orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
     return (topk.withColumn("rank", F.row_number().over(w).cast("int"))
             .select(id_col, "pq_dist", "rank"))
+
+
+def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
+                           t_num: int = 3, t_den: int = 10,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           bench_id_col: str = "bench_id",
+                           scale: int = QUANT_SCALE) -> DataFrame:
+    """Embedding-level benchmark decontamination (the semantic
+    counterpart of dedup.ngram_collisions / q46): flag corpus vectors
+    whose cosine against ANY benchmark vector reaches t_num/t_den —
+    the screen that catches paraphrased eval leakage n-gram collision
+    misses (Phi-style decontamination).
+
+    The test is EXACT INTEGER end-to-end: both sides int8-quantized
+    (q51's floor-clip rule), cosine >= t decided by
+    cross-multiplication of squares
+
+        dot > 0  AND  dot^2 * t_den^2 >= t_num^2 * |c|^2 * |b|^2
+
+    so no sqrt and no float division touches the verdict.  Overflow
+    headroom: dot <= scale^2 * dim, so t_den^2 * (scale^2 * dim)^2
+    must stay under 2^63 — at scale=127, t_den<=10 that is dim <=
+    ~1500; for wider embeddings cast the two comparison sides to
+    decimal(38,0) (the embedding_dim_outliers escape hatch — the
+    comparison, not the representation, is the contract).
+
+    Returns flagged corpus rows only: (id_col, n_hits, max_dot) —
+    how many benchmark vectors the row collides with and the largest
+    integer dot among them.
+
+    Scale shape: the benchmark side is eval-set-sized (thousands) and
+    is BROADCAST; the corpus side is one linear scan with integer
+    MACs, per-row fan-out = |bench|, one map-side-combinable groupBy
+    on the corpus id.  At 100 TB with a large bench union, prefilter
+    candidates with the banded-LSH / IVF paths in this module and run
+    this exact kernel on the survivors."""
+    cq = quantize_embeddings(corpus, emb_col, scale, out_col="cq")
+    bq = quantize_embeddings(bench, emb_col, scale, out_col="bq")
+    n2 = lambda col: F.aggregate(  # noqa: E731
+        F.transform(F.col(col), lambda x: x * x),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
+    c = cq.select(F.col(id_col), F.col("cq"), n2("cq").alias("cn2"))
+    b = bq.select(F.col(id_col).alias(bench_id_col), F.col("bq"),
+                  n2("bq").alias("bn2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("cq"), F.col("bq"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda a, x: a + x)
+    return (c.crossJoin(F.broadcast(b))
+            .select(F.col(id_col), dot.alias("dot"), "cn2", "bn2")
+            .where((F.col("dot") > 0)
+                   & (F.col("dot") * F.col("dot") * F.lit(t_den * t_den)
+                      >= F.lit(t_num * t_num) * F.col("cn2") * F.col("bn2")))
+            .groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_hits"),
+                 F.max("dot").cast("bigint").alias("max_dot")))

@@ -152,3 +152,44 @@ def test_cohort_retention_python_twin(spark):
     assert got == want
     # every cohort's offset-0 row is exactly 1e6
     assert all(v[1] == 1_000_000 for k, v in got.items() if k[1] == 0)
+
+
+def test_semantic_decontaminate_python_twin(spark):
+    from python_mecab_ner_spark.operators.ann import (
+        QUANT_SCALE, semantic_decontaminate)
+    rng = random.Random(31)
+    dim = 16
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    bench = [(i, vec()) for i in range(5)]
+    corpus = [(100 + i, vec()) for i in range(40)]
+    # plant a paraphrase: corpus 999 = bench 2 + tiny noise
+    corpus.append((999, [x + 0.01 for x in bench[2][1]]))
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    bdf = spark.createDataFrame(bench, ["vec_id", "embedding"])
+    got = {r.vec_id: (r.n_hits, r.max_dot)
+           for r in semantic_decontaminate(cdf, bdf, t_num=3,
+                                           t_den=10).collect()}
+
+    def q(v):
+        import math
+        return [max(-128, min(127, math.floor(float(x) * QUANT_SCALE)))
+                for x in v]
+
+    want = {}
+    for cid, cv in corpus:
+        cq = q(cv)
+        cn2 = sum(x * x for x in cq)
+        hits = []
+        for _, bv in bench:
+            bq = q(bv)
+            bn2 = sum(x * x for x in bq)
+            dot = sum(a * b for a, b in zip(cq, bq))
+            if dot > 0 and dot * dot * 100 >= 9 * cn2 * bn2:
+                hits.append(dot)
+        if hits:
+            want[cid] = (len(hits), max(hits))
+    assert got == want
+    assert 999 in got  # the planted paraphrase is flagged
