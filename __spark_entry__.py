@@ -3429,11 +3429,17 @@ def q178_funnel(spark, sf_dir):
     over the event stream: earliest view -> first click within 1 day
     -> first purchase within 3 days of that click, per user; one row
     per stage with integer-ppm conversion vs the previous stage and
-    vs stage 1.  All time math stays NAIVE (timestamp_ntz comparisons
-    + interval addition — zone-free and microsecond-exact in both
-    engines; epoch conversion on ntz input routes through Spark's
-    session timezone, the measured trap).  At sf0.01 the funnel reads
-    150 -> 60 -> 45 users."""
+    vs stage 1.  Generalizes q63's inline chain (q63: NO per-step
+    deadline, minute-truncated anchors, single-row counts — the
+    unbounded-window variant) into a reusable operator with per-step
+    gap windows and ppm conversions: the deadlines change the
+    semantics materially — unbounded, every one of the 150 sf0.01
+    users clicks after their first view eventually; the 1-day
+    deadline cuts that to 60.  All time math stays NAIVE
+    (timestamp_ntz comparisons + interval addition — zone-free and
+    microsecond-exact in both engines; epoch conversion on ntz input
+    routes through Spark's session timezone, the measured trap).  At
+    sf0.01 the funnel reads 150 -> 60 -> 45 users."""
     from python_mecab_ner_spark.operators.spans import funnel_steps
     ev = _load(spark, sf_dir, "events")
     return funnel_steps(ev, ["view", "click", "purchase"],
@@ -3443,10 +3449,13 @@ def q178_funnel(spark, sf_dir):
 def q179_cohort_retention(spark, sf_dir):
     """Cohort retention triangle (operators.spans.cohort_retention):
     users bucketed by the week of their first event, per-offset
-    re-activity counts + integer-ppm retention vs cohort size.  Week
-    index = unix_date(naive date) div 7 — zone-free in both engines
-    (the q178 discipline); every cohort's offset-0 row reads exactly
-    1e6."""
+    re-activity counts + integer-ppm retention vs cohort size — the
+    NORMALIZED weekly form of q64's raw daily count matrix (q64:
+    day-of-year buckets, absolute counts, no cohort-size
+    denominator; this: epoch-week buckets + retention_ppm, the
+    dashboard-ready curve).  Week index = unix_date(naive date)
+    div 7 — zone-free in both engines (the q178 discipline); every
+    cohort's offset-0 row reads exactly 1e6."""
     from python_mecab_ner_spark.operators.spans import cohort_retention
     ev = _load(spark, sf_dir, "events")
     return cohort_retention(ev, period_days=7)
@@ -3469,6 +3478,50 @@ def q180_semantic_decon(spark, sf_dir):
     return (semantic_decontaminate(corpus, bench, t_num=3, t_den=10)
             .select(F.col("vec_id").cast("bigint").alias("vec_id"),
                     "n_hits", "max_dot"))
+
+
+def q181_event_transitions(spark, sf_dir):
+    """First-order Markov transition sheet
+    (operators.spans.event_transitions) over the event stream:
+    corpus-wide consecutive (src_type -> dst_type) counts per user
+    ordered by (ts, event_id) — the event_id tiebreaker is part of
+    the cross-engine contract — with integer-ppm row-normalized
+    probabilities.  The behavioral drift monitor q178's funnel is a
+    slice of; 5x5 type matrix at any SF."""
+    from python_mecab_ner_spark.operators.spans import event_transitions
+    ev = _load(spark, sf_dir, "events")
+    return event_transitions(ev, tiebreak_col="event_id")
+
+
+def q182_bipartiteness(spark, sf_dir):
+    """Per-component bipartiteness via double-cover star-CC
+    (operators.graph.bipartiteness_audit): q176's 8 residue path
+    chains, each CLOSED into a cycle — even residues close max->min
+    (cycle length = chain size), odd residues close max->(min+8)
+    (length = size-1, the min node left as a tail that must not
+    affect the verdict).  Ground truth is ANALYTIC from the residue
+    counts (bipartite iff cycle length even) — no recursion in the
+    oracle, while the engine genuinely runs two O(log n) star-CC
+    jobs over diameter-~n/8 components.  Which parities are bipartite
+    flips with SF (chain size 1250 even at sf0.01, 125 odd at
+    sf0.001) — the oracle derives it from the data either way."""
+    from python_mecab_ner_spark.operators.graph import \
+        bipartiteness_audit
+    ev = _load(spark, sf_dir, "events").select("event_id")
+    a, b = ev.alias("a"), ev.alias("b")
+    paths = (a.join(b, F.col("b.event_id") == F.col("a.event_id") + 8)
+             .select(F.col("a.event_id").alias("src"),
+                     F.col("b.event_id").alias("dst")))
+    res = (ev.groupBy((F.col("event_id") % 8).alias("r"))
+           .agg(F.min("event_id").alias("mn"),
+                F.max("event_id").alias("mx")))
+    closing = res.select(
+        F.col("mx").alias("src"),
+        F.when(F.col("r") % 2 == 0, F.col("mn"))
+        .otherwise(F.col("mn") + 8).alias("dst"))
+    return (bipartiteness_audit(paths.unionByName(closing))
+            .select(F.col("comp").cast("bigint").alias("comp"),
+                    "n_nodes", "bipartite"))
 
 
 def q143_mix_weights(spark, sf_dir):
@@ -5163,6 +5216,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_funnel": q178_funnel,
         "q179_cohort_retention": q179_cohort_retention,
         "q180_semantic_decon": q180_semantic_decon,
+        "q181_event_transitions": q181_event_transitions,
+        "q182_bipartiteness": q182_bipartiteness,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -8000,6 +8055,41 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE dot > 0 AND dot * dot * 100 >= 9 * cn2 * bn2
             GROUP BY 1
+        """,
+        # q181: first-order Markov transitions — per-user lead with
+        # the event_id tiebreaker (part of the contract), integer-ppm
+        # row normalization
+        "q181_event_transitions": """
+            WITH o AS (SELECT event_type AS src_type,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst_type
+                       FROM events),
+            pairs AS (SELECT src_type, dst_type, count(*) AS n
+                      FROM o WHERE dst_type IS NOT NULL
+                      GROUP BY 1, 2),
+            tot AS (SELECT src_type, sum(n) AS tot FROM pairs
+                    GROUP BY 1)
+            SELECT p.src_type, p.dst_type,
+                   CAST(p.n AS BIGINT) AS n,
+                   CAST((p.n * 1000000) // t.tot AS BIGINT) AS prob_ppm
+            FROM pairs p JOIN tot t ON t.src_type = p.src_type
+        """,
+        # q182: residue chains closed into cycles — bipartiteness is
+        # ANALYTIC from the residue counts (cycle length parity; odd
+        # residues skip one node, leaving a tail that does not affect
+        # the verdict), so the O(log n) double-cover engine gets an
+        # exact oracle with no recursion (the q176 construction)
+        "q182_bipartiteness": """
+            WITH r AS (SELECT event_id % 8 AS r, count(*) AS cnt,
+                              min(event_id) AS mn
+                       FROM events GROUP BY 1)
+            SELECT CAST(mn AS BIGINT) AS comp,
+                   CAST(cnt AS BIGINT) AS n_nodes,
+                   CAST(CASE WHEN (CASE WHEN r % 2 = 0 THEN cnt
+                                        ELSE cnt - 1 END) % 2 = 0
+                             THEN 1 ELSE 0 END AS INT) AS bipartite
+            FROM r
         """,
         # q176: path-chain components — ground truth is analytic
         # (chain component = min id of the residue class), no

@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "q161_wl_classes",
     # round 5 additions
     "q171_sorted_neighborhood", "q173_ktruss",
+    # late round 5: the Luby-MIS iterative kernel and the broadcast
+    # integer-MAC decontamination scan
+    "q177_mis", "q180_semantic_decon",
 ]
 
 

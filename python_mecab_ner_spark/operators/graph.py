@@ -1825,3 +1825,50 @@ def maximal_independent_set(edges: DataFrame, src: str = "src",
     for p in winners_rounds[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bipartiteness_audit(edges: DataFrame, src: str = "src",
+                        dst: str = "dst",
+                        max_rounds: int = 30) -> DataFrame:
+    """Per-component bipartiteness via the DOUBLE COVER: replace each
+    undirected edge {u, v} with {u+, v-} and {u-, v+} (node parities
+    encoded as 2*id / 2*id+1) and run connected components on the
+    cover — a component is bipartite iff its cover splits into TWO
+    components (the two sides), while any odd cycle fuses them into
+    one.  This turns odd-cycle detection — naively a BFS-parity
+    problem, diameter-bound and unrunnable on a 100 TB web graph —
+    into two O(log n)-round star-CC jobs (connected_components_star),
+    inheriting their convergence signature and
+    raise-on-round-exhaustion contract.  Web use: bipartite-ish link
+    structures (directory/forum mirrors, some link farms) behave
+    pathologically under co-citation and community analyses; this is
+    the audit that flags which components those are.
+
+    Returns one row per original component:
+    (comp, n_nodes, bipartite) with bipartite 1/0.
+
+    Scale shape: exactly two star-CC runs (the cover doubles edges,
+    same O(log n) alternations) + one node-keyed join + one
+    combinable per-component aggregate (countDistinct over a
+    two-value cover-component key)."""
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .where(F.col("a") != F.col("b")))
+    cc = connected_components_star(e, src="a", dst="b",
+                                   max_rounds=max_rounds)
+    cover = (e.select((F.col("a") * 2).alias("src"),
+                      (F.col("b") * 2 + 1).alias("dst"))
+             .unionByName(e.select((F.col("a") * 2 + 1).alias("src"),
+                                   (F.col("b") * 2).alias("dst"))))
+    cc2 = connected_components_star(cover, max_rounds=max_rounds)
+    # attach both cover parities of every node to its original comp
+    plus = cc.select("id", "comp", (F.col("id") * 2).alias("cid"))
+    minus = cc.select("id", "comp", (F.col("id") * 2 + 1).alias("cid"))
+    m = (plus.unionByName(minus)
+         .join(cc2.select(F.col("id").alias("cid"),
+                          F.col("comp").alias("comp2")), "cid"))
+    return (m.groupBy("comp")
+            .agg(F.countDistinct("id").cast("bigint").alias("n_nodes"),
+                 F.countDistinct("comp2").alias("nc"))
+            .select("comp", "n_nodes",
+                    F.when(F.col("nc") == 2, 1).otherwise(0)
+                    .cast("int").alias("bipartite")))

@@ -278,3 +278,43 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                     F.col("n_active").cast("bigint").alias("n_active"),
                     F.expr("(n_active * 1000000) div cohort_n")
                     .cast("bigint").alias("retention_ppm")))
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """First-order Markov transition sheet over an event stream: for
+    each user's time-ordered event sequence, count consecutive
+    (src_type -> dst_type) steps corpus-wide and row-normalize to
+    integer ppm — the behavioral fingerprint funnels (q178) are a
+    special slice of, and the drift monitor for ingest streams (a
+    template change shows up as a transition-mass shift before any
+    per-type count moves).
+
+    Ordering within a user is (ts, tiebreak_col) — pass the stream's
+    unique event id; equal-timestamp events without a tiebreaker
+    would make `lead` nondeterministic, so the tiebreaker is part of
+    the cross-engine contract.
+
+    Returns (src_type, dst_type, n, prob_ppm) with prob_ppm =
+    n * 1e6 div (total transitions out of src_type).
+
+    Scale shape: ONE window partitioned by the high-cardinality user
+    key (never a global sort), one map-side-combinable pair count
+    (output is |types|^2), and a broadcast join of the |types|-row
+    src-total dimension."""
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (events.select(F.col(type_col).alias("src_type"),
+                           F.lead(type_col).over(w).alias("dst_type"))
+             .where(F.col("dst_type").isNotNull())
+             .groupBy("src_type", "dst_type")
+             .agg(F.count("*").alias("n")))
+    tot = pairs.groupBy("src_type").agg(F.sum("n").alias("tot"))
+    return (pairs.join(F.broadcast(tot), "src_type")
+            .select("src_type", "dst_type",
+                    F.col("n").cast("bigint").alias("n"),
+                    F.expr("(n * 1000000) div tot")
+                    .cast("bigint").alias("prob_ppm")))

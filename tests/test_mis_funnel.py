@@ -193,3 +193,77 @@ def test_semantic_decontaminate_python_twin(spark):
             want[cid] = (len(hits), max(hits))
     assert got == want
     assert 999 in got  # the planted paraphrase is flagged
+
+
+def test_event_transitions_python_twin(spark):
+    from python_mecab_ner_spark.operators.spans import event_transitions
+    rng = random.Random(3)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(i, rng.randrange(8),
+             t0 + datetime.timedelta(seconds=rng.randrange(50)),
+             "t%d" % rng.randrange(4)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts",
+                                      "event_type"])
+    got = {(r.src_type, r.dst_type): (r.n, r.prob_ppm)
+           for r in event_transitions(df,
+                                      tiebreak_col="event_id").collect()}
+    seqs = {}
+    for eid, u, ts, et in sorted(rows, key=lambda r: (r[2], r[0])):
+        seqs.setdefault(u, []).append(et)
+    n = {}
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            n[(a, b)] = n.get((a, b), 0) + 1
+    tot = {}
+    for (a, _), c in n.items():
+        tot[a] = tot.get(a, 0) + c
+    want = {k: (c, c * 1_000_000 // tot[k[0]]) for k, c in n.items()}
+    assert got == want
+
+
+def test_bipartiteness_audit_known_shapes(spark):
+    from python_mecab_ner_spark.operators.graph import bipartiteness_audit
+    edges = (
+        [(1, 2), (2, 3), (3, 1)] +            # triangle: odd
+        [(10, 11), (11, 12), (12, 13), (13, 10)] +  # square: even
+        [(20, 21), (21, 22)] +                # path: bipartite
+        # pentagon with a tail: odd cycle, tail must not flip it
+        [(30, 31), (31, 32), (32, 33), (33, 34), (34, 30), (30, 39)]
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.comp: (r.n_nodes, r.bipartite)
+           for r in bipartiteness_audit(df).collect()}
+    assert got == {1: (3, 0), 10: (4, 1), 20: (3, 1), 30: (6, 0)}
+
+
+def test_bipartiteness_audit_random_twin(spark):
+    from python_mecab_ner_spark.operators.graph import bipartiteness_audit
+    rng = random.Random(23)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.comp: (r.n_nodes, r.bipartite)
+           for r in bipartiteness_audit(df).collect()}
+    # python twin: union-find components + BFS 2-coloring
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, want = set(), {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        color, queue, nodes, bip = {start: 0}, [start], set(), True
+        while queue:
+            v = queue.pop()
+            nodes.add(v)
+            for u in adj[v]:
+                if u not in color:
+                    color[u] = color[v] ^ 1
+                    queue.append(u)
+                elif color[u] == color[v]:
+                    bip = False
+        seen |= nodes
+        want[min(nodes)] = (len(nodes), int(bip))
+    assert got == want
