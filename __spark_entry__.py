@@ -3524,6 +3524,121 @@ def q182_bipartiteness(spark, sf_dir):
                     "n_nodes", "bipartite"))
 
 
+def q183_auc(spark, sf_dir):
+    """Exact ROC AUC of the q125 trained gate per split
+    (operators.classify.auc_ranksum): tie-corrected Mann-Whitney 2U
+    as an exact integer over the per-split SCORE HISTOGRAM (the
+    q95/q166 cumulative-walk discipline — the window never touches
+    corpus rows), auc_ppm = 2U*1e6 div (2*P*N).  Two rows (train /
+    held-out) = the generalization-gap sheet; q125's docstring quotes
+    this number ("held-out AUC 0.835") — now it is oracled instead of
+    anecdotal."""
+    from python_mecab_ner_spark.operators.classify import auc_ranksum
+    scored = q125_trained_classifier(spark, sf_dir)
+    return auc_ranksum(scored, group_col="is_train")
+
+
+def q184_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for the corpus mean quality score
+    (operators.sample.poisson_bootstrap_ci, Chamandy et al. 2012):
+    per-row deterministic Poisson(1) weights via the md5 -> CDF-ppm
+    ladder, B=200 replicate means as exact integer ratios, percentile
+    ranks 5/195 over the B-row dimension.  The uncertainty sheet
+    published next to every corpus-quality point estimate; row-local
+    by construction — THE bootstrap that survives 100 TB."""
+    from python_mecab_ner_spark.operators.sample import (
+        poisson_bootstrap_ci)
+    d = _load(spark, sf_dir, "documents")
+    vals = d.select("doc_id",
+                    TX.quality_score(F.col("text")).alias("q"))
+    return poisson_bootstrap_ci(vals, "q", "doc_id", n_reps=200)
+
+
+def q185_wilson(spark, sf_dir):
+    """Wilson lower-bound ranking of per-stratum keep rates
+    (operators.sample.wilson_lower_bound, z = 2 exact-integer form
+    via the q143 isqrt ladder): strata are the Zipf-like doc_id
+    bit-length classes (sizes 1, 2, 4, ... — the real sources are
+    deliberately uniform 20x25), success = the q39 keep rule
+    (lang == 'en' AND quality >= 60).  The small-n strata get
+    honestly wide intervals: raw rate would rank a 1/1 stratum above
+    a 400/520 one, the Wilson bound inverts that — the
+    uncertainty-aware source-ranking rule."""
+    from python_mecab_ner_spark.operators.sample import (
+        wilson_lower_bound)
+    d = _load(spark, sf_dir, "documents")
+    strata = d.select(
+        F.concat(F.lit("c"),
+                 F.length(F.bin(F.col("doc_id").cast("bigint")))
+                 .cast("string")).alias("stratum"),
+        ((TX.lang_id(F.col("text")) == "en")
+         & (TX.quality_score(F.col("text")) >= 60))
+        .cast("int").alias("keep"))
+    return wilson_lower_bound(strata, "stratum", "keep")
+
+
+# DuckDB twin of _hearst_text() below — identical injected bytes
+# (the q47 synthetic-PII convention: the corpus has no Hearst
+# patterns by construction, so plant deterministic ones)
+def _hearst_text_sql_parts():
+    def h(s, m):
+        return (f"CAST({md5_int_sql('CAST(doc_id AS VARCHAR)', salt=s)}"
+                f" % {m} AS VARCHAR)")
+    such = (f"CASE WHEN doc_id % 7 = 0 THEN ' cat' || {h('hy:', 5)}"
+            f" || ' such as item' || {h('h1:', 13)}"
+            f" || ', item' || {h('h2:', 17)}"
+            f" || ' and item' || {h('h3:', 19)} || '.'"
+            " ELSE '' END")
+    other = (f"CASE WHEN doc_id % 11 = 0 THEN ' item' || {h('o1:', 23)}"
+             f" || ', item' || {h('o2:', 29)}"
+             f" || ' and other cat' || {h('oy:', 5)} || '.'"
+             " ELSE '' END")
+    return f"(text || {such} || {other})"
+
+
+def _hearst_text():
+    """Deterministic synthetic Hearst sentences appended per doc:
+    every 7th doc a 'Y such as X1, X2 and X3.', every 11th an
+    'X1, X2 and other Y.' — hyper/hypo terms md5-derived from small
+    vocabularies so pair support aggregates meaningfully."""
+    ds = F.col("doc_id").cast("string")
+
+    def h(s, m):
+        return F.pmod(md5_int(ds, salt=s), F.lit(m)).cast("string")
+
+    such = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(F.lit(" cat"), h("hy:", 5),
+                 F.lit(" such as item"), h("h1:", 13),
+                 F.lit(", item"), h("h2:", 17),
+                 F.lit(" and item"), h("h3:", 19),
+                 F.lit("."))).otherwise(F.lit(""))
+    other = F.when(
+        F.pmod(F.col("doc_id"), F.lit(11)) == 0,
+        F.concat(F.lit(" item"), h("o1:", 23),
+                 F.lit(", item"), h("o2:", 29),
+                 F.lit(" and other cat"), h("oy:", 5),
+                 F.lit("."))).otherwise(F.lit(""))
+    return F.concat(F.col("text"), such, other)
+
+
+def q186_hearst(spark, sf_dir):
+    """Hearst-pattern hypernym harvesting (operators.ontology
+    .hearst_hypernyms): is-a pair support mined from 'such as' /
+    'and other' lexical templates over the corpus — taxonomy
+    induction straight off the text stream (Hearst 1992, the WebIsA
+    recipe), complementing the co-occurrence window triple extractor
+    with schema-level edges.  Patterns planted deterministically
+    (_hearst_text, the q47 injection convention); extraction is one
+    JVM regexp projection chain, RE2-safe so the oracle runs the
+    same regex bytes."""
+    from python_mecab_ner_spark.operators.ontology import (
+        hearst_hypernyms)
+    d = _load(spark, sf_dir, "documents")
+    withh = d.select("doc_id", _hearst_text().alias("text"))
+    return hearst_hypernyms(withh, "text", "doc_id")
+
+
 def q143_mix_weights(spark, sf_dir):
     """Temperature-smoothed source mixture weights (operators.sample
     .temperature_mix_weights, tau = 1/2 as in Conneau & Lample 2019):
@@ -5218,6 +5333,10 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_semantic_decon": q180_semantic_decon,
         "q181_event_transitions": q181_event_transitions,
         "q182_bipartiteness": q182_bipartiteness,
+        "q183_auc": q183_auc,
+        "q184_bootstrap_ci": q184_bootstrap_ci,
+        "q185_wilson": q185_wilson,
+        "q186_hearst": q186_hearst,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -5266,6 +5385,30 @@ def oracle_sql() -> dict[str, str]:
     lang_sql = TX.lang_id_sql("text")
     qual_sql = TX.quality_score_sql("text")
     fp_sql = TX.fingerprint_sql("text")
+
+    # q184: Poisson(1) weight ladder (twin of operators.sample
+    # .poisson_bootstrap_ci — same salt, same '#' joiner, same ppm
+    # CDF literals)
+    from python_mecab_ner_spark.operators.sample import (
+        POISSON1_CDF_PPM, isqrt_sql as _isqrt_sql)
+    _boot_u = md5_int_sql(
+        "CAST(doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR)",
+        salt="boot:")
+    _boot_w = "(" + " + ".join(
+        f"CASE WHEN {_boot_u} % 1000000 >= {t} THEN 1 ELSE 0 END"
+        for t in POISSON1_CDF_PPM) + ")"
+
+    # q185: z=2 Wilson lower bound — shared isqrt ladder
+    _wilson_root = _isqrt_sql(
+        "n_docs * (n_pos * (n_docs - n_pos) + n_docs)")
+
+    # q186: Hearst injection twin + the shared pattern literals
+    from python_mecab_ner_spark.operators.ontology import (
+        HEARST_LIST_SPLIT, HEARST_PATTERNS)
+    _hearst_sql = _hearst_text_sql_parts()
+    _HEARST_P1 = HEARST_PATTERNS[0][1]
+    _HEARST_P2 = HEARST_PATTERNS[1][1]
+    _HEARST_SPLIT = HEARST_LIST_SPLIT
 
     # shared shingle CTE (matches operators.dedup.shingles semantics:
     # indices 0..max(n-k, 0), shingle = k words or the remainder tail)
@@ -8080,6 +8223,113 @@ def oracle_sql() -> dict[str, str]:
         # residues skip one node, leaving a tail that does not affect
         # the verdict), so the O(log n) double-cover engine gets an
         # exact oracle with no recursion (the q176 construction)
+        # q183: tie-corrected Mann-Whitney over the per-split score
+        # histogram — 2U exact integer, auc_ppm = 2U*1e6 // (2*P*N)
+        "q183_auc": f"""
+            WITH sc_all AS ({trained_cls_sql}),
+            hist AS (SELECT is_train, score,
+                            sum(y) AS p, sum(1 - y) AS q
+                     FROM sc_all GROUP BY 1, 2),
+            cum AS (SELECT is_train, p, q,
+                           coalesce(sum(q) OVER (
+                               PARTITION BY is_train ORDER BY score
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS qb
+                    FROM hist),
+            ag AS (SELECT is_train, sum(p) AS n_pos, sum(q) AS n_neg,
+                          count(*) AS n_scores,
+                          sum(p * (2 * qb + q)) AS u2
+                   FROM cum GROUP BY 1)
+            SELECT is_train,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CAST(n_scores AS BIGINT) AS n_scores,
+                   CAST(u2 AS BIGINT) AS u2,
+                   CAST((u2 * 1000000)
+                        // greatest(2 * n_pos * n_neg, 1)
+                        AS BIGINT) AS auc_ppm
+            FROM ag
+        """,
+        # q184: deterministic Poisson(1) weights (md5 -> CDF ppm
+        # ladder), B=200 replicate means, percentile ranks 5/195
+        "q184_bootstrap_ci": f"""
+            WITH v AS (SELECT doc_id, {qual_sql} AS q FROM documents),
+            rep AS (SELECT r FROM range(0, 200) t(r)),
+            wrows AS (SELECT v.q, rep.r,
+                             {_boot_w} AS w
+                      FROM v CROSS JOIN rep),
+            means AS (SELECT r, (sum(w * q) * 1000000)
+                                // greatest(sum(w), 1) AS m
+                      FROM wrows GROUP BY 1),
+            rk AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk
+                   FROM means),
+            ci AS (SELECT min(CASE WHEN rk = 5 THEN m END) AS lo,
+                          min(CASE WHEN rk = 195 THEN m END) AS hi
+                   FROM rk)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(200 AS BIGINT) AS n_reps,
+                   CAST((sum(q) * 1000000) // greatest(count(*), 1)
+                        AS BIGINT) AS mean_ppm,
+                   CAST((SELECT lo FROM ci) AS BIGINT) AS ci_lo_ppm,
+                   CAST((SELECT hi FROM ci) AS BIGINT) AS ci_hi_ppm
+            FROM v
+        """,
+        # q185: z=2 Wilson lower bound via the shared isqrt ladder,
+        # strata = doc_id bit-length classes, q39 keep rule
+        "q185_wilson": f"""
+            WITH s AS (SELECT 'c' || CAST(length(bin(doc_id)) AS VARCHAR)
+                               AS stratum,
+                              CASE WHEN {lang_sql} = 'en'
+                                        AND {qual_sql} >= 60
+                                   THEN 1 ELSE 0 END AS keep
+                       FROM documents),
+            g AS (SELECT stratum, count(*) AS n_docs,
+                         sum(keep) AS n_pos
+                  FROM s GROUP BY 1)
+            SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST((n_pos * 1000000) // n_docs AS BIGINT)
+                       AS rate_ppm,
+                   CAST((1000000 * (n_pos + 2) * n_docs
+                         - 2000000 * {_wilson_root})
+                        // (n_docs * (n_docs + 4)) AS BIGINT)
+                       AS wilson_lb_ppm
+            FROM g
+        """,
+        # q186: Hearst 'such as' / 'and other' templates over the
+        # injected text — same regex bytes as the Spark side
+        "q186_hearst": f"""
+            WITH t AS (SELECT doc_id, lower({_hearst_sql}) AS tx
+                       FROM documents),
+            m1 AS (SELECT doc_id,
+                          unnest(regexp_extract_all(tx,
+                              '{_HEARST_P1}')) AS m
+                   FROM t),
+            p1 AS (SELECT 'such_as' AS pattern, doc_id,
+                          regexp_extract(m, '{_HEARST_P1}', 1)
+                              AS hypernym,
+                          unnest(string_split_regex(
+                              regexp_extract(m, '{_HEARST_P1}', 2),
+                              '{_HEARST_SPLIT}')) AS hyponym
+                   FROM m1),
+            m2 AS (SELECT doc_id,
+                          unnest(regexp_extract_all(tx,
+                              '{_HEARST_P2}')) AS m
+                   FROM t),
+            p2 AS (SELECT 'and_other' AS pattern, doc_id,
+                          regexp_extract(m, '{_HEARST_P2}', 2)
+                              AS hypernym,
+                          unnest(string_split_regex(
+                              regexp_extract(m, '{_HEARST_P2}', 1),
+                              '{_HEARST_SPLIT}')) AS hyponym
+                   FROM m2),
+            u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+            SELECT pattern, hypernym, hyponym,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM u
+            WHERE hypernym <> '' AND hyponym <> ''
+            GROUP BY 1, 2, 3
+        """,
         "q182_bipartiteness": """
             WITH r AS (SELECT event_id % 8 AS r, count(*) AS cnt,
                               min(event_id) AS mn

@@ -243,6 +243,60 @@ def threshold_confusion(scored: DataFrame, thresholds: list[int],
         .cast("bigint").alias("f1_ppm"))
 
 
+def auc_ranksum(scored: DataFrame, score_col: str = "score",
+                label_col: str = "y",
+                group_col: str | None = None) -> DataFrame:
+    """Exact ROC AUC of a trained gate via the tie-corrected
+    Mann-Whitney rank-sum, in integer ppm — the RANKER metric q125's
+    docstring quotes ("measured held-out AUC 0.835") promoted to an
+    oracled first-class audit.  AUC = P(score_pos > score_neg) +
+    P(tie)/2; with per-score positive/negative counts (p_s, q_s) and
+    qb_s = negatives at strictly lower scores,
+
+        2U = sum_s p_s * (2*qb_s + q_s),     AUC = 2U / (2 * P * N)
+
+    2U is an exact integer (the tie term q_s/2 cleared by the factor
+    2), so auc_ppm = 2U * 1e6 div (2*P*N) hash-matches the DuckDB
+    twin with no float anywhere.  Grouping (e.g. by train/held-out
+    split) yields the generalization-gap sheet in one pass.
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus
+    keyed by (group, score) — the cumulative walk then runs over the
+    per-group SCORE HISTOGRAM, a model-bounded dimension (integer
+    scores of a linear gate span the weight-sum range, not the corpus
+    size): the q95/q166 histogram-cumulative discipline, never a rank
+    window over rows.  Overflow: 2U <= 2*P*N and the ppm numerator
+    2U*1e6 must stay under 2^63, i.e. P*N <= ~4.6e12 per group
+    (~4.3M balanced rows) — beyond that, audit on a hash sample per
+    group or lift the two div operands to decimal(38,0), as
+    gate_agreement documents for the same bound class.
+
+    Returns one row per group: (group?, n_pos, n_neg, n_scores, u2,
+    auc_ppm) — all integers."""
+    gcols = [group_col] if group_col else []
+    s = scored.select(*gcols,
+                      F.col(score_col).cast("bigint").alias("_s"),
+                      F.col(label_col).cast("bigint").alias("_y"))
+    hist = (s.groupBy(*gcols, "_s")
+            .agg(F.sum("_y").cast("bigint").alias("_p"),
+                 F.sum(1 - F.col("_y")).cast("bigint").alias("_q")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*gcols).orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.withColumn(
+        "_qb", F.coalesce(F.sum("_q").over(w), F.lit(0)).cast("bigint"))
+    ag = (cum.groupBy(*gcols)
+          .agg(F.sum("_p").cast("bigint").alias("n_pos"),
+               F.sum("_q").cast("bigint").alias("n_neg"),
+               F.count("*").cast("bigint").alias("n_scores"),
+               F.sum(F.col("_p") * (2 * F.col("_qb") + F.col("_q")))
+               .cast("bigint").alias("u2")))
+    return ag.withColumn(
+        "auc_ppm",
+        F.expr("(u2 * 1000000) div greatest(2 * n_pos * n_neg, 1)")
+        .cast("bigint"))
+
+
 def gate_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Cohen's kappa between two keep/drop gates (e.g. the heuristic
     quality rule vs the trained classifier) — the standard

@@ -393,3 +393,73 @@ def propagate_types(edges: DataFrame, seeds: DataFrame,
                            .bitwiseAND(F.lit(cap - 1)),
                            F.col("ty")).cast("bigint").alias("ty")))
     return lab.select("node", F.col("ty").alias("type_id"))
+
+
+# Hearst patterns (Hearst, COLING 1992): lexical templates that emit
+# is-a edges straight off the text stream.  Tokens are restricted to
+# [a-z0-9]+ so the Java-regex (Spark) and RE2 (DuckDB) semantics
+# coincide exactly; multiword NPs need an upstream chunker and are out
+# of scope (documented simplification — the reference has no NP
+# chunker either).  Each entry: (name, pattern, hyper_group,
+# hypo_list_group) — the list group is split on HEARST_LIST_SPLIT.
+# Separator alternation is ordered LONGEST-FIRST (', and ' before
+# ', ' before ' and ') because both Java regex and RE2 are
+# leftmost-FIRST on alternation: with ', ' first, the greedy list
+# star would consume an Oxford comma's ', and' as a list item named
+# 'and' and drop the final hyponym (measured; pinned by the
+# oxford-comma test).  No lookahead anywhere — RE2-safe.
+_HEARST_ITEM = r"[a-z0-9]+"
+_HEARST_LIST = rf"{_HEARST_ITEM}(?:(?:, and |, | and ){_HEARST_ITEM})*"
+HEARST_PATTERNS = (
+    ("such_as", rf"({_HEARST_ITEM}) such as ({_HEARST_LIST})", 1, 2),
+    ("and_other", rf"({_HEARST_LIST}) and other ({_HEARST_ITEM})", 2, 1),
+)
+HEARST_LIST_SPLIT = r", and |, | and "
+
+
+def hearst_hypernyms(df: DataFrame, text_col: str,
+                     id_col: str) -> DataFrame:
+    """Hearst-pattern hypernym harvesting: mine is-a triples from
+    lexical templates ("Y such as X1, X2 and X3" => X_i is-a Y;
+    "X1, X2 and other Y" => X_i is-a Y) — the classic taxonomy-
+    induction pass (Hearst 1992) that complements the windowed
+    dependency-pattern triple extractor with schema-level edges, the
+    way WebIsA/KELM harvest hypernymy from Common Crawl at scale.
+
+    Pure JVM path: lowercase -> regexp_extract_all per pattern (full
+    matches) -> per-match group extraction -> list split -> explode;
+    zero Python, zero join — the only exchange is the final
+    (pattern, hyper, hypo) aggregate.  Patterns are RE2-safe (no
+    backreference/lookahead) so the DuckDB twin runs the SAME regex
+    bytes.
+
+    Returns (pattern, hypernym, hyponym, n_docs) with n_docs =
+    countDistinct docs asserting the pair under that pattern —
+    aggregated pair support, ready for a confidence cut.
+
+    Scale shape: per-row projection chain inside one codegen stage;
+    output is pair-vocabulary-sized.  A pathological row with many
+    matches explodes to its match count — text rows are
+    length-bounded upstream (Gopher/C4 gates), which bounds the
+    per-row fanout."""
+    low = F.lower(F.col(text_col))
+    per_pattern = []
+    for name, pat, hyper_g, hypo_g in HEARST_PATTERNS:
+        m = F.explode(
+            F.regexp_extract_all(low, F.lit(pat), F.lit(0))).alias("_m")
+        matches = df.select(F.col(id_col).alias("_doc"), m)
+        pairs = matches.select(
+            "_doc",
+            F.regexp_extract(F.col("_m"), pat, hyper_g).alias("hypernym"),
+            F.explode(
+                F.split(F.regexp_extract(F.col("_m"), pat, hypo_g),
+                        HEARST_LIST_SPLIT)).alias("hyponym"))
+        per_pattern.append(
+            pairs.select(F.lit(name).alias("pattern"), "_doc",
+                         "hypernym", "hyponym"))
+    allp = per_pattern[0]
+    for p in per_pattern[1:]:
+        allp = allp.unionByName(p)
+    return (allp.where((F.col("hypernym") != "") & (F.col("hyponym") != ""))
+            .groupBy("pattern", "hypernym", "hyponym")
+            .agg(F.countDistinct("_doc").cast("bigint").alias("n_docs")))

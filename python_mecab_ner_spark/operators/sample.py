@@ -390,3 +390,120 @@ def epoch_allocation(sources: DataFrame, budget: int,
         .alias("epochs_milli"),
         F.greatest(F.lit(0), F.lit(budget) - F.col("tc"))
         .cast("bigint").alias("budget_unmet"))
+
+
+# floor(1e6 * CDF_Poisson(1)(k)) for k = 0..5 — literal constants (no
+# float evaluated at runtime); weight 6 absorbs the 5.9e-7 tail
+POISSON1_CDF_PPM = (367879, 735758, 919698, 981011, 996340, 999405)
+
+
+def poisson_bootstrap_ci(df: DataFrame, value_col: str, id_col: str,
+                         n_reps: int = 200, salt: str = "boot:",
+                         lo_mille: int = 25,
+                         hi_mille: int = 975) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a corpus mean — THE
+    web-scale bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012): instead of resampling n rows
+    with replacement (which needs global coordination), each row
+    enters replicate r with an independent Poisson(1) weight, giving
+    the same asymptotic distribution with a purely row-local rule.
+    Here the weight is DETERMINISTIC: u = md5(salt || id || '#' || r)
+    mod 1e6 inverted through the Poisson(1) CDF ppm ladder
+    (POISSON1_CDF_PPM; w = #{k : u >= cdf_k}, capped at 6) — fully
+    reproducible, hash-exact in the DuckDB twin, no RNG state.
+
+    Per replicate the weighted mean is the exact integer ratio
+    mean_ppm = 1e6 * sum(w*v) div sum(w); the CI is the percentile
+    rule over the B replicate means with the rank contract
+    r_lo = max(1, B*lo_mille div 1000), r_hi = least(B,
+    (B*hi_mille + 999) div 1000) (B=200 defaults -> ranks 5 and 195,
+    a 95% interval), ties broken by replicate id.
+
+    Scale shape: the corpus is scanned ONCE, exploded x B into a
+    narrow (rep, w, w*v) stream feeding one map-side-combinable
+    aggregate; everything after is a B-row dimension (the rank window
+    runs over B rows only).  values must be integers (quality scores,
+    token counts); sum(w*v)*1e6 must stay in int64 — at B=200 and
+    v <= 100 that's ~4.6e13 rows before the decimal(38,0) lift.
+
+    Returns ONE row: (n_docs, n_reps, mean_ppm, ci_lo_ppm, ci_hi_ppm)
+    — mean_ppm is the plain corpus mean in ppm units of v."""
+    v = F.col(value_col).cast("bigint")
+    base = df.select(F.col(id_col).cast("string").alias("_id"),
+                     v.alias("_v"))
+    rep = base.select(
+        "_id", "_v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("_r"))
+    u = F.pmod(
+        md5_int(F.concat_ws("#", F.col("_id"), F.col("_r").cast("string")),
+                salt=salt),
+        F.lit(1_000_000))
+    w = sum(((u >= F.lit(t)).cast("int") for t in POISSON1_CDF_PPM),
+            F.lit(0)).cast("bigint")
+    means = (rep.select("_r", w.alias("_w"), (w * F.col("_v")).alias("_wv"))
+             .groupBy("_r")
+             .agg(F.sum("_w").cast("bigint").alias("_den"),
+                  F.sum("_wv").cast("bigint").alias("_num"))
+             .withColumn("_m",
+                         F.expr("(_num * 1000000) div greatest(_den, 1)")
+                         .cast("bigint")))
+    rk = Window.orderBy(F.col("_m").asc(), F.col("_r").asc())
+    r_lo = max(1, (n_reps * lo_mille) // 1000)
+    r_hi = min(n_reps, (n_reps * hi_mille + 999) // 1000)
+    ci = (means.withColumn("_rk", F.row_number().over(rk))
+          .agg(F.min(F.when(F.col("_rk") == r_lo, F.col("_m")))
+               .cast("bigint").alias("ci_lo_ppm"),
+               F.min(F.when(F.col("_rk") == r_hi, F.col("_m")))
+               .cast("bigint").alias("ci_hi_ppm")))
+    point = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("(sum(_v) * 1000000) div greatest(count(*), 1)")
+        .cast("bigint").alias("mean_ppm"))
+    return (point.crossJoin(F.broadcast(ci))
+            .select("n_docs", F.lit(n_reps).cast("bigint").alias("n_reps"),
+                    "mean_ppm", "ci_lo_ppm", "ci_hi_ppm"))
+
+
+def wilson_lower_bound(df: DataFrame, group_col: str,
+                       success_col: str) -> DataFrame:
+    """Per-group Wilson-score LOWER bound of a pass rate at z = 2
+    (~95.45%), exact integers end-to-end — the uncertainty-aware
+    ranking rule for comparing keep-rates across groups of wildly
+    different sizes (a 2/2 stratum must NOT outrank a 9500/10000
+    one; the raw rate says it does, the Wilson bound says otherwise).
+
+    z = 2 is the one z with an exact integer form: with k successes
+    of n, multiplying the classic bound through by n,
+
+        LB = ((k+2)*n - 2*sqrt(n*(k*(n-k) + n))) / (n*(n+4))
+
+    and wilson_lb_ppm := (1e6*(k+2)*n - 2e6*isqrt(n*(k*(n-k)+n)))
+    div (n*(n+4)) — the isqrt ladder (isqrt_col/isqrt_sql) makes the
+    metric a deterministic integer contract on both engines; the
+    floor inside the subtraction biases the bound UP by strictly less
+    than 2e6/(n*(n+4)) ppm, i.e. sub-ppm for n >= 1400.  Numerator
+    and isqrt argument stay in int64 for per-group n <= ~2e6 — at
+    100 TB group sizes, compute on a per-group hash sample or lift to
+    decimal(38,0) (the gate_agreement bound class).
+
+    Returns (group, n_docs, n_pos, rate_ppm, wilson_lb_ppm) — one
+    combinable aggregate, group-cardinality output, no window."""
+    y = F.col(success_col).cast("bigint")
+    g = (df.groupBy(F.col(group_col).alias("grp"))
+         .agg(F.count("*").cast("bigint").alias("n_docs"),
+              F.sum(y).cast("bigint").alias("n_pos")))
+    n, k = F.col("n_docs"), F.col("n_pos")
+    root = isqrt_col(n * (k * (n - k) + n))
+    # integer `div`, never float `/`+floor (the cross-engine ulp trap);
+    # the numerator is non-negative: the floored isqrt only ever
+    # UNDERSHOOTS the true sqrt, and the analytic bound is >= 0
+    num = (F.lit(1_000_000) * (k + 2) * n
+           - F.lit(2_000_000) * root).cast("bigint")
+    return (g.withColumn("_num", num)
+            .withColumn("_den", (n * (n + 4)).cast("bigint"))
+            .select(
+                F.col("grp").alias(group_col), "n_docs", "n_pos",
+                F.expr("(n_pos * 1000000) div n_docs").cast("bigint")
+                .alias("rate_ppm"),
+                F.expr("_num div _den").cast("bigint")
+                .alias("wilson_lb_ppm")))
