@@ -2771,6 +2771,63 @@ def _harmonic_oracle_sql(radius: int = 3, scale: int = 1000) -> str:
         FROM reach GROUP BY 1"""
 
 
+def _betweenness_oracle_sql(radius: int = 3,
+                            scale: int = 1_000_000) -> str:
+    """Unrolled Brandes twin of q190: forward sigma-carrying BFS
+    levels, then the backward floor-div dependency per level.  Level
+    and delta CTEs MATERIALIZED — each feeds multiple later
+    consumers (the q94 lesson)."""
+    s = """
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        e AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+        l0 AS MATERIALIZED (
+            SELECT p_partkey * 2 AS root, p_partkey * 2 AS v,
+                   CAST(1 AS BIGINT) AS sigma
+            FROM part WHERE p_partkey <= 100)"""
+    prev_union = "SELECT root, v FROM l0"
+    for k in range(1, radius + 1):
+        s += f""",
+        x{k} AS MATERIALIZED (
+            SELECT l.root, e.dst AS v, sum(l.sigma) AS sigma
+            FROM l{k - 1} l JOIN e ON e.src = l.v
+            GROUP BY 1, 2),
+        l{k} AS MATERIALIZED (
+            SELECT x.root, x.v, x.sigma FROM x{k} x
+            LEFT JOIN ({prev_union}) u
+              ON u.root = x.root AND u.v = x.v
+            WHERE u.root IS NULL)"""
+        prev_union += f" UNION ALL SELECT root, v FROM l{k}"
+    s += f""",
+        d{radius} AS MATERIALIZED (
+            SELECT root, v, sigma, CAST(0 AS BIGINT) AS delta
+            FROM l{radius})"""
+    for k in range(radius - 1, 0, -1):
+        s += f""",
+        c{k} AS MATERIALIZED (
+            SELECT l.root, l.v,
+                   sum((l.sigma * ({scale} + dn.delta)) // dn.sigma)
+                       AS dsum
+            FROM l{k} l JOIN e ON e.src = l.v
+            JOIN d{k + 1} dn ON dn.root = l.root AND dn.v = e.dst
+            GROUP BY 1, 2),
+        d{k} AS MATERIALIZED (
+            SELECT l.root, l.v, l.sigma,
+                   CAST(coalesce(c.dsum, 0) AS BIGINT) AS delta
+            FROM l{k} l LEFT JOIN c{k} c
+              ON c.root = l.root AND c.v = l.v)"""
+    alld = " UNION ALL ".join(
+        f"SELECT root, v, delta FROM d{k}"
+        for k in range(1, radius + 1))
+    return s + f""",
+        alld AS ({alld})
+        SELECT CAST(v AS BIGINT) AS node,
+               CAST(count(*) AS BIGINT) AS n_roots,
+               CAST(sum(delta) AS BIGINT) AS bw_scaled
+        FROM alld GROUP BY 1"""
+
+
 def _typeprop_oracle_sql(iters: int = 2, type_bits: int = 20) -> str:
     """Unrolled seeded type-propagation twin of q156 (same packed
     argmax + seed clamp per round)."""
@@ -3399,6 +3456,8 @@ def q176_star_cc(spark, sf_dir):
 
 
 MIS_ROUNDS = 8
+MATCH_ROUNDS = 10   # q188: converges well inside this at both SFs
+TAXO_ROUNDS = 8     # q187: the part-catalog DAG is 5 layers deep
 
 
 def q177_mis(spark, sf_dir):
@@ -3637,6 +3696,108 @@ def q186_hearst(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     withh = d.select("doc_id", _hearst_text().alias("text"))
     return hearst_hypernyms(withh, "text", "doc_id")
+
+
+def q187_taxonomy_layers(spark, sf_dir):
+    """Taxonomy layering + ancestor closure (operators.graph
+    .dag_layers): Kahn-peel longest-path-to-root layers and
+    distinct-ancestor counts over the product-category DAG derived
+    from part — part -> name-noun category -> root, part -> type ->
+    root, and part -> brand -> derived mfgr -> root, so every part
+    reaches the root by THREE routes (the closure's distinct count
+    is exercised: 5 distinct ancestors from 7 path-ancestors).  The
+    downstream half of q186's Hearst harvest: is-a edges in, depth
+    sheet + closure sizes out; cycles raise instead of layering
+    (harvest noise must surface).  Oracle = recursive-CTE closure
+    with layer = max path length, MATERIALIZED edge CTE."""
+    from python_mecab_ner_spark.operators.graph import dag_layers
+    part = _load(spark, sf_dir, "part")
+    pnode = F.concat(F.lit("part:"), F.col("p_partkey").cast("string"))
+    cat = F.concat(F.lit("cat:"), F.split(F.col("p_name"), " ")[1])
+    typ = F.concat(F.lit("type:"), F.col("p_type"))
+    brand = F.concat(F.lit("brand:"), F.col("p_brand"))
+    mfgr = F.concat(
+        F.lit("mfgr:"),
+        F.pmod(F.expr("CAST(substring(p_brand, 7) AS INT)"),
+               F.lit(5)).cast("string"))
+    root = F.lit("root:catalog")
+    fams = [(pnode, cat), (cat, root), (pnode, typ), (typ, root),
+            (pnode, brand), (brand, mfgr), (mfgr, root)]
+    edges = None
+    for c, p in fams:
+        e = part.select(c.alias("child"), p.alias("parent"))
+        edges = e if edges is None else edges.unionByName(e)
+    return (dag_layers(edges.distinct(), max_rounds=TAXO_ROUNDS)
+            .select("node", F.col("layer").cast("int").alias("layer"),
+                    "n_ancestors")
+            .orderBy("node"))
+
+
+def q188_merge_matching(spark, sf_dir):
+    """Deterministic parallel maximal matching (operators.graph
+    .maximal_matching) on the thin co-purchase graph (q173/q177's
+    input — q177 picks independent NODES, this picks independent
+    EDGES): the conflict-free merge-wave scheduler — a matching is
+    exactly the largest batch of pair-merges that can commit
+    concurrently without touching the same representative twice
+    (kg_merge_schedule runs it on real alias pairs).  md5 edge
+    priorities, local-min-at-both-endpoints winners; the ROUND
+    TRAJECTORY is part of the hash contract (the q177 discipline);
+    both engines run the identical round budget."""
+    from python_mecab_ner_spark.operators.graph import maximal_matching
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 15)
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("src"),
+                     F.col("l2.l_partkey").alias("dst"))
+             .distinct())
+    return (maximal_matching(edges, max_rounds=MATCH_ROUNDS)
+            .select(F.col("a").cast("bigint").alias("a"),
+                    F.col("b").cast("bigint").alias("b"),
+                    F.col("match_round").cast("int").alias("match_round")))
+
+
+def q190_betweenness(spark, sf_dir):
+    """Sampled bounded-radius Brandes betweenness (operators.graph
+    .betweenness_sampled): integer path counts forward, per-term
+    floor-div scaled dependency backward, over the symmetrized
+    part<->supplier graph with a 100-part root sample at radius 3 —
+    the bridge-node sheet (which nodes sit on inter-cluster shortest
+    paths) complementing q158's harmonic (closeness) and q40's
+    PageRank (flow) on the same graph.  Both sampling caps (pivots,
+    radius) are explicit; the oracle unrolls the same BFS + backward
+    recurrence level by level."""
+    from python_mecab_ner_spark.operators.graph import betweenness_sampled
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    pairs = (li.select((F.col("l_partkey") * 2).alias("p"),
+                       (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("p").alias("src"),
+                          F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    roots = (part.where(F.col("p_partkey") <= 100)
+             .select((F.col("p_partkey") * 2).alias("node")))
+    return (betweenness_sampled(edges, roots, radius=3)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    "n_roots", "bw_scaled"))
+
+
+def q189_cusum(spark, sf_dir):
+    """Single change-point per event type (operators.spans
+    .cusum_changepoint): the integer CUSUM statistic
+    |T*S_t - t*S_T| maximized over daily-count prefixes, argmax via
+    the house packed-integer max (ties to the EARLIEST split) — the
+    level-shift detector that complements q85's single-spike burst
+    rule (q85: per-day threshold vs the mean; here: where the mean
+    itself moves).  Day buckets via date_format on the raw ntz
+    column — never epoch arithmetic (the q178/q179 trap)."""
+    from python_mecab_ner_spark.operators.spans import cusum_changepoint
+    ev = _load(spark, sf_dir, "events")
+    return (cusum_changepoint(ev, "ts", "event_type")
+            .orderBy("event_type"))
 
 
 def q143_mix_weights(spark, sf_dir):
@@ -5337,6 +5498,10 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_bootstrap_ci": q184_bootstrap_ci,
         "q185_wilson": q185_wilson,
         "q186_hearst": q186_hearst,
+        "q187_taxonomy_layers": q187_taxonomy_layers,
+        "q188_merge_matching": q188_merge_matching,
+        "q189_cusum": q189_cusum,
+        "q190_betweenness": q190_betweenness,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -5598,6 +5763,52 @@ def oracle_sql() -> dict[str, str]:
         for _r in range(1, MIS_ROUNDS + 1)))
     _mis.append(")")
     mis_sql = "".join(_mis)
+
+    # q188 deterministic maximal matching, unrolled rounds (the MIS
+    # oracle's edge twin): per round, per-node min edge priority, an
+    # edge wins iff it is the min at BOTH endpoints, then every edge
+    # touching a matched node retires.  CTEs MUST be MATERIALIZED —
+    # each round's active set feeds the endpoint expansion, both
+    # winner joins, and the next round (the q94 lesson).
+    _mm = ["""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l2.l_orderkey = l1.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+          WHERE l1.l_quantity <= 15 AND l2.l_quantity <= 15),
+        a0 AS MATERIALIZED (
+          SELECT a, b,
+                 md5(CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR))
+                   || '#' || CAST(a AS VARCHAR)
+                   || '#' || CAST(b AS VARCHAR) AS pri
+          FROM e0)
+    """]
+    for _r in range(1, MATCH_ROUNDS + 1):
+        _mm.append(f"""
+        , inc{_r} AS MATERIALIZED (
+          SELECT a AS node, pri FROM a{_r - 1}
+          UNION ALL SELECT b, pri FROM a{_r - 1})
+        , mn{_r} AS MATERIALIZED (
+          SELECT node, min(pri) AS mp FROM inc{_r} GROUP BY 1)
+        , w{_r} AS MATERIALIZED (
+          SELECT e.a, e.b FROM a{_r - 1} e
+          JOIN mn{_r} ma ON ma.node = e.a AND ma.mp = e.pri
+          JOIN mn{_r} mb ON mb.node = e.b AND mb.mp = e.pri)
+        , mt{_r} AS MATERIALIZED (
+          SELECT a AS node FROM w{_r} UNION ALL SELECT b FROM w{_r})
+        , a{_r} AS MATERIALIZED (
+          SELECT e.a, e.b, e.pri FROM a{_r - 1} e
+          WHERE e.a NOT IN (SELECT node FROM mt{_r})
+            AND e.b NOT IN (SELECT node FROM mt{_r}))
+        """)
+    _mm.append("SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+               "CAST(r AS INT) AS match_round FROM (")
+    _mm.append(" UNION ALL ".join(
+        f"SELECT a, b, {_r} AS r FROM w{_r}"
+        for _r in range(1, MATCH_ROUNDS + 1)))
+    _mm.append(")")
+    matching_sql = "".join(_mm)
 
     _bl = TX.blocklist_phrase_counts_sql("text")
     _bl_defs = ", ".join(f"{e} AS {n}" for e, n in _bl)
@@ -8112,6 +8323,89 @@ def oracle_sql() -> dict[str, str]:
         "q173_ktruss": ktruss_sql,
         "q174_multi_blocking_audit": multi_audit_sql,
         "q177_mis": mis_sql,
+        "q188_merge_matching": matching_sql,
+        # q187: recursive-CTE ancestor closure over the part-catalog
+        # DAG; layer = max upward path length (== the Kahn peel
+        # round), n_ancestors = distinct closure size.  WITH
+        # RECURSIVE prefixes the whole chain (DuckDB rule); depth is
+        # 4 so the (node, anc, d) recursion stays tiny.  DuckDB
+        # string_split is 1-BASED (Spark's split[] is 0-based).
+        "q187_taxonomy_layers": """
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT DISTINCT * FROM (
+                SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS c,
+                       'cat:' || string_split(p_name, ' ')[2] AS p
+                FROM part
+                UNION ALL
+                SELECT 'cat:' || string_split(p_name, ' ')[2],
+                       'root:catalog' FROM part
+                UNION ALL
+                SELECT 'part:' || CAST(p_partkey AS VARCHAR),
+                       'type:' || p_type FROM part
+                UNION ALL
+                SELECT 'type:' || p_type, 'root:catalog' FROM part
+                UNION ALL
+                SELECT 'part:' || CAST(p_partkey AS VARCHAR),
+                       'brand:' || p_brand FROM part
+                UNION ALL
+                SELECT 'brand:' || p_brand,
+                       'mfgr:' || CAST(CAST(substr(p_brand, 7) AS INT)
+                                       % 5 AS VARCHAR)
+                FROM part
+                UNION ALL
+                SELECT 'mfgr:' || CAST(CAST(substr(p_brand, 7) AS INT)
+                                       % 5 AS VARCHAR),
+                       'root:catalog' FROM part)),
+            anc AS (
+              SELECT c AS node, p AS anc, 1 AS d FROM e
+              UNION
+              SELECT a.node, e.p, a.d + 1
+              FROM anc a JOIN e ON e.c = a.anc),
+            n AS (SELECT c AS node FROM e UNION SELECT p FROM e)
+            SELECT n.node AS node,
+                   CAST(coalesce(max(a.d), 0) AS INT) AS layer,
+                   CAST(count(DISTINCT a.anc) AS BIGINT) AS n_ancestors
+            FROM n LEFT JOIN anc a ON a.node = n.node
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        # q189: integer CUSUM |T*S_t - t*S_T| over per-type daily
+        # counts, packed-integer argmax (2^20 pack, earliest-split
+        # tie-break) — mirrors cusum_changepoint bit for bit.
+        "q189_cusum": """
+            WITH daily AS (SELECT event_type AS key,
+                                  strftime(ts, '%Y-%m-%d') AS day,
+                                  count(*) AS cnt
+                           FROM events GROUP BY 1, 2),
+            d AS (SELECT key, day, cnt,
+                         row_number() OVER
+                           (PARTITION BY key ORDER BY day) AS t,
+                         sum(cnt) OVER
+                           (PARTITION BY key ORDER BY day) AS s_t,
+                         sum(cnt) OVER (PARTITION BY key) AS s_total,
+                         count(*) OVER (PARTITION BY key) AS n_days
+                  FROM daily),
+            c AS (SELECT key, day, t, n_days, s_total,
+                         abs(n_days * s_t - t * s_total) AS c_t
+                  FROM d),
+            best AS (SELECT key,
+                            max(c_t * 1048576 + (1048575 - t)) AS pk,
+                            max(n_days) AS n_days,
+                            max(s_total) AS total
+                     FROM c GROUP BY 1),
+            s AS (SELECT key, n_days, total,
+                         pk // 1048576 AS cusum_stat,
+                         1048575 - (pk % 1048576) AS t_split
+                  FROM best)
+            SELECT s.key AS event_type,
+                   CAST(s.n_days AS BIGINT) AS n_days,
+                   CAST(s.total AS BIGINT) AS total,
+                   c.day AS change_day,
+                   CAST(s.t_split AS BIGINT) AS t_split,
+                   CAST(s.cusum_stat AS BIGINT) AS cusum_stat
+            FROM s JOIN c ON c.key = s.key AND c.t = s.t_split
+            ORDER BY 1
+        """,
         # q178: first-touch funnel — NAIVE timestamp comparisons +
         # interval addition (zone-free, exact to the microsecond in
         # both engines; epoch conversion would route through Spark's
@@ -8567,6 +8861,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "q158_harmonic": _harmonic_oracle_sql(radius=3),
+        "q190_betweenness": _betweenness_oracle_sql(radius=3),
         "q159_warm_pagerank": _warm_pr_oracle_sql(old_iters=2),
         "q161_wl_classes": _wl_oracle_sql(iters=2),
         # q162: ground-truth SCC from the recursive transitive

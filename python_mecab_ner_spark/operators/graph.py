@@ -1872,3 +1872,274 @@ def bipartiteness_audit(edges: DataFrame, src: str = "src",
             .select("comp", "n_nodes",
                     F.when(F.col("nc") == 2, 1).otherwise(0)
                     .cast("int").alias("bipartite")))
+
+
+def maximal_matching(edges: DataFrame, src: str = "src",
+                     dst: str = "dst",
+                     max_rounds: int = 12) -> DataFrame:
+    """Deterministic parallel maximal matching (the edge twin of
+    maximal_independent_set — Israeli & Itai 1986 style): each round,
+    an ACTIVE edge enters the matching iff its priority is the
+    minimum among all active edges at BOTH endpoints, then every
+    edge touching a matched node is knocked out.  The winner set per
+    round is independent by construction (two winners cannot share a
+    node) and the fixpoint is maximal; the global-min active edge
+    always wins, and random-like priorities remove a constant
+    fraction of edges per round in expectation — O(log n) rounds,
+    diameter-free, the same budget class as star-CC and MIS.
+
+    KG use: conflict-free entity-resolution merge scheduling — each
+    candidate pair (survivor, duplicate) touches two cluster
+    representatives, and a matching is exactly the largest batch of
+    merges that can commit in one wave without write-write conflicts
+    (kg_merge_schedule runs this on real alias-candidate pairs).
+
+    Priority is content-addressed and collision-proof:
+    md5(a || '#' || b) || '#' || a || '#' || b — a total order every
+    engine computes identically, so the whole round trajectory is
+    bit-stable (the q177 MIS discipline).
+
+    Per round: one endpoint expansion (2x active edges), one
+    per-node min aggregate (map-side combinable), two equi-joins to
+    read back both endpoint minima, two anti-joins to retire matched
+    nodes; active set localCheckpoint'ed per round (iterative-
+    operator house rule).
+
+    Raises RuntimeError if edges remain active after max_rounds — a
+    truncated matching is silently non-maximal (the MIS/SCC
+    discipline).
+
+    Returns (a, b, match_round), a < b, 1-based round."""
+    act = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                        F.greatest(F.col(src), F.col(dst)).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    pri = F.concat(
+        F.md5(F.concat(F.col("a").cast("string"), F.lit("#"),
+                       F.col("b").cast("string"))),
+        F.lit("#"), F.col("a").cast("string"),
+        F.lit("#"), F.col("b").cast("string"))
+    act = act.select("a", "b", pri.alias("pri")).localCheckpoint(eager=True)
+    rounds: list[DataFrame] = []
+    for r in range(1, max_rounds + 1):
+        if act.limit(1).count() == 0:
+            break
+        inc = (act.select(F.col("a").alias("node"), "pri")
+               .unionByName(act.select(F.col("b").alias("node"), "pri")))
+        mn = inc.groupBy("node").agg(F.min("pri").alias("mp"))
+        win = (act
+               .join(mn.select(F.col("node").alias("a"),
+                               F.col("mp").alias("mpa")), "a")
+               .join(mn.select(F.col("node").alias("b"),
+                               F.col("mp").alias("mpb")), "b")
+               .where((F.col("pri") == F.col("mpa"))
+                      & (F.col("pri") == F.col("mpb")))
+               .select("a", "b")
+               .localCheckpoint(eager=True))
+        rounds.append(
+            win.select("a", "b", F.lit(r).cast("int").alias("match_round")))
+        matched = (win.select(F.col("a").alias("node"))
+                   .unionByName(win.select(F.col("b").alias("node"))))
+        act = (act.join(matched.select(F.col("node").alias("a")),
+                        "a", "left_anti")
+               .join(matched.select(F.col("node").alias("b")),
+                     "b", "left_anti")
+               .localCheckpoint(eager=True))
+    if act.limit(1).count() != 0:
+        raise RuntimeError(
+            "maximal_matching: max_rounds exhausted with edges still "
+            "active — raise max_rounds")
+    if not rounds:  # edgeless input: empty matching, same schema
+        return act.select("a", "b",
+                          F.lit(0).cast("int").alias("match_round"))
+    out = rounds[0]
+    for p in rounds[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def dag_layers(edges: DataFrame, child: str = "child",
+               parent: str = "parent", max_rounds: int = 32,
+               count_ancestors: bool = True) -> DataFrame:
+    """Taxonomy layering + ancestor closure over a DAG of
+    child -> parent edges (the is-a graph a Hearst/WebIsA harvest or
+    a category rollup produces): layer(v) = length of the LONGEST
+    upward path from v to any root (parentless node), computed by
+    Kahn peeling — round r removes exactly the nodes whose every
+    parent was already peeled, so roots land in layer 0 and a node
+    lands one past its deepest parent.  Rounds = taxonomy depth + 1
+    (single digits for real taxonomies), each round one anti-join +
+    one zero-out-degree test; peeled/remaining sets are
+    localCheckpoint'ed per round (iterative-operator house rule).
+
+    A CYCLE never peels: if active nodes remain after max_rounds
+    (or a round peels nothing), raises RuntimeError instead of
+    returning partial layers — is-a cycles are harvest noise that
+    must surface, not be silently layered (the SCC/MIS discipline).
+
+    count_ancestors additionally computes |ancestors(v)| — the
+    transitive-closure row count per node, distinct-counted so
+    reconvergent DAG paths (a node reaching the same ancestor two
+    ways) count once.  Frontier expansion to fixpoint with the seen
+    set anti-join (khop discipline), depth-bound by the same
+    max_rounds.  Scale note: the closure PAIR set is O(n x depth x
+    branching) — for layering alone pass count_ancestors=False,
+    which keeps everything node-sized.
+
+    Returns (node, layer, n_ancestors) — n_ancestors -1 when
+    count_ancestors=False."""
+    e = (edges.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+         .where(F.col("c") != F.col("p"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("c").alias("node"))
+             .unionByName(e.select(F.col("p").alias("node")))
+             .distinct())
+    act = nodes.localCheckpoint(eager=True)   # not yet layered
+    rem = e                                   # edges among active nodes
+    layers: list[DataFrame] = []
+    r = 0
+    while r <= max_rounds:
+        if act.limit(1).count() == 0:
+            break
+        # peel: active nodes with no remaining parent edge
+        peel = (act.join(rem.select(F.col("c").alias("node")).distinct(),
+                         "node", "left_anti")
+                .localCheckpoint(eager=True))
+        if peel.limit(1).count() == 0:
+            raise RuntimeError(
+                "dag_layers: no parentless node among remaining — "
+                "the input has a cycle")
+        layers.append(
+            peel.select("node", F.lit(r).cast("int").alias("layer")))
+        act = act.join(peel, "node", "left_anti").localCheckpoint(eager=True)
+        rem = (rem.join(peel.select(F.col("node").alias("p")), "p",
+                        "left_anti")
+               .localCheckpoint(eager=True))
+        r += 1
+    if act.limit(1).count() != 0:
+        raise RuntimeError(
+            "dag_layers: max_rounds exhausted with nodes still "
+            "unlayered — deeper taxonomy than max_rounds or a cycle")
+    if not layers:  # edgeless input: no nodes, same schema
+        return act.select("node", F.lit(0).cast("int").alias("layer"),
+                          F.lit(0).cast("bigint").alias("n_ancestors"))
+    lay = layers[0]
+    for p in layers[1:]:
+        lay = lay.unionByName(p)
+    if not count_ancestors:
+        return lay.select("node", "layer",
+                          F.lit(-1).cast("bigint").alias("n_ancestors"))
+    # ancestor closure: frontier expansion with distinct + seen anti-join
+    seen = e.select(F.col("c").alias("node"), F.col("p").alias("anc")) \
+        .localCheckpoint(eager=True)
+    frontier = seen
+    for _ in range(max_rounds):
+        if frontier.limit(1).count() == 0:
+            break
+        nxt = (frontier.join(e.select(F.col("c").alias("anc"),
+                                      F.col("p").alias("anc2")), "anc")
+               .select("node", F.col("anc2").alias("anc"))
+               .distinct()
+               .join(seen, ["node", "anc"], "left_anti")
+               .localCheckpoint(eager=True))
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    if frontier.limit(1).count() != 0:
+        raise RuntimeError(
+            "dag_layers: ancestor closure did not reach fixpoint in "
+            "max_rounds")
+    cnt = seen.groupBy("node").agg(
+        F.countDistinct("anc").cast("bigint").alias("n_ancestors"))
+    return (lay.join(cnt, "node", "left")
+            .select("node", "layer",
+                    F.coalesce(F.col("n_ancestors"), F.lit(0))
+                    .cast("bigint").alias("n_ancestors")))
+
+
+def betweenness_sampled(edges: DataFrame, roots: DataFrame,
+                        radius: int = 3, scale: int = 1_000_000,
+                        src: str = "src", dst: str = "dst") -> DataFrame:
+    """Sampled bounded-radius betweenness centrality (Brandes 2001,
+    pivot form à la Brandes & Pich 2007): dependency accumulation
+    from a SAMPLED root set over shortest paths of length <= radius
+    — the bridge-node detector (which entities sit on inter-community
+    shortest paths) that degree/PageRank/harmonic miss.  Exact
+    betweenness is O(V*E) and unrunnable at 100 TB; pivots + a radius
+    cap is the standard estimator, and both caps are explicit
+    parameters here, never silent.
+
+    Forward phase: one multi-source BFS carrying integer path counts
+    — level d holds (root, v, sigma) with sigma = number of distinct
+    shortest root->v paths, built by summing predecessor sigmas THEN
+    anti-joining the seen set (first visit wins); per level one join
+    + one combinable sum + one anti-join, localCheckpoint'ed (the
+    iterative house rule).
+
+    Backward phase: Brandes' dependency, integer-scaled —
+
+        delta(v) = sum over shortest-path successors w of
+                   (sigma_v * (scale + delta_w)) DIV sigma_w
+
+    floor-divided per TERM, so Spark and the unrolled-SQL oracle
+    agree bit for bit (the summation order never matters).  Roots'
+    own deltas are not emitted (v != s, per Brandes).
+
+    Overflow bound: sigma_v * (scale + max delta) must stay < 2^63;
+    sigma is at most (max out-degree)^radius and delta at most
+    ball_size * scale — at the default scale 1e6 that allows
+    sigma * ball ~ 9e12, far beyond any radius-3 ball here; shrink
+    scale for deeper radii or hub-dense graphs.
+
+    Returns (node, n_roots, bw_scaled): visit count and summed
+    scaled dependency over the root sample — nodes seen only at the
+    deepest level carry bw_scaled 0 (no successor inside the
+    radius)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    lvl0 = (roots.select(F.col("node").alias("root")).distinct()
+            .select("root", F.col("root").alias("v"),
+                    F.lit(1).cast("bigint").alias("sigma"))
+            .localCheckpoint(eager=True))
+    levels = [lvl0]
+    seen = lvl0.select("root", "v").localCheckpoint(eager=True)
+    for _d in range(1, radius + 1):
+        expand = (levels[-1].join(e.withColumnRenamed("src", "v"), "v")
+                  .select("root", F.col("dst").alias("v"), "sigma"))
+        nxt = (expand.groupBy("root", "v")
+               .agg(F.sum("sigma").alias("sigma"))
+               .join(seen, ["root", "v"], "left_anti")
+               .localCheckpoint(eager=True))
+        levels.append(nxt)
+        seen = (seen.unionByName(nxt.select("root", "v"))
+                .localCheckpoint(eager=True))
+    deltas = {radius: levels[radius].select(
+        "root", "v", "sigma", F.lit(0).cast("bigint").alias("delta"))}
+    for d in range(radius - 1, 0, -1):
+        succ = deltas[d + 1].select(
+            "root", F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"))
+        contrib = (levels[d].join(e.withColumnRenamed("src", "v"), "v")
+                   .select("root", "v", "sigma",
+                           F.col("dst").alias("w"))
+                   .join(succ, ["root", "w"])
+                   .select("root", "v",
+                           F.expr(f"(sigma * ({scale} + delta_w)) "
+                                  "DIV sigma_w").alias("term")))
+        deltas[d] = (levels[d]
+                     .join(contrib.groupBy("root", "v")
+                           .agg(F.sum("term").alias("delta")),
+                           ["root", "v"], "left")
+                     .select("root", "v", "sigma",
+                             F.coalesce(F.col("delta"), F.lit(0))
+                             .cast("bigint").alias("delta"))
+                     .localCheckpoint(eager=True))
+    alld = deltas[radius].select("root", "v", "delta")
+    for d in range(1, radius):
+        alld = alld.unionByName(deltas[d].select("root", "v", "delta"))
+    return (alld.groupBy(F.col("v").alias("node"))
+            .agg(F.count("*").cast("bigint").alias("n_roots"),
+                 F.sum("delta").cast("bigint").alias("bw_scaled")))

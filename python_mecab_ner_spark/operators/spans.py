@@ -318,3 +318,75 @@ def event_transitions(events: DataFrame, user_col: str = "user_id",
                     F.col("n").cast("bigint").alias("n"),
                     F.expr("(n * 1000000) div tot")
                     .cast("bigint").alias("prob_ppm")))
+
+
+def cusum_changepoint(events: DataFrame, ts_col: str, key_col: str,
+                      pack_bits: int = 20) -> DataFrame:
+    """Single change-point detection per key over the daily count
+    series — the level-shift detector a crawl/ingest monitor runs
+    where burst_days flags single spikes: the CUSUM statistic at
+    split t of a T-day series with cumulative count S_t and total S_T
+
+        C_t = | T * S_t - t * S_T |
+
+    (the mean-centered cumulative sum scaled by T to stay integer)
+    peaks at the day the underlying rate shifts.  Pure integer
+    arithmetic end to end, cross-engine exact where the usual
+    sigma-normalized CUSUM is not.
+
+    The argmax day is selected with the house packed-integer max —
+    C_t * 2^pack_bits + (2^pack_bits - 1 - t) — one combinable
+    aggregate per key, ties broken toward the EARLIEST split; no
+    corpus sort, no second pass.  Overflow bound: max(C_t) <= T * S_T
+    must stay below 2^(63-pack_bits) (~8.8e12 at the default 20 bits
+    — a 10k-day series at 880M events/key; assert upstream beyond
+    that or shrink pack_bits).
+
+    Day buckets via date_format on the raw column — NEVER
+    unix-epoch arithmetic on a timestamp_ntz (the q178/q179 session-
+    timezone trap).
+
+    Returns one row per key: (key, n_days, total, change_day
+    'yyyy-MM-dd', t_split, cusum_stat) where t_split is the 1-based
+    day index whose PREFIX ends the left segment.
+
+    Scale shape: one map-side-combinable (key, day) count; one
+    per-key window over the daily table (|keys| x |days| rows, far
+    below the event stream — partitions are day-count sized, never
+    event-sized); one combinable per-key max."""
+    pack = 1 << pack_bits
+    daily = (events.select(F.col(key_col).alias("key"),
+                           F.date_format(F.col(ts_col), "yyyy-MM-dd")
+                           .alias("day"))
+             .groupBy("key", "day").agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("key").orderBy("day")
+    wall = Window.partitionBy("key")
+    d = daily.select(
+        "key", "day", "cnt",
+        F.row_number().over(w).alias("t"),
+        F.sum("cnt").over(w).alias("s_t"),
+        F.sum("cnt").over(wall).alias("s_total"),
+        F.count("*").over(wall).alias("n_days"))
+    c = d.select(
+        "key", "day", "t", "n_days", "s_total",
+        F.abs(F.col("n_days") * F.col("s_t")
+              - F.col("t") * F.col("s_total")).alias("c_t"))
+    best = (c.groupBy("key")
+            .agg(F.max(F.col("c_t") * pack
+                       + (F.lit(pack - 1) - F.col("t"))).alias("pk"),
+                 F.max("n_days").alias("n_days"),
+                 F.max("s_total").alias("total")))
+    split = best.select(
+        "key", "n_days", "total",
+        F.shiftright(F.col("pk"), pack_bits).alias("cusum_stat"),
+        (F.lit(pack - 1) - F.pmod(F.col("pk"), F.lit(pack)))
+        .cast("bigint").alias("t_split"))
+    return (split.join(c.select("key", "day", "t"),
+                       (split["key"] == c["key"])
+                       & (split["t_split"] == c["t"]))
+            .select(split["key"].alias(key_col),
+                    F.col("n_days").cast("bigint").alias("n_days"),
+                    F.col("total").cast("bigint").alias("total"),
+                    F.col("day").alias("change_day"),
+                    F.col("t_split"),
+                    F.col("cusum_stat")))
