@@ -2828,6 +2828,36 @@ def _betweenness_oracle_sql(radius: int = 3,
         FROM alld GROUP BY 1"""
 
 
+def _sssp_oracle_sql(rounds: int = 12) -> str:
+    """Unrolled Bellman-Ford twin of q191: per round the per-node min
+    of {carry} U {relaxed predecessor + weight}.  Distance tables
+    MATERIALIZED (each feeds the carry arm and the relax join)."""
+    s = """
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        pw AS (SELECT p, s, (p + s) % 7 + 1 AS w FROM pairs),
+        e AS (SELECT p AS src, s AS dst, w FROM pw
+              UNION ALL SELECT s, p, w FROM pw),
+        em AS MATERIALIZED (
+            SELECT src, dst, min(w) AS w FROM e GROUP BY 1, 2),
+        d0 AS MATERIALIZED (
+            SELECT p_partkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+            FROM part WHERE p_partkey <= 50)"""
+    for k in range(1, rounds + 1):
+        s += f""",
+        d{k} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+              SELECT node, dist FROM d{k - 1}
+              UNION ALL
+              SELECT e.dst, d.dist + e.w
+              FROM d{k - 1} d JOIN em e ON e.src = d.node)
+            GROUP BY 1)"""
+    return s + f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(dist AS BIGINT) AS dist
+        FROM d{rounds}"""
+
+
 def _typeprop_oracle_sql(iters: int = 2, type_bits: int = 20) -> str:
     """Unrolled seeded type-propagation twin of q156 (same packed
     argmax + seed clamp per round)."""
@@ -3457,6 +3487,7 @@ def q176_star_cc(spark, sf_dir):
 
 MIS_ROUNDS = 8
 MATCH_ROUNDS = 10   # q188: converges well inside this at both SFs
+SSSP_ROUNDS = 12    # q191: unweighted diameter bound, shared with the oracle
 TAXO_ROUNDS = 8     # q187: the part-catalog DAG is 5 layers deep
 
 
@@ -3655,6 +3686,60 @@ def _hearst_text_sql_parts():
     return f"(text || {such} || {other})"
 
 
+# DuckDB twin of _stitch_text() below — identical injected bytes
+# (the q47/q186 injection convention: the corpus has no truncated
+# continuation pages by construction, so plant deterministic ones:
+# every 13th doc gains a boundary 4-gram as its SUFFIX and the NEXT
+# doc gains the same 4-gram as its PREFIX)
+def _stitch_text_sql():
+    def h(i):
+        return (f"CAST({md5_int_sql('CAST(doc_id - (doc_id % 13) AS VARCHAR)', salt=f'sx{i}:')}"
+                f" % 99991 AS VARCHAR)")
+    gram = " || ' ' || ".join(f"'sp' || {h(i)}" for i in range(4))
+    return (f"(CASE WHEN doc_id % 13 = 0 THEN text || ' ' || {gram}"
+            f" WHEN doc_id % 13 = 1 THEN {gram} || ' ' || text"
+            " ELSE text END)")
+
+
+def _stitch_text():
+    """Deterministic stitch boundaries: doc d (d%13==0) ends with a
+    4-token md5-derived gram; doc d+1 starts with the SAME gram, so
+    (d, d+1) is a planted suffix-prefix pair."""
+    base = (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(13))) \
+        .cast("string")
+
+    def h(i):
+        return F.concat(
+            F.lit("sp"),
+            F.pmod(md5_int(base, salt=f"sx{i}:"),
+                   F.lit(99991)).cast("string"))
+
+    gram = F.concat_ws(" ", *[h(i) for i in range(4)])
+    return (F.when(F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+                   F.concat(F.col("text"), F.lit(" "), gram))
+            .when(F.pmod(F.col("doc_id"), F.lit(13)) == 1,
+                  F.concat(gram, F.lit(" "), F.col("text")))
+            .otherwise(F.col("text")))
+
+
+def q192_stitch(spark, sf_dir):
+    """Truncated-page reassembly (operators.crawl
+    .suffix_prefix_stitch): boundary-4-gram equi-join finding pages
+    whose tail continues verbatim as another page's head — planted
+    deterministically (_stitch_text, every 13th doc + its successor).
+    One projection for both boundary keys, one equi-join; the dedup
+    family can't catch these (the halves share only the cut line)."""
+    from python_mecab_ner_spark.operators.crawl import \
+        suffix_prefix_stitch
+    d = _load(spark, sf_dir, "documents")
+    withs = d.select("doc_id", _stitch_text().alias("text"))
+    return (suffix_prefix_stitch(withs, "text", "doc_id")
+            .select(F.col("doc_a").cast("bigint").alias("doc_a"),
+                    F.col("doc_b").cast("bigint").alias("doc_b"),
+                    "boundary")
+            .orderBy("doc_a", "doc_b"))
+
+
 def _hearst_text():
     """Deterministic synthetic Hearst sentences appended per doc:
     every 7th doc a 'Y such as X1, X2 and X3.', every 11th an
@@ -3783,6 +3868,35 @@ def q190_betweenness(spark, sf_dir):
     return (betweenness_sampled(edges, roots, radius=3)
             .select(F.col("node").cast("bigint").alias("node"),
                     "n_roots", "bw_scaled"))
+
+
+def q191_sssp(spark, sf_dir):
+    """Multi-source weighted shortest paths (operators.graph
+    .sssp_int, distributed Bellman-Ford) from a 50-part seed set over
+    the part<->supplier graph with deterministic integer weights
+    ((p+s) % 7 + 1, symmetric by construction) — the crawl-latency /
+    hop-cost sheet, weighted where q158's harmonic BFS is unit-cost.
+    Spark exits at the fixpoint (and RAISES if still relaxing at the
+    budget); the oracle unrolls the identical min-relax recurrence
+    for the full budget — post-fixpoint rounds are no-ops, so the
+    shared budget hash-matches."""
+    from python_mecab_ner_spark.operators.graph import sssp_int
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    pairs = (li.select((F.col("l_partkey") * 2).alias("p"),
+                       (F.col("l_suppkey") * 2 + 1).alias("s"))
+             .distinct())
+    pw = pairs.select(
+        "p", "s", (F.pmod(F.col("p") + F.col("s"), F.lit(7)) + 1).alias("w"))
+    edges = (pw.select(F.col("p").alias("src"), F.col("s").alias("dst"),
+                       "w")
+             .unionByName(pw.select(F.col("s").alias("src"),
+                                    F.col("p").alias("dst"), "w")))
+    roots = (part.where(F.col("p_partkey") <= 50)
+             .select((F.col("p_partkey") * 2).alias("node")))
+    return (sssp_int(edges, roots, max_rounds=SSSP_ROUNDS)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("dist").cast("bigint").alias("dist")))
 
 
 def q189_cusum(spark, sf_dir):
@@ -5253,6 +5367,51 @@ def kg_alias_candidates(spark, sf_dir):
             .orderBy("term_a", "term_b"))
 
 
+def kg_entity_betweenness(spark, sf_dir):
+    """Bridge entities of the REAL co-mention graph (the
+    q190-certified betweenness_sampled on the _kg_dense_sym
+    substrate): entities that sit on inter-community shortest paths
+    — the KG's connector surfaces, which PageRank (volume) and
+    degree (locality) both miss.  Roots = the 32 lowest dense ids
+    (deterministic pivot sample); radius 3.  Rows-only; top
+    bw_scaled first, packed tie-break by node id via ORDER BY."""
+    from python_mecab_ner_spark.operators.graph import \
+        betweenness_sampled
+    sym, _, _, dense = _kg_dense_sym(spark)
+    roots = (dense.select(F.col("nid").alias("node"))
+             .where(F.col("node") <= 32))
+    bw = betweenness_sampled(
+        sym.select(F.col("src"), F.col("dst")), roots, radius=3)
+    return (bw.join(dense.select(F.col("nid").alias("node"),
+                                 F.col("node").alias("surface")),
+                    "node")
+            .select("surface", "n_roots", "bw_scaled")
+            .orderBy(F.col("bw_scaled").desc(), "surface"))
+
+
+def kg_merge_schedule(spark, sf_dir):
+    """Conflict-free ER merge wave schedule on the REAL KG (the
+    q188-certified maximal_matching): the SymSpell alias-candidate
+    pairs (kg_alias_candidates) are merge candidates between cluster
+    representatives; a maximal matching is exactly the largest batch
+    of pair-merges that can commit in ONE wave without touching the
+    same surface twice, and match_round is the wave number for the
+    rest.  Rows-only; the matching kernel itself is hash-certified
+    by the q188 oracle."""
+    from python_mecab_ner_spark.operators.graph import maximal_matching
+    from python_mecab_ner_spark.operators.retrieval import \
+        symspell_alias_pairs
+    g = _kg_graph(spark)
+    surf = g["mentions"].select(F.col("surface").alias("term"))
+    pairs = symspell_alias_pairs(surf).select(
+        F.col("term_a").alias("src"), F.col("term_b").alias("dst"))
+    return (maximal_matching(pairs, max_rounds=MATCH_ROUNDS)
+            .select(F.col("a").alias("term_a"),
+                    F.col("b").alias("term_b"),
+                    F.col("match_round").cast("int").alias("match_round"))
+            .orderBy("term_a", "term_b"))
+
+
 # The grading driver's CORRECTNESS snapshot records only the FIRST 50
 # queries() entries (README: snapshot cap).  Insertion order therefore
 # decides which operator families get the externally-computed hard
@@ -5498,10 +5657,12 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_bootstrap_ci": q184_bootstrap_ci,
         "q185_wilson": q185_wilson,
         "q186_hearst": q186_hearst,
+        "q192_stitch": q192_stitch,
         "q187_taxonomy_layers": q187_taxonomy_layers,
         "q188_merge_matching": q188_merge_matching,
         "q189_cusum": q189_cusum,
         "q190_betweenness": q190_betweenness,
+        "q191_sssp": q191_sssp,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -5511,6 +5672,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_host_scc": kg_host_scc,
         "kg_type_propagation": kg_type_propagation,
         "kg_alias_candidates": kg_alias_candidates,
+        "kg_merge_schedule": kg_merge_schedule,
+        "kg_entity_betweenness": kg_entity_betweenness,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
         "kg_link_levels": kg_link_levels,
@@ -5571,6 +5734,7 @@ def oracle_sql() -> dict[str, str]:
     from python_mecab_ner_spark.operators.ontology import (
         HEARST_LIST_SPLIT, HEARST_PATTERNS)
     _hearst_sql = _hearst_text_sql_parts()
+    _stitch_sql = _stitch_text_sql()
     _HEARST_P1 = HEARST_PATTERNS[0][1]
     _HEARST_P2 = HEARST_PATTERNS[1][1]
     _HEARST_SPLIT = HEARST_LIST_SPLIT
@@ -8330,6 +8494,30 @@ def oracle_sql() -> dict[str, str]:
         # RECURSIVE prefixes the whole chain (DuckDB rule); depth is
         # 4 so the (node, anc, d) recursion stays tiny.  DuckDB
         # string_split is 1-BASED (Spark's split[] is 0-based).
+        # q192: suffix-prefix boundary join over the injected stitch
+        # grams — same split convention as q08, k = 4 hardcoded to
+        # match suffix_prefix_stitch's default (DuckDB slices are
+        # 1-based and end-inclusive)
+        "q192_stitch": f"""
+            WITH t AS (SELECT doc_id, {_stitch_sql} AS tx
+                       FROM documents),
+            tok AS (SELECT doc_id,
+                           regexp_split_to_array(trim(tx), '\\s+') AS t
+                    FROM t),
+            b AS (SELECT doc_id, t FROM tok WHERE len(t) >= 8),
+            sfx AS (SELECT doc_id AS doc_a,
+                           array_to_string(t[len(t)-3:len(t)], ' ')
+                               AS boundary
+                    FROM b),
+            pfx AS (SELECT doc_id AS doc_b,
+                           array_to_string(t[1:4], ' ') AS boundary
+                    FROM b)
+            SELECT CAST(doc_a AS BIGINT) AS doc_a,
+                   CAST(doc_b AS BIGINT) AS doc_b, boundary
+            FROM sfx JOIN pfx USING (boundary)
+            WHERE doc_a <> doc_b
+            ORDER BY 1, 2
+        """,
         "q187_taxonomy_layers": """
             WITH RECURSIVE e AS MATERIALIZED (
               SELECT DISTINCT * FROM (
@@ -8862,6 +9050,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q158_harmonic": _harmonic_oracle_sql(radius=3),
         "q190_betweenness": _betweenness_oracle_sql(radius=3),
+        "q191_sssp": _sssp_oracle_sql(rounds=SSSP_ROUNDS),
         "q159_warm_pagerank": _warm_pr_oracle_sql(old_iters=2),
         "q161_wl_classes": _wl_oracle_sql(iters=2),
         # q162: ground-truth SCC from the recursive transitive

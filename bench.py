@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     # late round 5: the Luby-MIS iterative kernel and the broadcast
     # integer-MAC decontamination scan
     "q177_mis", "q180_semantic_decon",
+    # final round-5 sweep: edge matching and the Brandes
+    # forward/backward multi-join kernel
+    "q188_merge_matching", "q190_betweenness",
 ]
 
 

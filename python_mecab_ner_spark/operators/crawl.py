@@ -258,3 +258,37 @@ def change_rate_schedule(snaps: DataFrame, url_col: str = "url",
                         .otherwise(F.length(F.bin(
                             F.col("change_rate_ppm"))))
                         .cast("int")))
+
+
+def suffix_prefix_stitch(df: DataFrame, text_col: str, id_col: str,
+                         k: int = 4) -> DataFrame:
+    """Truncated-page reassembly candidates: pairs (a, b) where A's
+    LAST k whitespace tokens equal B's FIRST k tokens — the join a
+    crawl pipeline runs to re-join pages a fetcher truncated
+    mid-document or a CMS split into continuation pages (the
+    boundary k-gram is shared verbatim across the cut).  The dedup
+    family can't see these: the halves are NOT near-duplicates of
+    each other, their relationship is boundary adjacency.
+
+    Shape: one projection computes both boundary keys per doc (no
+    explode), then a single equi-join on the k-gram key — candidate
+    volume is bounded by boundary-key collisions, not corpus size
+    squared; natural-language k-grams at k>=4 are near-unique, and a
+    pathological repeated boundary (boilerplate banner) surfaces as
+    a hot key to feed the template_prefixes audit, not a crash.
+    Docs shorter than 2k tokens are excluded (their prefix and
+    suffix would overlap, which stitching semantics do not allow).
+
+    Returns (doc_a, doc_b, boundary): A's tail == B's head, a != b."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (df.select(F.col(id_col).alias("doc"), toks.alias("t"))
+            .where(F.size("t") >= 2 * k))
+    sfx = base.select(F.col("doc").alias("doc_a"),
+                      F.array_join(F.slice("t", -k, k), " ")
+                      .alias("boundary"))
+    pfx = base.select(F.col("doc").alias("doc_b"),
+                      F.array_join(F.slice("t", 1, k), " ")
+                      .alias("boundary"))
+    return (sfx.join(pfx, "boundary")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b", "boundary"))

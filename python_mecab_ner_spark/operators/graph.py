@@ -2143,3 +2143,57 @@ def betweenness_sampled(edges: DataFrame, roots: DataFrame,
     return (alld.groupBy(F.col("v").alias("node"))
             .agg(F.count("*").cast("bigint").alias("n_roots"),
                  F.sum("delta").cast("bigint").alias("bw_scaled")))
+
+
+def sssp_int(edges: DataFrame, sources: DataFrame,
+             max_rounds: int = 15, src: str = "src", dst: str = "dst",
+             weight: str = "w") -> DataFrame:
+    """Multi-source single-shortest-path with integer edge weights
+    (distributed Bellman-Ford): dist(v) = min over seed set of the
+    cheapest weighted path — the crawl-latency / hop-cost distance a
+    scheduler runs from its seed hosts, and the weighted complement
+    of harmonic_centrality's unit-BFS.  Per round, relax every edge
+    out of the current table and keep the per-node min of {old
+    distance} ∪ {predecessor distance + weight}:
+
+        d_k(v) = min(d_{k-1}(v), min over (u,v,w): d_{k-1}(u) + w)
+
+    — one join + one combinable min per round, monotone
+    non-increasing, localCheckpoint'ed (iterative house rule).
+    Rounds needed = longest shortest path in EDGE COUNT, so
+    negative-free weights converge within the unweighted diameter;
+    raises RuntimeError if the table still changes after max_rounds
+    (the SCC/MIS discipline — a truncated Bellman-Ford silently
+    overstates distances).  The oracle unrolls the same recurrence;
+    rounds past the fixpoint are no-ops, so a fixed shared budget
+    hash-matches.
+
+    Returns (node, dist) for every node reachable from the seed set
+    (seeds at 0)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(weight).cast("bigint").alias("w"))
+         .where(F.col("src") != F.col("dst"))
+         .groupBy("src", "dst").agg(F.min("w").alias("w"))
+         .localCheckpoint(eager=True))
+    dist = (sources.select(F.col("node").alias("node")).distinct()
+            .select("node", F.lit(0).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True))
+    for _r in range(max_rounds):
+        relax = (dist.join(e.withColumnRenamed("src", "node"), "node")
+                 .select(F.col("dst").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist")))
+        nxt = (dist.unionByName(relax)
+               .groupBy("node").agg(F.min("dist").alias("dist"))
+               .localCheckpoint(eager=True))
+        # converged when no node's distance improved and no new node
+        changed = (nxt.join(dist.withColumnRenamed("dist", "old"),
+                            "node", "left")
+                   .where(F.col("old").isNull()
+                          | (F.col("dist") < F.col("old")))
+                   .limit(1).count())
+        dist = nxt
+        if changed == 0:
+            return dist
+    raise RuntimeError(
+        "sssp_int: still relaxing after max_rounds — raise max_rounds "
+        "(longest shortest path exceeds the budget)")

@@ -265,3 +265,66 @@ def test_betweenness_star_center(spark):
     # each non-root leaf is a d=2 endpoint for the other 4 roots
     for v in range(1, 6):
         assert got[v] == (4, 0)
+
+
+def test_sssp_random_twin(spark):
+    import heapq
+
+    from python_mecab_ner_spark.operators.graph import sssp_int
+    rng = random.Random(61)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(120)})
+    edges = [(a, b, rng.randrange(1, 9)) for a, b in edges if a != b]
+    roots = [0, 1, 2]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    rdf = spark.createDataFrame([(r,) for r in roots], ["node"])
+    got = {r.node: r.dist for r in sssp_int(df, rdf).collect()}
+    # python twin: multi-source Dijkstra over min-weight parallel edges
+    best = {}
+    for a, b, w in edges:
+        best[(a, b)] = min(w, best.get((a, b), w))
+    adj = {}
+    for (a, b), w in best.items():
+        adj.setdefault(a, []).append((b, w))
+    dist = {r: 0 for r in roots}
+    pq = [(0, r) for r in roots]
+    heapq.heapify(pq)
+    while pq:
+        d, v = heapq.heappop(pq)
+        if d > dist.get(v, 1 << 60):
+            continue
+        for w, c in adj.get(v, ()):
+            nd = d + c
+            if nd < dist.get(w, 1 << 60):
+                dist[w] = nd
+                heapq.heappush(pq, (nd, w))
+    assert got == dist
+
+
+def test_sssp_raises_on_budget(spark):
+    edges = [(i, i + 1, 1) for i in range(30)]  # 30-hop path
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    rdf = spark.createDataFrame([(0,)], ["node"])
+    with pytest.raises(Exception, match="max_rounds"):
+        sssp_from = __import__(
+            "python_mecab_ner_spark.operators.graph",
+            fromlist=["sssp_int"]).sssp_int
+        sssp_from(df, rdf, max_rounds=3).collect()
+
+
+def test_suffix_prefix_stitch(spark):
+    from python_mecab_ner_spark.operators.crawl import \
+        suffix_prefix_stitch
+    rows = [
+        (1, "alpha beta gamma delta cut1 cut2 cut3 cut4"),
+        (2, "cut1 cut2 cut3 cut4 epsilon zeta eta theta"),
+        (3, "unrelated words that stitch with nothing at all"),
+        (4, "cut1 cut2 cut3 cut4"),  # 4 tokens < 2k: excluded
+        (5, "  spaced   out\ttokens\nhere cut1 cut2 cut3 cut4 "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b): r.boundary
+           for r in suffix_prefix_stitch(df, "text", "doc_id").collect()}
+    # doc1 tail == doc2 head; doc5 (mixed whitespace) tail == doc2 head
+    assert got == {(1, 2): "cut1 cut2 cut3 cut4",
+                   (5, 2): "cut1 cut2 cut3 cut4"}
