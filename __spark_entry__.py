@@ -2858,6 +2858,110 @@ def _sssp_oracle_sql(rounds: int = 12) -> str:
         FROM d{rounds}"""
 
 
+def _coverage_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy-max-coverage twin of q193: per round the
+    (max gain, min item) winner over the LIVE incidence table, then
+    the winner's elements anti-joined out.  Live tables MATERIALIZED
+    (each feeds the next round's count and the elem subquery)."""
+    s = """
+        WITH p0 AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS item, word AS elem FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS word
+              FROM documents)
+            WHERE word <> '')"""
+    for r in range(1, k + 1):
+        s += f""",
+        s{r} AS MATERIALIZED (
+            SELECT {r} AS round, item, CAST(count(*) AS BIGINT) AS gain
+            FROM p{r - 1} GROUP BY item
+            ORDER BY gain DESC, item LIMIT 1)"""
+        if r < k:
+            s += f""",
+        p{r} AS MATERIALIZED (
+            SELECT p.item, p.elem FROM p{r - 1} p
+            WHERE p.elem NOT IN (
+              SELECT q.elem FROM p{r - 1} q JOIN s{r} USING (item)))"""
+    unions = " UNION ALL ".join(f"SELECT * FROM s{r}"
+                                for r in range(1, k + 1))
+    return s + f"""
+        SELECT CAST(round AS INT) AS round,
+               CAST(item AS BIGINT) AS item, gain
+        FROM ({unions})"""
+
+
+def _kcenter_oracle_sql(k: int = 5) -> str:
+    """Unrolled Gonzalez farthest-first twin of q194: int8
+    quantization (the q51 rule), per round the (max dist, min id)
+    winner over the running min-distance table, then one least() fold
+    of the new center.  Distance tables MATERIALIZED (each feeds the
+    argmax and the next fold)."""
+    l2 = ("list_sum(list_transform(range(1, len(z.qe) + 1), "
+          "i -> (z.qe[i] - c.qe[i]) * (z.qe[i] - c.qe[i])))")
+    s = """
+        WITH qz AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(greatest(-128, least(127,
+                            floor(CAST(x AS DOUBLE) * 127)))
+                            AS BIGINT)) AS qe
+            FROM embeddings),
+        w1 AS MATERIALIZED (
+            SELECT vec_id AS cid, CAST(0 AS BIGINT) AS d FROM qz
+            ORDER BY vec_id LIMIT 1),
+        d1 AS MATERIALIZED (
+            SELECT z.vec_id, """ + l2 + """ AS d
+            FROM qz z, (SELECT qe FROM qz JOIN w1 ON vec_id = cid) c)"""
+    for r in range(2, k + 1):
+        s += f""",
+        w{r} AS MATERIALIZED (
+            SELECT vec_id AS cid, CAST(d AS BIGINT) AS d FROM d{r - 1}
+            ORDER BY d DESC, vec_id LIMIT 1)"""
+        if r < k:
+            s += f""",
+        d{r} AS MATERIALIZED (
+            SELECT z.vec_id, least(p.d, {l2}) AS d
+            FROM qz z
+            JOIN d{r - 1} p ON p.vec_id = z.vec_id
+            CROSS JOIN (SELECT qe FROM qz JOIN w{r} ON vec_id = cid)
+                AS c)"""
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, cid, d FROM w{r}" for r in range(1, k + 1))
+    return s + f"""
+        SELECT CAST(round AS INT) AS round,
+               CAST(cid AS BIGINT) AS center_id,
+               CAST(d AS BIGINT) AS dist
+        FROM ({unions})"""
+
+
+def _url_templates_oracle_sql() -> str:
+    """q195 oracle: the identical RE2 generalization rules over the
+    injected route URLs (plain string, no f-string — the template
+    braces are literal)."""
+    return ("""
+        WITH raw AS (SELECT """ + _template_url_sql() + """ AS u
+                     FROM documents),
+        hp AS (SELECT regexp_extract(u, '^[a-z]+://([^/?#]+)', 1)
+                          AS host,
+                      regexp_extract(u, '^[a-z]+://[^/?#]+([^?#]*)', 1)
+                          AS path
+               FROM raw),
+        g AS (SELECT host,
+                     '/' || array_to_string(list_transform(
+                         list_filter(string_split(path, '/'),
+                                     s -> s <> ''),
+                         s -> CASE
+                           WHEN regexp_full_match(s, '[0-9]+')
+                             THEN '{n}'
+                           WHEN regexp_full_match(s, '[0-9a-f]{8,}')
+                             THEN '{h}'
+                           ELSE s END), '/') AS template
+              FROM hp)
+        SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+        FROM g GROUP BY 1, 2""")
+
+
 def _typeprop_oracle_sql(iters: int = 2, type_bits: int = 20) -> str:
     """Unrolled seeded type-propagation twin of q156 (same packed
     argmax + seed clamp per round)."""
@@ -3488,6 +3592,8 @@ def q176_star_cc(spark, sf_dir):
 MIS_ROUNDS = 8
 MATCH_ROUNDS = 10   # q188: converges well inside this at both SFs
 SSSP_ROUNDS = 12    # q191: unweighted diameter bound, shared with the oracle
+COVER_K = 5     # q193 greedy-coverage rounds, shared with the oracle
+KCENTER_K = 5   # q194 farthest-first rounds, shared with the oracle
 TAXO_ROUNDS = 8     # q187: the part-catalog DAG is 5 layers deep
 
 
@@ -3897,6 +4003,99 @@ def q191_sssp(spark, sf_dir):
     return (sssp_int(edges, roots, max_rounds=SSSP_ROUNDS)
             .select(F.col("node").cast("bigint").alias("node"),
                     F.col("dist").cast("bigint").alias("dist")))
+
+
+def q193_coverage_selection(spark, sf_dir):
+    """Greedy maximum-coverage document selection (operators.sample
+    .greedy_max_coverage): the 5 documents whose token sets cover the
+    most DISTINCT vocabulary, picked by the exact greedy
+    (1 - 1/e)-approximation — the submodular data-selection step of
+    corpus curation (an annotation or eval budget wants coverage, not
+    volume; q55/q143 sample by mass, this selects by marginal gain).
+    q08's tokenization convention; the oracle unrolls the identical
+    argmax-then-anti-join recurrence, so the hash certifies the whole
+    selection TRAJECTORY (order + per-round gains), not just the
+    final set."""
+    from python_mecab_ner_spark.operators.sample import \
+        greedy_max_coverage
+    d = _loadp(spark, sf_dir, "documents")
+    pairs = (d.select("doc_id",
+                      F.explode(F.split(F.lower(F.trim("text")),
+                                        r"\s+")).alias("word"))
+             .where("word <> ''"))
+    return greedy_max_coverage(pairs, "doc_id", "word", k=COVER_K)
+
+
+def q194_kcenter(spark, sf_dir):
+    """Farthest-first k-center exemplars (operators.ann
+    .kcenter_centers) over the int8-quantized embeddings: 5
+    maximally-spread vectors with their selection-time min squared
+    distances — the diversity-selection complement of SemDeDup (q61
+    removes the redundant; this picks the spread, for eval seeding
+    and annotation-batch diversity).  Exact integer L2 keeps the
+    trajectory hash-stable cross-engine; the oracle unrolls the same
+    argmax + running-least recurrence with the q51 quantization."""
+    from python_mecab_ner_spark.operators.ann import kcenter_centers
+    e = _load(spark, sf_dir, "embeddings")
+    return kcenter_centers(e, k=KCENTER_K)
+
+
+def _template_urls():
+    """Deterministic route-shaped synthetic URLs (q47 injection
+    convention): four md5-chosen route classes exercising every q195
+    generalization rule — numeric ids, 16-hex ids, literal segments,
+    a query-string cut, and a static route."""
+    ds = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"),
+                    F.pmod(md5_int(ds, salt="uth:"), F.lit(5))
+                    .cast("string"),
+                    F.lit(".example.com"))
+    r = F.pmod(md5_int(ds, salt="utr:"), F.lit(4))
+    num = F.pmod(md5_int(ds, salt="utn:"),
+                 F.lit(100000)).cast("string")
+    hex16 = F.substring(F.md5(F.concat(F.lit("utx:"), ds)), 1, 16)
+    k = F.pmod(md5_int(ds, salt="utk:"), F.lit(20)).cast("string")
+    path = (F.when(r == 0, F.concat(F.lit("/post/"), num))
+            .when(r == 1, F.concat(F.lit("/u/"), hex16,
+                                   F.lit("/profile")))
+            .when(r == 2, F.concat(F.lit("/tag/t"), k,
+                                   F.lit("/page/"), num,
+                                   F.lit("?session="), hex16))
+            .otherwise(F.lit("/about")))
+    return F.concat(F.lit("https://"), host, path)
+
+
+def _template_url_sql() -> str:
+    """DuckDB twin of _template_urls() — identical injected bytes."""
+    ds = "CAST(doc_id AS VARCHAR)"
+    host = (f"'h' || CAST({md5_int_sql(ds, salt='uth:')} % 5"
+            " AS VARCHAR) || '.example.com'")
+    r = f"({md5_int_sql(ds, salt='utr:')} % 4)"
+    num = f"CAST({md5_int_sql(ds, salt='utn:')} % 100000 AS VARCHAR)"
+    hex16 = f"substr(md5('utx:' || {ds}), 1, 16)"
+    k = f"CAST({md5_int_sql(ds, salt='utk:')} % 20 AS VARCHAR)"
+    path = (f"(CASE WHEN {r} = 0 THEN '/post/' || {num}"
+            f" WHEN {r} = 1 THEN '/u/' || {hex16} || '/profile'"
+            f" WHEN {r} = 2 THEN '/tag/t' || {k} || '/page/' || {num}"
+            f" || '?session=' || {hex16}"
+            " ELSE '/about' END)")
+    return f"('https://' || {host} || {path})"
+
+
+def q195_url_templates(spark, sf_dir):
+    """URL path-template mining (operators.crawl.url_path_templates):
+    per-segment generalization (all-digits -> {n}, long hex -> {h},
+    RE2-safe rules shared byte-identically with the oracle) + one
+    combinable (host, template) count over the injected route URLs —
+    the CMS-route induction that separates content routes from
+    crawler traps and keys per-route dedup/scheduling policy.
+    Structural complement of q66 (which canonicalizes single URLs)
+    and q146 (which audits content prefixes)."""
+    from python_mecab_ner_spark.operators.crawl import \
+        url_path_templates
+    d = _load(spark, sf_dir, "documents")
+    urls = d.select(_template_urls().alias("url"))
+    return url_path_templates(urls)
 
 
 def q189_cusum(spark, sf_dir):
@@ -5412,6 +5611,23 @@ def kg_merge_schedule(spark, sf_dir):
             .orderBy("term_a", "term_b"))
 
 
+def kg_coverage_docs(spark, sf_dir):
+    """Annotation-budget page selection on the REAL KG (the
+    q193-certified greedy_max_coverage): the 8 pages whose gazetteer
+    mention sets cover the most DISTINCT entity surfaces — what a
+    curation loop sends to labelers first.  Items are the numeric
+    page ids embedded in the corpus urls (corpus.py:173).  Rows-only;
+    the selection kernel is hash-certified by the q193 oracle."""
+    from python_mecab_ner_spark.operators.sample import \
+        greedy_max_coverage
+    g = _kg_graph(spark)
+    pairs = g["mentions"].select(
+        F.regexp_extract("url", r"/([0-9]{8})$", 1).cast("bigint")
+        .alias("page"),
+        F.col("surface"))
+    return greedy_max_coverage(pairs, "page", "surface", k=8)
+
+
 # The grading driver's CORRECTNESS snapshot records only the FIRST 50
 # queries() entries (README: snapshot cap).  Insertion order therefore
 # decides which operator families get the externally-computed hard
@@ -5663,6 +5879,9 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_cusum": q189_cusum,
         "q190_betweenness": q190_betweenness,
         "q191_sssp": q191_sssp,
+        "q193_coverage_selection": q193_coverage_selection,
+        "q194_kcenter": q194_kcenter,
+        "q195_url_templates": q195_url_templates,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -5673,6 +5892,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_propagation": kg_type_propagation,
         "kg_alias_candidates": kg_alias_candidates,
         "kg_merge_schedule": kg_merge_schedule,
+        "kg_coverage_docs": kg_coverage_docs,
         "kg_entity_betweenness": kg_entity_betweenness,
         "kg_schema_stats": kg_schema_stats,
         "kg_mentions_by_category": kg_mentions_by_category,
@@ -9051,6 +9271,9 @@ def oracle_sql() -> dict[str, str]:
         "q158_harmonic": _harmonic_oracle_sql(radius=3),
         "q190_betweenness": _betweenness_oracle_sql(radius=3),
         "q191_sssp": _sssp_oracle_sql(rounds=SSSP_ROUNDS),
+        "q193_coverage_selection": _coverage_oracle_sql(COVER_K),
+        "q194_kcenter": _kcenter_oracle_sql(KCENTER_K),
+        "q195_url_templates": _url_templates_oracle_sql(),
         "q159_warm_pagerank": _warm_pr_oracle_sql(old_iters=2),
         "q161_wl_classes": _wl_oracle_sql(iters=2),
         # q162: ground-truth SCC from the recursive transitive

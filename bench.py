@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     # final round-5 sweep: edge matching and the Brandes
     # forward/backward multi-join kernel
     "q188_merge_matching", "q190_betweenness",
+    # round-5 closeout: the greedy-coverage selection loop and the
+    # URL-template scan
+    "q193_coverage_selection", "q195_url_templates",
 ]
 
 

@@ -728,3 +728,68 @@ def semantic_decontaminate(corpus: DataFrame, bench: DataFrame,
             .groupBy(id_col)
             .agg(F.count("*").cast("bigint").alias("n_hits"),
                  F.max("dot").cast("bigint").alias("max_dot")))
+
+
+def kcenter_centers(df: DataFrame, k: int = 5, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    scale: int = QUANT_SCALE,
+                    id_bits: int = 36) -> DataFrame:
+    """Gonzalez farthest-first traversal (k-center) over int8-
+    quantized embeddings: the diversity-selection complement of
+    SemDeDup — pick k maximally-spread exemplars (eval-set seeding,
+    coreset anchors, annotation-batch diversification), where
+    kmeans_codebook picks density centers and greedy_max_coverage
+    picks coverage maximizers.  The classic 2-approximation to the
+    optimal k-center radius, and its selection-time distances are a
+    monotone non-increasing radius certificate.
+
+    Round 1 seeds at the MIN id (content-deterministic, no RNG);
+    each later round picks argmax over the running min-distance-to-
+    nearest-center (exact integer squared L2 on int8 vectors — hash-
+    stable cross-engine where float cosine is not), ties broken by
+    min id via the house packed max, then folds the ONE new center
+    into the running distance with a single broadcast 1-row join:
+    d_r(p) = least(d_{r-1}(p), l2sq(p, c_r)).  No k-way cross join,
+    no window; per round one broadcast join + one combinable max.
+    The quantized table is localCheckpoint'ed once (k consumers);
+    only k (round, id, dist) scalars reach the driver.
+
+    int64 bounds: l2sq <= dim * 255^2 (dim 4096 -> < 2^29); packed
+    needs l2sq < 2^(62 - id_bits) and id < 2^id_bits — defaults hold
+    to dim ~100k and 64G ids.  Duplicate-heavy degenerate inputs
+    (max dist 0) still resolve deterministically (min id), matching
+    the oracle's ORDER BY, so no early exit.
+
+    Returns (round, center_id, dist): dist = the selected point's
+    min squared distance to the prior centers (0 for the seed)."""
+    cap = 1 << id_bits
+    qz = (quantize_embeddings(df, emb_col, scale)
+          .select(F.col(id_col).alias("pid"), F.col("qemb"))
+          .localCheckpoint(eager=True))
+    seed = qz.agg(F.min("pid")).collect()[0][0]
+    if seed is None:
+        return df.sparkSession.createDataFrame(
+            [], "round int, center_id bigint, dist bigint")
+    out = [(1, int(seed), 0)]
+    cur = (qz.crossJoin(F.broadcast(qz.where(F.col("pid") == seed)
+                                    .select(F.col("qemb").alias("cq"))))
+           .select("pid", "qemb", _l2sq(F.col("qemb"), F.col("cq"))
+                   .alias("d"))
+           .localCheckpoint(eager=True))
+    for rnd in range(2, k + 1):
+        packed = (F.col("d") * F.lit(cap)
+                  + (F.lit(cap - 1) - F.col("pid")))
+        mx = cur.agg(F.max(packed).alias("_mx")).collect()[0]["_mx"]
+        dist = int(mx) >> id_bits
+        cid = (cap - 1) - (int(mx) % cap)
+        out.append((rnd, cid, dist))
+        cur = (cur.crossJoin(F.broadcast(
+                   qz.where(F.col("pid") == cid)
+                   .select(F.col("qemb").alias("cq"))))
+               .select("pid", "qemb",
+                       F.least(F.col("d"),
+                               _l2sq(F.col("qemb"), F.col("cq")))
+                       .alias("d"))
+               .localCheckpoint(eager=True))
+    return df.sparkSession.createDataFrame(
+        out, "round int, center_id bigint, dist bigint")

@@ -292,3 +292,40 @@ def suffix_prefix_stitch(df: DataFrame, text_col: str, id_col: str,
     return (sfx.join(pfx, "boundary")
             .where(F.col("doc_a") != F.col("doc_b"))
             .select("doc_a", "doc_b", "boundary"))
+
+
+def url_path_templates(urls: DataFrame, url_col: str = "url",
+                       hex_min_len: int = 8) -> DataFrame:
+    """URL path-template mining: generalize each path segment that is
+    an instance identifier — all-digits -> ``{n}``, long lower-hex
+    (>= hex_min_len chars, the id/UUID-fragment shape) -> ``{h}`` —
+    and count URLs per (host, template).  The structural induction a
+    crawler runs to find CMS route patterns: template frequency
+    separates content routes (/post/{n}) from crawler traps
+    (calendar pages, session-id explosions — one template with
+    unbounded {n} fan-out), and the template key is what per-route
+    dedup/scheduling policies attach to.
+
+    RE2-safe patterns only (anchored char classes, no lookaround or
+    backrefs) so the DuckDB oracle runs the byte-identical rules.
+    One narrow projection (split + per-segment CASE inside a single
+    transform — segment counts are tiny, the interpreted-HOF rule is
+    about outer-expression re-eval, not per-element work) + one
+    combinable groupBy on (host, template); no shuffle beyond the
+    count.  Query strings are template noise and are cut before
+    segmentation.
+
+    Returns (host, template, n_urls)."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[a-z]+://([^/?#]+)", 1)
+    path = F.regexp_extract(u, r"^[a-z]+://[^/?#]+([^?#]*)", 1)
+    seg = F.filter(F.split(path, "/"), lambda s: s != F.lit(""))
+    gen = F.transform(
+        seg,
+        lambda s: F.when(s.rlike(r"^[0-9]+$"), F.lit("{n}"))
+        .when(s.rlike(r"^[0-9a-f]{%d,}$" % hex_min_len), F.lit("{h}"))
+        .otherwise(s))
+    tmpl = F.concat(F.lit("/"), F.array_join(gen, "/"))
+    return (urls.select(host.alias("host"), tmpl.alias("template"))
+            .groupBy("host", "template")
+            .agg(F.count("*").cast("bigint").alias("n_urls")))

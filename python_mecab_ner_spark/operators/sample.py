@@ -507,3 +507,63 @@ def wilson_lower_bound(df: DataFrame, group_col: str,
                 .alias("rate_ppm"),
                 F.expr("_num div _den").cast("bigint")
                 .alias("wilson_lb_ppm")))
+
+
+def greedy_max_coverage(pairs: DataFrame, item_col: str, elem_col: str,
+                        k: int = 5, id_bits: int = 40) -> DataFrame:
+    """Greedy maximum-coverage selection over an (item, element)
+    incidence table: pick k items whose element sets together cover
+    the most DISTINCT elements — the submodular data-selection step
+    of corpus curation (choose the k documents that maximize
+    vocabulary / entity / domain coverage for an annotation or eval
+    budget; greedy is the classic (1 - 1/e)-approximation and for
+    data selection is the de-facto exact protocol).
+
+    Per round, over the LIVE incidence table (pairs whose element is
+    not yet covered): marginal gain per item is one combinable
+    count, the winner is the house packed-integer argmax
+    (max gain, min item — no window, no tie ambiguity), and the
+    winner's elements are anti-joined out.  Removing the covered
+    elements removes every pair of the winner itself, so selected
+    items disappear from the live table for free — no separate
+    selected-set bookkeeping.  The live table is localCheckpoint'ed
+    per round (iterative house rule), so plan depth stays O(1) per
+    round; per-round cost is one aggregate + one anti-join, k is a
+    small constant, and only k (round, item, gain) scalars ever
+    reach the driver (codebook-sized, the kmeans_codebook rule).
+
+    Stops early when the live table runs dry (every element
+    covered).  Requires 0 <= item < 2^id_bits and per-item degree
+    < 2^(62 - id_bits) (guaranteed for doc ids x token vocabularies;
+    lift id_bits for wider id spaces).
+
+    Returns (round, item, gain): selection order 1..k with each
+    item's marginal element gain — the coverage curve IS the
+    diminishing-returns certificate."""
+    cap = 1 << id_bits
+    live = (pairs.select(F.col(item_col).alias("item"),
+                         F.col(elem_col).alias("elem"))
+            .distinct().localCheckpoint(eager=True))
+    out = []
+    for rnd in range(1, k + 1):
+        packed = (F.col("cnt") * F.lit(cap)
+                  + (F.lit(cap - 1) - F.col("item")))
+        best = (live.groupBy("item").agg(F.count("*").alias("cnt"))
+                .agg(F.max(packed).alias("_mx"))
+                .where(F.col("_mx").isNotNull())
+                .select(F.shiftright(F.col("_mx"), id_bits)
+                        .cast("bigint").alias("gain"),
+                        (F.lit(cap - 1) - F.pmod(F.col("_mx"),
+                                                 F.lit(cap)))
+                        .cast("bigint").alias("item"))
+                .collect())
+        if not best:
+            break
+        gain, item = best[0]["gain"], best[0]["item"]
+        out.append((rnd, int(item), int(gain)))
+        won = live.where(F.col("item") == item).select("elem")
+        live = (live.join(won, "elem", "left_anti")
+                .localCheckpoint(eager=True))
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        out, "round int, item bigint, gain bigint")
