@@ -2862,15 +2862,21 @@ def _coverage_oracle_sql(k: int = 5) -> str:
     """Unrolled greedy-max-coverage twin of q193: per round the
     (max gain, min item) winner over the LIVE incidence table, then
     the winner's elements anti-joined out.  Live tables MATERIALIZED
-    (each feeds the next round's count and the elem subquery)."""
+    (each feeds the next round's count and the elem subquery).
+    Elements are BIGRAMS (see q193's docstring: the unigram universe
+    is one-doc-coverable on this corpus); DuckDB lists are 1-based
+    and range(a, b) is b-exclusive, so i spans 1..len-1."""
     s = """
         WITH p0 AS MATERIALIZED (
-            SELECT DISTINCT doc_id AS item, word AS elem FROM (
+            SELECT DISTINCT doc_id AS item, elem FROM (
               SELECT doc_id,
-                     unnest(regexp_split_to_array(lower(trim(text)),
-                                                  '\\s+')) AS word
-              FROM documents)
-            WHERE word <> '')"""
+                     unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i + 1])) AS elem
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(
+                               lower(trim(text)), '\\s+'),
+                               s -> s <> '') AS w
+                    FROM documents)))"""
     for r in range(1, k + 1):
         s += f""",
         s{r} AS MATERIALIZED (
@@ -4012,18 +4018,27 @@ def q193_coverage_selection(spark, sf_dir):
     (1 - 1/e)-approximation — the submodular data-selection step of
     corpus curation (an annotation or eval budget wants coverage, not
     volume; q55/q143 sample by mass, this selects by marginal gain).
-    q08's tokenization convention; the oracle unrolls the identical
-    argmax-then-anti-join recurrence, so the hash certifies the whole
-    selection TRAJECTORY (order + per-round gains), not just the
-    final set."""
+    Elements are BIGRAMS over q08's tokenization: the template
+    corpus's unigram vocabulary is coverable by ONE long document
+    (measured — a unigram q193 dried up after round 1, leaving the
+    multi-round recurrence uncertified), while the bigram universe
+    keeps all 5 rounds live at both gate SFs.  The oracle unrolls
+    the identical argmax-then-anti-join recurrence, so the hash
+    certifies the whole selection TRAJECTORY (order + per-round
+    gains), not just the final set."""
     from python_mecab_ner_spark.operators.sample import \
         greedy_max_coverage
     d = _loadp(spark, sf_dir, "documents")
-    pairs = (d.select("doc_id",
-                      F.explode(F.split(F.lower(F.trim("text")),
-                                        r"\s+")).alias("word"))
-             .where("word <> ''"))
-    return greedy_max_coverage(pairs, "doc_id", "word", k=COVER_K)
+    w = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                 lambda s: s != F.lit(""))
+    grams = F.when(
+        F.size(w) >= 2,
+        F.zip_with(F.slice(w, 1, F.size(w) - 1),
+                   F.slice(w, 2, F.size(w) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = d.select("doc_id", F.explode(grams).alias("gram"))
+    return greedy_max_coverage(pairs, "doc_id", "gram", k=COVER_K)
 
 
 def q194_kcenter(spark, sf_dir):
@@ -5578,7 +5593,7 @@ def kg_entity_betweenness(spark, sf_dir):
         betweenness_sampled
     sym, _, _, dense = _kg_dense_sym(spark)
     roots = (dense.select(F.col("nid").alias("node"))
-             .where(F.col("node") <= 32))
+             .where(F.col("node") < 32))   # nids are 0-based: 0..31
     bw = betweenness_sampled(
         sym.select(F.col("src"), F.col("dst")), roots, radius=3)
     return (bw.join(dense.select(F.col("nid").alias("node"),

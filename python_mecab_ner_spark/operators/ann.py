@@ -754,11 +754,13 @@ def kcenter_centers(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     The quantized table is localCheckpoint'ed once (k consumers);
     only k (round, id, dist) scalars reach the driver.
 
-    int64 bounds: l2sq <= dim * 255^2 (dim 4096 -> < 2^29); packed
-    needs l2sq < 2^(62 - id_bits) and id < 2^id_bits — defaults hold
-    to dim ~100k and 64G ids.  Duplicate-heavy degenerate inputs
-    (max dist 0) still resolve deterministically (min id), matching
-    the oracle's ORDER BY, so no early exit.
+    int64 bounds: l2sq <= dim * 255^2; the pack needs l2sq <
+    2^(62 - id_bits) and id < 2^id_bits, so the DEFAULTS hold to dim
+    ~1,000 and 64G ids (a 4096-dim corpus needs id_bits <= 33) —
+    enforced with an explicit ValueError, because a silent int64
+    wrap would pick wrong centers without raising.  Duplicate-heavy
+    degenerate inputs (max dist 0) still resolve deterministically
+    (min id), matching the oracle's ORDER BY, so no early exit.
 
     Returns (round, center_id, dist): dist = the selected point's
     min squared distance to the prior centers (0 for the seed)."""
@@ -770,26 +772,28 @@ def kcenter_centers(df: DataFrame, k: int = 5, id_col: str = "vec_id",
     if seed is None:
         return df.sparkSession.createDataFrame(
             [], "round int, center_id bigint, dist bigint")
+    dim = qz.where(F.col("pid") == seed).select(F.size("qemb")).first()[0]
+    if dim * 255 * 255 >= (1 << (62 - id_bits)):
+        raise ValueError(
+            f"kcenter_centers: dim {dim} overflows the packed argmax "
+            f"at id_bits={id_bits} — lower id_bits (needs dim*255^2 "
+            "< 2^(62-id_bits))")
     out = [(1, int(seed), 0)]
-    cur = (qz.crossJoin(F.broadcast(qz.where(F.col("pid") == seed)
-                                    .select(F.col("qemb").alias("cq"))))
-           .select("pid", "qemb", _l2sq(F.col("qemb"), F.col("cq"))
-                   .alias("d"))
-           .localCheckpoint(eager=True))
+    cur, last = None, int(seed)
     for rnd in range(2, k + 1):
+        cvec = F.broadcast(qz.where(F.col("pid") == last)
+                           .select(F.col("qemb").alias("cq")))
+        newd = _l2sq(F.col("qemb"), F.col("cq"))
+        cur = ((qz if cur is None else cur).crossJoin(cvec)
+               .select("pid", "qemb",
+                       (newd if cur is None
+                        else F.least(F.col("d"), newd)).alias("d"))
+               .localCheckpoint(eager=True))
         packed = (F.col("d") * F.lit(cap)
                   + (F.lit(cap - 1) - F.col("pid")))
         mx = cur.agg(F.max(packed).alias("_mx")).collect()[0]["_mx"]
         dist = int(mx) >> id_bits
-        cid = (cap - 1) - (int(mx) % cap)
-        out.append((rnd, cid, dist))
-        cur = (cur.crossJoin(F.broadcast(
-                   qz.where(F.col("pid") == cid)
-                   .select(F.col("qemb").alias("cq"))))
-               .select("pid", "qemb",
-                       F.least(F.col("d"),
-                               _l2sq(F.col("qemb"), F.col("cq")))
-                       .alias("d"))
-               .localCheckpoint(eager=True))
+        last = (cap - 1) - (int(mx) % cap)
+        out.append((rnd, last, dist))
     return df.sparkSession.createDataFrame(
         out, "round int, center_id bigint, dist bigint")

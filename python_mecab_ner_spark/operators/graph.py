@@ -2147,7 +2147,7 @@ def betweenness_sampled(edges: DataFrame, roots: DataFrame,
 
 def sssp_int(edges: DataFrame, sources: DataFrame,
              max_rounds: int = 15, src: str = "src", dst: str = "dst",
-             weight: str = "w") -> DataFrame:
+             weight: str = "w", node: str = "node") -> DataFrame:
     """Multi-source single-shortest-path with integer edge weights
     (distributed Bellman-Ford): dist(v) = min over seed set of the
     cheapest weighted path — the crawl-latency / hop-cost distance a
@@ -2175,7 +2175,7 @@ def sssp_int(edges: DataFrame, sources: DataFrame,
          .where(F.col("src") != F.col("dst"))
          .groupBy("src", "dst").agg(F.min("w").alias("w"))
          .localCheckpoint(eager=True))
-    dist = (sources.select(F.col("node").alias("node")).distinct()
+    dist = (sources.select(F.col(node).alias("node")).distinct()
             .select("node", F.lit(0).cast("bigint").alias("dist"))
             .localCheckpoint(eager=True))
     for _r in range(max_rounds):

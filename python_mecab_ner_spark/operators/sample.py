@@ -561,6 +561,8 @@ def greedy_max_coverage(pairs: DataFrame, item_col: str, elem_col: str,
             break
         gain, item = best[0]["gain"], best[0]["item"]
         out.append((rnd, int(item), int(gain)))
+        if rnd == k:
+            break   # the kth anti-join would be a dead full-pass job
         won = live.where(F.col("item") == item).select("elem")
         live = (live.join(won, "elem", "left_anti")
                 .localCheckpoint(eager=True))
