@@ -4113,6 +4113,22 @@ def q195_url_templates(spark, sf_dir):
     return url_path_templates(urls)
 
 
+def q196_rake(spark, sf_dir):
+    """RAKE keyphrase extraction (operators.retrieval
+    .rake_keyphrases): corpus-global multi-word keyphrases — maximal
+    non-stopword runs scored by the summed deg/freq of their words,
+    with the stopword set DERIVED as the 20 highest-df tokens
+    (deterministic twin of RAKE's function-word list; ties by word
+    asc).  Integer-ppm scores end-to-end; the phrase-length cap is
+    applied before scoring on BOTH engines.  The multi-word member
+    of the term-mining family: q152 ranks single terms per doc, q50
+    ranks bigrams by PMI, this harvests phrase vocabulary."""
+    from python_mecab_ner_spark.operators.retrieval import \
+        rake_keyphrases
+    d = _loadp(spark, sf_dir, "documents")
+    return rake_keyphrases(d, "text", "doc_id")
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -5897,6 +5913,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_coverage_selection": q193_coverage_selection,
         "q194_kcenter": q194_kcenter,
         "q195_url_templates": q195_url_templates,
+        "q196_rake": q196_rake,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -9289,6 +9306,54 @@ def oracle_sql() -> dict[str, str]:
         "q193_coverage_selection": _coverage_oracle_sql(COVER_K),
         "q194_kcenter": _kcenter_oracle_sql(KCENTER_K),
         "q195_url_templates": _url_templates_oracle_sql(),
+        # q196: same derived-stoplist + islands-window recurrence;
+        # DuckDB windows default to RANGE-to-current-row, identical
+        # to Spark's rowsBetween here because pos is unique per doc
+        "q196_rake": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(trim(text)), '\\s+'),
+                                  s -> s <> '') AS w
+                       FROM documents),
+            px AS (SELECT doc_id, w,
+                          unnest(range(1, len(w) + 1)) AS pos
+                   FROM t),
+            tok AS MATERIALIZED (
+                SELECT doc_id, pos, w[pos] AS word FROM px),
+            stops AS MATERIALIZED (
+                SELECT word FROM (
+                  SELECT word, count(DISTINCT doc_id) AS df
+                  FROM tok GROUP BY 1)
+                ORDER BY df DESC, word LIMIT 20),
+            m0 AS (SELECT doc_id, pos, word,
+                          sum(CASE WHEN word IN (SELECT word
+                                                 FROM stops)
+                              THEN 1 ELSE 0 END)
+                              OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS g
+                   FROM tok),
+            m2 AS MATERIALIZED (
+                SELECT doc_id, pos, word, g,
+                       count(*) OVER (PARTITION BY doc_id, g) AS plen
+                FROM m0
+                WHERE word NOT IN (SELECT word FROM stops)
+                QUALIFY plen <= 4),
+            ws AS MATERIALIZED (
+                SELECT word,
+                       (sum(plen) * 1000000) // count(*) AS score_ppm
+                FROM m2 GROUP BY 1),
+            ph AS (SELECT m2.doc_id, m2.g,
+                          string_agg(m2.word, ' '
+                                     ORDER BY m2.pos) AS phrase,
+                          max(m2.plen) AS plen,
+                          sum(ws.score_ppm) AS score_ppm
+                   FROM m2 JOIN ws USING (word)
+                   GROUP BY 1, 2)
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+                   CAST(max(plen) AS BIGINT) AS plen,
+                   CAST(max(score_ppm) AS BIGINT) AS score_ppm
+            FROM ph GROUP BY 1 HAVING count(*) >= 2
+        """,
         "q159_warm_pagerank": _warm_pr_oracle_sql(old_iters=2),
         "q161_wl_classes": _wl_oracle_sql(iters=2),
         # q162: ground-truth SCC from the recursive transitive

@@ -339,3 +339,78 @@ def symspell_alias_pairs(terms: DataFrame, term_col: str = "term",
     return verified.select(
         "term_a", "term_b",
         F.levenshtein("term_a", "term_b").cast("int").alias("dist"))
+
+
+def rake_keyphrases(docs: DataFrame, text_col: str, id_col: str,
+                    n_stop: int = 20, max_len: int = 4,
+                    min_occ: int = 2) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), integer-exact:
+    candidate phrases are maximal runs of non-stopword tokens, each
+    word scores deg(w)/freq(w) (degree = summed length of the
+    phrases it appears in — words that keep company in long phrases
+    outrank words that appear alone), and a phrase scores the sum of
+    its word scores.  The keyphrase harvest that seeds KG attribute
+    vocabularies and document tagging — term_salience (q152) ranks
+    single terms per doc, collocations (q50) rank bigrams by PMI;
+    RAKE is the multi-word-phrase member of that family with a
+    corpus-global score.
+
+    No curated stopword list exists for an arbitrary corpus, so the
+    delimiter set is DERIVED: the n_stop highest-document-frequency
+    tokens (ties broken by word asc — the deterministic twin of
+    RAKE's function-word intuition: df-saturated tokens carry no
+    phrase content).  The list is dimension-sized, collected once
+    and broadcast as a literal.
+
+    Scores are integer ppm (deg * 1e6 div freq; div, never
+    float /), so phrase scores hash-match cross-engine.  freq/deg
+    are computed over the CAPPED candidate set (phrases longer than
+    max_len are crawler-trap word salads, dropped BEFORE scoring —
+    documented deviation from uncapped classic RAKE, mirrored by the
+    oracle).
+
+    Shape: one posexplode (the token table is reused for the df
+    ranking and the phrase build), ONE per-doc window (running
+    stopword count = phrase group id — q04's islands trick, keyed
+    by doc so no single-partition sort), then combinable aggregates
+    only; word-score join is vocabulary-sized (broadcastable).
+
+    Returns (phrase, n_occ, plen, score_ppm) for phrases occurring
+    >= min_occ times."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda s: s != F.lit(""))
+    tok = docs.select(F.col(id_col).alias("doc"),
+                      F.posexplode(toks).alias("pos", "word"))
+    stop_rows = (tok.select("doc", "word").distinct()
+                 .groupBy("word").agg(F.count("*").alias("df"))
+                 .orderBy(F.col("df").desc(), F.col("word").asc())
+                 .limit(n_stop).collect())
+    stops = [r["word"] for r in stop_rows]
+    is_stop = F.col("word").isin(stops) if stops else F.lit(False)
+    w = (Window.partitionBy("doc").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    member = (tok.withColumn("g", F.sum(is_stop.cast("int")).over(w))
+              .where(~is_stop))
+    member = member.withColumn(
+        "plen", F.count("*").over(Window.partitionBy("doc", "g")))
+    member = member.where(F.col("plen") <= max_len)
+    wscore = (member.groupBy("word")
+              .agg(F.count("*").alias("freq"),
+                   F.sum("plen").alias("deg"))
+              .select("word", F.expr("(deg * 1000000) div freq")
+                      .cast("bigint").alias("score_ppm")))
+    phr = (member.join(F.broadcast(wscore), "word")
+           .groupBy("doc", "g")
+           .agg(F.concat_ws(
+                    " ",
+                    F.transform(F.sort_array(F.collect_list(
+                        F.struct("pos", "word"))),
+                        lambda s: s["word"])).alias("phrase"),
+                F.max("plen").cast("bigint").alias("plen"),
+                F.sum("score_ppm").cast("bigint").alias("score_ppm")))
+    return (phr.groupBy("phrase")
+            .agg(F.count("*").cast("bigint").alias("n_occ"),
+                 F.max("plen").alias("plen"),
+                 F.max("score_ppm").alias("score_ppm"))
+            .where(F.col("n_occ") >= min_occ))
