@@ -3600,6 +3600,12 @@ MATCH_ROUNDS = 10   # q188: converges well inside this at both SFs
 SSSP_ROUNDS = 12    # q191: unweighted diameter bound, shared with the oracle
 COVER_K = 5     # q193 greedy-coverage rounds, shared with the oracle
 KCENTER_K = 5   # q194 farthest-first rounds, shared with the oracle
+MST_ROUNDS = 10   # q197: Boruvka budget, shared with the oracle
+                  # (measured 5 rounds at sf0.01, 6 at sf0.1;
+                  #  ceil(log2 n) guarantees <= 15 at sf0.1 and the
+                  #  operator raises rather than truncates)
+PEEL_ROUNDS = 12  # q198: densest-peel budget, shared with the oracle
+                  # (measured 6 rounds at sf0.01/sf0.1 incl. the ring)
 TAXO_ROUNDS = 8     # q187: the part-catalog DAG is 5 layers deep
 
 
@@ -4127,6 +4133,124 @@ def q196_rake(spark, sf_dir):
         rake_keyphrases
     d = _loadp(spark, sf_dir, "documents")
     return rake_keyphrases(d, "text", "doc_id")
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """The thin co-purchase graph shared by q173/q177/q197/q198:
+    distinct same-order part pairs restricted to quantity <= 15."""
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 15)
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    return (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                    & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+            .select(F.col("l1.l_partkey").alias("a"),
+                    F.col("l2.l_partkey").alias("b"))
+            .distinct())
+
+
+def q197_boruvka_mst(spark, sf_dir):
+    """Minimum spanning forest of the thin co-purchase graph via
+    distributed Boruvka (operators.graph.boruvka_mst) — the
+    single-linkage clustering / ER-backbone primitive, O(log n)
+    rounds regardless of weights or diameter.  Edge weights are
+    md5-derived in [1, 997] (md5_int, the cross-engine hash); the
+    (w, a, b) zero-pad total order makes the forest UNIQUE, so the
+    oracle's unrolled Boruvka (per-component min + recursive-CTE
+    contraction per round) must reproduce the edge set AND the
+    round trajectory — rounds past the fixpoint are no-ops under
+    the shared MST_ROUNDS budget.  Converges in 5 rounds at sf0.01
+    and 6 at sf0.1 (measured)."""
+    from python_mecab_ner_spark.operators.graph import boruvka_mst
+    pairs = _copurchase_pairs(spark, sf_dir)
+    w = (F.pmod(md5_int(F.concat(F.col("a").cast("string"), F.lit("#"),
+                                 F.col("b").cast("string")),
+                        salt="mstw:"),
+                F.lit(997)) + 1)
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                         w.alias("w"))
+    return (boruvka_mst(edges, max_rounds=MST_ROUNDS)
+            .select(F.col("a").cast("bigint").alias("a"),
+                    F.col("b").cast("bigint").alias("b"),
+                    F.col("w").cast("bigint").alias("w"),
+                    F.col("mst_round").cast("int").alias("mst_round")))
+
+
+def q198_densest(spark, sf_dir):
+    """Densest-subgraph greedy peel (operators.graph
+    .densest_subgraph_peel) over the co-purchase graph with a
+    PLANTED 40-clique "link-exchange ring" (parts 1-40, the
+    spam-farm injection convention of q47's PII text): the batched
+    Charikar peel strips the sparse background in density order and
+    the best (max-density) round isolates the ring — without the
+    plant the random co-purchase graph is its own densest prefix
+    (measured: best = round 1), which certifies nothing.  The whole
+    peel TRAJECTORY (per-round node/edge counts + integer-ppm
+    density + best flag) is the hash contract; both engines run the
+    shared PEEL_ROUNDS budget with exact-integer thresholds."""
+    from python_mecab_ner_spark.operators.graph import \
+        densest_subgraph_peel
+    pairs = _copurchase_pairs(spark, sf_dir)
+    p = (_load(spark, sf_dir, "part").where(F.col("p_partkey") <= 40)
+         .select(F.col("p_partkey").alias("k")))
+    ring = (p.alias("p1").join(F.broadcast(p.alias("p2")),
+                               F.col("p1.k") < F.col("p2.k"))
+            .select(F.col("p1.k").alias("a"), F.col("p2.k").alias("b")))
+    edges = (pairs.unionByName(ring)
+             .select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return (densest_subgraph_peel(edges, max_rounds=PEEL_ROUNDS)
+            .select(F.col("round").cast("int").alias("round"),
+                    F.col("n_nodes").cast("bigint").alias("n_nodes"),
+                    F.col("n_edges").cast("bigint").alias("n_edges"),
+                    F.col("density_ppm").cast("bigint")
+                    .alias("density_ppm"),
+                    F.col("is_best").cast("int").alias("is_best")))
+
+
+def q199_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity release audit (operators.profile
+    .k_anonymity_audit): quasi-identifiers = (source, lang,
+    512-char size bucket), sensitive attribute = an md5-derived
+    7-class label standing in for a content-derived category (the
+    q47 injection convention — deterministic, byte-identical in the
+    oracle).  One groupBy + one conditional-sum pass produce the
+    whole threshold sheet: corpus share in QI groups smaller than
+    k in {2,5,10} and in groups with fewer than l in {2,3} distinct
+    sensitive values — the governance numbers a release gate reads
+    next to q47's PII counts (direct identifiers scrubbed; this
+    audits the quasi-identifiers that remain)."""
+    from python_mecab_ner_spark.operators.profile import \
+        k_anonymity_audit
+    d = _load(spark, sf_dir, "documents")
+    sens = F.pmod(md5_int(F.col("text"), salt="sens:"), F.lit(7))
+    qi = d.select("source", "lang",
+                  F.expr("n_chars div 512").alias("size_bucket"),
+                  sens.alias("sens"))
+    return k_anonymity_audit(qi, ["source", "lang", "size_bucket"],
+                             F.col("sens"))
+
+
+def q200_pareto(spark, sf_dir):
+    """2-D Pareto frontier (operators.sample.pareto_frontier) over
+    (token count, integer-ppm lexical diversity): the undominated
+    length-vs-diversity tradeoff set — the selection curve read when
+    two curation objectives compete and a single gate (q95) would
+    pick a point, not the curve.  Token arrays are materialized in
+    their own projection before size/array_distinct (the winnow HOF
+    lesson); diversity is exact integer div; the oracle is the
+    recursion-free NOT EXISTS dominance test, so the hash certifies
+    the bucketed two-phase prune against brute-force dominance."""
+    from python_mecab_ner_spark.operators.sample import pareto_frontier
+    d = _loadp(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                 lambda s: s != F.lit(""))
+    t = d.select("doc_id", w.alias("w"))
+    m = (t.select("doc_id", F.size("w").alias("n_tokens"),
+                  F.size(F.array_distinct("w")).alias("nd"))
+         .where(F.col("n_tokens") > 0)
+         .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                 F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                 F.expr("(nd * 1000000) div n_tokens").cast("bigint")
+                 .alias("ldiv_ppm")))
+    return pareto_frontier(m, "doc_id", "n_tokens", "ldiv_ppm")
 
 
 def q189_cusum(spark, sf_dir):
@@ -5363,6 +5487,35 @@ def kg_mis_seeds(spark, sf_dir):
                     F.col("mis_round").cast("int").alias("mis_round")))
 
 
+def kg_entity_backbone(spark, sf_dir):
+    """Association backbone of the REAL co-mention entity graph: the
+    MAXIMUM spanning forest (boruvka_mst on inverted weights — the
+    q197-certified rounds) keeps, for every entity, the strongest
+    co-mention path connecting it to the rest of the graph, n-1
+    edges instead of the near-complete co-mention set.  The classic
+    KG visualization / navigation reduction (Chimera-style
+    association backbones), and the single-linkage dual: cutting the
+    backbone at a weight threshold yields exactly the
+    single-linkage clusters of the co-mention similarity.  Returns
+    (a, b, n_pairs, mst_round) with surfaces restored."""
+    from python_mecab_ner_spark.operators.graph import boruvka_mst
+    sym, _, _, dense = _kg_dense_sym(spark)
+    inv = sym.select("src", "dst",
+                     (F.lit(1_000_000_000) - F.col("w")).alias("w"))
+    mst = boruvka_mst(inv, max_rounds=MST_ROUNDS)
+    d = F.broadcast(dense)
+    return (mst
+            .join(d.select(F.col("nid").alias("a"),
+                           F.col("node").alias("a_surface")), "a")
+            .join(d.select(F.col("nid").alias("b"),
+                           F.col("node").alias("b_surface")), "b")
+            .select(F.col("a_surface").alias("a"),
+                    F.col("b_surface").alias("b"),
+                    (F.lit(1_000_000_000) - F.col("w")).cast("bigint")
+                    .alias("n_pairs"),
+                    F.col("mst_round").cast("int").alias("mst_round")))
+
+
 def kg_edge_cut(spark, sf_dir):
     """Partition-layout audit on the REAL extracted entity graph:
     edge cut under (a) md5-hash placement, (b) dense-id range
@@ -5914,11 +6067,16 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_kcenter": q194_kcenter,
         "q195_url_templates": q195_url_templates,
         "q196_rake": q196_rake,
+        "q197_boruvka_mst": q197_boruvka_mst,
+        "q198_densest": q198_densest,
+        "q199_k_anonymity": q199_k_anonymity,
+        "q200_pareto": q200_pareto,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
         "kg_ktruss": kg_ktruss,
         "kg_mis_seeds": kg_mis_seeds,
+        "kg_entity_backbone": kg_entity_backbone,
         "kg_entity_alignment": kg_entity_alignment,
         "kg_host_scc": kg_host_scc,
         "kg_type_propagation": kg_type_propagation,
@@ -6179,6 +6337,125 @@ def oracle_sql() -> dict[str, str]:
         for _r in range(1, MIS_ROUNDS + 1)))
     _mis.append(")")
     mis_sql = "".join(_mis)
+
+    # q197 Boruvka MSF, unrolled rounds: per round, per-component min
+    # (w, a, b) zero-pad priority (unique per edge, so the winner
+    # read-back is a priority IN-join), then contraction via a
+    # per-round RECURSIVE min-label CC over the winner component
+    # graph (tiny: one edge per component).  RECURSIVE prefixes the
+    # whole chain (DuckDB rule); everything non-recursive MUST be
+    # MATERIALIZED (the q94 lesson).  Rounds past the fixpoint are
+    # empty no-ops under the shared MST_ROUNDS budget.
+    _mstw = md5_int_sql("CAST(a AS VARCHAR) || '#' || CAST(b AS VARCHAR)",
+                        salt="mstw:")
+    _mst = [f"""
+        WITH RECURSIVE e0 AS MATERIALIZED (
+          SELECT a, b, w,
+                 lpad(CAST(w AS VARCHAR), 19, '0') || '#' ||
+                 lpad(CAST(a AS VARCHAR), 19, '0') || '#' ||
+                 lpad(CAST(b AS VARCHAR), 19, '0') AS pri
+          FROM (SELECT a, b, ({_mstw} % 997) + 1 AS w
+                FROM (SELECT DISTINCT l1.l_partkey AS a,
+                                      l2.l_partkey AS b
+                      FROM lineitem l1 JOIN lineitem l2
+                        ON l2.l_orderkey = l1.l_orderkey
+                       AND l1.l_partkey < l2.l_partkey
+                      WHERE l1.l_quantity <= 15
+                        AND l2.l_quantity <= 15)))
+        , c0 AS MATERIALIZED (
+          SELECT n AS node, n AS comp
+          FROM (SELECT a AS n FROM e0 UNION SELECT b FROM e0))
+    """]
+    for _r in range(1, MST_ROUNDS + 1):
+        _mst.append(f"""
+        , x{_r} AS MATERIALIZED (
+          SELECT e.a, e.b, e.w, e.pri, ca.comp AS ca, cb.comp AS cb
+          FROM e0 e JOIN c{_r - 1} ca ON ca.node = e.a
+          JOIN c{_r - 1} cb ON cb.node = e.b
+          WHERE ca.comp <> cb.comp)
+        , m{_r} AS MATERIALIZED (
+          SELECT c, min(pri) AS mp FROM (
+            SELECT ca AS c, pri FROM x{_r}
+            UNION ALL SELECT cb AS c, pri FROM x{_r}) GROUP BY 1)
+        , win{_r} AS MATERIALIZED (
+          SELECT DISTINCT x.a, x.b, x.w, x.ca, x.cb
+          FROM x{_r} x WHERE x.pri IN (SELECT mp FROM m{_r}))
+        , g{_r} AS MATERIALIZED (
+          SELECT ca AS u, cb AS v FROM win{_r}
+          UNION SELECT cb, ca FROM win{_r})
+        , r{_r}(n, l) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM g{_r})
+          UNION
+          SELECT rr.n, g.v FROM r{_r} rr JOIN g{_r} g ON g.u = rr.l)
+        , p{_r} AS MATERIALIZED (
+          SELECT n, min(l) AS nc FROM r{_r} GROUP BY 1)
+        , c{_r} AS MATERIALIZED (
+          SELECT c.node, coalesce(p.nc, c.comp) AS comp
+          FROM c{_r - 1} c LEFT JOIN p{_r} p ON p.n = c.comp)
+        """)
+    _mst.append("SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+                " CAST(w AS BIGINT) AS w, CAST(r AS INT) AS mst_round"
+                " FROM (")
+    _mst.append(" UNION ALL ".join(
+        f"SELECT a, b, w, {_r} AS r FROM win{_r}"
+        for _r in range(1, MST_ROUNDS + 1)))
+    _mst.append(")")
+    mst_sql = "".join(_mst)
+
+    # q198 densest-subgraph peel, unrolled rounds: exact-integer
+    # removal threshold deg <= (2*3*m) // (2*n)  (eps = 1/2), one
+    # trajectory row per round while edges remain, best = packed
+    # (density_ppm, -round) max.  The planted part-1..40 clique is
+    # the dense core the peel must isolate.
+    _peel = ["""
+        WITH pe0 AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l2.l_orderkey = l1.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            WHERE l1.l_quantity <= 15 AND l2.l_quantity <= 15
+            UNION ALL
+            SELECT p1.p_partkey, p2.p_partkey
+            FROM part p1 JOIN part p2 ON p2.p_partkey > p1.p_partkey
+            WHERE p1.p_partkey <= 40 AND p2.p_partkey <= 40))
+    """]
+    for _r in range(1, PEEL_ROUNDS + 1):
+        _peel.append(f"""
+        , ps{_r} AS MATERIALIZED (
+          SELECT (SELECT count(DISTINCT n) FROM (
+                    SELECT a AS n FROM pe{_r - 1}
+                    UNION ALL SELECT b FROM pe{_r - 1})) AS n,
+                 (SELECT count(*) FROM pe{_r - 1}) AS m)
+        , pt{_r} AS MATERIALIZED (
+          SELECT {_r} AS rnd, n, m, (1000000 * m) // n AS density_ppm
+          FROM ps{_r} WHERE m > 0)
+        , pd{_r} AS MATERIALIZED (
+          SELECT n AS v, count(*) AS d FROM (
+            SELECT a AS n FROM pe{_r - 1}
+            UNION ALL SELECT b FROM pe{_r - 1}) GROUP BY 1)
+        , prm{_r} AS MATERIALIZED (
+          SELECT d.v FROM pd{_r} d, ps{_r} s
+          WHERE s.m > 0 AND d.d <= (2 * 3 * s.m) // (2 * s.n))
+        , pe{_r} AS MATERIALIZED (
+          SELECT e.a, e.b FROM pe{_r - 1} e
+          WHERE e.a NOT IN (SELECT v FROM prm{_r})
+            AND e.b NOT IN (SELECT v FROM prm{_r}))
+        """)
+    _peel.append(", ptraj AS MATERIALIZED (")
+    _peel.append(" UNION ALL ".join(
+        f"SELECT * FROM pt{_r}" for _r in range(1, PEEL_ROUNDS + 1)))
+    _peel.append(""")
+        SELECT CAST(rnd AS INT) AS round,
+               CAST(n AS BIGINT) AS n_nodes,
+               CAST(m AS BIGINT) AS n_edges,
+               CAST(density_ppm AS BIGINT) AS density_ppm,
+               CAST(CASE WHEN density_ppm * 64 + (63 - rnd) =
+                    (SELECT max(density_ppm * 64 + (63 - rnd))
+                     FROM ptraj) THEN 1 ELSE 0 END AS INT) AS is_best
+        FROM ptraj
+    """)
+    peel_sql = "".join(_peel)
 
     # q188 deterministic maximal matching, unrolled rounds (the MIS
     # oracle's edge twin): per round, per-node min edge priority, an
@@ -8739,6 +9016,8 @@ def oracle_sql() -> dict[str, str]:
         "q173_ktruss": ktruss_sql,
         "q174_multi_blocking_audit": multi_audit_sql,
         "q177_mis": mis_sql,
+        "q197_boruvka_mst": mst_sql,
+        "q198_densest": peel_sql,
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel
@@ -9309,6 +9588,63 @@ def oracle_sql() -> dict[str, str]:
         # q196: same derived-stoplist + islands-window recurrence;
         # DuckDB windows default to RANGE-to-current-row, identical
         # to Spark's rowsBetween here because pos is unique per doc
+        "q200_pareto": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(trim(text)), '\\s+'),
+                                  s -> s <> '') AS w
+                       FROM documents),
+            m AS (SELECT doc_id, len(w) AS n_tokens,
+                         len(list_distinct(w)) AS nd
+                  FROM t WHERE len(w) > 0),
+            p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                         CAST(n_tokens AS BIGINT) AS n_tokens,
+                         CAST((nd * 1000000) // n_tokens AS BIGINT)
+                             AS ldiv_ppm
+                  FROM m)
+            SELECT p.doc_id, p.n_tokens, p.ldiv_ppm FROM p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p q
+              WHERE q.n_tokens >= p.n_tokens
+                AND q.ldiv_ppm >= p.ldiv_ppm
+                AND (q.n_tokens > p.n_tokens
+                     OR q.ldiv_ppm > p.ldiv_ppm))
+        """,
+        "q199_k_anonymity": f"""
+            WITH g AS (
+              SELECT source, lang, n_chars // 512 AS size_bucket,
+                     count(*) AS n,
+                     count(DISTINCT
+                           ({md5_int_sql("text", salt="sens:")} % 7))
+                         AS s
+              FROM documents GROUP BY 1, 2, 3),
+            one AS (
+              SELECT sum(n) AS tot,
+                     sum(CASE WHEN n < 2 THEN 1 ELSE 0 END) AS gk2,
+                     sum(CASE WHEN n < 2 THEN n ELSE 0 END) AS rk2,
+                     sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS gk5,
+                     sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS rk5,
+                     sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS gk10,
+                     sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS rk10,
+                     sum(CASE WHEN s < 2 THEN 1 ELSE 0 END) AS gl2,
+                     sum(CASE WHEN s < 2 THEN n ELSE 0 END) AS rl2,
+                     sum(CASE WHEN s < 3 THEN 1 ELSE 0 END) AS gl3,
+                     sum(CASE WHEN s < 3 THEN n ELSE 0 END) AS rl3
+              FROM g)
+            SELECT metric, threshold, groups_flagged, rows_flagged,
+                   CAST((rows_flagged * 1000000) // tot AS BIGINT)
+                       AS rows_ppm
+            FROM (
+              SELECT 'k_anonymity' AS metric,
+                     CAST(2 AS BIGINT) AS threshold,
+                     CAST(gk2 AS BIGINT) AS groups_flagged,
+                     CAST(rk2 AS BIGINT) AS rows_flagged, tot FROM one
+              UNION ALL SELECT 'k_anonymity', 5, gk5, rk5, tot FROM one
+              UNION ALL SELECT 'k_anonymity', 10, gk10, rk10, tot
+                FROM one
+              UNION ALL SELECT 'l_diversity', 2, gl2, rl2, tot FROM one
+              UNION ALL SELECT 'l_diversity', 3, gl3, rl3, tot FROM one)
+        """,
         "q196_rake": """
             WITH t AS (SELECT doc_id,
                               list_filter(regexp_split_to_array(

@@ -2197,3 +2197,168 @@ def sssp_int(edges: DataFrame, sources: DataFrame,
     raise RuntimeError(
         "sssp_int: still relaxing after max_rounds — raise max_rounds "
         "(longest shortest path exceeds the budget)")
+
+
+def boruvka_mst(edges: DataFrame, src: str = "src", dst: str = "dst",
+                weight: str = "w", max_rounds: int = 16,
+                cc_rounds: int = 30) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka rounds — the
+    web-scale MST (single-linkage entity-resolution clustering is an
+    MST threshold cut, and the co-mention backbone demo
+    kg_entity_backbone is its maximum-weight mirror).  Per round,
+    every component picks its cheapest outgoing edge (one combinable
+    min per component), the picked edges merge components, and the
+    component labeling contracts via connected_components_star on
+    the WINNER graph only (component-count nodes, one edge per
+    component — tiny next to the input).  Components at least halve
+    per round, so rounds <= ceil(log2 n) REGARDLESS of weights or
+    topology — the same diameter-free budget class as star-CC/MIS.
+
+    Edge priority is the total order (w, a, b) encoded as a
+    zero-padded string (the q177/q188 priority discipline): with a
+    total order the minimum spanning FOREST is unique, so the edge
+    SET is algorithm-independent and the per-round trajectory
+    (mst_round) certifies Borůvka itself.  Weights and node ids must
+    be non-negative int64 (raises ValueError otherwise — a negative
+    breaks the lexicographic zero-pad order silently).
+
+    Per round: two label joins + one per-component min + one
+    priority-equality join back (priorities are unique per edge) +
+    the star-CC contraction; everything iterative is
+    localCheckpoint'ed (house rule).  Raises RuntimeError if
+    cross-component edges remain after max_rounds (the SCC/MIS
+    discipline — a truncated forest is silently disconnected).
+
+    Returns (a, b, w, mst_round), a < b, 1-based round."""
+    e0 = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                       F.greatest(F.col(src), F.col(dst)).alias("b"),
+                       F.col(weight).cast("bigint").alias("w"))
+          .where(F.col("a") != F.col("b"))
+          .groupBy("a", "b").agg(F.min("w").alias("w")))
+    pri = F.concat(F.lpad(F.col("w").cast("string"), 19, "0"),
+                   F.lit("#"),
+                   F.lpad(F.col("a").cast("string"), 19, "0"),
+                   F.lit("#"),
+                   F.lpad(F.col("b").cast("string"), 19, "0"))
+    e0 = e0.select("a", "b", "w", pri.alias("pri")).localCheckpoint(eager=True)
+    low = e0.agg(F.min("w").alias("w"), F.min("a").alias("a")).collect()
+    if low and low[0]["w"] is not None and (low[0]["w"] < 0
+                                            or low[0]["a"] < 0):
+        raise ValueError(
+            "boruvka_mst: negative weight or node id — the zero-pad "
+            "priority order requires non-negative int64 values")
+    comp = (e0.select(F.col("a").alias("node"))
+            .unionByName(e0.select(F.col("b").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("comp"))
+            .localCheckpoint(eager=True))
+    parts: list[DataFrame] = []
+    converged = False
+    for r in range(1, max_rounds + 1):
+        cross = (e0.join(comp.select(F.col("node").alias("a"),
+                                     F.col("comp").alias("ca")), "a")
+                 .join(comp.select(F.col("node").alias("b"),
+                                   F.col("comp").alias("cb")), "b")
+                 .where(F.col("ca") != F.col("cb"))
+                 .localCheckpoint(eager=True))
+        if cross.limit(1).count() == 0:
+            converged = True
+            break
+        cand = (cross.select(F.col("ca").alias("c"), "pri")
+                .unionByName(cross.select(F.col("cb").alias("c"), "pri")))
+        mn = cand.groupBy("c").agg(F.min("pri").alias("mp"))
+        win = (cross.join(mn.select(F.col("mp").alias("pri")).distinct(),
+                          "pri")
+               .select("a", "b", "w", "ca", "cb")
+               .localCheckpoint(eager=True))
+        parts.append(win.select(
+            "a", "b", "w", F.lit(r).cast("int").alias("mst_round")))
+        remap = connected_components_star(
+            win.select(F.col("ca").alias("src"), F.col("cb").alias("dst")),
+            max_rounds=cc_rounds)
+        comp = (comp.join(remap.select(F.col("id").alias("comp"),
+                                       F.col("comp").alias("nc")),
+                          "comp", "left")
+                .select("node", F.coalesce("nc", F.col("comp"))
+                        .alias("comp"))
+                .localCheckpoint(eager=True))
+    if not converged:
+        raise RuntimeError(
+            "boruvka_mst: cross-component edges remain after "
+            "max_rounds — raise max_rounds (components halve per "
+            "round, so ceil(log2 n) suffices)")
+    if not parts:  # edgeless input: empty forest, same schema
+        return e0.select("a", "b", "w",
+                         F.lit(0).cast("int").alias("mst_round"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def densest_subgraph_peel(edges: DataFrame, src: str = "src",
+                          dst: str = "dst", eps_num: int = 1,
+                          eps_den: int = 2,
+                          max_rounds: int = 40) -> DataFrame:
+    """Densest-subgraph greedy peel (Charikar's 2-approximation,
+    batched a la Bahmani-Kumar-Vassilvitskii "Densest Subgraph in
+    Streaming and MapReduce"): per round, drop EVERY node whose
+    degree is at most 2(1+eps) * density, which removes at least an
+    eps/(1+eps) fraction of surviving nodes — O(log n) rounds
+    regardless of structure, and the best surviving prefix is a
+    2(1+eps)-approximate densest subgraph.  The web-graph
+    spam-farm / link-exchange detector (a dense co-citation core
+    peels last), and the dense-community complement of k-core's
+    fixed-threshold peel (q94: fixed k; this: the threshold tracks
+    the surviving graph's own density).
+
+    All arithmetic is exact int64 (the house cross-engine rule):
+    the removal test  deg <= floor(2*(eps_den+eps_num)*m /
+    (n*eps_den))  is the integer form of deg <= 2(1+eps)*m/n, and
+    density_ppm = floor(1e6 * m / n) requires m < ~9.2e12 edges
+    (int64 / 1e6) — document-scale graphs pass; shard first beyond.
+
+    Per round: one distinct-node count, one degree aggregate
+    (map-side combinable), one broadcast-size threshold computed
+    driver-side from the (n, m) pair, two anti-joins; the surviving
+    edge set is localCheckpoint'ed per round (iterative house rule).
+    Raises RuntimeError if edges survive past max_rounds (the
+    SCC/MIS discipline).
+
+    Returns the peel TRAJECTORY, one row per round r while edges
+    remain: (round, n_nodes, n_edges, density_ppm, is_best) where
+    is_best marks the max-density round (ties: earliest)."""
+    spark = edges.sparkSession
+    cur = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                        F.greatest(F.col(src), F.col(dst)).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint(eager=True))
+    rows: list[tuple[int, int, int, int]] = []
+    for r in range(1, max_rounds + 1):
+        m = cur.count()
+        if m == 0:
+            break
+        n = (cur.select(F.col("a").alias("v"))
+             .unionByName(cur.select(F.col("b").alias("v")))
+             .distinct().count())
+        rows.append((r, n, m, (1_000_000 * m) // n))
+        thr = (2 * (eps_den + eps_num) * m) // (n * eps_den)
+        deg = (cur.select(F.col("a").alias("v"))
+               .unionByName(cur.select(F.col("b").alias("v")))
+               .groupBy("v").agg(F.count("*").alias("d")))
+        rm = deg.where(F.col("d") <= F.lit(thr)).select("v")
+        cur = (cur.join(rm.select(F.col("v").alias("a")), "a", "left_anti")
+               .join(rm.select(F.col("v").alias("b")), "b", "left_anti")
+               .localCheckpoint(eager=True))
+    else:
+        if cur.limit(1).count() != 0:
+            raise RuntimeError(
+                "densest_subgraph_peel: edges survive past max_rounds "
+                "— raise max_rounds (the peel removes an eps/(1+eps) "
+                "node fraction per round, so O(log n) suffices)")
+    best = max(rows, key=lambda t: (t[3], -t[0]))[0] if rows else 0
+    out = [(r, n, m, d, 1 if r == best else 0) for r, n, m, d in rows]
+    return spark.createDataFrame(
+        out, "round int, n_nodes bigint, n_edges bigint, "
+             "density_ppm bigint, is_best int")

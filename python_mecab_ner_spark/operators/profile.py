@@ -453,3 +453,59 @@ def robust_outliers(df: DataFrame, group: str = "source",
                    .cast("bigint").alias("outlier_ppm")))
     out.unpersist_input = hist.unpersist
     return out
+
+
+def k_anonymity_audit(df: DataFrame, qi_cols: list[str], sensitive_col,
+                      ks: tuple[int, ...] = (2, 5, 10),
+                      ls: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Re-identification risk audit before a corpus release: group by
+    the quasi-identifier columns (the attributes an adversary can
+    join against — source, language, size bucket, ...) and measure
+    how much of the corpus sits in groups smaller than k
+    (k-anonymity, Sweeney) and in groups whose SENSITIVE attribute
+    takes fewer than l distinct values (l-diversity, Machanavajjhala
+    et al. — a large group is still disclosive if everyone in it
+    shares the sensitive value).  The governance sheet a 100 TB
+    release gate reads next to the PII scrub counts (q47): PII
+    removal kills direct identifiers, this measures the QUASI
+    identifiers that survive it.
+
+    One partial-agg groupBy on the QI key + ONE pass over the
+    (small) group table computing every threshold as a conditional
+    sum — no per-threshold scans, no window, no sort; scale-safe at
+    any corpus size (the group table is bounded by the QI domain).
+
+    sensitive_col may be any Column expression.  Returns one row per
+    audited threshold: (metric 'k_anonymity'|'l_diversity',
+    threshold, groups_flagged, rows_flagged, rows_ppm) where flagged
+    means group size < k (resp. distinct sensitive values < l) and
+    rows_ppm is the integer-ppm share of all rows."""
+    g = (df.groupBy(*[F.col(c) for c in qi_cols])
+         .agg(F.count("*").alias("n"),
+              F.count_distinct(sensitive_col).alias("s")))
+    aggs = [F.sum("n").alias("tot")]
+    for k in ks:
+        aggs.append(F.sum(F.when(F.col("n") < k, 1).otherwise(0))
+                    .alias(f"gk{k}"))
+        aggs.append(F.sum(F.when(F.col("n") < k, F.col("n"))
+                          .otherwise(0)).alias(f"rk{k}"))
+    for l in ls:
+        aggs.append(F.sum(F.when(F.col("s") < l, 1).otherwise(0))
+                    .alias(f"gl{l}"))
+        aggs.append(F.sum(F.when(F.col("s") < l, F.col("n"))
+                          .otherwise(0)).alias(f"rl{l}"))
+    one = g.agg(*aggs)
+    # one row -> one stack projection: the threshold sheet unpivots
+    # WITHOUT unioning N projections of the same aggregate subtree
+    rows = []
+    for k in ks:
+        rows.append(f"'k_anonymity', CAST({k} AS BIGINT), "
+                    f"CAST(gk{k} AS BIGINT), CAST(rk{k} AS BIGINT), "
+                    f"CAST((rk{k} * 1000000) div tot AS BIGINT)")
+    for l in ls:
+        rows.append(f"'l_diversity', CAST({l} AS BIGINT), "
+                    f"CAST(gl{l} AS BIGINT), CAST(rl{l} AS BIGINT), "
+                    f"CAST((rl{l} * 1000000) div tot AS BIGINT)")
+    return one.selectExpr(
+        f"stack({len(rows)}, {', '.join(rows)}) AS "
+        "(metric, threshold, groups_flagged, rows_flagged, rows_ppm)")

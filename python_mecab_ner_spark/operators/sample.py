@@ -569,3 +569,51 @@ def greedy_max_coverage(pairs: DataFrame, item_col: str, elem_col: str,
     spark = pairs.sparkSession
     return spark.createDataFrame(
         out, "round int, item bigint, gain bigint")
+
+
+def pareto_frontier(df: DataFrame, id_col: str, x_col: str, y_col: str,
+                    n_buckets: int = 64) -> DataFrame:
+    """Exact 2-D Pareto frontier (skyline), both dimensions
+    maximized: the rows no other row weakly dominates (>= in both,
+    > in at least one) — the quality-vs-size selection curve of
+    corpus curation (q95 gates on ONE score; this surfaces the
+    undominated tradeoff set when two objectives compete, e.g.
+    length vs lexical diversity).  Ties on both coordinates are
+    UNDOMINATED pairs: every co-located point survives.
+
+    Two-phase, no corpus-wide sort (the q171/q95 discipline):
+    phase 1 prunes within md5-hash buckets — per (bucket, x) keep
+    only max-y rows, then a per-bucket running-max window over x
+    descending drops everything dominated inside the bucket; the
+    union of bucket frontiers is a few frontier-sized slivers
+    (O(log n) expected for independent dims).  Phase 2 reruns the
+    identical prune on that sliver in one partition — dimension-
+    sized, like q95's boundary bin.  Correctness does not depend on
+    the bucketing: a globally undominated row survives every
+    bucket-local prune, and a dominated row's dominator chain ends
+    at a global frontier point that reaches phase 2.
+
+    Returns the frontier rows (id_col, x_col, y_col)."""
+    base = df.select(F.col(id_col), F.col(x_col), F.col(y_col))
+
+    def _prune(t: DataFrame, bucket) -> DataFrame:
+        t = t.select("*", bucket.alias("_bk"))
+        gmax = F.max(y_col).over(
+            Window.partitionBy("_bk", x_col))
+        t = (t.select("*", gmax.alias("_gy"))
+             .where(F.col(y_col) == F.col("_gy")))
+        xs = t.select("_bk", x_col, F.col("_gy")).distinct()
+        prev = F.max("_gy").over(
+            Window.partitionBy("_bk").orderBy(F.col(x_col).desc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+        keep = (xs.select("_bk", x_col, prev.alias("_py"), "_gy")
+                .where(F.col("_py").isNull()
+                       | (F.col("_py") < F.col("_gy")))
+                .select("_bk", x_col))
+        return t.join(keep, ["_bk", x_col]).select(
+            id_col, x_col, y_col)
+
+    local = _prune(base, F.pmod(
+        md5_int(F.col(id_col).cast("string"), salt="pf:"),
+        F.lit(n_buckets)))
+    return _prune(local, F.lit(0))
