@@ -3600,6 +3600,7 @@ MATCH_ROUNDS = 10   # q188: converges well inside this at both SFs
 SSSP_ROUNDS = 12    # q191: unweighted diameter bound, shared with the oracle
 COVER_K = 5     # q193 greedy-coverage rounds, shared with the oracle
 KCENTER_K = 5   # q194 farthest-first rounds, shared with the oracle
+JSONL_FILES = 8   # q203: shard count, shared with the oracle
 MST_ROUNDS = 10   # q197: Boruvka budget, shared with the oracle
                   # (measured 5 rounds at sf0.01, 6 at sf0.1;
                   #  ceil(log2 n) guarantees <= 15 at sf0.1 and the
@@ -4251,6 +4252,118 @@ def q200_pareto(spark, sf_dir):
                  F.expr("(nd * 1000000) div n_tokens").cast("bigint")
                  .alias("ldiv_ppm")))
     return pareto_frontier(m, "doc_id", "n_tokens", "ldiv_ppm")
+
+
+def q201_taxonomy_reduce(spark, sf_dir):
+    """Exact transitive reduction marking (operators.graph
+    .dag_transitive_reduce) on the q187 product-category DAG with
+    two PLANTED shortcut families (part -> mfgr skipping brand,
+    brand -> root skipping mfgr — the q47 injection convention):
+    an is-a edge is redundant iff its parent is reachable by a
+    2+-hop path, the standard cleanup after a Hearst harvest (q186)
+    before dag_layers (q187) prices the closure.  Exactly the
+    planted families come back flagged; a cyclic input raises
+    explicitly (a cycle's closure CONVERGES, so the budget alone
+    cannot catch it — measured by the cycle test)."""
+    from python_mecab_ner_spark.operators.graph import \
+        dag_transitive_reduce
+    part = _load(spark, sf_dir, "part")
+    pnode = F.concat(F.lit("part:"), F.col("p_partkey").cast("string"))
+    cat = F.concat(F.lit("cat:"), F.split(F.col("p_name"), " ")[1])
+    typ = F.concat(F.lit("type:"), F.col("p_type"))
+    brand = F.concat(F.lit("brand:"), F.col("p_brand"))
+    mfgr = F.concat(
+        F.lit("mfgr:"),
+        F.pmod(F.expr("CAST(substring(p_brand, 7) AS INT)"),
+               F.lit(5)).cast("string"))
+    root = F.lit("root:catalog")
+    fams = [(pnode, cat), (cat, root), (pnode, typ), (typ, root),
+            (pnode, brand), (brand, mfgr), (mfgr, root),
+            (pnode, mfgr), (brand, root)]  # last two: shortcuts
+    edges = None
+    for c, p in fams:
+        e = part.select(c.alias("child"), p.alias("parent"))
+        edges = e if edges is None else edges.unionByName(e)
+    return (dag_transitive_reduce(edges.distinct(),
+                                  max_rounds=TAXO_ROUNDS)
+            .select("child", "parent",
+                    F.col("redundant").cast("int").alias("redundant")))
+
+
+def q202_good_turing(spark, sf_dir):
+    """Good-Turing count-of-counts sheet (operators.colloc
+    .good_turing) over the corpus unigram frequencies: N_r per raw
+    count r and the Turing-adjusted r* = (r+1) N_{r+1}/N_r as
+    integer ppm — the classical LM frequency re-estimator (Katz
+    backoff's engine), companion to q80's Kneser-Ney continuation
+    counts (KN smooths by context diversity, GT by the
+    count-of-count curve).  The N_r table is max-frequency-sized,
+    so the adjustment join costs nothing at any corpus scale."""
+    from python_mecab_ner_spark.operators.colloc import good_turing
+    d = _loadp(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                 lambda s: s != F.lit(""))
+    tok = d.select(F.explode(w).alias("word"))
+    counts = tok.groupBy("word").agg(F.count("*").alias("n"))
+    return (good_turing(counts, "n")
+            .select(F.col("r").cast("bigint").alias("r"),
+                    F.col("n_types").cast("bigint").alias("n_types"),
+                    F.col("gt_ppm").cast("bigint").alias("gt_ppm")))
+
+
+def q203_jsonl_ledger(spark, sf_dir):
+    """JSONL ingest round-trip with a corrupt-record ledger
+    (sources.jsonl): the documents table is serialized into 8
+    one-object-per-line shards, every 41st line (md5-chosen, the
+    q47/q145 injection convention) is TRUNCATED to 20 chars, and the
+    shards are parsed back through the PERMISSIVE corrupt-column
+    path — no line silently dropped, the WARC-ledger discipline.
+    Output is the per-shard account: good/corrupt counts, the
+    id-sum of recovered rows, and a payload checksum (folded md5 of
+    each recovered text), all re-derived from PARSED bytes; the
+    oracle computes the same sheet straight from the table, so any
+    parse drop, mis-route, or payload mutation hash-mismatches.
+    JSON escaping keeps every object single-line (text newlines are
+    escaped), so the shard split is exact."""
+    from python_mecab_ner_spark.sources.jsonl import (CORRUPT_COL,
+                                                      parse_jsonl_lines)
+    d = _load(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "lang", "source", "n_chars",
+                              "text"))
+    bad = F.pmod(md5_int(F.col("doc_id").cast("string"), salt="jc:"),
+                 F.lit(41)) == 0
+    ln = d.select(
+        "doc_id",
+        F.when(bad, F.substring(line, 1, 20)).otherwise(line)
+        .alias("line"))
+    shards = (ln.groupBy(F.pmod(F.col("doc_id"), F.lit(JSONL_FILES))
+                         .alias("shard"))
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("doc_id", "line"))),
+                      lambda x: x["line"]), "\n").alias("shard_text")))
+    lines = shards.select(
+        "shard", F.explode(F.split("shard_text", "\n")).alias("line"))
+    parsed = parse_jsonl_lines(
+        lines, "doc_id bigint, lang string, source string, "
+               "n_chars bigint, text string")
+    ok = F.col(CORRUPT_COL).isNull()
+    return (parsed.groupBy("shard")
+            .agg(F.sum(F.when(ok, 1).otherwise(0)).alias("n_good"),
+                 F.sum(F.when(ok, 0).otherwise(1)).alias("n_corrupt"),
+                 F.sum(F.when(ok, F.col("doc_id")).otherwise(0))
+                 .alias("sum_ids"),
+                 F.sum(F.when(ok, md5_int(F.col("text"))
+                              % F.lit(1 << 32)).otherwise(0))
+                 .alias("payload_sum"))
+            .select(F.col("shard").cast("bigint").alias("shard"),
+                    F.col("n_good").cast("bigint").alias("n_good"),
+                    F.col("n_corrupt").cast("bigint")
+                    .alias("n_corrupt"),
+                    F.col("sum_ids").cast("bigint").alias("sum_ids"),
+                    F.col("payload_sum").cast("bigint")
+                    .alias("payload_sum")))
 
 
 def q189_cusum(spark, sf_dir):
@@ -6071,6 +6184,9 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_densest": q198_densest,
         "q199_k_anonymity": q199_k_anonymity,
         "q200_pareto": q200_pareto,
+        "q201_taxonomy_reduce": q201_taxonomy_reduce,
+        "q202_good_turing": q202_good_turing,
+        "q203_jsonl_ledger": q203_jsonl_ledger,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -9588,6 +9704,88 @@ def oracle_sql() -> dict[str, str]:
         # q196: same derived-stoplist + islands-window recurrence;
         # DuckDB windows default to RANGE-to-current-row, identical
         # to Spark's rowsBetween here because pos is unique per doc
+        "q203_jsonl_ledger": f"""
+            WITH b AS (
+              SELECT doc_id, text, doc_id % {JSONL_FILES} AS shard,
+                     ({md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                   salt="jc:")} % 41 = 0) AS bad
+              FROM documents)
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(sum(CASE WHEN bad THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_good,
+                   CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_corrupt,
+                   CAST(sum(CASE WHEN bad THEN 0 ELSE doc_id END)
+                        AS BIGINT) AS sum_ids,
+                   CAST(sum(CASE WHEN bad THEN 0 ELSE
+                            {md5_int_sql("text")} % 4294967296 END)
+                        AS BIGINT) AS payload_sum
+            FROM b GROUP BY 1
+        """,
+        "q201_taxonomy_reduce": """
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT DISTINCT * FROM (
+                SELECT 'part:' || CAST(p_partkey AS VARCHAR) AS c,
+                       'cat:' || string_split(p_name, ' ')[2] AS p
+                FROM part
+                UNION ALL
+                SELECT 'cat:' || string_split(p_name, ' ')[2],
+                       'root:catalog' FROM part
+                UNION ALL
+                SELECT 'part:' || CAST(p_partkey AS VARCHAR),
+                       'type:' || p_type FROM part
+                UNION ALL
+                SELECT 'type:' || p_type, 'root:catalog' FROM part
+                UNION ALL
+                SELECT 'part:' || CAST(p_partkey AS VARCHAR),
+                       'brand:' || p_brand FROM part
+                UNION ALL
+                SELECT 'brand:' || p_brand,
+                       'mfgr:' || CAST(CAST(substr(p_brand, 7) AS INT)
+                                       % 5 AS VARCHAR)
+                FROM part
+                UNION ALL
+                SELECT 'mfgr:' || CAST(CAST(substr(p_brand, 7) AS INT)
+                                       % 5 AS VARCHAR),
+                       'root:catalog' FROM part
+                UNION ALL
+                SELECT 'part:' || CAST(p_partkey AS VARCHAR),
+                       'mfgr:' || CAST(CAST(substr(p_brand, 7) AS INT)
+                                       % 5 AS VARCHAR)
+                FROM part
+                UNION ALL
+                SELECT 'brand:' || p_brand, 'root:catalog' FROM part)
+              WHERE c <> p),
+            reach(c, p) AS (
+              SELECT c, p FROM e
+              UNION
+              SELECT r.c, e.p FROM reach r JOIN e ON e.c = r.p),
+            two_plus AS MATERIALIZED (
+              SELECT DISTINCT e.c, r.p
+              FROM e JOIN reach r ON r.c = e.p)
+            SELECT e.c AS child, e.p AS parent,
+                   CAST(CASE WHEN t.c IS NOT NULL THEN 1 ELSE 0 END
+                        AS INT) AS redundant
+            FROM e LEFT JOIN two_plus t ON t.c = e.c AND t.p = e.p
+        """,
+        "q202_good_turing": """
+            WITH t AS (SELECT list_filter(regexp_split_to_array(
+                                  lower(trim(text)), '\\s+'),
+                                  s -> s <> '') AS w
+                       FROM documents),
+            tok AS (SELECT unnest(w) AS word FROM t),
+            c AS (SELECT word, count(*) AS n FROM tok GROUP BY 1),
+            nr AS (SELECT n AS r, count(*) AS n_types
+                   FROM c GROUP BY 1)
+            SELECT CAST(nr.r AS BIGINT) AS r,
+                   CAST(nr.n_types AS BIGINT) AS n_types,
+                   CAST(coalesce(
+                       ((nr.r + 1) * nx.n_next * 1000000)
+                           // nr.n_types, 0) AS BIGINT) AS gt_ppm
+            FROM nr LEFT JOIN
+                 (SELECT r - 1 AS r, n_types AS n_next FROM nr) nx
+                 USING (r)
+        """,
         "q200_pareto": """
             WITH t AS (SELECT doc_id,
                               list_filter(regexp_split_to_array(

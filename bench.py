@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     # round-5 closeout: the greedy-coverage selection loop and the
     # URL-template scan
     "q193_coverage_selection", "q195_url_templates",
+    # round-5 continuation: the densest-core peel and the JSONL
+    # corrupt-ledger ingest round-trip (q197 Boruvka is tracked
+    # standalone in BENCH_EXTRAS — its ~25 s sf0.1 wall would
+    # dominate the interleaved suite)
+    "q198_densest", "q203_jsonl_ledger",
 ]
 
 

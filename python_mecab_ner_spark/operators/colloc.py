@@ -260,3 +260,35 @@ def frequent_itemsets3(baskets: DataFrame, basket_col: str = "basket",
         c3.unpersist()
     out.unpersist_input = _release
     return out
+
+
+def good_turing(counts: DataFrame, count_col: str = "n") -> DataFrame:
+    """Good-Turing count-of-counts sheet: for every observed raw
+    frequency r, the number of types N_r seen exactly r times and
+    the adjusted (Turing) count r* = (r+1) * N_{r+1} / N_r as an
+    integer-ppm ratio — the classical frequency re-estimator behind
+    Katz backoff, and the companion of q80's Kneser-Ney continuation
+    counts (KN smooths by CONTEXT diversity; GT by the
+    count-of-count curve itself).  The r=0 convention: total unseen
+    probability mass is N_1 / total tokens, which the caller reads
+    off the r=1 row.
+
+    Two combinable aggregations (type counts, then count-of-counts)
+    plus a self-join of the TINY N_r table on r+1 — no windows, no
+    sort; the N_r table is bounded by the max frequency, not the
+    vocabulary.  gt_ppm is 0 (sentinel) where N_{r+1} is empty —
+    the standard estimator is undefined there (smoothed variants
+    regress the curve; out of scope).
+
+    Input: one row per type with its raw count.  Returns
+    (r, n_types, gt_ppm) sorted by the caller."""
+    nr = (counts.groupBy(F.col(count_col).alias("r"))
+          .agg(F.count("*").alias("n_types")))
+    nxt = nr.select((F.col("r") - 1).alias("r"),
+                    F.col("n_types").alias("n_next"))
+    return (nr.join(nxt, "r", "left")
+            .select("r", "n_types",
+                    F.coalesce(
+                        F.expr("((r + 1) * n_next * 1000000) "
+                               "div n_types"),
+                        F.lit(0)).cast("bigint").alias("gt_ppm")))

@@ -2362,3 +2362,69 @@ def densest_subgraph_peel(edges: DataFrame, src: str = "src",
     return spark.createDataFrame(
         out, "round int, n_nodes bigint, n_edges bigint, "
              "density_ppm bigint, is_best int")
+
+
+def dag_transitive_reduce(edges: DataFrame, child: str = "child",
+                          parent: str = "parent",
+                          max_rounds: int = 12) -> DataFrame:
+    """Exact transitive reduction marking for a DAG: an is-a edge is
+    REDUNDANT iff its parent is also reachable through a path of two
+    or more edges — the standard cleanup after a Hearst-style
+    hypernym harvest (q186) or a taxonomy merge, where "part is-a
+    root" shortcuts coexist with the real chain and bloat the
+    closure dag_layers (q187) computes.  Marks rather than drops, so
+    the caller keeps both the cleaned edge set and the audit count.
+
+    Reachability is the bounded-depth closure: extend by one hop per
+    round (frontier join + union-distinct, localCheckpoint'ed per
+    round — iterative house rule) until the pair count stops
+    growing.  A DAG converges within its depth; a cycle ALSO
+    converges (its closure is finite), so cycle detection is
+    explicit: any self-reachable pair in the converged closure
+    raises (the dag_layers never-mislabel discipline — on a cyclic
+    input every cycle edge would be spuriously "redundant").
+    Redundant = edge composed with any path, i.e. paths of length
+    >= 2, one extra join.  Closure size is bounded by depth x edges
+    — taxonomy-shaped inputs (shallow, fan-in to a root) stay
+    small; do not run this on a general deep graph.
+
+    Returns (child, parent, redundant int 0/1)."""
+    e = (edges.select(F.col(child).alias("c"), F.col(parent).alias("p"))
+         .where(F.col("c") != F.col("p"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    reach = e
+    prev = reach.count()
+    converged = False
+    for _ in range(max_rounds):
+        ext = (reach.join(e.select(F.col("c").alias("p"),
+                                   F.col("p").alias("p2")), "p")
+               .select("c", F.col("p2").alias("p")))
+        reach = (reach.unionByName(ext).distinct()
+                 .localCheckpoint(eager=True))
+        cur = reach.count()
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            "dag_transitive_reduce: closure still growing after "
+            "max_rounds — depth exceeds the budget")
+    if reach.where(F.col("c") == F.col("p")).limit(1).count() != 0:
+        raise RuntimeError(
+            "dag_transitive_reduce: input contains a cycle — "
+            "reduction on cyclic edges would mark every cycle edge "
+            "redundant; break the cycle upstream (dag_layers locates "
+            "it)")
+    two_plus = (e.select(F.col("c"), F.col("p").alias("mid"))
+                .join(reach.select(F.col("c").alias("mid"),
+                                   F.col("p").alias("far")), "mid")
+                .select("c", F.col("far").alias("p"))
+                .distinct())
+    return (e.join(two_plus.select("c", "p",
+                                   F.lit(1).alias("_r")),
+                   ["c", "p"], "left")
+            .select(F.col("c").alias(child), F.col("p").alias(parent),
+                    F.coalesce("_r", F.lit(0)).cast("int")
+                    .alias("redundant")))
