@@ -3601,6 +3601,10 @@ SSSP_ROUNDS = 12    # q191: unweighted diameter bound, shared with the oracle
 COVER_K = 5     # q193 greedy-coverage rounds, shared with the oracle
 KCENTER_K = 5   # q194 farthest-first rounds, shared with the oracle
 JSONL_FILES = 8   # q203: shard count, shared with the oracle
+AMS_K = 16        # q204: AMS estimator count, shared with the oracle
+COLOR_BUDGET = 6  # q205: color budget (measured 3 at sf0.01, 4 at
+                  # sf0.1 on the qty<=2 graph), shared with the oracle
+COLOR_MIS_ROUNDS = 5  # q205: per-color Luby budget (measured <= 3)
 MST_ROUNDS = 10   # q197: Boruvka budget, shared with the oracle
                   # (measured 5 rounds at sf0.01, 6 at sf0.1;
                   #  ceil(log2 n) guarantees <= 15 at sf0.1 and the
@@ -4364,6 +4368,49 @@ def q203_jsonl_ledger(spark, sf_dir):
                     F.col("sum_ids").cast("bigint").alias("sum_ids"),
                     F.col("payload_sum").cast("bigint")
                     .alias("payload_sum")))
+
+
+def q204_ams_f2(spark, sf_dir):
+    """AMS second-moment sketch vs exact F2 (operators.sketch
+    .ams_f2) over the corpus unigram stream: 16 deterministic
+    +-1-sign estimators in ONE combinable aggregate estimate the
+    self-join size of the token table — the number the blocking
+    family (q171/q172) wants BEFORE running a key join, and the
+    third house sketch (HLL=F0 q75, CM=frequency q71, AMS=F2).
+    Exact F2 (count + sum of squares) rides along as the
+    calibration twin; per-estimator error ppm is part of the hash
+    contract, so both engines certify the estimator VALUES, not
+    just the mean."""
+    from python_mecab_ner_spark.operators.sketch import ams_f2
+    d = _loadp(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.trim("text")), r"\s+"),
+                 lambda s: s != F.lit(""))
+    tok = d.select(F.explode(w).alias("word"))
+    return ams_f2(tok, "word", k=AMS_K)
+
+
+def q205_coloring(spark, sf_dir):
+    """Greedy distributed graph coloring by iterated Luby MIS
+    (operators.graph.mis_coloring) on the THIN qty<=2 co-purchase
+    graph (q175's density class — the qty<=15 graph needs ~15+
+    colors and an o(15x25)-CTE oracle): color = conflict-free
+    maintenance WAVE (no two adjacent jobs share one), the node
+    twin of q188's edge-matching waves.  3 colors at sf0.01, 4 at
+    sf0.1 (measured); both engines run the shared color x MIS-round
+    budget and every per-color Luby trajectory is the q177-certified
+    kernel, so the full color assignment is hash-pinned."""
+    from python_mecab_ner_spark.operators.graph import mis_coloring
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 2)
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
+             .select(F.col("l1.l_partkey").alias("src"),
+                     F.col("l2.l_partkey").alias("dst"))
+             .distinct())
+    return (mis_coloring(edges, max_colors=COLOR_BUDGET,
+                         mis_rounds=COLOR_MIS_ROUNDS)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("color").cast("int").alias("color")))
 
 
 def q189_cusum(spark, sf_dir):
@@ -5600,6 +5647,26 @@ def kg_mis_seeds(spark, sf_dir):
                     F.col("mis_round").cast("int").alias("mis_round")))
 
 
+def kg_release_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit (q199's operator) on the REAL
+    extracted triple set before a KG release: quasi-identifiers =
+    (predicate, source host) — the attributes a downstream joiner
+    sees — and the OBJECT surface as the sensitive attribute.  Tiny
+    (pred, host) provenance groups are re-identifiable publication
+    sources; single-object groups disclose the relation even
+    without row access.  The governance sheet next to the per-source
+    dashboard (q105) and PII counts (q47), computed on genuine
+    extraction output."""
+    from python_mecab_ner_spark.operators.profile import \
+        k_anonymity_audit
+    g = _kg_graph(spark)
+    t = g["triples"].select(
+        "pred",
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        "obj")
+    return k_anonymity_audit(t, ["pred", "host"], F.col("obj"))
+
+
 def kg_entity_backbone(spark, sf_dir):
     """Association backbone of the REAL co-mention entity graph: the
     MAXIMUM spanning forest (boruvka_mst on inverted weights — the
@@ -6187,12 +6254,15 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_taxonomy_reduce": q201_taxonomy_reduce,
         "q202_good_turing": q202_good_turing,
         "q203_jsonl_ledger": q203_jsonl_ledger,
+        "q204_ams_f2": q204_ams_f2,
+        "q205_coloring": q205_coloring,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
         "kg_ktruss": kg_ktruss,
         "kg_mis_seeds": kg_mis_seeds,
         "kg_entity_backbone": kg_entity_backbone,
+        "kg_release_audit": kg_release_audit,
         "kg_entity_alignment": kg_entity_alignment,
         "kg_host_scc": kg_host_scc,
         "kg_type_propagation": kg_type_propagation,
@@ -6517,6 +6587,111 @@ def oracle_sql() -> dict[str, str]:
         for _r in range(1, MST_ROUNDS + 1)))
     _mst.append(")")
     mst_sql = "".join(_mst)
+
+    # q204 AMS F2: k conditional-sign sums in one aggregate + exact
+    # sum-of-squares twin; sign convention 1 - 2*(md5 % 2) on BOTH
+    # engines
+    _ams_signs = ", ".join(
+        f"sum(CASE WHEN {md5_int_sql('word', salt=f'ams{i}:')} % 2 = 0"
+        f" THEN 1 ELSE -1 END) AS z{i}"
+        for i in range(AMS_K))
+    _ams_mean = ("(" + " + ".join(f"z{i} * z{i}" for i in range(AMS_K))
+                 + f") // {AMS_K}")
+    _ams_rows = " UNION ALL ".join(
+        f"SELECT {i} AS est_id, z{i} AS z_sum, z{i} * z{i} AS est_f2,"
+        f" f2, mf FROM m"
+        for i in range(AMS_K))
+    ams_sql = f"""
+        WITH t AS (SELECT list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\\s+'), s -> s <> '') AS w
+                   FROM documents),
+        tok AS (SELECT unnest(w) AS word FROM t),
+        one AS (SELECT {_ams_signs} FROM tok),
+        ex AS (SELECT sum(c * c) AS f2 FROM (
+                 SELECT word, count(*) AS c FROM tok GROUP BY 1)),
+        m AS (SELECT *, {_ams_mean} AS mf FROM one, ex),
+        u AS ({_ams_rows})
+        SELECT CAST(est_id AS BIGINT) AS est_id,
+               CAST(z_sum AS BIGINT) AS z_sum,
+               CAST(est_f2 AS BIGINT) AS est_f2,
+               CAST(f2 AS BIGINT) AS exact_f2,
+               CAST(mf AS BIGINT) AS mean_f2,
+               CAST((abs(est_f2 - f2) * 1000000) // f2 AS BIGINT)
+                   AS err_ppm
+        FROM u
+    """
+
+    # q205 iterated-MIS coloring, unrolled colors x Luby rounds: each
+    # color block is the q177 MIS oracle restricted to the uncolored
+    # subgraph, plus the isolated-in-remaining complement (nodes with
+    # no surviving edge join the color unconditionally).  Rounds and
+    # colors past their fixpoints are empty no-ops under the shared
+    # budgets.  CTEs MUST be MATERIALIZED (the q94 lesson).
+    _clr = ["""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          FROM lineitem l1 JOIN lineitem l2
+            ON l2.l_orderkey = l1.l_orderkey
+           AND l1.l_partkey < l2.l_partkey
+          WHERE l1.l_quantity <= 2 AND l2.l_quantity <= 2),
+        r0 AS MATERIALIZED (
+          SELECT a AS node FROM e0 UNION SELECT b FROM e0)
+    """]
+    for _c in range(1, COLOR_BUDGET + 1):
+        _clr.append(f"""
+        , ce{_c} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e0 e
+          JOIN r{_c - 1} ra ON ra.node = e.a
+          JOIN r{_c - 1} rb ON rb.node = e.b)
+        , sym{_c} AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM ce{_c}
+          UNION ALL SELECT b, a FROM ce{_c})
+        , a{_c}x0 AS MATERIALIZED (
+          SELECT u AS node,
+                 md5(CAST(u AS VARCHAR)) || '#' || CAST(u AS VARCHAR)
+                     AS pri
+          FROM (SELECT DISTINCT u FROM sym{_c}))
+        """)
+        for _r in range(1, COLOR_MIS_ROUNDS + 1):
+            _clr.append(f"""
+        , er{_c}x{_r} AS MATERIALIZED (
+          SELECT s.u, s.v, av.pri AS pri_v
+          FROM sym{_c} s JOIN a{_c}x{_r - 1} au ON au.node = s.u
+          JOIN a{_c}x{_r - 1} av ON av.node = s.v)
+        , mn{_c}x{_r} AS MATERIALIZED (
+          SELECT u, min(pri_v) AS mp FROM er{_c}x{_r} GROUP BY 1)
+        , w{_c}x{_r} AS MATERIALIZED (
+          SELECT a.node FROM a{_c}x{_r - 1} a
+          LEFT JOIN mn{_c}x{_r} m ON m.u = a.node
+          WHERE m.u IS NULL OR a.pri < m.mp)
+        , rm{_c}x{_r} AS MATERIALIZED (
+          SELECT DISTINCT e.v AS node
+          FROM er{_c}x{_r} e JOIN w{_c}x{_r} w ON w.node = e.u)
+        , a{_c}x{_r} AS MATERIALIZED (
+          SELECT a.node, a.pri FROM a{_c}x{_r - 1} a
+          WHERE a.node NOT IN (SELECT node FROM w{_c}x{_r})
+            AND a.node NOT IN (SELECT node FROM rm{_c}x{_r}))
+            """)
+        _wu = " UNION ALL ".join(
+            f"SELECT node FROM w{_c}x{_r}"
+            for _r in range(1, COLOR_MIS_ROUNDS + 1))
+        _clr.append(f"""
+        , col{_c} AS MATERIALIZED (
+          SELECT node FROM ({_wu})
+          UNION
+          SELECT node FROM r{_c - 1}
+          WHERE node NOT IN (SELECT node FROM a{_c}x0))
+        , r{_c} AS MATERIALIZED (
+          SELECT node FROM r{_c - 1}
+          WHERE node NOT IN (SELECT node FROM col{_c}))
+        """)
+    _clr.append("SELECT CAST(node AS BIGINT) AS node, "
+                "CAST(c AS INT) AS color FROM (")
+    _clr.append(" UNION ALL ".join(
+        f"SELECT node, {_c} AS c FROM col{_c}"
+        for _c in range(1, COLOR_BUDGET + 1)))
+    _clr.append(")")
+    coloring_sql = "".join(_clr)
 
     # q198 densest-subgraph peel, unrolled rounds: exact-integer
     # removal threshold deg <= (2*3*m) // (2*n)  (eps = 1/2), one
@@ -9134,6 +9309,8 @@ def oracle_sql() -> dict[str, str]:
         "q177_mis": mis_sql,
         "q197_boruvka_mst": mst_sql,
         "q198_densest": peel_sql,
+        "q204_ams_f2": ams_sql,
+        "q205_coloring": coloring_sql,
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

@@ -2428,3 +2428,74 @@ def dag_transitive_reduce(edges: DataFrame, child: str = "child",
             .select(F.col("c").alias(child), F.col("p").alias(parent),
                     F.coalesce("_r", F.lit(0)).cast("int")
                     .alias("redundant")))
+
+
+def mis_coloring(edges: DataFrame, src: str = "src", dst: str = "dst",
+                 max_colors: int = 8,
+                 mis_rounds: int = 12) -> DataFrame:
+    """Greedy distributed graph coloring by iterated MIS (Luby's
+    reduction): color c = a maximal independent set of the still-
+    uncolored subgraph, repeated until every node is colored — the
+    conflict-free SCHEDULE of a 100 TB maintenance plan (color =
+    wave; no two adjacent entity-merge / partition-compaction jobs
+    run in the same wave; maximal_matching waves pairs, this waves
+    NODES), and the classic O(Delta log n) parallel coloring.  Each
+    per-color MIS is the q177-certified deterministic Luby kernel
+    (md5 priorities, bit-stable trajectory), so the COLOR assignment
+    is a pure function of the edge set.
+
+    Nodes isolated in the remaining subgraph (all neighbors already
+    colored) have no surviving edges, so they join the current color
+    unconditionally — the anti-join complement of the MIS's edge
+    universe.
+
+    Raises RuntimeError when max_colors is exhausted with nodes
+    still uncolored (greedy needs at most Delta+1 colors; budget =
+    the never-truncate discipline), and propagates the inner MIS
+    budget raise.
+
+    Returns (node, color), 1-based colors."""
+    e0 = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                       F.greatest(F.col(src), F.col(dst)).alias("b"))
+          .where(F.col("a") != F.col("b"))
+          .distinct()
+          .localCheckpoint(eager=True))
+    remaining = (e0.select(F.col("a").alias("node"))
+                 .unionByName(e0.select(F.col("b").alias("node")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+    cur = e0
+    parts: list[DataFrame] = []
+    for c in range(1, max_colors + 1):
+        if remaining.limit(1).count() == 0:
+            break
+        edge_nodes = (cur.select(F.col("a").alias("node"))
+                      .unionByName(cur.select(F.col("b").alias("node")))
+                      .distinct())
+        isolated = remaining.join(edge_nodes, "node", "left_anti")
+        mis = maximal_independent_set(
+            cur.select(F.col("a").alias("src"),
+                       F.col("b").alias("dst")),
+            max_rounds=mis_rounds).select("node")
+        colored = (mis.unionByName(isolated).distinct()
+                   .localCheckpoint(eager=True))
+        parts.append(colored.select(
+            "node", F.lit(c).cast("int").alias("color")))
+        remaining = (remaining.join(colored, "node", "left_anti")
+                     .localCheckpoint(eager=True))
+        cur = (cur.join(colored.select(F.col("node").alias("a")),
+                        "a", "left_anti")
+               .join(colored.select(F.col("node").alias("b")),
+                     "b", "left_anti")
+               .localCheckpoint(eager=True))
+    if remaining.limit(1).count() != 0:
+        raise RuntimeError(
+            "mis_coloring: max_colors exhausted with nodes uncolored "
+            "— raise max_colors (greedy needs at most Delta+1)")
+    if not parts:  # edgeless input: nothing to color
+        return remaining.select(
+            "node", F.lit(0).cast("int").alias("color"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -213,3 +213,55 @@ def hll_estimate(registers: list[int], n_registers: int = 64) -> float:
             import math
             est = m * math.log(m / zeros)
     return est
+
+
+def ams_f2(df: DataFrame, term_col: str, k: int = 16,
+           salt: str = "ams") -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch: estimate
+    F2 = sum of squared term frequencies — which is EXACTLY the row
+    count of the self-join on that term — in ONE combinable pass,
+    next to the exact value for calibration.  The planner number the
+    blocking family needs before committing to a key join (q171
+    sorted-neighborhood / q172 prefix-filter pick their windows and
+    thresholds against this; a skewed blocking key shows up as F2
+    exploding while F1 stays flat), and the third sketch in the
+    house set (HLL = distinct count / F0, CM = point frequency,
+    AMS = join size / F2).
+
+    Each estimator i draws a deterministic +-1 sign per term
+    (md5-derived, cross-engine — the house hash) and sums it over
+    the STREAM (one row per occurrence); E[Z_i^2] = F2 and k
+    estimators average the variance down.  All k sums ride one
+    aggregate (k conditional-sum columns, map-side combinable — no
+    shuffle of the stream beyond the single agg), and the exact F2
+    is a per-term count + sum of squares, the verification twin.
+
+    Returns k rows: (est_id, z_sum, est_f2, exact_f2, mean_f2,
+    err_ppm) with mean_f2 = floor-mean of the k estimates repeated
+    per row and err_ppm = |est - exact| * 1e6 div exact."""
+    from ..functions.hashing import md5_int
+    aggs = [F.count("*").alias("n")]
+    for i in range(k):
+        sign = (F.lit(1) - 2 * (md5_int(F.col(term_col),
+                                        salt=f"{salt}{i}:")
+                                % F.lit(2)))
+        aggs.append(F.sum(sign).alias(f"z{i}"))
+    one = df.agg(*aggs)
+    exact = (df.groupBy(term_col).agg(F.count("*").alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).alias("f2")))
+    both = one.crossJoin(exact)  # 1-row x 1-row
+    mean = F.expr(
+        "(" + " + ".join(f"z{i} * z{i}" for i in range(k))
+        + f") div {k}")
+    rows = ", ".join(
+        f"CAST({i} AS BIGINT), CAST(z{i} AS BIGINT), "
+        f"CAST(z{i} * z{i} AS BIGINT)" for i in range(k))
+    return (both.select("*", mean.alias("mf"))
+            .selectExpr(
+                f"stack({k}, {rows}) AS (est_id, z_sum, est_f2)",
+                "CAST(f2 AS BIGINT) AS exact_f2",
+                "CAST(mf AS BIGINT) AS mean_f2")
+            .selectExpr(
+                "est_id", "z_sum", "est_f2", "exact_f2", "mean_f2",
+                "CAST((abs(est_f2 - exact_f2) * 1000000) div exact_f2"
+                " AS BIGINT) AS err_ppm"))

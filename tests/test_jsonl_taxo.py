@@ -145,3 +145,35 @@ def test_good_turing_matches_counter(spark):
                if nr.get(r + 1) else 0)
            for r, n in nr.items()}
     assert got == exp
+
+
+def test_jsonl_streaming_ingest(spark, tmp_path):
+    """parse_jsonl_lines is stateless, so the same corrupt-ledger
+    contract holds on a STREAM: good rows flow to the sink with the
+    corrupt column null, damaged lines arrive quarantined with their
+    raw bytes — no line silently dropped, micro-batch or batch."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    import json
+    import os
+    os.makedirs(src)
+    with open(src + "/a.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"doc_id": i, "text": f"t{i}"}) + "\n")
+    with open(src + "/b.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": "ok"}) + "\n")
+        f.write('{"doc_id":11,"text":"tr\n')  # truncated line
+
+    stream = (spark.readStream.format("text").load(src)
+              .withColumnRenamed("value", "line"))
+    parsed = parse_jsonl_lines(stream, "doc_id bigint, text string")
+    q = (parsed.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    good = {(r["doc_id"], r["text"]) for r in
+            got.where(F.col(CORRUPT_COL).isNull()).collect()}
+    assert good == {(i, f"t{i}") for i in range(5)} | {(10, "ok")}
+    bad = got.where(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(bad) == 1 and bad[0][CORRUPT_COL].startswith(
+        '{"doc_id":11')
