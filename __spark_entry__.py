@@ -3605,6 +3605,13 @@ AMS_K = 16        # q204: AMS estimator count, shared with the oracle
 COLOR_BUDGET = 6  # q205: color budget (measured 3 at sf0.01, 4 at
                   # sf0.1 on the qty<=2 graph), shared with the oracle
 COLOR_MIS_ROUNDS = 5  # q205: per-color Luby budget (measured <= 3)
+TEMPORAL_ORACLE_ROUNDS = 10  # q206: oracle unroll (7 measured at
+                             # sf0.01); Spark runs TEMPORAL_BUDGET
+IJ_WINDOWS = 40   # q207: audit-window count, shared with the oracle
+TEMPORAL_BUDGET = 40  # q206: Spark budget (24 measured at sf0.1);
+                      # post-fixpoint rounds are no-ops so the two
+                      # budgets may differ — both sides stop moving
+                      # at the sf0.01 fixpoint the oracle certifies
 MST_ROUNDS = 10   # q197: Boruvka budget, shared with the oracle
                   # (measured 5 rounds at sf0.01, 6 at sf0.1;
                   #  ceil(log2 n) guarantees <= 15 at sf0.1 and the
@@ -4411,6 +4418,127 @@ def q205_coloring(spark, sf_dir):
                          mis_rounds=COLOR_MIS_ROUNDS)
             .select(F.col("node").cast("bigint").alias("node"),
                     F.col("color").cast("int").alias("color")))
+
+
+def q206_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability with min arrival time
+    (operators.temporal.temporal_reachability) over the event
+    contact stream: consecutive events sharing a props-k channel
+    link their users (lag window per channel — linear edge count),
+    contact is symmetric, and seeds are users 0-4 at time 0.
+    Arrival = the earliest event INDEX at which a causal
+    (non-decreasing-time) contact chain from a seed reaches the
+    user — who COULD know, in causal order (q181's Markov counts
+    ignore ordering constraints; q49's khop ignores time).  Event
+    ids are the integer clock (monotone with ts, measured), so no
+    ntz epoch math touches the oracle (the q178 trap).  7
+    fixpoint rounds at sf0.01, 24 at sf0.1 (measured); budgets
+    differ per engine because post-fixpoint rounds are no-ops."""
+    from python_mecab_ner_spark.operators.temporal import \
+        temporal_reachability
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+        .alias("k"))
+    w = Window.partitionBy("k").orderBy("event_id")
+    lagd = ev.select(
+        "event_id", "user_id", F.lag("user_id").over(w).alias("pu"))
+    e = (lagd.where(F.col("pu").isNotNull()
+                    & (F.col("pu") != F.col("user_id")))
+         .select(F.col("pu").alias("src"),
+                 F.col("user_id").alias("dst"),
+                 F.col("event_id").alias("t")))
+    sym = e.unionByName(e.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"), "t"))
+    seeds = (ev.where(F.col("user_id") < 5)
+             .select(F.col("user_id").alias("node")).distinct())
+    return (temporal_reachability(sym, seeds,
+                                  max_rounds=TEMPORAL_BUDGET)
+            .select(F.col("node").cast("bigint").alias("node"),
+                    F.col("arrival").cast("bigint").alias("arrival")))
+
+
+def q207_interval_join(spark, sf_dir):
+    """Batch interval-overlap join via bucket expansion
+    (operators.spans.interval_join): lineitem shipping intervals
+    [shipdate, receiptdate] against 40 overlapping 80-day audit
+    windows, aggregated per window — the interval x interval member
+    of the temporal-join family (q31 = point x latest as-of;
+    streaming/joins.py = watermarked stream case).  The rewrite
+    turns the theta-join Spark would BNL-plan into a partitionable
+    equi-join on 64-day buckets, each pair counted once at its
+    overlap-start bucket (no dedup shuffle).  Dates become
+    NON-NEGATIVE epoch-day integers via unix_date (zone-free, the
+    q179 discipline; 8035 = days to 1992-01-01 in both engines);
+    the testdata lineitem has no receiptdate, so transit is an
+    md5-derived 1-60 days (the q47 injection convention)."""
+    from python_mecab_ner_spark.operators.spans import interval_join
+    li0 = _load(spark, sf_dir, "lineitem")
+    transit = (F.pmod(md5_int(
+        F.concat(F.col("l_orderkey").cast("string"), F.lit("#"),
+                 F.col("l_linenumber").cast("string")), salt="ijt:"),
+        F.lit(60)) + 1)
+    li = li0.select(
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("ls"),
+        (F.unix_date(F.col("l_shipdate").cast("date")) + transit)
+        .alias("le"),
+        F.col("l_quantity").cast("bigint").alias("qty"))
+    win = spark.range(0, IJ_WINDOWS).select(
+        F.col("id").alias("window_id"),
+        (F.lit(8035) + F.col("id") * 50).alias("rs"),
+        (F.lit(8035) + F.col("id") * 50 + 80).alias("re"))
+    joined = interval_join(li, win, ("ls", "le"), ("rs", "re"),
+                           bucket=64)
+    return (joined.groupBy("window_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum("qty").alias("sum_qty"))
+            .select(F.col("window_id").cast("bigint")
+                    .alias("window_id"),
+                    F.col("n_lines").cast("bigint").alias("n_lines"),
+                    F.col("sum_qty").cast("bigint").alias("sum_qty")))
+
+
+def q208_scd2_history(spark, sf_dir):
+    """SCD2 versioned page history (operators.crawl.scd2_merge):
+    two deterministic document snapshots — snapshot 2 mutates ~1/7
+    of texts, deletes ~1/11 of ids, adds ~1/13 as new ids (the q47
+    injection convention) — fold into a [valid_from, valid_to)
+    history via two merges on an empty base.  The temporal-table
+    complement of kg_recrawl_merge's latest-wins upsert: every
+    version's lifetime survives, deletions close rows instead of
+    dropping them (a deletion is an EVENT the audit must see).
+    The oracle derives the final history directly from the
+    mutation flags, so both merge rounds' CASE logic is
+    hash-certified, open rows as NULL valid_to."""
+    from python_mecab_ner_spark.operators.crawl import scd2_merge
+    d = _load(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    base = d.select(
+        F.concat(F.lit("d:"), ds).alias("url"), "text",
+        (F.pmod(md5_int(ds, salt="sc:"), F.lit(7)) == 0).alias("ch"),
+        (F.pmod(md5_int(ds, salt="sd:"), F.lit(11)) == 3).alias("del"),
+        (F.pmod(md5_int(ds, salt="sa:"), F.lit(13)) == 5).alias("ad"),
+        F.concat(F.lit("d:"), (F.col("doc_id") + 1_000_000)
+                 .cast("string")).alias("new_url"),
+        F.md5(F.concat(F.lit("new:"), ds)).alias("new_fp"))
+    snap1 = base.select("url", F.md5("text").alias("fp"))
+    snap2 = (base.where(~F.col("del"))
+             .select("url",
+                     F.when(F.col("ch"),
+                            F.md5(F.concat(F.col("text"),
+                                           F.lit("#v2"))))
+                     .otherwise(F.md5("text")).alias("fp"))
+             .unionByName(base.where(F.col("ad"))
+                          .select(F.col("new_url").alias("url"),
+                                  F.col("new_fp").alias("fp"))))
+    empty = spark.createDataFrame(
+        [], "url string, fp string, valid_from bigint, valid_to bigint")
+    h1 = scd2_merge(empty, snap1, t=1)
+    h2 = scd2_merge(h1, snap2, t=2)
+    return h2.select("url", "fp",
+                     F.col("valid_from").cast("bigint")
+                     .alias("valid_from"),
+                     F.col("valid_to").cast("bigint").alias("valid_to"))
 
 
 def q189_cusum(spark, sf_dir):
@@ -6256,6 +6384,9 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_jsonl_ledger": q203_jsonl_ledger,
         "q204_ams_f2": q204_ams_f2,
         "q205_coloring": q205_coloring,
+        "q206_temporal_reach": q206_temporal_reach,
+        "q207_interval_join": q207_interval_join,
+        "q208_scd2_history": q208_scd2_history,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -6692,6 +6823,46 @@ def oracle_sql() -> dict[str, str]:
         for _c in range(1, COLOR_BUDGET + 1)))
     _clr.append(")")
     coloring_sql = "".join(_clr)
+
+    # q206 temporal reachability, unrolled min-arrival rounds (the
+    # SSSP oracle pattern with the time-respecting guard arr <= t);
+    # rounds past the sf0.01 fixpoint (7 measured) are no-ops
+    _tr = [r"""
+        WITH ev AS MATERIALIZED (
+          SELECT event_id, user_id,
+                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)
+                     AS k
+          FROM events),
+        lagd AS MATERIALIZED (
+          SELECT k, event_id, user_id,
+                 lag(user_id) OVER (PARTITION BY k ORDER BY event_id)
+                     AS pu
+          FROM ev),
+        ed AS MATERIALIZED (
+          SELECT pu AS src, user_id AS dst, event_id AS t
+          FROM lagd WHERE pu IS NOT NULL AND pu <> user_id),
+        tsym AS MATERIALIZED (
+          SELECT src, dst, t FROM ed
+          UNION SELECT dst, src, t FROM ed),
+        ar0 AS MATERIALIZED (
+          SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT) AS arr
+          FROM ev WHERE user_id < 5)
+    """]
+    for _r in range(1, TEMPORAL_ORACLE_ROUNDS + 1):
+        _tr.append(f"""
+        , rx{_r} AS MATERIALIZED (
+          SELECT s.dst AS node, s.t AS arr
+          FROM ar{_r - 1} a JOIN tsym s ON s.src = a.node
+          WHERE a.arr <= s.t)
+        , ar{_r} AS MATERIALIZED (
+          SELECT node, min(arr) AS arr FROM (
+            SELECT node, arr FROM ar{_r - 1}
+            UNION ALL SELECT node, arr FROM rx{_r}) GROUP BY 1)
+        """)
+    _tr.append(f"SELECT CAST(node AS BIGINT) AS node, "
+               f"CAST(arr AS BIGINT) AS arrival "
+               f"FROM ar{TEMPORAL_ORACLE_ROUNDS}")
+    temporal_sql = "".join(_tr)
 
     # q198 densest-subgraph peel, unrolled rounds: exact-integer
     # removal threshold deg <= (2*3*m) // (2*n)  (eps = 1/2), one
@@ -9311,6 +9482,54 @@ def oracle_sql() -> dict[str, str]:
         "q198_densest": peel_sql,
         "q204_ams_f2": ams_sql,
         "q205_coloring": coloring_sql,
+        "q206_temporal_reach": temporal_sql,
+        "q208_scd2_history": f"""
+            WITH b AS (
+              SELECT doc_id, text,
+                     ({md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                   salt="sc:")} % 7 = 0) AS ch,
+                     ({md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                   salt="sd:")} % 11 = 3) AS del,
+                     ({md5_int_sql("CAST(doc_id AS VARCHAR)",
+                                   salt="sa:")} % 13 = 5) AS ad
+              FROM documents)
+            SELECT url, fp, CAST(valid_from AS BIGINT) AS valid_from,
+                   CAST(valid_to AS BIGINT) AS valid_to
+            FROM (
+              SELECT 'd:' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(text) AS fp, 1 AS valid_from,
+                     CASE WHEN del OR ch THEN 2 END AS valid_to
+              FROM b
+              UNION ALL
+              SELECT 'd:' || CAST(doc_id AS VARCHAR),
+                     md5(text || '#v2'), 2, NULL
+              FROM b WHERE ch AND NOT del
+              UNION ALL
+              SELECT 'd:' || CAST(doc_id + 1000000 AS VARCHAR),
+                     md5('new:' || CAST(doc_id AS VARCHAR)), 2, NULL
+              FROM b WHERE ad)
+        """,
+        "q207_interval_join": f"""
+            WITH win AS (
+              SELECT w AS window_id, 8035 + w * 50 AS ws,
+                     8035 + w * 50 + 80 AS we
+              FROM (SELECT unnest(range(0, {IJ_WINDOWS})) AS w)),
+            li AS (
+              SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+                         AS ls,
+                     (CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+                     + ({md5_int_sql(
+                         "CAST(l_orderkey AS VARCHAR) || '#' || "
+                         "CAST(l_linenumber AS VARCHAR)",
+                         salt="ijt:")} % 60) + 1 AS le,
+                     CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem)
+            SELECT CAST(window_id AS BIGINT) AS window_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(qty) AS BIGINT) AS sum_qty
+            FROM li JOIN win ON li.ls <= win.we AND win.ws <= li.le
+            GROUP BY 1
+        """,
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

@@ -329,3 +329,51 @@ def url_path_templates(urls: DataFrame, url_col: str = "url",
     return (urls.select(host.alias("host"), tmpl.alias("template"))
             .groupBy("host", "template")
             .agg(F.count("*").cast("bigint").alias("n_urls")))
+
+
+def scd2_merge(history: DataFrame, snap: DataFrame, t: int,
+               key: str = "url", fp: str = "fp") -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: fold one crawl
+    snapshot into a versioned page HISTORY table — every (key,
+    fingerprint) version carries [valid_from, valid_to) with an open
+    (NULL) valid_to for the current version.  The temporal-table
+    complement of merge_crawls/recrawl_stats (those keep ONLY the
+    latest; this keeps every version's lifetime, which is what
+    change-rate models, as-of reconstruction, and deletion audits
+    read).  Per merge: changed fingerprints close at t and reopen
+    with the new fingerprint; keys absent from the snapshot close
+    at t (deletion is an event, not a row drop); new keys open at
+    t; identical fingerprints pass through untouched.
+
+    One key-partitioned full outer join between the OPEN slice and
+    the snapshot plus unions — no windows, no skew beyond key
+    cardinality; closed rows stream through untouched, so the cost
+    per merge is bounded by |open| + |snap| regardless of history
+    depth (at 100 TB, partition history by valid_to range so the
+    closed mass is never rescanned).
+
+    Returns the new history (key, fp, valid_from, valid_to)."""
+    closed = (history.where(F.col("valid_to").isNotNull())
+              .select(key, fp, "valid_from", "valid_to"))
+    open_ = (history.where(F.col("valid_to").isNull())
+             .select(F.col(key), F.col(fp).alias("_ofp"),
+                     "valid_from"))
+    s = snap.select(F.col(key), F.col(fp).alias("_nfp"))
+    j = open_.join(s, key, "full")
+    same = (j.where(F.col("_ofp") == F.col("_nfp"))
+            .select(F.col(key), F.col("_ofp").alias(fp), "valid_from",
+                    F.lit(None).cast("bigint").alias("valid_to")))
+    closed_now = (j.where(F.col("_ofp").isNotNull()
+                          & (F.col("_nfp").isNull()
+                             | (F.col("_nfp") != F.col("_ofp"))))
+                  .select(F.col(key), F.col("_ofp").alias(fp),
+                          "valid_from",
+                          F.lit(t).cast("bigint").alias("valid_to")))
+    opened_now = (j.where(F.col("_nfp").isNotNull()
+                          & (F.col("_ofp").isNull()
+                             | (F.col("_nfp") != F.col("_ofp"))))
+                  .select(F.col(key), F.col("_nfp").alias(fp),
+                          F.lit(t).cast("bigint").alias("valid_from"),
+                          F.lit(None).cast("bigint").alias("valid_to")))
+    return (closed.unionByName(same).unionByName(closed_now)
+            .unionByName(opened_now))

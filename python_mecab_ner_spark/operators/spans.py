@@ -390,3 +390,44 @@ def cusum_changepoint(events: DataFrame, ts_col: str, key_col: str,
                     F.col("day").alias("change_day"),
                     F.col("t_split"),
                     F.col("cusum_stat")))
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  left_range: tuple[str, str] = ("ls", "le"),
+                  right_range: tuple[str, str] = ("rs", "re"),
+                  bucket: int = 64) -> DataFrame:
+    """Interval-overlap equi-join via bucket expansion: the standard
+    rewrite that turns an interval theta-join — which Spark can only
+    plan as a broadcast nested loop, O(|L| x |R|) and unrunnable at
+    100 TB — into a shuffle-partitionable EQUI-join.  Each interval
+    explodes to the fixed-width buckets it covers, the join keys on
+    bucket id, and each overlapping pair is counted EXACTLY ONCE by
+    keeping it only in the bucket where the overlap STARTS
+    (bucket == greatest(l_start, r_start) div width) — no
+    distinct/dedup shuffle.  The batch interval x interval member
+    of the temporal-join family: q31's as-of join handles point x
+    latest, streaming/joins.py the watermarked stream case.
+
+    Endpoints are inclusive integers and must be NON-NEGATIVE
+    (div truncates toward zero, so negative starts would land in
+    the wrong bucket — days-since-epoch and event indexes qualify).
+    Pick bucket near the typical interval length: output work per
+    row is O(interval_len / bucket + 1) replicas, candidate pairs
+    per bucket are what the exact overlap filter prunes.  Column
+    names must be disjoint across the two inputs.
+
+    Returns the joined rows (left.* + right.*) for every
+    overlapping pair."""
+    ls, le = left_range
+    rs, re_ = right_range
+    lb = left.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.expr(f"{ls} div {bucket}"), F.expr(f"{le} div {bucket}"))))
+    rb = right.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.expr(f"{rs} div {bucket}"), F.expr(f"{re_} div {bucket}"))))
+    return (lb.join(rb, "_bk")
+            .where((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
+                   & (F.col("_bk")
+                      == F.expr(f"greatest({ls}, {rs}) div {bucket}")))
+            .drop("_bk"))

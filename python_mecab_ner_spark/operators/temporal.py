@@ -80,3 +80,59 @@ def lifespan_of_snapshots(spark, base: str, key_cols: list) -> DataFrame:
         stacked = part if stacked is None else stacked.unionByName(part)
     return edge_lifespan(stacked, key_cols,
                          current_version=max(versions))
+
+
+def temporal_reachability(edges: DataFrame, seeds: DataFrame,
+                          src: str = "src", dst: str = "dst",
+                          t: str = "t", node: str = "node",
+                          max_rounds: int = 20) -> DataFrame:
+    """Time-respecting reachability with minimum arrival time: a
+    node is reached at time t' if a path exists whose contact times
+    never decrease — the semantics of influence/contagion over a
+    temporal contact graph (who COULD have received a fact from the
+    seeds, in causal order), and the temporal complement of
+    sssp_int's weighted distance (there cost accumulates; here time
+    must flow forward).  An edge is usable only from arrival
+    onward:  arr(v) = min over edges (u, v, t) with t >= arr(u) of
+    t,  seeds at 0.
+
+    Edges must keep EVERY contact time (a later contact is usable
+    when an earlier one is not — collapsing to min t per pair is
+    wrong and tested); pass symmetrized rows for undirected
+    contact.  Per round one join + one combinable min, monotone
+    non-increasing, localCheckpoint'ed (iterative house rule);
+    rounds needed = longest time-respecting path in HOPS, raises at
+    the budget (the SSSP discipline — truncation silently
+    understates reach).  The oracle unrolls the same recurrence;
+    post-fixpoint rounds are no-ops under a shared budget.
+
+    Returns (node, arrival) for reached nodes (seeds at 0)."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                      F.col(t).cast("bigint").alias("t"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    arr = (seeds.select(F.col(node).alias("node"))
+           .distinct()
+           .select("node", F.lit(0).cast("bigint").alias("arr"))
+           .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        relax = (arr.join(e.withColumnRenamed("src", "node"), "node")
+                 .where(F.col("arr") <= F.col("t"))
+                 .select(F.col("dst").alias("node"),
+                         F.col("t").alias("arr")))
+        nxt = (arr.unionByName(relax)
+               .groupBy("node").agg(F.min("arr").alias("arr"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.join(arr.withColumnRenamed("arr", "old"),
+                            "node", "left")
+                   .where(F.col("old").isNull()
+                          | (F.col("arr") < F.col("old")))
+                   .limit(1).count())
+        arr = nxt
+        if changed == 0:
+            return arr.select("node", F.col("arr").alias("arrival"))
+    raise RuntimeError(
+        "temporal_reachability: arrivals still improving after "
+        "max_rounds — raise max_rounds (longest time-respecting "
+        "path exceeds the budget)")
