@@ -3503,13 +3503,8 @@ def q173_ktruss(spark, sf_dir):
     genuinely here (3874 -> 3639 -> 3637 edges at sf0.01, fixpoint at
     round 3) and support is recomputed on the final survivor set."""
     from python_mecab_ner_spark.operators.graph import ktruss
-    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 15)
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
-             .select(F.col("l1.l_partkey").alias("src"),
-                     F.col("l2.l_partkey").alias("dst"))
-             .distinct())
+    edges = _copurchase_pairs(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"))
     return (ktruss(edges, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
             .select(F.col("a").cast("bigint").alias("a"),
                     F.col("b").cast("bigint").alias("b"), "support"))
@@ -3632,13 +3627,8 @@ def q177_mis(spark, sf_dir):
     contract, not just the final set."""
     from python_mecab_ner_spark.operators.graph import \
         maximal_independent_set
-    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 15)
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
-             .select(F.col("l1.l_partkey").alias("src"),
-                     F.col("l2.l_partkey").alias("dst"))
-             .distinct())
+    edges = _copurchase_pairs(spark, sf_dir).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"))
     return (maximal_independent_set(edges, max_rounds=MIS_ROUNDS)
             .select(F.col("node").cast("bigint").alias("node"),
                     F.col("mis_round").cast("int").alias("mis_round")))
@@ -4147,10 +4137,14 @@ def q196_rake(spark, sf_dir):
     return rake_keyphrases(d, "text", "doc_id")
 
 
-def _copurchase_pairs(spark, sf_dir):
-    """The thin co-purchase graph shared by q173/q177/q197/q198:
-    distinct same-order part pairs restricted to quantity <= 15."""
-    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 15)
+def _copurchase_pairs(spark, sf_dir, max_qty: int = 15):
+    """The thin co-purchase graph shared by q173/q177/q197/q198
+    (quantity <= 15) and, at max_qty=2, by q205: distinct same-order
+    part pairs a < b.  Every quantity-thinned co-purchase query MUST
+    route through here — the inline copies this replaced desynced
+    once already (review finding)."""
+    li = (_load(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") <= max_qty))
     l1, l2 = li.alias("l1"), li.alias("l2")
     return (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
@@ -4407,13 +4401,8 @@ def q205_coloring(spark, sf_dir):
     budget and every per-color Luby trajectory is the q177-certified
     kernel, so the full color assignment is hash-pinned."""
     from python_mecab_ner_spark.operators.graph import mis_coloring
-    li = _load(spark, sf_dir, "lineitem").where(F.col("l_quantity") <= 2)
-    l1, l2 = li.alias("l1"), li.alias("l2")
-    edges = (l1.join(l2, (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-                     & (F.col("l1.l_partkey") < F.col("l2.l_partkey")))
-             .select(F.col("l1.l_partkey").alias("src"),
-                     F.col("l2.l_partkey").alias("dst"))
-             .distinct())
+    edges = _copurchase_pairs(spark, sf_dir, max_qty=2).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"))
     return (mis_coloring(edges, max_colors=COLOR_BUDGET,
                          mis_rounds=COLOR_MIS_ROUNDS)
             .select(F.col("node").cast("bigint").alias("node"),

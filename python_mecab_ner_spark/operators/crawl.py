@@ -352,13 +352,23 @@ def scd2_merge(history: DataFrame, snap: DataFrame, t: int,
     depth (at 100 TB, partition history by valid_to range so the
     closed mass is never rescanned).
 
+    Duplicate snapshot keys (the same URL fetched twice in one
+    batch) are resolved DETERMINISTICALLY to the lexicographically
+    least fingerprint before the join — an unguarded duplicate
+    would fan the full join out into contradictory open rows (two
+    "current" versions of one key, found by review); pick the
+    winner upstream (recrawl_merge's max_by) if arrival order
+    matters.  History produced by this function is unique-per-open-
+    key by construction.
+
     Returns the new history (key, fp, valid_from, valid_to)."""
     closed = (history.where(F.col("valid_to").isNotNull())
               .select(key, fp, "valid_from", "valid_to"))
     open_ = (history.where(F.col("valid_to").isNull())
              .select(F.col(key), F.col(fp).alias("_ofp"),
                      "valid_from"))
-    s = snap.select(F.col(key), F.col(fp).alias("_nfp"))
+    s = (snap.select(F.col(key), F.col(fp).alias("_nfp"))
+         .groupBy(key).agg(F.min("_nfp").alias("_nfp")))
     j = open_.join(s, key, "full")
     same = (j.where(F.col("_ofp") == F.col("_nfp"))
             .select(F.col(key), F.col("_ofp").alias(fp), "valid_from",

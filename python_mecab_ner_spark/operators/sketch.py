@@ -240,7 +240,7 @@ def ams_f2(df: DataFrame, term_col: str, k: int = 16,
     err_ppm) with mean_f2 = floor-mean of the k estimates repeated
     per row and err_ppm = |est - exact| * 1e6 div exact."""
     from ..functions.hashing import md5_int
-    aggs = [F.count("*").alias("n")]
+    aggs = []
     for i in range(k):
         sign = (F.lit(1) - 2 * (md5_int(F.col(term_col),
                                         salt=f"{salt}{i}:")

@@ -124,3 +124,24 @@ def test_scd2_two_merges_match_python(spark):
     assert got == exp
     # a deleted key's row is CLOSED, not dropped
     assert any(u == "u25" and vt == 2 for u, _, _, vt in got)
+
+
+def test_scd2_duplicate_snapshot_keys_resolve_deterministically(spark):
+    # same URL fetched twice in one batch: the lexicographically
+    # least fingerprint wins; exactly ONE open row per key survives
+    empty = spark.createDataFrame(
+        [], "url string, fp string, valid_from bigint, valid_to bigint")
+    s = spark.createDataFrame(
+        [("u", "h2"), ("u", "h1"), ("v", "hx")], "url string, fp string")
+    h = scd2_merge(empty, s, t=1)
+    got = sorted((r["url"], r["fp"], r["valid_from"], r["valid_to"])
+                 for r in h.collect())
+    assert got == [("u", "h1", 1, None), ("v", "hx", 1, None)]
+    # merging a duplicate-bearing second snapshot never yields two
+    # open rows for one key
+    s2 = spark.createDataFrame(
+        [("u", "h9"), ("u", "h3")], "url string, fp string")
+    h2 = scd2_merge(h, s2, t=2)
+    open_rows = [r for r in h2.collect() if r["valid_to"] is None]
+    assert sorted((r["url"], r["fp"]) for r in open_rows) == [
+        ("u", "h3")]
