@@ -4530,6 +4530,301 @@ def q208_scd2_history(spark, sf_dir):
                      F.col("valid_to").cast("bigint").alias("valid_to"))
 
 
+def q209_textrank(spark, sf_dir):
+    """TextRank keyword extraction (operators.retrieval
+    .textrank_keywords): weighted integer PageRank over the word
+    co-occurrence graph (window 2, derived top-20-df stoplist, both
+    shared with the oracle) — the iterative graph-global member of
+    the term-mining family: q196 RAKE scores phrases by local
+    deg/freq in one pass, q152 is per-doc tf-idf, q50 ranks bigrams
+    by PMI; TextRank rewards words that co-occur with other
+    well-connected words.  The all-integer PR recurrence
+    (pagerank_weighted_int) makes the unrolled-SQL oracle bit-exact;
+    the word graph is persisted (two non-exchange-identical
+    consumers per round) and released per query."""
+    from python_mecab_ner_spark.operators.retrieval import (
+        textrank_keywords)
+    d = _loadp(spark, sf_dir, "documents")
+    # n_stop=8, not the RAKE default 20: the template corpus has ~31
+    # distinct tokens, so the default stoplist would leave an
+    # 11-node graph (production callers keep 20+)
+    out = textrank_keywords(d, "text", "doc_id", n_stop=8,
+                            window=2, iters=3)
+    res = out.select("word", "pr")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
+def _textrank_oracle_sql(iters: int = 3, scale: int = 1_000_000,
+                         dn: int = 85, dd: int = 100,
+                         n_stop: int = 20) -> str:
+    """Generated DuckDB twin of q209: the q196 tokenization +
+    derived-stoplist CTEs, lead()-window co-occurrence pairs, then
+    the q68 unrolled weighted-PageRank rounds on the word graph."""
+    base = (scale * (dd - dn)) // dd
+    s = f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(regexp_split_to_array(
+                              lower(trim(text)), '\\s+'),
+                              s -> s <> '') AS w
+                   FROM documents),
+        px AS (SELECT doc_id, w,
+                      unnest(range(1, len(w) + 1)) AS pos
+               FROM t),
+        tok AS MATERIALIZED (
+            SELECT doc_id, pos, w[pos] AS word FROM px),
+        stops AS MATERIALIZED (
+            SELECT word FROM (
+              SELECT word, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY 1)
+            ORDER BY df DESC, word LIMIT {n_stop}),
+        nb AS (SELECT word,
+                      lead(word, 1) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS n1,
+                      lead(word, 2) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS n2
+               FROM tok),
+        -- leads are computed over the FULL token sequence, stop
+        -- endpoints dropped AFTER (a stopword between two keywords
+        -- still separates them — the Spark twin's order of ops)
+        pp AS (SELECT least(word, n1) AS a, greatest(word, n1) AS b
+               FROM nb WHERE n1 IS NOT NULL AND n1 <> word
+                 AND word NOT IN (SELECT word FROM stops)
+                 AND n1 NOT IN (SELECT word FROM stops)
+               UNION ALL
+               SELECT least(word, n2), greatest(word, n2)
+               FROM nb WHERE n2 IS NOT NULL AND n2 <> word
+                 AND word NOT IN (SELECT word FROM stops)
+                 AND n2 NOT IN (SELECT word FROM stops)),
+        cooc AS MATERIALIZED (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS w
+            FROM pp GROUP BY 1, 2),
+        e AS MATERIALIZED (
+            SELECT a AS src, b AS dst, w FROM cooc
+            UNION ALL SELECT b, a, w FROM cooc),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        wt AS (SELECT src, sum(w) AS wt FROM e GROUP BY 1),
+        pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr
+                FROM nodes)"""
+    for k in range(1, iters + 1):
+        s += f""",
+        m{k} AS (SELECT e.dst AS node, SUM((p.pr * e.w) // t.wt) AS m
+                 FROM e JOIN pr{k - 1} p ON p.node = e.src
+                 JOIN wt t ON t.src = e.src GROUP BY 1),
+        pr{k} AS (SELECT n.node,
+                         CAST({base} + ({dn} * coalesce(m{k}.m, 0)) // {dd}
+                              AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN m{k} ON m{k}.node = n.node)"""
+    return s + f"""
+        SELECT node AS word, pr FROM pr{iters}"""
+
+
+def q210_zorder_layout(spark, sf_dir):
+    """Z-order vs linear layout zone-map audit (operators.layout
+    .layout_audit): events bucketized on (user_id % 64,
+    epoch_day % 64), Morton-interleaved vs d2-major keys
+    range-split into 64 files each, per-file min/max zone maps out.
+    The data-layout complement of q138 (partition skew): q138 audits
+    how much lands in each partition, this audits what a reader's
+    min/max pruning can SKIP — under `linear` every file spans the
+    full user domain (user-sliced queries read everything), under
+    `zorder` both spans are bounded, so either dimension prunes.
+    Day buckets via unix_date (zone-free, the q179/q207 discipline);
+    all bit arithmetic 64-bit integer in both engines."""
+    from python_mecab_ner_spark.operators.layout import layout_audit
+    ev = _load(spark, sf_dir, "events")
+    return layout_audit(
+        ev, F.pmod(F.col("user_id"), F.lit(64)),
+        F.pmod(F.unix_date(F.col("ts").cast("date")), F.lit(64)),
+        bits=6, file_bits=6)
+
+
+def _zorder_oracle_sql(bits: int = 6, file_bits: int = 6) -> str:
+    """Generated DuckDB twin of q210: the same Morton interleave as
+    layout.zorder_key, emitted as shift/mask text."""
+    shift = 2 * bits - file_bits
+    z = " + ".join(
+        f"(((d1 >> {i}) & 1) << {2 * i + 1}) + "
+        f"(((d2 >> {i}) & 1) << {2 * i})"
+        for i in range(bits))
+    return f"""
+        WITH b AS (SELECT user_id % {1 << bits} AS d1,
+                          (CAST(ts AS DATE) - DATE '1970-01-01')
+                              % {1 << bits} AS d2
+                   FROM events),
+        k AS (SELECT d1, d2, ({z}) AS z,
+                     ((d2 << {bits}) + d1) AS lin
+              FROM b),
+        u AS (SELECT 'zorder' AS layout, z >> {shift} AS file_id,
+                     d1, d2 FROM k
+              UNION ALL
+              SELECT 'linear', lin >> {shift}, d1, d2 FROM k)
+        SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(d1) AS BIGINT) AS d1_min,
+               CAST(max(d1) AS BIGINT) AS d1_max,
+               CAST(min(d2) AS BIGINT) AS d2_min,
+               CAST(max(d2) AS BIGINT) AS d2_max
+        FROM u GROUP BY 1, 2"""
+
+
+def q211_bottomk_quantiles(spark, sf_dir):
+    """Mergeable bottom-k quantile sketch vs exact histogram walk
+    (operators.sketch.bottomk_quantiles): per event_type, the k=128
+    smallest-md5-priority events form a deterministic uniform
+    sample whose order statistics estimate p10/p25/p50/p75/p90 of
+    the milli-unit value, compared against the exact
+    histogram-cumulative quantiles (the q95/q166 no-corpus-sort
+    discipline).  The quantile member of the sketch family — HLL
+    (q75) counts distinct, CM (q71) counts frequencies, AMS (q204)
+    sizes joins, bottom-k locates the distribution; the merge law
+    bottomk(A∪B) == bottomk(bottomk(A)∪bottomk(B)) is pinned by
+    test.  Values are floor(value*1000): a per-row IEEE multiply +
+    floor, identical in both engines (the float traps are division
+    and aggregation order, not scalar scaling)."""
+    from python_mecab_ner_spark.operators.sketch import (
+        bottomk_quantiles)
+    ev = _load(spark, sf_dir, "events")
+    out = bottomk_quantiles(
+        ev, "event_type", F.floor(F.col("value") * 1000),
+        "event_id", k=128)
+    res = out.orderBy("event_type", "q_pct")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
+def _bottomk_oracle_sql(k: int = 128,
+                        quantiles: tuple = (10, 25, 50, 75, 90)) -> str:
+    """Generated DuckDB twin of q211: same md5 priorities, same
+    ceil-free quantile rule cum*100 >= q*n on both the sample and
+    the exact histogram."""
+    pri = md5_int_sql("CAST(event_id AS VARCHAR)", salt="bkq:")
+    qlist = ", ".join(str(q) for q in quantiles)
+    return f"""
+        WITH rows_ AS (SELECT event_type AS g,
+                              CAST(floor(value * 1000) AS BIGINT) AS v,
+                              CAST(event_id AS VARCHAR) AS key,
+                              {pri} AS pri
+                       FROM events),
+        samp AS MATERIALIZED (
+            SELECT g, v, key FROM (
+              SELECT g, v, key,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY pri, key) AS rn
+              FROM rows_)
+            WHERE rn <= {k}),
+        ks AS (SELECT g, count(*) AS ks FROM samp GROUP BY 1),
+        qs AS (SELECT unnest([{qlist}]) AS q_pct),
+        sr AS (SELECT g, v,
+                      row_number() OVER (PARTITION BY g
+                                         ORDER BY v, key) AS vr
+               FROM samp),
+        est AS (SELECT g, q_pct, min(v) AS est
+                FROM sr JOIN ks USING (g) CROSS JOIN qs
+                WHERE vr * 100 >= q_pct * ks GROUP BY 1, 2),
+        hist AS (SELECT g, v, count(*) AS c FROM rows_ GROUP BY 1, 2),
+        cum AS (SELECT g, v,
+                       sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+                FROM hist),
+        tot AS (SELECT g, sum(c) AS n FROM hist GROUP BY 1),
+        ex AS (SELECT g, q_pct, min(v) AS exact, max(n) AS n
+               FROM cum JOIN tot USING (g) CROSS JOIN qs
+               WHERE cum * 100 >= q_pct * n GROUP BY 1, 2)
+        SELECT g AS event_type, CAST(q_pct AS INT) AS q_pct,
+               CAST(n AS BIGINT) AS n, CAST(ks AS BIGINT) AS ks,
+               CAST(est AS BIGINT) AS est,
+               CAST(exact AS BIGINT) AS exact,
+               CAST(abs(est - exact) AS BIGINT) AS abs_err
+        FROM est JOIN ex USING (g, q_pct) JOIN ks USING (g)"""
+
+
+def q212_spam_mass(spark, sf_dir):
+    """TrustRank spam mass (operators.graph.trust_spam_mass) on the
+    q62 part<->supplier bipartite graph: global PageRank minus
+    seed-normalized trust (seeds = supplier nodes with s_suppkey %
+    20 == 1, the vetted whitelist) — high-PR low-trust nodes are
+    link-spam suspects, rank earned where the whitelist cannot
+    reach.  Composes the two existing integer fixed-point
+    recurrences (q40's PR + q62's PPR) plus an exact-integer 1-row
+    normalization fold, so the generated unrolled-SQL oracle
+    certifies the full composition; the shared edge set is
+    persisted once for both recurrences and released per query."""
+    from python_mecab_ner_spark.operators.graph import trust_spam_mass
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    seeds = [r["n"] for r in
+             _load(spark, sf_dir, "supplier")
+             .where(F.col("s_suppkey") % 20 == 1)
+             .select((F.col("s_suppkey") * 2 + 1).alias("n")).collect()]
+    out = trust_spam_mass(edges, seeds, iters=3)
+    res = out.select(F.col("node").cast("bigint").alias("node"),
+                     "pr", "trust_norm", "spam_ppm")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
+def _spam_mass_oracle_sql(iters: int = 3, scale: int = 1_000_000,
+                          dn: int = 85, dd: int = 100) -> str:
+    """Generated DuckDB twin of q212: the q40 unrolled-PR chain and
+    the q62 unrolled-PPR chain (seed set as a CTE predicate instead
+    of a literal IN-list) over one shared graph, then the exact
+    integer spam-mass projection."""
+    base = (scale * (dd - dn)) // dd
+    s = f"""
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        e AS MATERIALIZED (
+            SELECT p AS src, s AS dst FROM pairs
+            UNION ALL SELECT s, p FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+                  WHERE s_suppkey % 20 = 1),
+        pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr
+                FROM nodes),
+        t0 AS (SELECT node,
+                      CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                           THEN {scale} ELSE 0 END AS BIGINT) AS pr
+               FROM nodes)"""
+    for i in range(1, iters + 1):
+        s += f""",
+        pm{i} AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+                  FROM e JOIN pr{i - 1} p ON p.node = e.src
+                  JOIN od o ON o.src = e.src GROUP BY 1),
+        pr{i} AS (SELECT n.node,
+                         CAST({base}
+                              + ({dn} * coalesce(pm{i}.m, 0)) // {dd}
+                              AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN pm{i} ON pm{i}.node = n.node),
+        tm{i} AS (SELECT e.dst AS node, SUM(p.pr // o.od) AS m
+                  FROM e JOIN t{i - 1} p ON p.node = e.src
+                  JOIN od o ON o.src = e.src GROUP BY 1),
+        t{i} AS (SELECT n.node,
+                        CAST(CASE WHEN n.node IN (SELECT node
+                                                  FROM seeds)
+                             THEN {base} ELSE 0 END
+                             + ({dn} * coalesce(tm{i}.m, 0)) // {dd}
+                             AS BIGINT) AS pr
+                 FROM nodes n LEFT JOIN tm{i} ON tm{i}.node = n.node)"""
+    return s + f"""
+        , sums AS (SELECT (SELECT sum(pr) FROM pr{iters}) AS s_pr,
+                          (SELECT sum(pr) FROM t{iters}) AS s_tr)
+        SELECT node, pr, trust_norm,
+               CAST(greatest(0, ((pr - trust_norm) * 1000000) // pr)
+                    AS BIGINT) AS spam_ppm
+        FROM (
+          SELECT CAST(p.node AS BIGINT) AS node, p.pr,
+                 CAST((coalesce(t.pr, 0) * s.s_pr) // s.s_tr
+                      AS BIGINT) AS trust_norm
+          FROM pr{iters} p
+          LEFT JOIN t{iters} t ON t.node = p.node
+          CROSS JOIN sums s)"""
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -5913,6 +6208,36 @@ def kg_host_rank(spark, sf_dir):
             .select(F.col("node").alias("host"), "pr"))
 
 
+def kg_host_trust(spark, sf_dir):
+    """TrustRank spam mass (operators.graph.trust_spam_mass, the
+    q212 composition) on the REAL extracted host graph: seeds = the
+    5 hosts with the largest total out-link weight (the vetted-
+    directory intuition of Gyongyi et al. — trust starts at heavily
+    curating hubs), spam_ppm = the share of a host's PageRank that
+    trust diffusion cannot explain.  The crawl-policy complement of
+    kg_host_rank: rank says fetch first, spam mass says audit
+    first.  Rows-only; the integer composition itself is
+    hash-certified by q212's oracle."""
+    from python_mecab_ner_spark.operators.graph import trust_spam_mass
+    from python_mecab_ner_spark.operators.weblinks import host_graph
+    g = _kg_graph(spark)
+    hg = (host_graph(g["pages"])
+          .select(F.col("src_host").alias("src"),
+                  F.col("dst_host").alias("dst"), "n_links")
+          .localCheckpoint())
+    seeds = [r["src"] for r in
+             (hg.groupBy("src").agg(F.sum("n_links").alias("w"))
+              .orderBy(F.col("w").desc(), F.col("src").asc())
+              .limit(5).collect())]
+    out = trust_spam_mass(hg.select("src", "dst").distinct(), seeds,
+                          iters=3)
+    res = (out.orderBy(F.col("spam_ppm").desc(), F.col("node").asc())
+           .select(F.col("node").alias("host"), "pr", "trust_norm",
+                   "spam_ppm"))
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
 def kg_outlink_hosts(spark, sf_dir):
     """Host-level web link graph from the pages' html (the hyperlink
     half of a Common-Crawl page): href extraction is a pure JVM
@@ -6376,6 +6701,10 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_temporal_reach": q206_temporal_reach,
         "q207_interval_join": q207_interval_join,
         "q208_scd2_history": q208_scd2_history,
+        "q209_textrank": q209_textrank,
+        "q210_zorder_layout": q210_zorder_layout,
+        "q211_bottomk_quantiles": q211_bottomk_quantiles,
+        "q212_spam_mass": q212_spam_mass,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -6405,6 +6734,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extracted_text": kg_extracted_text,
         "kg_outlink_hosts": kg_outlink_hosts,
         "kg_host_rank": kg_host_rank,
+        "kg_host_trust": kg_host_trust,
         "kg_entity_communities": kg_entity_communities,
         "kg_anchor_profile": kg_anchor_profile,
         "kg_recrawl_merge": kg_recrawl_merge,
@@ -9519,6 +9849,10 @@ def oracle_sql() -> dict[str, str]:
             FROM li JOIN win ON li.ls <= win.we AND win.ws <= li.le
             GROUP BY 1
         """,
+        "q209_textrank": _textrank_oracle_sql(iters=3, n_stop=8),
+        "q210_zorder_layout": _zorder_oracle_sql(),
+        "q211_bottomk_quantiles": _bottomk_oracle_sql(),
+        "q212_spam_mass": _spam_mass_oracle_sql(),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

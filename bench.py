@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     # standalone in BENCH_EXTRAS — its ~25 s sf0.1 wall would
     # dominate the interleaved suite)
     "q198_densest", "q203_jsonl_ledger",
+    # post-closeout: TextRank's tokenization+PR composition and the
+    # z-order zone-map audit scan
+    "q209_textrank", "q210_zorder_layout",
 ]
 
 

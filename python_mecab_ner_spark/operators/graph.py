@@ -204,7 +204,14 @@ def ppr_int(edges: DataFrame, seeds: list, iters: int = 3,
     query-sized).  Callers must localCheckpoint deep edge inputs
     first (the kg_entity_rank lesson)."""
     base = (scale * (damping_den - damping_num)) // damping_den
-    seed_ids = [int(s) for s in seeds]
+    # coerce numeric-like seeds (np ints, Rows' values) to plain int;
+    # non-numeric node ids (host strings) pass through unchanged
+    def _as_node(s):
+        try:
+            return int(s)
+        except (TypeError, ValueError):
+            return s
+    seed_ids = [_as_node(s) for s in seeds]
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .union(e.select("dst")).distinct())
@@ -2498,4 +2505,54 @@ def mis_coloring(edges: DataFrame, src: str = "src", dst: str = "dst",
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def trust_spam_mass(edges: DataFrame, seeds: list, iters: int = 3,
+                    scale: int = 1_000_000,
+                    src: str = "src", dst: str = "dst") -> DataFrame:
+    """TrustRank / spam-mass scoring (Gyongyi et al. 2004): run
+    global PageRank and seed-personalized PageRank (trust) over the
+    SAME graph, normalize trust to the PageRank mass total, and
+    report per node how much of its rank is NOT accounted for by
+    trust flowing from the vetted seed set —
+
+        spam_ppm(v) = max(0, (pr(v) - trust_norm(v)) * 1e6 div pr(v))
+
+    High-PR low-trust nodes are the link-spam suspects: rank earned
+    from regions the seed whitelist cannot reach.  The composition
+    member of the rank family — q40/q68 rank, q62 personalizes,
+    this SUBTRACTS one from the other; both recurrences are the
+    existing integer fixed-point operators, so the unrolled-SQL
+    oracle certifies the whole composition bit-exactly.
+
+    Normalization is exact integer: trust_norm = trust * sum(pr)
+    div sum(trust) (1-row sums, broadcast crossjoin — the house
+    1-row fold).  Bounds: trust * sum(pr) <= ~1e7 * n*scale, safe
+    in int64 to ~1e5 nodes at default scale; pr > 0 always (the
+    (1-d)*scale teleport floor), so the division is total.
+
+    Scale shape: one persisted edge set feeds both recurrences
+    (2 * iters joins + groupBys); everything else is node-sized.
+    Caller releases via .unpersist_input."""
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .persist())
+    pr = pagerank_int(e, iters=iters, scale=scale)
+    tr = (ppr_int(e, seeds, iters=iters, scale=scale)
+          .withColumnRenamed("pr", "trust"))
+    sums = (pr.agg(F.sum("pr").alias("s_pr"))
+            .crossJoin(tr.agg(F.sum("trust").alias("s_tr"))))
+    out = (pr.join(tr, "node", "left")
+           .crossJoin(F.broadcast(sums))
+           .select(
+               "node", "pr",
+               F.expr("coalesce(trust, 0) * s_pr div s_tr")
+               .cast("bigint").alias("trust_norm"))
+           .select(
+               "node", "pr", "trust_norm",
+               F.greatest(
+                   F.lit(0),
+                   F.expr("(pr - trust_norm) * 1000000 div pr"))
+               .cast("bigint").alias("spam_ppm")))
+    out.unpersist_input = e.unpersist
     return out

@@ -414,3 +414,81 @@ def rake_keyphrases(docs: DataFrame, text_col: str, id_col: str,
                  F.max("plen").alias("plen"),
                  F.max("score_ppm").alias("score_ppm"))
             .where(F.col("n_occ") >= min_occ))
+
+
+def textrank_keywords(docs: DataFrame, text_col: str, id_col: str,
+                      n_stop: int = 20, window: int = 2,
+                      iters: int = 3) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004), integer
+    exact: build the word co-occurrence graph (words within `window`
+    positions of each other in the ORIGINAL token sequence, both
+    endpoints non-stopword; edge weight = corpus-wide co-occurrence
+    count) and rank words by weighted PageRank over it.  The
+    iterative, graph-global member of the term-mining family:
+    rake_keyphrases (q196) scores phrases by local deg/freq with no
+    iteration, term_salience (q152) is per-doc tf-idf, TextRank
+    rewards words that keep company with other well-connected words
+    — a different top set whenever high-df hubs chain together.
+
+    The stopword set is DERIVED exactly as in rake_keyphrases: the
+    n_stop highest-document-frequency tokens, ties by word asc,
+    collected once (dimension-sized) and inlined as a literal.
+    Co-occurrence pairs come from per-doc lead() windows (one sort
+    per doc partition, q196's window discipline — no token
+    self-join), are canonicalized (least, greatest) so the graph is
+    undirected, then mirrored into directed edges for
+    pagerank_weighted_int (operators/graph.py), whose all-integer
+    recurrence makes the unrolled-SQL oracle bit-exact.
+
+    Scale shape: tokenization + lead windows are one per-doc pass;
+    the co-occurrence groupBy is vocabulary^2-bounded but in practice
+    ~vocab * window; PR iterations are vocabulary-sized joins.  At
+    100 TB the word graph is tiny relative to the corpus — the only
+    corpus-sized stage is the single token scan.
+
+    Returns (word, pr) for every non-stop word in the graph."""
+    from pyspark.sql import Window
+
+    from .graph import pagerank_weighted_int
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda s: s != F.lit(""))
+    tok = docs.select(F.col(id_col).alias("doc"),
+                      F.posexplode(toks).alias("pos", "word"))
+    stop_rows = (tok.select("doc", "word").distinct()
+                 .groupBy("word").agg(F.count("*").alias("df"))
+                 .orderBy(F.col("df").desc(), F.col("word").asc())
+                 .limit(n_stop).collect())
+    stops = [r["word"] for r in stop_rows]
+
+    def ok(c):
+        base = c.isNotNull() & (c != F.col("word"))
+        return base & ~c.isin(stops) if stops else base
+    w = Window.partitionBy("doc").orderBy("pos")
+    nb = tok.select(
+        "word",
+        *[F.lead("word", i).over(w).alias(f"n{i}")
+          for i in range(1, window + 1)])
+    if stops:
+        nb = nb.where(~F.col("word").isin(stops))
+    pair = None
+    for i in range(1, window + 1):
+        c = F.col(f"n{i}")
+        p = (nb.where(ok(c))
+             .select(F.least(F.col("word"), c).alias("a"),
+                     F.greatest(F.col("word"), c).alias("b")))
+        pair = p if pair is None else pair.unionByName(p)
+    cooc = pair.groupBy("a", "b").agg(
+        F.count("*").cast("bigint").alias("w"))
+    edges = (cooc.select(F.col("a").alias("src"),
+                         F.col("b").alias("dst"), "w")
+             .unionByName(cooc.select(F.col("b").alias("src"),
+                                      F.col("a").alias("dst"), "w")))
+    # two consumers with non-exchange-identical subtrees per PR round
+    # (edge join + out-weight agg) -> persist the tiny word graph
+    # (the q141/q100 persist rule), released via unpersist_input
+    edges = edges.persist()
+    pr = pagerank_weighted_int(edges, iters=iters)
+    res = pr.select(F.col("node").alias("word"),
+                    F.col("pr").cast("bigint").alias("pr"))
+    res.unpersist_input = lambda: edges.unpersist()
+    return res

@@ -265,3 +265,77 @@ def ams_f2(df: DataFrame, term_col: str, k: int = 16,
                 "est_id", "z_sum", "est_f2", "exact_f2", "mean_f2",
                 "CAST((abs(est_f2 - exact_f2) * 1000000) div exact_f2"
                 " AS BIGINT) AS err_ppm"))
+
+
+def bottomk_quantiles(df: DataFrame, group_col: str, value_col,
+                      key_col: str, k: int = 128,
+                      quantiles: tuple[int, ...] = (10, 25, 50, 75, 90),
+                      salt: str = "bkq:") -> DataFrame:
+    """Per-group quantile estimates from a deterministic bottom-k
+    (KMV-style) sample, evaluated against the exact histogram-walk
+    quantiles — the mergeable bounded-size answer to "what is p50/p90
+    per stream" when the stream is too big to sort: keep only the k
+    rows with the smallest md5 priority per group (a uniform sample
+    without replacement, reproducible across engines and runs), read
+    order statistics off the sample.
+
+    Merge law (proven by test): bottomk(A ∪ B) == bottomk(bottomk(A)
+    ∪ bottomk(B)) — priorities are content-derived, so per-partition
+    / per-day sketches fold without touching raw data, the same
+    algebra as cm_merge/hll_merge/bloom_merge.  This is the quantile
+    member of the sketch family: HLL counts distinct, CM counts
+    frequencies, AMS sizes joins, bottom-k locates the distribution.
+
+    Exactness discipline: the reference quantile walks the per-group
+    (value, count) HISTOGRAM with a cumulative window over DISTINCT
+    values (robust_outliers' shape — never a corpus sort); the sample
+    side ranks at most k rows per group.  Quantile definition (both
+    sides, both engines): smallest v whose cumulative count reaches
+    ceil(q * n / 100) — integer ceil via (q*n + 99) div 100.
+
+    Returns one row per (group, q_pct): n, ks (actual sample size),
+    est, exact, abs_err."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        value_col.cast("bigint").alias("v") if hasattr(value_col, "cast")
+        else F.col(value_col).cast("bigint").alias("v"),
+        F.col(key_col).cast("string").alias("key"))
+    rows = rows.withColumn("pri", md5_int(F.col("key"), salt=salt))
+    samp = (rows.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("g").orderBy("pri", "key")))
+        .where(F.col("rn") <= k).drop("rn").persist())
+    ks = samp.groupBy("g").agg(F.count("*").alias("ks"))
+    qlit = F.explode(F.array(*[F.lit(q) for q in quantiles]))
+    sr = samp.withColumn(
+        "vr", F.row_number().over(
+            Window.partitionBy("g").orderBy("v", "key")))
+    est = (sr.join(F.broadcast(ks), "g")
+           .select("g", "v", "vr", "ks", qlit.alias("q_pct"))
+           .where(F.col("vr") * 100 >= F.col("q_pct") * F.col("ks"))
+           .groupBy("g", "q_pct").agg(F.min("v").alias("est")))
+    hist = (rows.groupBy("g", "v").agg(F.count("*").alias("c")))
+    tot = hist.groupBy("g").agg(F.sum("c").alias("n"))
+    wv = (Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    exact = (hist.withColumn("cum", F.sum("c").over(wv))
+             .join(F.broadcast(tot), "g")
+             .select("g", "v", "cum", "n", qlit.alias("q_pct"))
+             .where(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+             .groupBy("g", "q_pct")
+             .agg(F.min("v").alias("exact"), F.max("n").alias("n")))
+    out = (est.join(exact, ["g", "q_pct"])
+           .join(F.broadcast(ks), "g")
+           .select(F.col("g").alias(group_col),
+                   F.col("q_pct").cast("int").alias("q_pct"),
+                   F.col("n").cast("bigint").alias("n"),
+                   F.col("ks").cast("bigint").alias("ks"),
+                   F.col("est").cast("bigint").alias("est"),
+                   F.col("exact").cast("bigint").alias("exact"),
+                   F.abs(F.col("est") - F.col("exact"))
+                   .cast("bigint").alias("abs_err")))
+    out.unpersist_input = samp.unpersist
+    return out

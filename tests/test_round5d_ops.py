@@ -1,0 +1,232 @@
+"""Round-5 closeout additions: TextRank keywords, Z-order layout
+audit, bottom-k quantile sketch, TrustRank spam mass.
+
+Discipline as in test_round5_ops.py: every test recomputes the
+expected answer with plain Python on small hand-built or randomized
+inputs, so the DuckDB oracles are not the only cross-check.
+"""
+
+import random
+from collections import Counter
+
+from python_mecab_ner_spark.operators.retrieval import textrank_keywords
+
+
+# ------------------------------------------------------------ TextRank
+
+def _py_textrank(docs, n_stop, window, iters,
+                 scale=1_000_000, dn=85, dd=100):
+    toks = {d: t.lower().strip().split() for d, t in docs}
+    df = Counter()
+    for d, ws in toks.items():
+        for w in set(ws):
+            df[w] += 1
+    stops = set(w for w in sorted(df, key=lambda w: (-df[w], w))[:n_stop])
+    cooc = Counter()
+    for ws in toks.values():
+        for i, a in enumerate(ws):
+            for k in range(1, window + 1):
+                if i + k < len(ws):
+                    b = ws[i + k]
+                    if a != b and a not in stops and b not in stops:
+                        cooc[(min(a, b), max(a, b))] += 1
+    edges = {}
+    for (a, b), w in cooc.items():
+        edges[(a, b)] = edges.get((a, b), 0) + w
+        edges[(b, a)] = edges.get((b, a), 0) + w
+    nodes = sorted({a for a, _ in edges})
+    wt = Counter()
+    for (a, _), w in edges.items():
+        wt[a] += w
+    base = (scale * (dd - dn)) // dd
+    pr = {n: scale for n in nodes}
+    for _ in range(iters):
+        m = Counter()
+        for (a, b), w in edges.items():
+            m[b] += (pr[a] * w) // wt[a]
+        pr = {n: base + (dn * m.get(n, 0)) // dd for n in nodes}
+    return pr
+
+
+def test_textrank_matches_python_twin(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 30))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = textrank_keywords(df, "text", "doc_id", n_stop=3,
+                            window=2, iters=3)
+    got = {r["word"]: r["pr"] for r in out.collect()}
+    out.unpersist_input()
+    assert got == _py_textrank(docs, n_stop=3, window=2, iters=3)
+
+
+def test_textrank_stopword_separates_neighbors(spark):
+    # "x" saturates df -> stoplist; a/b co-occur only THROUGH x at
+    # distance 2, never adjacent, so the window-2 graph still links
+    # them (leads are computed on the unfiltered sequence)
+    docs = [(i, "a x b") for i in range(3)] + [(3, "c x d e")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = textrank_keywords(df, "text", "doc_id", n_stop=1,
+                            window=2, iters=1)
+    got = {r["word"]: r["pr"] for r in out.collect()}
+    out.unpersist_input()
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    assert got == _py_textrank(docs, n_stop=1, window=2, iters=1)
+
+
+# ------------------------------------------------------- Z-order audit
+
+def _py_zkey(d1, d2, bits):
+    z = 0
+    for i in range(bits):
+        z += ((d1 >> i) & 1) << (2 * i + 1)
+        z += ((d2 >> i) & 1) << (2 * i)
+    return z
+
+
+def test_layout_audit_matches_python_twin(spark):
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.operators.layout import layout_audit
+    rng = random.Random(3)
+    rows = [(rng.randrange(64), rng.randrange(64)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {(r["layout"], r["file_id"]):
+           (r["n_rows"], r["d1_min"], r["d1_max"], r["d2_min"], r["d2_max"])
+           for r in layout_audit(df, F.col("a"), F.col("b"),
+                                 bits=6, file_bits=6).collect()}
+    exp = {}
+    for d1, d2 in rows:
+        for layout, key in (("zorder", _py_zkey(d1, d2, 6)),
+                            ("linear", (d2 << 6) + d1)):
+            k = (layout, key >> 6)
+            n, lo1, hi1, lo2, hi2 = exp.get(
+                k, (0, d1, d1, d2, d2))
+            exp[k] = (n + 1, min(lo1, d1), max(hi1, d1),
+                      min(lo2, d2), max(hi2, d2))
+    assert got == exp
+
+
+def test_zorder_bounds_both_spans_linear_does_not(spark):
+    # dense grid: every (d1, d2) in 64x64 once.  Under linear each
+    # file spans the FULL d1 domain; under zorder each 64-key file is
+    # an 8x8 tile (span 7 on both dims) -> any single-dim slice skips
+    # 7/8 of the files
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.operators.layout import layout_audit
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = layout_audit(df, F.col("a"), F.col("b"),
+                       bits=6, file_bits=6).collect()
+    for r in out:
+        if r["layout"] == "zorder":
+            assert r["d1_max"] - r["d1_min"] == 7
+            assert r["d2_max"] - r["d2_min"] == 7
+        else:
+            assert (r["d1_min"], r["d1_max"]) == (0, 63)
+        assert r["n_rows"] == 64
+
+
+# ------------------------------------------------ bottom-k quantiles
+
+def _py_bottomk_quantiles(rows, k, quantiles):
+    """rows = (g, v, key).  Returns {(g, q): (n, ks, est, exact)}."""
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    out = {}
+    groups = sorted({g for g, _, _ in rows})
+    for g in groups:
+        grp = [(v, key) for gg, v, key in rows if gg == g]
+        n = len(grp)
+        samp = sorted(grp, key=lambda t: (md5_int_py(t[1], salt="bkq:"),
+                                          t[1]))[:k]
+        sv = sorted(v for v, _ in samp)
+        ev = sorted(v for v, _ in grp)
+        ks = len(samp)
+        for q in quantiles:
+            est = next(v for i, v in enumerate(sv, 1)
+                       if i * 100 >= q * ks)
+            exact = next(v for i, v in enumerate(ev, 1)
+                         if i * 100 >= q * n)
+            out[(g, q)] = (n, ks, est, exact)
+    return out
+
+
+def test_bottomk_quantiles_matches_python_twin(spark):
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.operators.sketch import bottomk_quantiles
+    rng = random.Random(5)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(1000), f"k{i}")
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["g", "v", "key"])
+    out = bottomk_quantiles(df, "g", F.col("v"), "key", k=64)
+    got = {(r["g"], r["q_pct"]): (r["n"], r["ks"], r["est"], r["exact"])
+           for r in out.collect()}
+    out.unpersist_input()
+    exp = _py_bottomk_quantiles(rows, k=64, quantiles=(10, 25, 50, 75, 90))
+    assert got == exp
+    # sample error should be bounded for a 64-of-1000 uniform sample
+    for (g, q), (n, ks, est, exact) in got.items():
+        assert abs(est - exact) < 200
+
+
+def test_bottomk_merge_law():
+    # bottomk(A∪B) == bottomk(bottomk(A) ∪ bottomk(B)) as multisets
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    rng = random.Random(9)
+    a = [(rng.randrange(500), f"a{i}") for i in range(400)]
+    b = [(rng.randrange(500), f"b{i}") for i in range(300)]
+
+    def bk(rows, k=32):
+        return sorted(rows, key=lambda t: (md5_int_py(t[1], salt="bkq:"),
+                                           t[1]))[:k]
+    assert bk(a + b) == bk(bk(a) + bk(b))
+
+
+# ------------------------------------------------------- spam mass
+
+def _py_spam_mass(edges, seeds, iters, scale=1_000_000, dn=85, dd=100):
+    base = (scale * (dd - dn)) // dd
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    od = Counter(a for a, _ in edges)
+
+    def run(init, teleport):
+        pr = dict(init)
+        for _ in range(iters):
+            m = Counter()
+            for a, b in edges:
+                m[b] += pr[a] // od[a]
+            pr = {n: teleport(n) + (dn * m.get(n, 0)) // dd
+                  for n in nodes}
+        return pr
+    pr = run({n: scale for n in nodes}, lambda n: base)
+    tr = run({n: scale if n in seeds else 0 for n in nodes},
+             lambda n: base if n in seeds else 0)
+    s_pr, s_tr = sum(pr.values()), sum(tr.values())
+    out = {}
+    for n in nodes:
+        tn = (tr[n] * s_pr) // s_tr
+        out[n] = (pr[n], tn, max(0, ((pr[n] - tn) * 1_000_000) // pr[n]))
+    return out
+
+
+def test_trust_spam_mass_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.graph import trust_spam_mass
+    rng = random.Random(13)
+    pairs = {(rng.randrange(30), 30 + rng.randrange(10))
+             for _ in range(120)}
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    seeds = [30, 31, 32]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = trust_spam_mass(df, seeds, iters=3)
+    got = {r["node"]: (r["pr"], r["trust_norm"], r["spam_ppm"])
+           for r in out.collect()}
+    out.unpersist_input()
+    assert got == _py_spam_mass(edges, set(seeds), iters=3)
+    # seeds hold teleport mass -> their spam share sits well below
+    # the graph's worst offenders
+    worst = max(v[2] for v in got.values())
+    for s in seeds:
+        assert got[s][2] < worst
