@@ -4825,6 +4825,128 @@ def _spam_mass_oracle_sql(iters: int = 3, scale: int = 1_000_000,
           CROSS JOIN sums s)"""
 
 
+def q213_rand_ari(spark, sf_dir):
+    """Pair-counting clustering agreement (operators.metrics
+    .pair_agreement_ppm): exact-integer Rand index + ARI of the
+    sign-pattern clustering (bucket = sign bits of the first 8
+    embedding dims — the 1-bit SimHash face of q18/q103) against
+    the gold labels.  The pair-weighted complement of q147's
+    B-cubed: B3 weights every item, Rand weights every PAIR, so a
+    shattered giant cluster that B3 forgives Rand punishes.
+    Three combinable contingency aggregates + 1-row folds, no
+    window, no self-join; E is floored and the ARI division is
+    magnitude-then-sign (Spark div and DuckDB // both truncate —
+    the convention keeps it engine-exact either way)."""
+    from python_mecab_ner_spark.operators.metrics import (
+        pair_agreement_ppm)
+    em = _load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (F.shiftleft((F.element_at("embedding", i) > 0).cast("int"),
+                     i - 1) for i in range(1, 9)), F.lit(0))
+    a1 = em.select(F.col("vec_id").alias("item"),
+                   bucket.cast("bigint").alias("cluster"),
+                   F.col("label").alias("gold"))
+    # 90%-pure reference clustering: every 10th item defects to the
+    # next label — the high-agreement end of the scale (the sign
+    # buckets sit at the chance-level end: the synthetic embeddings
+    # are label-isotropic, measured, so ARI ~ 0 and the NEGATIVE
+    # sign branch of the convention is exercised)
+    a2 = em.select(
+        F.col("vec_id").alias("item"),
+        F.when(F.col("vec_id") % 10 == 0,
+               (F.col("label") + 1) % 10)
+        .otherwise(F.col("label")).cast("bigint").alias("cluster"),
+        F.col("label").alias("gold"))
+    r1 = pair_agreement_ppm(a1)
+    r2 = pair_agreement_ppm(a2)
+    return (r1.select(F.lit("signhash").alias("method"), "*")
+            .unionByName(r2.select(F.lit("perturbed").alias("method"),
+                                   "*")))
+
+
+_ARI_SIGN_BUCKET_SQL = " + ".join(
+    f"(CAST(embedding[{i}] > 0 AS INT) << {i - 1})"
+    for i in range(1, 9))
+
+
+def _ari_block_sql(method: str, assign: str) -> str:
+    """One pair_agreement_ppm twin block over the assignment
+    subquery `assign` (columns i, c, g), tagged with `method`."""
+    return f"""
+        SELECT '{method}' AS method,
+               CAST(n AS BIGINT) AS n_items,
+               CAST(n_clusters AS BIGINT) AS n_clusters,
+               CAST(n_gold AS BIGINT) AS n_gold,
+               CAST(m AS BIGINT) AS pairs_total,
+               CAST(r AS BIGINT) AS pairs_same_both,
+               CAST(pa AS BIGINT) AS pairs_same_pred,
+               CAST(pb AS BIGINT) AS pairs_same_gold,
+               CAST(((m + 2*r - pa - pb) * 1000000) // m AS BIGINT)
+                   AS rand_ppm,
+               CAST((CASE WHEN r - ((pa * pb) // m) >= 0 THEN 1
+                          ELSE -1 END)
+                    * ((abs(r - ((pa * pb) // m)) * 2000000)
+                       // (pa + pb - 2 * ((pa * pb) // m)))
+                    AS BIGINT) AS ari_ppm
+        FROM
+          (SELECT sum((x * (x - 1)) // 2) AS r FROM
+           (SELECT count(*) AS x FROM ({assign}) GROUP BY c, g)),
+          (SELECT sum((x * (x - 1)) // 2) AS pa,
+                  count(*) AS n_clusters FROM
+           (SELECT count(*) AS x FROM ({assign}) GROUP BY c)),
+          (SELECT sum((x * (x - 1)) // 2) AS pb,
+                  count(*) AS n_gold FROM
+           (SELECT count(*) AS x FROM ({assign}) GROUP BY g)),
+          (SELECT count(*) AS n,
+                  (count(*) * (count(*) - 1)) // 2 AS m
+           FROM ({assign}))"""
+
+
+_ARI_ORACLE_SQL = (
+    _ari_block_sql(
+        "signhash",
+        f"SELECT vec_id AS i, CAST({_ARI_SIGN_BUCKET_SQL} AS BIGINT)"
+        " AS c, label AS g FROM embeddings")
+    + "\n        UNION ALL\n"
+    + _ari_block_sql(
+        "perturbed",
+        "SELECT vec_id AS i, CAST(CASE WHEN vec_id % 10 = 0"
+        " THEN (label + 1) % 10 ELSE label END AS BIGINT) AS c,"
+        " label AS g FROM embeddings"))
+
+
+def q214_loo_valuation(spark, sf_dir):
+    """Leave-one-source-out data valuation (operators.classify
+    .loo_source_valuation): for every source, the q125 hashed NB
+    classifier retrained WITHOUT that source's training docs — via
+    count subtraction, never a per-source retraining pass (NB
+    evidence is additive) — and held-out accuracy re-read;
+    delta_ppm prices the source by utility (Data-Shapley's exact
+    first-order term).  The mixture-curation complement of q143:
+    q143 sizes sources by count, this prices them by what the
+    quality model loses when they leave.  Same weak label, split
+    rule, feature hashing, and integer weight formula as q125 —
+    one shared oracle-certified training stack."""
+    from python_mecab_ner_spark.functions.hashing import bucket
+    from python_mecab_ner_spark.operators.classify import (
+        loo_source_valuation)
+    d = _load(spark, sf_dir, "documents")
+    hits = d.select("doc_id", "text", "source",
+                    *TX.blocklist_phrase_counts(F.col("text")))
+    total = sum((F.col(c) for c in hits.columns
+                 if c.startswith("bl_")), F.lit(0))
+    lab = hits.select("doc_id", "text", "source",
+                      (total > 0).cast("int").alias("y"),
+                      (bucket(F.col("doc_id").cast("string"), 10,
+                              salt="split:") <= 7).cast("int")
+                      .alias("is_train"))
+    out = loo_source_valuation(lab, "text", "doc_id", "source",
+                               "y", "is_train")
+    res = out.orderBy("source")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -6705,6 +6827,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_zorder_layout": q210_zorder_layout,
         "q211_bottomk_quantiles": q211_bottomk_quantiles,
         "q212_spam_mass": q212_spam_mass,
+        "q213_rand_ari": q213_rand_ari,
+        "q214_loo_valuation": q214_loo_valuation,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7337,6 +7461,105 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label,
                lab.y AS y, lab.is_train AS is_train
         FROM sc JOIN lab ON lab.doc_id = sc.doc_id
+    """
+
+    # q214: the q125 training stack + per-source count subtraction
+    # (NB evidence is additive) + held-out accuracy per ablation
+    loo_sql = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ),
+        uni AS (SELECT doc_id, unnest(w) AS f FROM t),
+        bidx AS (SELECT doc_id, w,
+                        unnest(range(0, greatest(len(w) - 1, 0))) AS i
+                 FROM t),
+        big AS (SELECT doc_id, w[i + 1] || '_' || w[i + 2] AS f
+                FROM bidx),
+        feats AS (SELECT doc_id, f FROM uni WHERE f <> ''
+                  UNION ALL
+                  SELECT doc_id, f FROM big WHERE f <> ''),
+        fb AS MATERIALIZED (
+            SELECT doc_id, {_tc_bucket} AS bucket FROM feats),
+        lab AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN {_bl_sum} > 0 THEN 1 ELSE 0 END AS y,
+                   CASE WHEN {_tc_split} <= 7 THEN 1 ELSE 0 END
+                       AS is_train
+            FROM (SELECT doc_id, {_bl_defs} FROM documents)),
+        srcd AS (SELECT doc_id, source FROM documents),
+        trf AS MATERIALIZED (
+            SELECT fb.bucket, srcd.source, lab.y
+            FROM fb JOIN lab USING (doc_id) JOIN srcd USING (doc_id)
+            WHERE lab.is_train = 1),
+        pb AS MATERIALIZED (
+            SELECT bucket,
+                   sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1,
+                   sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0
+            FROM trf GROUP BY 1),
+        sb AS (SELECT source, bucket,
+                      sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS s1,
+                      sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS s0
+               FROM trf GROUP BY 1, 2),
+        tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0 FROM pb),
+        st AS (SELECT source,
+                      sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS t1,
+                      sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS t0
+               FROM trf GROUP BY 1),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        ab AS (SELECT srcs.source, pb.bucket,
+                      pb.c1 - coalesce(sb.s1, 0) AS ac1,
+                      pb.c0 - coalesce(sb.s0, 0) AS ac0,
+                      tot.n1 - st.t1 AS an1,
+                      tot.n0 - st.t0 AS an0
+               FROM pb CROSS JOIN srcs
+               LEFT JOIN sb ON sb.source = srcs.source
+                AND sb.bucket = pb.bucket
+               JOIN st ON st.source = srcs.source
+               CROSS JOIN tot),
+        abw AS MATERIALIZED (
+            SELECT source, bucket,
+                   CASE WHEN an1 > 0 THEN
+                     ((ac1 * (an1 + an0) + 200 * an1) * 1000)
+                         // ((ac1 + ac0 + 200) * an1) - 1000
+                   ELSE 0 END AS weight FROM ab),
+        fw AS (SELECT bucket,
+                      CASE WHEN n1 > 0 THEN
+                        ((c1 * (n1 + n0) + 200 * n1) * 1000)
+                            // ((c1 + c0 + 200) * n1) - 1000
+                      ELSE 0 END AS weight
+               FROM pb CROSS JOIN tot),
+        ev AS MATERIALIZED (
+            SELECT fb.doc_id, fb.bucket, lab.y
+            FROM fb JOIN lab USING (doc_id) WHERE lab.is_train = 0),
+        fullsc AS (SELECT ev.doc_id, max(ev.y) AS y,
+                          sum(coalesce(fw.weight, 0)) AS score
+                   FROM ev LEFT JOIN fw USING (bucket) GROUP BY 1),
+        fullacc AS (SELECT sum(CASE WHEN (score > 0) = (y = 1)
+                                    THEN 1 ELSE 0 END) * 1000000
+                           // count(*) AS acc_full_ppm
+                    FROM fullsc),
+        loosc AS (SELECT srcs.source, ev.doc_id, max(ev.y) AS y,
+                         sum(coalesce(abw.weight, 0)) AS score
+                  FROM ev CROSS JOIN srcs
+                  LEFT JOIN abw ON abw.source = srcs.source
+                   AND abw.bucket = ev.bucket
+                  GROUP BY 1, 2),
+        looacc AS (SELECT source,
+                          sum(CASE WHEN (score > 0) = (y = 1)
+                                   THEN 1 ELSE 0 END) * 1000000
+                          // count(*) AS acc_loo_ppm
+                   FROM loosc GROUP BY 1),
+        ntr AS (SELECT d.source, count(*) AS n_train_docs
+                FROM documents d JOIN lab ON lab.doc_id = d.doc_id
+                WHERE lab.is_train = 1 GROUP BY 1)
+        SELECT looacc.source,
+               CAST(n_train_docs AS BIGINT) AS n_train_docs,
+               CAST(acc_full_ppm AS BIGINT) AS acc_full_ppm,
+               CAST(acc_loo_ppm AS BIGINT) AS acc_loo_ppm,
+               CAST(acc_loo_ppm - acc_full_ppm AS BIGINT) AS delta_ppm
+        FROM looacc JOIN ntr USING (source) CROSS JOIN fullacc
     """
 
     # PQ oracle (q124): same int8 quantization as q51, seeds = 16
@@ -8525,6 +8748,7 @@ def oracle_sql() -> dict[str, str]:
         "q123_hyperball": hyperball_sql,
         "q124_pq_topk": pq_sql,
         "q125_trained_classifier": trained_cls_sql,
+        "q214_loo_valuation": loo_sql,
         "q126_calibration": calibration_sql,
         "q127_embedding_outliers": emb_outliers_sql,
         "q128_blocking_audit": blocking_audit_sql,
@@ -9853,6 +10077,7 @@ def oracle_sql() -> dict[str, str]:
         "q210_zorder_layout": _zorder_oracle_sql(),
         "q211_bottomk_quantiles": _bottomk_oracle_sql(),
         "q212_spam_mass": _spam_mass_oracle_sql(),
+        "q213_rand_ari": _ARI_ORACLE_SQL,
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

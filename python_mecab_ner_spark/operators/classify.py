@@ -356,3 +356,116 @@ def gate_agreement(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
                            "div greatest(_n, 1)")
                     .cast("bigint").alias("po_ppm"),
                     kappa.cast("bigint").alias("kappa_ppm")))
+
+
+def loo_source_valuation(df: DataFrame, text_col: str, id_col: str,
+                         source_col: str, label_col: str,
+                         train_col: str, n_buckets: int = 4096,
+                         scale: int = 1000,
+                         shrink: int = 200) -> DataFrame:
+    """Leave-one-source-out data valuation for the hashed linear
+    classifier: for every source, retrain nb_train_weights WITHOUT
+    that source's training documents and measure held-out accuracy —
+    delta_ppm = acc_loo - acc_full says what the source is WORTH to
+    the model (negative delta = removing it hurts = valuable;
+    positive = the source is noise the model is better off without).
+    The LOO-influence sheet a 100 TB mixture curator reads next to
+    the q143 temperature weights: q143 sizes sources by count, this
+    prices them by held-out utility (Data-Shapley's first-order
+    term, computed exactly instead of sampled).
+
+    NO per-source retraining pass: NB evidence counts are ADDITIVE,
+    so the ablated model for source s is (global per-bucket counts)
+    minus (s's per-bucket counts) — one extra (source, bucket)
+    aggregate, then the same integer weight formula (all floor
+    division, bit-exact cross-engine, the nb_train_weights
+    contract) on the subtracted counts.  The full eval fan-out is
+    |eval features| x |sources| rows against a broadcast
+    (sources x buckets) weight table — sources are dimension-sized
+    by definition, eval sets sample-sized by design.
+
+    Documents whose feature array is empty drop out of both
+    accuracy denominators (no fb row — mirrored by the oracle).
+    Prediction rule: score > 0 <=> label 1 (hashed_linear_score's
+    'keep').  label_col/train_col must be 0/1 columns.
+
+    Returns one row per source: (source, n_train_docs,
+    acc_full_ppm, acc_loo_ppm, delta_ppm)."""
+    feats = df.select(
+        F.col(id_col).alias("i"), F.col(source_col).alias("s"),
+        F.col(label_col).alias("y"), F.col(train_col).alias("tr"),
+        F.explode(_feature_array(F.col(text_col), n_buckets))
+        .alias("bucket")).persist()
+
+    def _w(c1, c0, n1, n0):
+        return F.when(
+            F.col(n1) > 0,
+            F.expr(f"(({c1} * ({n1} + {n0}) + {shrink} * {n1})"
+                   f" * {scale})"
+                   f" div (({c1} + {c0} + {shrink}) * {n1})")
+            - scale).otherwise(F.lit(0)).cast("bigint")
+
+    tr = feats.where(F.col("tr") == 1)
+    pb = tr.groupBy("bucket").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("bigint").alias("c0"))
+    sb = tr.groupBy("s", "bucket").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("bigint").alias("s1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("bigint").alias("s0"))
+    tot = pb.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
+    st = tr.groupBy("s").agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("bigint").alias("t1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("bigint").alias("t0"))
+    srcs = df.select(F.col(source_col).alias("s")).distinct()
+    ab = (pb.crossJoin(F.broadcast(srcs))
+          .join(sb, ["s", "bucket"], "left")
+          .join(F.broadcast(st), "s")
+          .crossJoin(F.broadcast(tot))
+          .select("s", "bucket",
+                  (F.col("c1") - F.coalesce("s1", F.lit(0)))
+                  .alias("ac1"),
+                  (F.col("c0") - F.coalesce("s0", F.lit(0)))
+                  .alias("ac0"),
+                  (F.col("n1") - F.col("t1")).alias("an1"),
+                  (F.col("n0") - F.col("t0")).alias("an0")))
+    abw = ab.select("s", "bucket",
+                    _w("ac1", "ac0", "an1", "an0").alias("weight"))
+    fw = (pb.crossJoin(F.broadcast(tot))
+          .select("bucket", _w("c1", "c0", "n1", "n0").alias("weight")))
+    ev = feats.where(F.col("tr") == 0).select("i", "y", "bucket")
+    fullacc = (ev.join(F.broadcast(fw), "bucket", "left")
+               .groupBy("i")
+               .agg(F.sum(F.coalesce("weight", F.lit(0))).alias("score"),
+                    F.max("y").alias("y"))
+               .agg(F.expr("sum(CASE WHEN (score > 0) = (y = 1)"
+                           " THEN 1 ELSE 0 END) * 1000000"
+                           " div count(*)").alias("acc_full_ppm")))
+    looacc = (ev.crossJoin(F.broadcast(srcs))
+              .join(F.broadcast(abw), ["s", "bucket"], "left")
+              .groupBy("s", "i")
+              .agg(F.sum(F.coalesce("weight", F.lit(0))).alias("score"),
+                   F.max("y").alias("y"))
+              .groupBy("s")
+              .agg(F.expr("sum(CASE WHEN (score > 0) = (y = 1)"
+                          " THEN 1 ELSE 0 END) * 1000000"
+                          " div count(*)").alias("acc_loo_ppm")))
+    ntr = (df.where(F.col(train_col) == 1)
+           .groupBy(F.col(source_col).alias("s"))
+           .agg(F.count("*").cast("bigint").alias("n_train_docs")))
+    out = (looacc.join(ntr, "s")
+           .crossJoin(F.broadcast(fullacc))
+           .select(F.col("s").alias(source_col), "n_train_docs",
+                   F.col("acc_full_ppm").cast("bigint")
+                   .alias("acc_full_ppm"),
+                   F.col("acc_loo_ppm").cast("bigint")
+                   .alias("acc_loo_ppm"),
+                   (F.col("acc_loo_ppm") - F.col("acc_full_ppm"))
+                   .cast("bigint").alias("delta_ppm")))
+    out.unpersist_input = feats.unpersist
+    return out

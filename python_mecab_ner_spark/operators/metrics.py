@@ -198,3 +198,68 @@ def rank_eval(edges: DataFrame, negatives: DataFrame,
                     F.expr("_rr_sum div n_queries").cast("bigint")
                     .alias("mrr_ppm"),
                     *[f"hits{k}" for k in ks]))
+
+
+def pair_agreement_ppm(assign_df: DataFrame, item: str = "item",
+                       cluster: str = "cluster",
+                       gold: str = "gold") -> DataFrame:
+    """Pair-counting clustering agreement vs gold classes: exact
+    integer Rand index and Adjusted Rand Index (Hubert & Arabie '85)
+    in ppm — the pair-weighted complement of bcubed_ppm (B3 weights
+    every item, Rand weights every PAIR, so B3 forgives a shattered
+    giant cluster that Rand punishes; release audits read both).
+
+    From the (cluster, gold) contingency counts n_cg and the
+    marginals a_c, b_g, n (all combinable aggregates):
+
+        R = sum C(n_cg,2), A = sum C(a_c,2), B = sum C(b_g,2),
+        M = C(n,2)
+        rand_ppm = (M + 2R - A - B) * 1e6 div M
+        E        = (A*B) div M                (floored expectation)
+        ari_ppm  = sgn(R-E) * (|R-E| * 2e6 div (A + B - 2E))
+
+    The floored E and the magnitude-then-sign division are the
+    deterministic convention (Spark's `div` TRUNCATES negatives
+    while DuckDB's `//` floors — dividing |R-E| sidesteps the
+    divergence; understates |ARI| by < 2e6/D ppm).  int64 bound:
+    A*B needs A,B < 3e9, i.e. n < ~77k items — shard by a stratum
+    beyond that, or read the raw components this row also carries.
+    A+B-2E = 0 (both clusterings chance-degenerate) yields ari_ppm
+    NULL by SQL division semantics in both engines.  C(x,2) via
+    shiftright (the q104 discipline — never float-halve).
+
+    Scale shape: three partial-aggregable groupBys + 1-row folds;
+    no window, no self-join.  Same input contract as bcubed_ppm
+    (one row per item)."""
+    a = assign_df.select(F.col(item).alias("i"),
+                         F.col(cluster).alias("c"),
+                         F.col(gold).alias("g"))
+    c2 = "shiftright(x * (x - 1), 1)"
+    pair = (a.groupBy("c", "g").agg(F.count("*").alias("x"))
+            .agg(F.sum(F.expr(c2)).alias("r")))
+    csize = (a.groupBy("c").agg(F.count("*").alias("x"))
+             .agg(F.sum(F.expr(c2)).alias("pa"),
+                  F.count("*").alias("n_clusters")))
+    gsize = (a.groupBy("g").agg(F.count("*").alias("x"))
+             .agg(F.sum(F.expr(c2)).alias("pb"),
+                  F.count("*").alias("n_gold")))
+    tot = a.agg(F.count("*").alias("x")) \
+        .select(F.col("x").alias("n"), F.expr(c2).alias("m"))
+    return (pair.crossJoin(csize).crossJoin(gsize)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.col("n").cast("bigint").alias("n_items"),
+                F.col("n_clusters").cast("bigint").alias("n_clusters"),
+                F.col("n_gold").cast("bigint").alias("n_gold"),
+                F.col("m").cast("bigint").alias("pairs_total"),
+                F.col("r").cast("bigint").alias("pairs_same_both"),
+                F.col("pa").cast("bigint").alias("pairs_same_pred"),
+                F.col("pb").cast("bigint").alias("pairs_same_gold"),
+                F.expr("((m + 2*r - pa - pb) * 1000000) div m")
+                .cast("bigint").alias("rand_ppm"),
+                F.expr("""
+                    CASE WHEN r - ((pa * pb) div m) >= 0 THEN 1
+                         ELSE -1 END
+                    * ((abs(r - ((pa * pb) div m)) * 2000000)
+                       div (pa + pb - 2 * ((pa * pb) div m)))""")
+                .cast("bigint").alias("ari_ppm")))

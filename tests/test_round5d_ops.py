@@ -230,3 +230,140 @@ def test_trust_spam_mass_matches_python_twin(spark):
     worst = max(v[2] for v in got.values())
     for s in seeds:
         assert got[s][2] < worst
+
+
+# ---------------------------------------------------- Rand index / ARI
+
+def _py_pair_agreement(assign):
+    """assign = [(item, cluster, gold)] -> the operator's row tuple."""
+    def c2(x):
+        return (x * (x - 1)) // 2
+    n = len(assign)
+    m = c2(n)
+    cg = Counter((c, g) for _, c, g in assign)
+    cs = Counter(c for _, c, _ in assign)
+    gs = Counter(g for _, _, g in assign)
+    r = sum(c2(x) for x in cg.values())
+    pa = sum(c2(x) for x in cs.values())
+    pb = sum(c2(x) for x in gs.values())
+    e = (pa * pb) // m
+    num, den = r - e, pa + pb - 2 * e
+    sgn = 1 if num >= 0 else -1
+    ari = sgn * ((abs(num) * 2_000_000) // den) if den else None
+    return (n, len(cs), len(gs), m, r, pa, pb,
+            ((m + 2 * r - pa - pb) * 1_000_000) // m, ari)
+
+
+def test_pair_agreement_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.metrics import (
+        pair_agreement_ppm)
+    rng = random.Random(21)
+    # correlated clustering: mostly gold, 20% defectors
+    assign = [(i, (g + 1) % 5 if rng.random() < 0.2 else g, g)
+              for i, g in ((i, rng.randrange(5)) for i in range(800))]
+    df = spark.createDataFrame(assign, ["item", "cluster", "gold"])
+    got = tuple(pair_agreement_ppm(df).collect()[0])
+    assert got == _py_pair_agreement(assign)
+    assert got[8] > 300_000  # well above chance
+
+
+def test_pair_agreement_perfect_and_chance(spark):
+    from python_mecab_ner_spark.operators.metrics import (
+        pair_agreement_ppm)
+    perfect = [(i, i % 4, i % 4) for i in range(80)]
+    df = spark.createDataFrame(perfect, ["item", "cluster", "gold"])
+    row = pair_agreement_ppm(df).collect()[0]
+    assert row["rand_ppm"] == 1_000_000
+    # ARI of a perfect clustering is exactly 1.0 -> 1_000_000 ppm
+    assert row["ari_ppm"] == 1_000_000
+    # every item its own cluster vs one gold class: ARI 0 by convention
+    singletons = [(i, i, 0) for i in range(50)]
+    df2 = spark.createDataFrame(singletons, ["item", "cluster", "gold"])
+    row2 = pair_agreement_ppm(df2).collect()[0]
+    assert row2["pairs_same_pred"] == 0
+    assert tuple(row2)[:3] == (50, 50, 1)
+
+
+# --------------------------------------------- LOO source valuation
+
+def _py_feats(text, n_buckets=4096):
+    import re
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    toks = re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    feats = list(toks) + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+    return [md5_int_py(f, salt="feat:") % n_buckets
+            for f in feats if f != ""]
+
+
+def _py_loo(docs, scale=1000, k=200):
+    """docs = (id, text, source, y, is_train) ->
+    {source: (n_train, acc_full, acc_loo, delta)}."""
+    def weights(rows):
+        c1, c0 = Counter(), Counter()
+        for _, t, _, y, _ in rows:
+            for b in _py_feats(t):
+                (c1 if y else c0)[b] += 1
+        n1, n0 = sum(c1.values()), sum(c0.values())
+        w = {}
+        for b in set(c1) | set(c0):
+            if n1 > 0:
+                w[b] = ((c1[b] * (n1 + n0) + k * n1) * scale) \
+                    // ((c1[b] + c0[b] + k) * n1) - scale
+            else:
+                w[b] = 0
+        return w
+
+    def acc(w, ev):
+        ok = tot = 0
+        for _, t, _, y, _ in ev:
+            fs = _py_feats(t)
+            if not fs:
+                continue
+            score = sum(w.get(b, 0) for b in fs)
+            ok += int((score > 0) == (y == 1))
+            tot += 1
+        return (ok * 1_000_000) // tot
+    train = [d for d in docs if d[4] == 1]
+    ev = [d for d in docs if d[4] == 0]
+    full = acc(weights(train), ev)
+    out = {}
+    for s in sorted({d[2] for d in docs}):
+        loo = acc(weights([d for d in train if d[2] != s]), ev)
+        out[s] = (sum(1 for d in train if d[2] == s), full, loo,
+                  loo - full)
+    return out
+
+
+def test_loo_valuation_matches_python_twin(spark):
+    # graded multi-word evidence (word w carries signal vote v_w in
+    # [-2, 2]; y = sign of the doc's vote sum) produces BOUNDARY
+    # docs whose decisions genuinely move under per-source count
+    # ablation — a single-strong-word corpus yields all-zero deltas
+    # (measured: dilution shrinks magnitudes, never flips signs).
+    # s3's labels are flipped = planted noise.  Direction assertions
+    # on synthetic NB boundaries are brittle; the contract here is
+    # EXACT equality with the python twin + non-degenerate movement
+    # (the real-corpus direction spread is q214's job).
+    from python_mecab_ner_spark.operators.classify import (
+        loo_source_valuation)
+    rng = random.Random(17)
+    vote = {f"w{j}": (j % 5) - 2 for j in range(20)}
+    docs = []
+    for i in range(300):
+        s = f"s{i % 4}"
+        words = [f"w{rng.randrange(20)}" for _ in range(6)]
+        y = int(sum(vote[w] for w in words) > 0)
+        if s == "s3":
+            y = 1 - y
+        docs.append((i, " ".join(words), s, y, int(i % 5 != 0)))
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "source", "y", "is_train"])
+    out = loo_source_valuation(df, "text", "doc_id", "source",
+                               "y", "is_train")
+    got = {r["source"]: (r["n_train_docs"], r["acc_full_ppm"],
+                         r["acc_loo_ppm"], r["delta_ppm"])
+           for r in out.collect()}
+    out.unpersist_input()
+    exp = _py_loo(docs)
+    assert got == exp
+    assert any(v[3] != 0 for v in got.values())
