@@ -4947,6 +4947,201 @@ def q214_loo_valuation(spark, sf_dir):
     return res
 
 
+def q215_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking transfer savings on a recrawl
+    (operators.dedup.cdc_chunks vs the fixed_chunks control):
+    snapshot 2 PREPENDS an md5-derived marker to ~1/3 of pages (the
+    q47/q208 injection convention; a front insertion is the
+    worst case for offset-addressed blocks), then each chunking
+    uploads only snapshot-2 chunks whose hash is NOT already in the
+    snapshot-1 store.  Content-anchored boundaries (8-char window,
+    cut at md5 % 64 == 0) localize the insertion to the head
+    chunk(s), so CDC re-uses almost everything; fixed 64-char
+    blocks shift wholesale and re-upload every changed page.  The
+    storage/transfer layer of the dedup family (q15 exact pages,
+    q48 frequent lines, q111 copied windows) — 2 rows, reuse_ppm
+    is the headline.  Within-snapshot chunk collisions at sf0.01
+    are ~500 ppm (measured), which is exactly why the per-source
+    dedup sheet certifies nothing and the recrawl contrast is the
+    demo."""
+    from python_mecab_ner_spark.operators.dedup import (cdc_chunks,
+                                                        fixed_chunks)
+    d = _loadp(spark, sf_dir, "documents").select("doc_id", "text")
+    changed = F.pmod(md5_int(F.col("doc_id").cast("string"),
+                             salt="cdcm:"), F.lit(3)) == 0
+    d2 = d.select(
+        "doc_id",
+        F.when(changed,
+               F.concat(F.lit("upd "),
+                        F.substring(F.md5("text"), 1, 8),
+                        F.lit(" "), F.col("text")))
+        .otherwise(F.col("text")).alias("text"))
+    rows = None
+    for method, fn in (("cdc", cdc_chunks), ("fixed", fixed_chunks)):
+        store = (fn(d, "text", "doc_id")
+                 .select("chunk_md5").distinct())
+        s2 = fn(d2, "text", "doc_id")
+        r = (s2.join(store.withColumn("_hit", F.lit(1)),
+                     "chunk_md5", "left")
+             .agg(F.sum("chunk_len").cast("bigint")
+                  .alias("total_chars"),
+                  F.sum(F.when(F.col("_hit") == 1, F.col("chunk_len"))
+                        .otherwise(0)).cast("bigint")
+                  .alias("reused_chars"))
+             .select(F.lit(method).alias("method"), "total_chars",
+                     "reused_chars",
+                     (F.col("total_chars") - F.col("reused_chars"))
+                     .cast("bigint").alias("new_chars"),
+                     F.expr("(reused_chars * 1000000) div total_chars")
+                     .cast("bigint").alias("reuse_ppm")))
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def _cdc_chunks_sql(suffix: str, src: str) -> str:
+    """CDC chunk CTE chain over text source CTE `src` (doc_id,
+    text); emits chunks{suffix} (doc_id, chunk_len, h).  Twin of
+    dedup.cdc_chunks (gram 8, divisor 64, salt cdc:)."""
+    h = md5_int_sql("substr(text, CAST(i AS INT), 8)", salt="cdc:")
+    return f"""
+    t{suffix} AS (SELECT doc_id, text, length(text) AS n FROM {src}),
+    pos{suffix} AS (SELECT doc_id, text, n,
+                   unnest(range(1, greatest(n - 7, 1) + 1)) AS i
+            FROM t{suffix}),
+    cuts{suffix} AS (SELECT doc_id, text, n, i FROM pos{suffix}
+             WHERE i = 1 OR ({h} % 64 = 0)),
+    ch{suffix} AS (SELECT doc_id, text, n, i AS start,
+                  coalesce(lead(i) OVER (PARTITION BY doc_id
+                                         ORDER BY i), n + 1) AS nxt
+           FROM cuts{suffix}),
+    chunks{suffix} AS (SELECT doc_id, nxt - start AS chunk_len,
+                      md5(substr(text, CAST(start AS INT),
+                                 CAST(nxt - start AS INT))) AS h
+               FROM ch{suffix} WHERE nxt > start)"""
+
+
+def _fixed_chunks_sql(suffix: str, src: str, size: int = 64) -> str:
+    """Fixed-block chunk CTE chain — twin of dedup.fixed_chunks."""
+    return f"""
+    t{suffix} AS (SELECT doc_id, text, length(text) AS n FROM {src}
+                  WHERE length(text) > 0),
+    pos{suffix} AS (SELECT doc_id, text, n,
+                   unnest(range(1, n + 1, {size})) AS start
+            FROM t{suffix}),
+    chunks{suffix} AS (SELECT doc_id,
+                      least({size}, n - start + 1) AS chunk_len,
+                      md5(substr(text, CAST(start AS INT), {size}))
+                          AS h
+               FROM pos{suffix})"""
+
+
+def _cdc_oracle_sql() -> str:
+    mut = md5_int_sql("CAST(doc_id AS VARCHAR)", salt="cdcm:")
+    blocks = []
+    for method, gen in (("cdc", _cdc_chunks_sql),
+                        ("fixed", _fixed_chunks_sql)):
+        blocks.append(f"""
+        SELECT '{method}' AS method,
+               CAST(total_chars AS BIGINT) AS total_chars,
+               CAST(reused_chars AS BIGINT) AS reused_chars,
+               CAST(total_chars - reused_chars AS BIGINT)
+                   AS new_chars,
+               CAST((reused_chars * 1000000) // total_chars
+                    AS BIGINT) AS reuse_ppm
+        FROM (SELECT sum(chunk_len) AS total_chars,
+                     sum(CASE WHEN h IN (SELECT h FROM chunks{method}1)
+                         THEN chunk_len ELSE 0 END) AS reused_chars
+              FROM chunks{method}2)""")
+    return ("WITH snap2 AS (SELECT doc_id, CASE WHEN " + mut +
+            " % 3 = 0 THEN 'upd ' || substr(md5(text), 1, 8) || ' '"
+            " || text ELSE text END AS text FROM documents)," +
+            _cdc_chunks_sql("cdc1", "documents") + "," +
+            _cdc_chunks_sql("cdc2", "snap2") + "," +
+            _fixed_chunks_sql("fixed1", "documents") + "," +
+            _fixed_chunks_sql("fixed2", "snap2") +
+            blocks[0] + "\n        UNION ALL" + blocks[1])
+
+
+def q216_kmv_overlap(spark, sf_dir):
+    """KMV sketched source-overlap matrix (operators.sketch
+    .kmv_overlap_estimates) on 8-char shingle sets: per-source
+    k=256 minimum 48-bit hash values estimate distinct counts,
+    merged pair sketches + inclusion-exclusion estimate every
+    |A ∩ B| — the SCALE path of q106's exact vocabulary-overlap
+    join (q106 joins full key sets; sketches are 256 rows per
+    source, mergeable like the rest of the sketch family: HLL
+    counts one set, KMV prices every pairwise overlap).  Estimates
+    ship next to the exact intersection + err_ppm, the q204/q211
+    error-visibility convention."""
+    from python_mecab_ner_spark.operators.sketch import (
+        kmv_overlap_estimates)
+    d = _loadp(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(length(text) - 7, 1)),"
+            " i -> substring(text, i, 8))")).alias("key"))
+    out = kmv_overlap_estimates(sh, "source", "key", k=256)
+    res = out.orderBy("ga", "gb")
+    res.unpersist_input = out.unpersist_input
+    return res
+
+
+def _kmv_oracle_sql(k: int = 256, m_bits: int = 48) -> str:
+    """Generated DuckDB twin of q216."""
+    m = 1 << m_bits
+    h = md5_int_sql("key", bits_hex=m_bits // 4, salt="kmv:")
+    est_case = (f"CAST(CASE WHEN count(*) < {k} THEN count(*)"
+                f" ELSE ({k - 1} * {m}) // max(h) END AS BIGINT)")
+    return f"""
+        WITH shp AS (SELECT source, text,
+                            unnest(range(1, greatest(length(text) - 7,
+                                                     1) + 1)) AS i
+                     FROM documents),
+        keys AS (SELECT DISTINCT source AS g,
+                        substr(text, CAST(i AS INT), 8) AS key
+                 FROM shp),
+        kh AS MATERIALIZED (SELECT g, key, {h} AS h FROM keys),
+        hs AS (SELECT DISTINCT g, h FROM kh),
+        sk AS MATERIALIZED (
+            SELECT g, h FROM (
+              SELECT g, h, row_number() OVER (PARTITION BY g
+                                              ORDER BY h) AS rn
+              FROM hs) WHERE rn <= {k}),
+        est AS (SELECT g, {est_case} AS est_n FROM sk GROUP BY g),
+        gs AS (SELECT DISTINCT g FROM sk),
+        gp AS (SELECT x.g AS ga, y.g AS gb
+               FROM gs x JOIN gs y ON x.g < y.g),
+        pairs AS (SELECT ga, gb, h FROM gp JOIN sk ON sk.g = gp.ga
+                  UNION
+                  SELECT ga, gb, h FROM gp JOIN sk ON sk.g = gp.gb),
+        uni AS (SELECT ga, gb, {est_case} AS est_union FROM (
+                  SELECT ga, gb, h,
+                         row_number() OVER (PARTITION BY ga, gb
+                                            ORDER BY h) AS rn
+                  FROM pairs) WHERE rn <= {k} GROUP BY 1, 2),
+        ex AS (SELECT x.g AS ga, y.g AS gb,
+                      count(*) AS exact_inter
+               FROM kh x JOIN kh y
+                 ON x.key = y.key AND x.g < y.g
+               GROUP BY 1, 2)
+        SELECT ga, gb, est_a, est_b, est_union, est_inter,
+               exact_inter,
+               CAST((abs(est_inter - exact_inter) * 1000000)
+                    // greatest(exact_inter, 1) AS BIGINT) AS err_ppm
+        FROM (
+          SELECT uni.ga, uni.gb,
+                 ea.est_n AS est_a, eb.est_n AS est_b, est_union,
+                 CAST(greatest(0, ea.est_n + eb.est_n - est_union)
+                      AS BIGINT) AS est_inter,
+                 CAST(coalesce(ex.exact_inter, 0) AS BIGINT)
+                     AS exact_inter
+          FROM uni
+          JOIN est ea ON ea.g = uni.ga
+          JOIN est eb ON eb.g = uni.gb
+          LEFT JOIN ex ON ex.ga = uni.ga AND ex.gb = uni.gb)"""
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -6829,6 +7024,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q212_spam_mass": q212_spam_mass,
         "q213_rand_ari": q213_rand_ari,
         "q214_loo_valuation": q214_loo_valuation,
+        "q215_cdc_dedup": q215_cdc_dedup,
+        "q216_kmv_overlap": q216_kmv_overlap,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10078,6 +10275,8 @@ def oracle_sql() -> dict[str, str]:
         "q211_bottomk_quantiles": _bottomk_oracle_sql(),
         "q212_spam_mass": _spam_mass_oracle_sql(),
         "q213_rand_ari": _ARI_ORACLE_SQL,
+        "q215_cdc_dedup": _cdc_oracle_sql(),
+        "q216_kmv_overlap": _kmv_oracle_sql(),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

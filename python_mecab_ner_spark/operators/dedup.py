@@ -1067,3 +1067,84 @@ def multi_blocking_audit(df: DataFrame, text_col: str, id_col: str,
             r()
     out.unpersist_input = _release
     return out
+
+
+def cdc_chunks(df: DataFrame, text_col: str, id_col: str,
+               gram: int = 8, divisor: int = 64,
+               salt: str = "cdc:") -> DataFrame:
+    """Content-defined chunking (the Rabin/Gear CDC idea behind
+    storage dedup in LBFS/restic/borg, md5-deterministic here): a
+    chunk boundary opens at every position whose `gram`-char window
+    hashes to 0 mod `divisor` — boundaries are CONTENT-anchored, so
+    an insertion early in a page shifts only the chunk it lands in,
+    and every identical passage yields identical chunk fingerprints
+    regardless of its offset.  Fixed-size blocks lose all alignment
+    after one insertion; whole-doc hashing (q15) catches only exact
+    pages.  CDC is the storage/transfer-dedup layer under a recrawl
+    pipeline: store chunk fingerprints once, re-upload only chunks
+    whose hash is new (expected chunk length ~= divisor chars).
+
+    This emits the chunk table; dedup ratios / survivor maps are
+    downstream aggregates (q215 reads per-source storage savings).
+    No min/max chunk-size clamps: clamps need sequential scan state
+    (cut legality depends on the previous cut), which breaks both
+    row-local parallelism and the SQL twin — the no-clamp form is
+    the textbook baseline and keeps every boundary independent.
+
+    Scale shape: one positional explode (corpus-length rows) for
+    the boundary scan — the same cost class as the positional
+    n-gram family (q111/q114) — then one per-doc lead() window over
+    CUT rows only (~len/divisor rows per doc) to close chunks;
+    chunk text is re-sliced from the carried doc text, never
+    assembled from grams.
+
+    Returns (doc, start, chunk_len, chunk_md5)."""
+    from pyspark.sql import Window
+    t = df.select(F.col(id_col).alias("doc"),
+                  F.col(text_col).alias("_txt"),
+                  F.length(text_col).alias("_n"))
+    pos = t.select(
+        "doc", "_txt", "_n",
+        F.explode(F.sequence(
+            F.lit(1), F.greatest(F.col("_n") - gram + 1, F.lit(1))))
+        .alias("i"))
+    cuts = pos.where(
+        (F.col("i") == 1)
+        | (F.pmod(md5_int(F.expr(f"substring(_txt, i, {gram})"),
+                          salt=salt),
+                  F.lit(divisor)) == 0))
+    w = Window.partitionBy("doc").orderBy("i")
+    chunks = (cuts.withColumn(
+        "nxt", F.coalesce(F.lead("i").over(w), F.col("_n") + 1))
+        .where(F.col("nxt") > F.col("i"))
+        .select("doc", F.col("i").alias("start"),
+                (F.col("nxt") - F.col("i")).cast("bigint")
+                .alias("chunk_len"),
+                F.md5(F.expr("substring(_txt, i, nxt - i)"))
+                .alias("chunk_md5")))
+    return chunks
+
+
+def fixed_chunks(df: DataFrame, text_col: str, id_col: str,
+                 size: int = 64) -> DataFrame:
+    """Fixed-size chunking — the CDC control: blocks at offsets
+    1, size+1, 2*size+1, ...  One insertion near the front of a page
+    shifts EVERY later block boundary, so a recrawl re-uploads the
+    whole page; cdc_chunks' content-anchored boundaries localize the
+    damage to one chunk.  Same output contract as cdc_chunks
+    (doc, start, chunk_len, chunk_md5) so the two feed one
+    reuse-accounting aggregate (q215)."""
+    t = df.select(F.col(id_col).alias("doc"),
+                  F.col(text_col).alias("_txt"),
+                  F.length(text_col).alias("_n"))
+    return (t.where(F.col("_n") > 0)
+            .select("doc", "_txt", "_n",
+                    F.explode(F.sequence(
+                        F.lit(1), F.col("_n"), F.lit(size)))
+                    .alias("start"))
+            .select("doc", "start",
+                    F.least(F.lit(size),
+                            F.col("_n") - F.col("start") + 1)
+                    .cast("bigint").alias("chunk_len"),
+                    F.md5(F.expr(f"substring(_txt, start, {size})"))
+                    .alias("chunk_md5")))

@@ -339,3 +339,106 @@ def bottomk_quantiles(df: DataFrame, group_col: str, value_col,
                    .cast("bigint").alias("abs_err")))
     out.unpersist_input = samp.unpersist
     return out
+
+
+def kmv_overlap_estimates(df: DataFrame, group_col: str, key_col: str,
+                          k: int = 256, salt: str = "kmv:",
+                          m_bits: int = 48) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) set-overlap
+    estimates between every pair of groups: per group keep only the
+    k smallest distinct md5 values of its keys; the k-th smallest
+    value theta estimates the distinct count as (k-1) * 2^m div
+    theta, and pairwise union/intersection sizes follow from the
+    MERGED sketches + inclusion-exclusion — |A ∩ B| without ever
+    joining A's keys to B's.  This is the SCALE path of the exact
+    overlap matrix (q106 joins the full key sets; at 100 TB that
+    join is corpus-sized, while sketches are k rows per group,
+    broadcastable, and mergeable like the rest of the sketch
+    family).  Estimates vs EXACT intersections ship in one table so
+    the error is visible, the q211/q204 convention.
+
+    Determinism: md5 values are content-derived integers, every
+    quantile/min is over distinct values with no ties (distinct
+    hashes), so the whole table is hash-exact cross-engine.  Groups
+    with fewer than k distinct keys carry their exact count (the
+    sketch IS the set; est falls back to sketch size).  Intersection
+    estimates clip at 0 (inclusion-exclusion can go negative at
+    sketch resolution).
+
+    Scale shape: one distinct (group, hash) aggregate over the
+    corpus; per-group top-k via a group-partitioned row_number
+    window (k rows survive); the pair stage touches only sketch
+    rows (n_groups * k).  The EXACT side joins distinct key sets
+    pairwise — corpus-sized, present here as the audit twin, and
+    the first thing a production caller drops.
+
+    Returns one row per unordered pair: (ga, gb, est_a, est_b,
+    est_union, est_inter, exact_inter, err_ppm)."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int
+    # 48-bit hashes, not 60: the estimator multiplies (k-1) * 2^m,
+    # which must stay inside int64 ((k-1) * 2^48 ~ 7e16); collision
+    # odds at 48 bits are ~n^2 / 2^49 — negligible below ~1e6 keys
+    assert (k - 1) << m_bits < (1 << 62), "k * 2^m_bits overflows"
+    m = 1 << m_bits
+    keys = (df.select(F.col(group_col).alias("g"),
+                      F.col(key_col).alias("key"))
+            .distinct()
+            .select("g", "key",
+                    md5_int(F.col("key"), bits_hex=m_bits // 4,
+                            salt=salt).alias("h"))
+            .persist())
+    hs = keys.select("g", "h").distinct()
+    sk = (hs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("h")))
+        .where(F.col("rn") <= k))
+    est = (sk.groupBy("g")
+           .agg(F.count("*").alias("ks"), F.max("h").alias("theta"))
+           .select("g", F.when(F.col("ks") < k, F.col("ks"))
+                   .otherwise(F.expr(f"({k} - 1) * {m} div theta"))
+                   .cast("bigint").alias("est_n")))
+    gs = sk.select("g").distinct()
+    gp = (gs.alias("x").join(gs.alias("y"), F.col("x.g") < F.col("y.g"))
+          .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb")))
+    # merged sketch per pair: each side's k rows tagged with the pair
+    # key (pair-dim x k rows total), distinct-merged, re-topped at k
+    pairs = (gp.join(sk.select(F.col("g").alias("ga"), "h"), "ga")
+             .select("ga", "gb", "h")
+             .unionByName(
+                 gp.join(sk.select(F.col("g").alias("gb"), "h"), "gb")
+                 .select("ga", "gb", "h")))
+    uni = (pairs.distinct()
+           .withColumn("rn", F.row_number().over(
+               Window.partitionBy("ga", "gb").orderBy("h")))
+           .where(F.col("rn") <= k)
+           .groupBy("ga", "gb")
+           .agg(F.count("*").alias("ks"), F.max("h").alias("theta"))
+           .select("ga", "gb",
+                   F.when(F.col("ks") < k, F.col("ks"))
+                   .otherwise(F.expr(f"({k} - 1) * {m} div theta"))
+                   .cast("bigint").alias("est_union")))
+    exact = (keys.alias("x").join(
+        keys.alias("y"),
+        (F.col("x.key") == F.col("y.key"))
+        & (F.col("x.g") < F.col("y.g")))
+        .groupBy(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+        .agg(F.count("*").cast("bigint").alias("exact_inter")))
+    ea = est.select(F.col("g").alias("ga"), F.col("est_n").alias("est_a"))
+    eb = est.select(F.col("g").alias("gb"), F.col("est_n").alias("est_b"))
+    out = (uni.join(F.broadcast(ea), "ga").join(F.broadcast(eb), "gb")
+           .join(exact, ["ga", "gb"], "left")
+           .select("ga", "gb", "est_a", "est_b", "est_union",
+                   F.greatest(F.lit(0),
+                              F.col("est_a") + F.col("est_b")
+                              - F.col("est_union"))
+                   .cast("bigint").alias("est_inter"),
+                   F.coalesce("exact_inter", F.lit(0)).cast("bigint")
+                   .alias("exact_inter"))
+           .withColumn(
+               "err_ppm",
+               F.expr("(abs(est_inter - exact_inter) * 1000000)"
+                      " div greatest(exact_inter, 1)")
+               .cast("bigint")))
+    out.unpersist_input = keys.unpersist
+    return out

@@ -367,3 +367,127 @@ def test_loo_valuation_matches_python_twin(spark):
     exp = _py_loo(docs)
     assert got == exp
     assert any(v[3] != 0 for v in got.values())
+
+
+# ------------------------------------------------------ CDC chunking
+
+def _py_cdc(text, gram=8, divisor=64):
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    n = len(text)
+    cuts = [1] + [i for i in range(2, max(n - gram + 1, 1) + 1)
+                  if md5_int_py(text[i - 1:i - 1 + gram],
+                                salt="cdc:") % divisor == 0]
+    cuts = sorted(set(cuts)) + [n + 1]
+    return [(s, e - s, text[s - 1:e - 1])
+            for s, e in zip(cuts, cuts[1:]) if e > s]
+
+
+def test_cdc_chunks_partition_text_and_match_twin(spark):
+    from python_mecab_ner_spark.operators.dedup import cdc_chunks
+    rng = random.Random(31)
+    docs = [(i, "".join(rng.choice("abcdef ") for _ in
+                        range(rng.randrange(1, 400))))
+            for i in range(30)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in cdc_chunks(df, "text", "doc_id").collect():
+        got.setdefault(r["doc"], []).append(
+            (r["start"], r["chunk_len"], r["chunk_md5"]))
+    import hashlib
+    for i, text in docs:
+        exp = [(s, ln, hashlib.md5(c.encode()).hexdigest())
+               for s, ln, c in _py_cdc(text)]
+        assert sorted(got[i]) == sorted(exp)
+        # chunks partition the text exactly
+        assert sum(ln for _, ln, _ in exp) == len(text)
+
+
+def test_cdc_survives_front_insertion_fixed_does_not(spark):
+    from python_mecab_ner_spark.operators.dedup import (cdc_chunks,
+                                                        fixed_chunks)
+    rng = random.Random(33)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    mut = "INSERTED " + base
+    df = spark.createDataFrame([(1, base), (2, mut)],
+                               ["doc_id", "text"])
+    for fn, expect_high in ((cdc_chunks, True), (fixed_chunks, False)):
+        ch = fn(df, "text", "doc_id").collect()
+        h1 = {r["chunk_md5"] for r in ch if r["doc"] == 1}
+        rows2 = [r for r in ch if r["doc"] == 2]
+        reused = sum(r["chunk_len"] for r in rows2
+                     if r["chunk_md5"] in h1)
+        total = sum(r["chunk_len"] for r in rows2)
+        share = reused / total
+        assert share > 0.8 if expect_high else share < 0.2, \
+            (fn.__name__, share)
+
+
+# ------------------------------------------------------- KMV overlap
+
+def _py_kmv(rows, k=64, m_bits=48):
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    m = 1 << m_bits
+
+    def est(hset):
+        sk = sorted(hset)[:k]
+        return len(sk) if len(sk) < k else ((k - 1) * m) // sk[-1]
+    groups = {}
+    for g, key in rows:
+        groups.setdefault(g, set()).add(
+            md5_int_py(key, bits_hex=m_bits // 4, salt="kmv:"))
+    keysets = {}
+    for g, key in rows:
+        keysets.setdefault(g, set()).add(key)
+    out = {}
+    gs = sorted(groups)
+    for i, ga in enumerate(gs):
+        for gb in gs[i + 1:]:
+            sa = sorted(groups[ga])[:k]
+            sb = sorted(groups[gb])[:k]
+            eu = est(set(sa) | set(sb))
+            ea, eb = est(groups[ga]), est(groups[gb])
+            ei = max(0, ea + eb - eu)
+            ex = len(keysets[ga] & keysets[gb])
+            err = (abs(ei - ex) * 1_000_000) // max(ex, 1)
+            out[(ga, gb)] = (ea, eb, eu, ei, ex, err)
+    return out
+
+
+def test_kmv_overlap_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.sketch import (
+        kmv_overlap_estimates)
+    rng = random.Random(41)
+    shared = [f"c{i}" for i in range(800)]
+    rows = []
+    for g in range(4):
+        own = [f"g{g}x{i}" for i in range(100 * (g + 1))]
+        pool = own + shared
+        rows += [(f"g{g}", x) for x in pool]
+        rows += [(f"g{g}", rng.choice(pool)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["g", "key"])
+    out = kmv_overlap_estimates(df, "g", "key", k=64)
+    got = {(r["ga"], r["gb"]): (r["est_a"], r["est_b"], r["est_union"],
+                                r["est_inter"], r["exact_inter"],
+                                r["err_ppm"])
+           for r in out.collect()}
+    out.unpersist_input()
+    exp = _py_kmv(rows, k=64)
+    assert got == exp
+    # every pair shares the 800-key pool (overlap >= ~2/3 of union),
+    # where inclusion-exclusion at k=64 resolves: err bounded.  For
+    # SMALL overlap fractions the estimate is noise (measured: a
+    # 100-of-1000 overlap read 22) — intersection error scales with
+    # the UNION size, the honest cost err_ppm exists to expose
+    for (ga, gb), (ea, eb, eu, ei, ex, err) in got.items():
+        assert ex == 800
+        assert err < 400_000, ((ga, gb), got[(ga, gb)])
+
+
+def test_kmv_small_groups_are_exact():
+    # below k distinct keys the sketch IS the set: est == exact
+    rows = [("a", f"x{i}") for i in range(30)] + \
+           [("b", f"x{i}") for i in range(10, 50)]
+    exp = _py_kmv(rows, k=64)
+    (ea, eb, eu, ei, ex, err) = exp[("a", "b")]
+    assert (ea, eb, eu) == (30, 40, 50)
+    assert ei == ex == 20 and err == 0
