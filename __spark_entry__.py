@@ -5142,6 +5142,90 @@ def _kmv_oracle_sql(k: int = 256, m_bits: int = 48) -> str:
           LEFT JOIN ex ON ex.ga = uni.ga AND ex.gb = uni.gb)"""
 
 
+def q217_node2vec(spark, sf_dir):
+    """node2vec second-order biased walks (operators.graph
+    .node2vec_walks, wp=1/w1=4/wq=2 ~ p=4, q=2) on the qty<=15
+    co-purchase graph — the biased complement of q93's first-order
+    DeepWalk corpus: candidates are weighted by distance to the
+    PREVIOUS node (return / triangle-closing / outward), so the
+    corpus interpolates BFS-like and DFS-like exploration.  The
+    co-purchase graph, not the q93 bipartite one: a bipartite graph
+    has no triangles, so the distance-1 weight class would never
+    fire (here all three do, asserted by test).  Hash-pinned by the
+    per-step unrolled oracle: uniform step 1, then candidate
+    cumulative-weight walks under the same md5 clock."""
+    from python_mecab_ner_spark.operators.graph import node2vec_walks
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("a").alias("src"),
+                          F.col("b").alias("dst"))
+             .unionByName(pairs.select(F.col("b").alias("src"),
+                                       F.col("a").alias("dst"))))
+    return node2vec_walks(edges, walk_len=3, walks_per_node=1)
+
+
+def _n2v_oracle_sql(walk_len: int = 3, wp: int = 1, w1: int = 4,
+                    wq: int = 2, seed: str = "n2v") -> str:
+    """Generated DuckDB twin of q217: the _walks_oracle_sql skeleton
+    with per-step candidate weighting + cumulative-weight pick."""
+    def h(t, node="node"):
+        return md5_int_sql(
+            f"concat_ws(':', '{seed}', CAST(start AS VARCHAR), "
+            f"CAST(wid AS VARCHAR), '{t}', CAST({node} AS VARCHAR))")
+    s = f"""
+        WITH li AS (SELECT DISTINCT l1.l_partkey AS a,
+                           l2.l_partkey AS b
+                    FROM lineitem l1 JOIN lineitem l2
+                      ON l1.l_orderkey = l2.l_orderkey
+                     AND l1.l_partkey < l2.l_partkey
+                    WHERE l1.l_quantity <= 15
+                      AND l2.l_quantity <= 15),
+        e AS (SELECT a AS src, b AS dst FROM li
+              UNION ALL SELECT b, a FROM li),
+        adj AS MATERIALIZED (
+            SELECT DISTINCT src AS node, dst AS nbr FROM e
+            WHERE src <> dst),
+        adjidx AS MATERIALIZED (
+            SELECT node, nbr,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY nbr) - 1 AS i
+            FROM adj),
+        deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        s0 AS (SELECT node AS start, 0 AS wid,
+                      CAST(NULL AS BIGINT) AS prev, node
+               FROM nodes),
+        s1 AS (SELECT s.start, s.wid, s.node AS prev, a.nbr AS node
+               FROM s0 s JOIN deg d ON d.node = s.node
+               JOIN adjidx a ON a.node = s.node
+                AND a.i = {h(1, "s.node")} % d.deg)"""
+    for t in range(2, walk_len + 1):
+        s += f""",
+        c{t} AS (SELECT s.start, s.wid, s.prev, s.node,
+                        a.nbr, a.i,
+                        CASE WHEN a.nbr = s.prev THEN {wp}
+                             WHEN p.nbr IS NOT NULL THEN {w1}
+                             ELSE {wq} END AS w
+                 FROM s{t - 1} s
+                 JOIN adjidx a ON a.node = s.node
+                 LEFT JOIN adj p ON p.node = s.prev
+                  AND p.nbr = a.nbr),
+        k{t} AS (SELECT *,
+                        sum(w) OVER (PARTITION BY start, wid) AS tw,
+                        sum(w) OVER (PARTITION BY start, wid
+                                     ORDER BY i) AS cum
+                 FROM c{t}),
+        s{t} AS (SELECT start, wid, node AS prev, nbr AS node
+                 FROM k{t}
+                 WHERE {h(t)} % tw >= cum - w
+                   AND {h(t)} % tw < cum)"""
+    sel = "\n            UNION ALL ".join(
+        f"SELECT CAST(start AS BIGINT) AS start, "
+        f"CAST(wid AS INT) AS wid, CAST({t} AS INT) AS step, "
+        f"CAST(node AS BIGINT) AS node FROM s{t}"
+        for t in range(walk_len + 1))
+    return s + "\n            " + sel
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -7026,6 +7110,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_loo_valuation": q214_loo_valuation,
         "q215_cdc_dedup": q215_cdc_dedup,
         "q216_kmv_overlap": q216_kmv_overlap,
+        "q217_node2vec": q217_node2vec,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10277,6 +10362,7 @@ def oracle_sql() -> dict[str, str]:
         "q213_rand_ari": _ARI_ORACLE_SQL,
         "q215_cdc_dedup": _cdc_oracle_sql(),
         "q216_kmv_overlap": _kmv_oracle_sql(),
+        "q217_node2vec": _n2v_oracle_sql(),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

@@ -2556,3 +2556,99 @@ def trust_spam_mass(edges: DataFrame, seeds: list, iters: int = 3,
                .cast("bigint").alias("spam_ppm")))
     out.unpersist_input = e.unpersist
     return out
+
+
+def node2vec_walks(edges: DataFrame, walk_len: int = 3,
+                   walks_per_node: int = 1, wp: int = 1, w1: int = 4,
+                   wq: int = 2, seed: str = "n2v",
+                   src: str = "src", dst: str = "dst") -> DataFrame:
+    """Deterministic node2vec walk corpus (Grover & Leskovec 2016):
+    the second-order biased form of random_walks — from node v with
+    previous node u, candidate x is weighted by its distance to u:
+
+        w(x) = wp  if x == u                (return,   1/p)
+               w1  if u->x is an edge       (BFS-ish,  1  )
+               wq  otherwise                (DFS-ish,  1/q)
+
+    integer weights instead of the paper's 1/p, 1, 1/q floats (set
+    wp=1, w1=4, wq=2 for p=4, q=2).  Step 1 is uniform (no previous
+    node), as in the reference implementation.  The RNG is the house
+    content hash: r = md5(seed:start:wid:t:v) mod total_weight walks
+    the candidate list's cumulative weights in id order — the same
+    walk corpus at any cluster size and in the unrolled DuckDB twin.
+
+    Scale shape: per step, one join frontier x adjacency (keyed on
+    the current node), one LEFT join against the edge set keyed on
+    (prev, candidate) for the distance-1 flag, and one per-frontier-
+    row cumulative window (partition size = out-degree — the same
+    hub bound as random_walks' adjacency index; cap hubs upstream).
+    Frontier localCheckpointed per step (the kg_entity_rank lesson).
+    Sinks end walks early.
+
+    Returns (start, wid, step, node), step 0 = the start row."""
+    adj = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .where(F.col("node") != F.col("nbr")).distinct())
+    w = Window.partitionBy("node").orderBy("nbr")
+    adjidx = (adj.withColumn("_i", F.row_number().over(w) - 1)
+              .localCheckpoint())
+    deg = adjidx.groupBy("node").agg(F.count("*").alias("_deg"))
+    prevadj = adjidx.select(F.col("node").alias("prev"),
+                            F.col("nbr").alias("_cand"),
+                            F.lit(1).alias("_padj"))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    frontier = nodes.select(
+        F.col("node").alias("start"),
+        F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)]))
+        .alias("wid"),
+        F.lit(None).cast(nodes.schema["node"].dataType).alias("prev"),
+        F.col("node"))
+    out = frontier.select("start", "wid", F.lit(0).alias("step"),
+                          "node")
+
+    def _r(step):
+        return md5_int(F.concat_ws(
+            ":", F.lit(seed), F.col("start").cast("string"),
+            F.col("wid").cast("string"), F.lit(str(step)),
+            F.col("node").cast("string")))
+    # step 1: uniform over neighbors (no previous node yet)
+    frontier = (frontier.join(deg, "node")
+                .withColumn("_pick", F.pmod(_r(1), F.col("_deg")))
+                .join(adjidx.select("node", F.col("_i").alias("_pick"),
+                                    F.col("nbr").alias("_next")),
+                      ["node", "_pick"])
+                .select("start", "wid", F.col("node").alias("prev"),
+                        F.col("_next").alias("node"))
+                .localCheckpoint())
+    out = out.unionByName(
+        frontier.select("start", "wid", F.lit(1).alias("step"), "node"))
+    for step in range(2, walk_len + 1):
+        cand = (frontier.join(
+            adjidx.select("node", F.col("nbr").alias("_cand"),
+                          "_i"), "node")
+            .join(prevadj, ["prev", "_cand"], "left"))
+        wexpr = (F.when(F.col("_cand") == F.col("prev"), F.lit(wp))
+                 .when(F.col("_padj") == 1, F.lit(w1))
+                 .otherwise(F.lit(wq)).cast("bigint"))
+        pw = Window.partitionBy("start", "wid")
+        cum_w = pw.orderBy("_i").rowsBetween(
+            Window.unboundedPreceding, 0)
+        cand = (cand.withColumn("_w", wexpr)
+                .withColumn("_tw", F.sum("_w").over(pw))
+                .withColumn("_cum", F.sum("_w").over(cum_w))
+                .withColumn("_r", F.pmod(_r(step), F.col("_tw"))))
+        frontier = (cand.where((F.col("_r") >= F.col("_cum")
+                                - F.col("_w"))
+                               & (F.col("_r") < F.col("_cum")))
+                    .select("start", "wid",
+                            F.col("node").alias("prev"),
+                            F.col("_cand").alias("node"))
+                    .localCheckpoint())
+        out = out.unionByName(
+            frontier.select("start", "wid",
+                            F.lit(step).alias("step"), "node"))
+    return out.select(F.col("start").cast("bigint").alias("start"),
+                      F.col("wid").cast("int").alias("wid"),
+                      F.col("step").cast("int").alias("step"),
+                      F.col("node").cast("bigint").alias("node"))

@@ -491,3 +491,80 @@ def test_kmv_small_groups_are_exact():
     (ea, eb, eu, ei, ex, err) = exp[("a", "b")]
     assert (ea, eb, eu) == (30, 40, 50)
     assert ei == ex == 20 and err == 0
+
+
+# --------------------------------------------------- node2vec walks
+
+def _py_node2vec(edges, walk_len, wp, w1, wq, seed="n2v"):
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    adj = {}
+    eset = set()
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            eset.add((a, b))
+    adjidx = {n: sorted(v) for n, v in adj.items()}
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    rows, classes = [], set()
+    for start in nodes:
+        prev, node = None, start
+        rows.append((start, 0, 0, node))
+        for t in range(1, walk_len + 1):
+            if node not in adjidx:
+                break
+            r = md5_int_py(f"{seed}:{start}:0:{t}:{node}")
+            cands = adjidx[node]
+            if prev is None:
+                nxt = cands[r % len(cands)]
+            else:
+                ws = []
+                for x in cands:
+                    if x == prev:
+                        ws.append(wp); classes.add("p")
+                    elif (prev, x) in eset:
+                        ws.append(w1); classes.add("1")
+                    else:
+                        ws.append(wq); classes.add("q")
+                pick = r % sum(ws)
+                cum = 0
+                for x, wgt in zip(cands, ws):
+                    cum += wgt
+                    if pick < cum:
+                        nxt = x
+                        break
+            rows.append((start, 0, t, nxt))
+            prev, node = node, nxt
+    return rows, classes
+
+
+def test_node2vec_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.graph import node2vec_walks
+    rng = random.Random(47)
+    und = {(rng.randrange(25), rng.randrange(25)) for _ in range(80)}
+    edges = [(a, b) for a, b in und if a != b]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sorted(set(edges)), ["src", "dst"])
+    got = sorted(tuple(r) for r in
+                 node2vec_walks(df, walk_len=3, wp=1, w1=4,
+                                wq=2).collect())
+    exp, classes = _py_node2vec(sorted(set(edges)), 3, 1, 4, 2)
+    assert got == sorted(exp)
+    # the graph must exercise ALL THREE weight classes or the test
+    # certifies nothing second-order
+    assert classes == {"p", "1", "q"}
+
+
+def test_node2vec_pure_return_bias_backtracks(spark):
+    # wp huge, others tiny on a path graph: step 2 must return to
+    # the start whenever the walker has a choice
+    from python_mecab_ner_spark.operators.graph import node2vec_walks
+    edges = [(i, i + 1) for i in range(6)]
+    edges += [(b, a) for a, b in edges]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = node2vec_walks(df, walk_len=2, wp=1000, w1=1, wq=1)
+    walks = {}
+    for r in out.collect():
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    for start, w in walks.items():
+        if 2 in w:
+            assert w[2] == start, (start, w)
