@@ -5226,6 +5226,85 @@ def _n2v_oracle_sql(walk_len: int = 3, wp: int = 1, w1: int = 4,
     return s + "\n            " + sel
 
 
+def q218_katz(spark, sf_dir):
+    """Integer Katz centrality (operators.graph.katz_int, beta=1/2)
+    on the q62 part<->supplier graph: attenuated walk counts with
+    NO out-degree normalization — the rank-family member where a
+    prolific linker boosts all its targets (PageRank dilutes; Katz
+    counts walks whole), the influence-propagation semantics.
+    Same unrolled-oracle certification as q40/q62/q68."""
+    from python_mecab_ner_spark.operators.graph import katz_int
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select((F.col("l_partkey") * 2).alias("p"),
+                      (F.col("l_suppkey") * 2 + 1).alias("s")).distinct()
+    edges = (pairs.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("p").alias("dst"))))
+    return (katz_int(edges, iters=3)
+            .select(F.col("node").cast("bigint").alias("node"), "k"))
+
+
+def _katz_oracle_sql(iters: int = 3, scale: int = 1_000_000,
+                     den: int = 2) -> str:
+    """Generated DuckDB twin of q218."""
+    s = f"""
+        WITH pairs AS (SELECT DISTINCT l_partkey * 2 AS p,
+                              l_suppkey * 2 + 1 AS s FROM lineitem),
+        e AS (SELECT p AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, p FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        k0 AS (SELECT node, CAST({scale} AS BIGINT) AS k FROM nodes)"""
+    for i in range(1, iters + 1):
+        s += f""",
+        m{i} AS (SELECT e.dst AS node, SUM(p.k) AS m
+                 FROM e JOIN k{i - 1} p ON p.node = e.src GROUP BY 1),
+        k{i} AS (SELECT n.node,
+                        CAST({scale} + coalesce(m{i}.m, 0) // {den}
+                             AS BIGINT) AS k
+                 FROM nodes n LEFT JOIN m{i} ON m{i}.node = n.node)"""
+    return s + f"""
+        SELECT CAST(node AS BIGINT) AS node, k FROM k{iters}"""
+
+
+def q219_weak_vote(spark, sf_dir):
+    """Weak-supervision label fusion (operators.classify
+    .weak_vote_fusion): five real heuristic gates — length >= 200,
+    >= 30 words, digit share <= 10%, no blocklist phrase, >= 50%
+    distinct words — majority-vote, earn agreement-ppm reliability
+    weights, and re-vote weighted; `flipped` marks docs where the
+    weighted vote overrules the raw majority.  The data-programming
+    rung between q56's single gate and q125's trained gate (whose
+    weak label this fusion would replace); gates share byte-level
+    expressions with the oracle."""
+    from python_mecab_ner_spark.operators.classify import (
+        weak_vote_fusion)
+    d = _load(spark, sf_dir, "documents")
+    hits = d.select("doc_id", "text",
+                    *TX.blocklist_phrase_counts(F.col("text")))
+    blsum = sum((F.col(c) for c in hits.columns
+                 if c.startswith("bl_")), F.lit(0))
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda s: s != F.lit(""))
+    # thresholds sit at the corpus MEDIANS (measured: length 306,
+    # words 56, chars/word 5.5, distinct-word ratio 46%) so the
+    # gates genuinely disagree — the first cut used tail thresholds
+    # plus a digit gate the corpus never fires, and the vote was
+    # unanimous (majority 498/2, zero flips: a fusion that fuses
+    # nothing certifies nothing)
+    gates = hits.select(
+        "doc_id",
+        (F.length("text") >= 300).cast("int").alias("g_len"),
+        (F.size(toks) >= 56).cast("int").alias("g_words"),
+        (F.length("text") * 10 >= F.size(toks) * 55)
+        .cast("int").alias("g_wlen"),
+        (blsum == 0).cast("int").alias("g_block"),
+        (F.size(F.array_distinct(toks)) * 100 >= F.size(toks) * 46)
+        .cast("int").alias("g_uniq"))
+    return weak_vote_fusion(
+        gates, "doc_id",
+        ["g_len", "g_words", "g_wlen", "g_block", "g_uniq"])
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -7111,6 +7190,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_cdc_dedup": q215_cdc_dedup,
         "q216_kmv_overlap": q216_kmv_overlap,
         "q217_node2vec": q217_node2vec,
+        "q218_katz": q218_katz,
+        "q219_weak_vote": q219_weak_vote,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7842,6 +7923,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(acc_loo_ppm AS BIGINT) AS acc_loo_ppm,
                CAST(acc_loo_ppm - acc_full_ppm AS BIGINT) AS delta_ppm
         FROM looacc JOIN ntr USING (source) CROSS JOIN fullacc
+    """
+
+    # q219: five heuristic gates -> majority -> agreement-ppm
+    # reliability weights -> weighted re-vote (weak_vote_fusion twin)
+    _wv_gates = ["g_len", "g_words", "g_wlen", "g_block", "g_uniq"]
+    _wv_w = ", ".join(
+        f"2 * (sum(CASE WHEN {g} = maj THEN 1 ELSE 0 END) * 1000000"
+        f" // count(*)) - 1000000 AS w{i}"
+        for i, g in enumerate(_wv_gates))
+    _wv_score = " + ".join(
+        f"(2 * {g} - 1) * w{i}" for i, g in enumerate(_wv_gates))
+    weak_vote_sql = f"""
+        WITH t AS (SELECT doc_id, text,
+                          list_filter(regexp_split_to_array(
+                              trim(text), '\\s+'), s -> s <> '') AS w
+                   FROM documents),
+        bl AS (SELECT doc_id, {_bl_sum} AS blsum
+               FROM (SELECT doc_id, {_bl_defs} FROM documents)),
+        g AS (SELECT t.doc_id,
+                     CASE WHEN length(text) >= 300
+                          THEN 1 ELSE 0 END AS g_len,
+                     CASE WHEN len(w) >= 56 THEN 1 ELSE 0 END
+                         AS g_words,
+                     CASE WHEN length(text) * 10 >= len(w) * 55
+                          THEN 1 ELSE 0 END AS g_wlen,
+                     CASE WHEN blsum = 0 THEN 1 ELSE 0 END AS g_block,
+                     CASE WHEN len(list_distinct(w)) * 100
+                               >= len(w) * 46
+                          THEN 1 ELSE 0 END AS g_uniq
+              FROM t JOIN bl USING (doc_id)),
+        m AS (SELECT *,
+                     g_len + g_words + g_wlen + g_block + g_uniq
+                         AS n_pos,
+                     CASE WHEN 2 * (g_len + g_words + g_wlen
+                                    + g_block + g_uniq) > 5
+                          THEN 1 ELSE 0 END AS maj
+              FROM g),
+        wt AS (SELECT {_wv_w} FROM m)
+        SELECT doc_id, CAST(n_pos AS INT) AS n_pos,
+               CAST(maj AS INT) AS majority,
+               CAST({_wv_score} AS BIGINT) AS score,
+               CAST(CASE WHEN ({_wv_score}) > 0 THEN 1 ELSE 0 END
+                    AS INT) AS fused,
+               CAST(CASE WHEN (CASE WHEN ({_wv_score}) > 0
+                               THEN 1 ELSE 0 END) <> maj
+                    THEN 1 ELSE 0 END AS INT) AS flipped
+        FROM m CROSS JOIN wt
     """
 
     # PQ oracle (q124): same int8 quantization as q51, seeds = 16
@@ -9031,6 +9159,7 @@ def oracle_sql() -> dict[str, str]:
         "q124_pq_topk": pq_sql,
         "q125_trained_classifier": trained_cls_sql,
         "q214_loo_valuation": loo_sql,
+        "q219_weak_vote": weak_vote_sql,
         "q126_calibration": calibration_sql,
         "q127_embedding_outliers": emb_outliers_sql,
         "q128_blocking_audit": blocking_audit_sql,
@@ -10363,6 +10492,7 @@ def oracle_sql() -> dict[str, str]:
         "q215_cdc_dedup": _cdc_oracle_sql(),
         "q216_kmv_overlap": _kmv_oracle_sql(),
         "q217_node2vec": _n2v_oracle_sql(),
+        "q218_katz": _katz_oracle_sql(),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

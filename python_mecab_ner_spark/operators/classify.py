@@ -469,3 +469,56 @@ def loo_source_valuation(df: DataFrame, text_col: str, id_col: str,
                    .cast("bigint").alias("delta_ppm")))
     out.unpersist_input = feats.unpersist
     return out
+
+
+def weak_vote_fusion(df: DataFrame, id_col: str,
+                     gate_cols: list[str]) -> DataFrame:
+    """Snorkel-lite weak-supervision label fusion: k binary quality
+    gates vote; each gate earns a CHANCE-CENTERED reliability
+    weight = 2 * (its agreement with the MAJORITY label, ppm) - 1e6
+    (the one-step EM-free approximation of a Snorkel label model),
+    then the final label is the weighted vote sum(+-weight).  A
+    gate that echoes the consensus keeps its say, a random gate's
+    weight sits near 0, and a gate that agrees BELOW chance earns a
+    NEGATIVE weight — the fusion inverts its vote, the Snorkel
+    insight that an anti-correlated labeler is still informative
+    (measured on the q219 corpus: an uncentered agreement weight
+    never flips any 3-2 vote, because every assenting triple
+    out-weighs every dissenting pair; centering is what lets a
+    minority carry a close vote).  The data-programming step
+    between raw heuristic gates (q56) and a trained gate (q125):
+    fuse first, train on the fused label.
+
+    Deterministic and integer end-to-end: weights are floor-ppm,
+    the fused score is a +-weight sum, ties (score <= 0) label 0.
+    gate_cols must be 0/1 columns.
+
+    Scale shape: one corpus pass for the majority, ONE 1-row
+    aggregate for all k weights (k CASE sums — gate count is
+    query-sized), broadcast back as a cross join; no shuffle beyond
+    the aggregate.  Returns (id, n_pos, majority, score, fused,
+    flipped)."""
+    k = len(gate_cols)
+    n_pos = sum((F.col(g) for g in gate_cols), F.lit(0))
+    base = (df.select(F.col(id_col).alias("id"),
+                      *[F.col(g).cast("int").alias(g)
+                        for g in gate_cols])
+            .withColumn("n_pos", n_pos.cast("int"))
+            .withColumn("maj", (F.col("n_pos") * 2 > k).cast("int")))
+    w = base.agg(*[
+        F.expr(f"2 * (sum(CASE WHEN {g} = maj THEN 1 ELSE 0 END)"
+               f" * 1000000 div count(*)) - 1000000").alias(f"_w{i}")
+        for i, g in enumerate(gate_cols)])
+    score = sum(
+        ((2 * F.col(g) - 1) * F.col(f"_w{i}")
+         for i, g in enumerate(gate_cols)), F.lit(0))
+    return (base.crossJoin(F.broadcast(w))
+            .withColumn("score", score.cast("bigint"))
+            .select(F.col("id").alias(id_col),
+                    F.col("n_pos").cast("int").alias("n_pos"),
+                    F.col("maj").cast("int").alias("majority"),
+                    "score",
+                    (F.col("score") > 0).cast("int").alias("fused"))
+            .withColumn("flipped",
+                        (F.col("fused") != F.col("majority"))
+                        .cast("int")))

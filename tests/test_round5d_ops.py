@@ -568,3 +568,75 @@ def test_node2vec_pure_return_bias_backtracks(spark):
     for start, w in walks.items():
         if 2 in w:
             assert w[2] == start, (start, w)
+
+
+# ---------------------------------------------------- Katz centrality
+
+def test_katz_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.graph import katz_int
+    rng = random.Random(53)
+    edges = sorted({(rng.randrange(20), rng.randrange(20))
+                    for _ in range(60)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["k"]
+           for r in katz_int(df, iters=3, atten_den=2).collect()}
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    k = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        m = Counter()
+        for a, b in edges:
+            m[b] += k[a]
+        k = {n: 1_000_000 + m.get(n, 0) // 2 for n in nodes}
+    assert got == k
+
+
+def test_katz_counts_hub_endorsements_whole(spark):
+    # hub 0 points at 1..10; PageRank splits the hub's mass ten
+    # ways, Katz gives each target the full attenuated count
+    from python_mecab_ner_spark.operators.graph import (katz_int,
+                                                        pagerank_int)
+    edges = [(0, i) for i in range(1, 11)] + [(11, 12)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    katz = {r["node"]: r["k"] for r in katz_int(df, iters=1).collect()}
+    pr = {r["node"]: r["pr"] for r in pagerank_int(df, iters=1).collect()}
+    assert katz[1] == katz[12]          # both get one full endorsement
+    assert pr[1] < pr[12]               # PR dilutes the hub's vote
+
+
+# -------------------------------------------------- weak-vote fusion
+
+def _py_weak_vote(rows, k):
+    n = len(rows)
+    maj = {i: int(2 * sum(g) > k) for i, g in rows}
+    w = [2 * (sum(1 for i, g in rows if g[j] == maj[i])
+              * 1_000_000 // n) - 1_000_000 for j in range(k)]
+    out = {}
+    for i, g in rows:
+        score = sum((2 * g[j] - 1) * w[j] for j in range(k))
+        fused = int(score > 0)
+        out[i] = (sum(g), maj[i], score, fused,
+                  int(fused != maj[i]))
+    return out
+
+
+def test_weak_vote_fusion_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.classify import (
+        weak_vote_fusion)
+    rng = random.Random(59)
+    # g0..g2 track a latent label with noise; g3 is ANTI-correlated
+    rows = []
+    for i in range(400):
+        y = rng.randrange(2)
+        g = [y if rng.random() < 0.85 else 1 - y for _ in range(3)]
+        g.append(1 - y if rng.random() < 0.8 else y)
+        rows.append((i, tuple(g)))
+    df = spark.createDataFrame(
+        [(i, *g) for i, g in rows], ["id", "g0", "g1", "g2", "g3"])
+    out = weak_vote_fusion(df, "id", ["g0", "g1", "g2", "g3"])
+    got = {r["id"]: (r["n_pos"], r["majority"], r["score"],
+                     r["fused"], r["flipped"]) for r in out.collect()}
+    exp = _py_weak_vote(rows, 4)
+    assert got == exp
+    # the anti-correlated gate must earn a NEGATIVE weight and the
+    # fusion must actually overrule some majorities
+    assert any(v[4] == 1 for v in got.values())
