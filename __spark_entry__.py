@@ -5305,6 +5305,104 @@ def q219_weak_vote(spark, sf_dir):
         ["g_len", "g_words", "g_wlen", "g_block", "g_uniq"])
 
 
+def q220_reshard(spark, sf_dir):
+    """Elastic-resharding audit (operators.layout.reshard_audit):
+    keys moved when the cluster grows 16 -> 17 shards under
+    mod-hash vs rendezvous (HRW) placement — mod remaps ~16/17 of
+    the lake, rendezvous only the ~1/17 the new shard wins; the
+    packed (h << 6) | s argmax carries weight and winner in one
+    n-ary greatest().  The data-placement complement of q210
+    (z-order is the layout WITHIN a shard; this is which shard
+    survives a resize)."""
+    from python_mecab_ner_spark.operators.layout import reshard_audit
+    d = _load(spark, sf_dir, "documents")
+    key = F.concat(F.lit("d:"), F.col("doc_id").cast("string"))
+    return (reshard_audit(d, key, n_from=16, n_to=17)
+            .orderBy("method"))
+
+
+def _reshard_oracle_sql(n_from: int = 16, n_to: int = 17,
+                        salt: str = "shard:") -> str:
+    """Generated DuckDB twin of q220 (same packed HRW argmax)."""
+    key = "('d:' || CAST(doc_id AS VARCHAR))"
+    h = md5_int_sql(key, bits_hex=12, salt=salt)
+
+    def hrw(n):
+        terms = ", ".join(
+            "(" + md5_int_sql(f"({key} || '#{s}')", bits_hex=12,
+                              salt=salt) + f" << 6) + {s}"
+            for s in range(n))
+        return f"(greatest({terms}) % 64)"
+    return f"""
+        WITH t AS (SELECT
+            CASE WHEN ({h} % {n_from}) <> ({h} % {n_to})
+                 THEN 1 ELSE 0 END AS mod_moved,
+            CASE WHEN {hrw(n_from)} <> {hrw(n_to)}
+                 THEN 1 ELSE 0 END AS hrw_moved
+          FROM documents),
+        a AS (SELECT count(*) AS n, sum(mod_moved) AS mm,
+                     sum(hrw_moved) AS hm
+              FROM t),
+        u AS (SELECT 'mod' AS method, CAST(n AS BIGINT) AS n_keys,
+                     CAST(mm AS BIGINT) AS moved FROM a
+              UNION ALL
+              SELECT 'rendezvous', CAST(n AS BIGINT),
+                     CAST(hm AS BIGINT) FROM a)
+        SELECT method, n_keys, moved,
+               CAST((moved * 1000000) // n_keys AS BIGINT)
+                   AS moved_ppm
+        FROM u"""
+
+
+def q221_postings_gaps(spark, sf_dir):
+    """Inverted-index delta-gap compression audit (operators
+    .retrieval.postings_gap_audit): bits to store doc-id gaps
+    (sum bit_length(gap), the Elias/varint cost model) vs 32-bit
+    fixed postings, rolled up per df-class — the index-layout
+    sizing sheet read before building q122's postings at scale;
+    frequent terms (dense lists, tiny gaps) compress hardest, and
+    the ratio column shows it monotonically."""
+    from python_mecab_ner_spark.operators.retrieval import (
+        postings_gap_audit)
+    d = _loadp(spark, sf_dir, "documents")
+    # bigrams=True widens the 31-word template vocabulary into a
+    # real df spectrum (unigrams alone yield two df-classes)
+    return postings_gap_audit(d, "text", "doc_id", bigrams=True)
+
+
+_POSTINGS_GAP_ORACLE_SQL = """
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(
+                          lower(trim(text)), '\\s+'),
+                          s -> s <> '') AS w
+               FROM documents),
+    uni AS (SELECT doc_id, unnest(w) AS word FROM t),
+    bidx AS (SELECT doc_id, w,
+                    unnest(range(0, greatest(len(w) - 1, 0))) AS i
+             FROM t),
+    big AS (SELECT doc_id, w[i + 1] || '_' || w[i + 2] AS word
+            FROM bidx),
+    post AS (SELECT DISTINCT doc AS doc, word FROM (
+               SELECT doc_id AS doc, word FROM uni
+               UNION ALL SELECT doc_id, word FROM big)),
+    gaps AS (SELECT word,
+                    doc - coalesce(lag(doc) OVER (PARTITION BY word
+                                                  ORDER BY doc),
+                                   -1) AS gap
+             FROM post),
+    pw AS (SELECT word, count(*) AS df,
+                  sum(length(bin(gap))) AS gbits
+           FROM gaps GROUP BY 1)
+    SELECT CAST(length(bin(df)) AS INT) AS df_bits,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(sum(gbits) AS BIGINT) AS gap_bits,
+           CAST(sum(df) * 32 AS BIGINT) AS fixed_bits,
+           CAST((sum(gbits) * 1000000) // (sum(df) * 32) AS BIGINT)
+               AS ratio_ppm
+    FROM pw GROUP BY 1"""
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -7192,6 +7290,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_node2vec": q217_node2vec,
         "q218_katz": q218_katz,
         "q219_weak_vote": q219_weak_vote,
+        "q220_reshard": q220_reshard,
+        "q221_postings_gaps": q221_postings_gaps,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10493,6 +10593,8 @@ def oracle_sql() -> dict[str, str]:
         "q216_kmv_overlap": _kmv_oracle_sql(),
         "q217_node2vec": _n2v_oracle_sql(),
         "q218_katz": _katz_oracle_sql(),
+        "q220_reshard": _reshard_oracle_sql(),
+        "q221_postings_gaps": _POSTINGS_GAP_ORACLE_SQL,
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

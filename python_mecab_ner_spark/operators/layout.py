@@ -74,3 +74,49 @@ def layout_audit(df: DataFrame, d1: Column, d2: Column,
             .agg(F.count("*").cast("bigint").alias("n_rows"),
                  F.min("d1").alias("d1_min"), F.max("d1").alias("d1_max"),
                  F.min("d2").alias("d2_min"), F.max("d2").alias("d2_max")))
+
+
+def reshard_audit(df: DataFrame, key_col, n_from: int = 16,
+                  n_to: int = 17, salt: str = "shard:") -> DataFrame:
+    """Elastic-resharding audit: how many keys MOVE when the shard
+    count grows n_from -> n_to, under (a) mod-hash placement and
+    (b) rendezvous / highest-random-weight hashing (Thaler &
+    Ravishankar 1998 — each key goes to the shard whose
+    md5(key#shard) is largest).  Mod placement remaps ~(1 - 1/n_to)
+    of ALL keys on any resize — every bucket boundary shifts — while
+    rendezvous moves only the ~1/n_to of keys the NEW shard wins:
+    the difference between re-ingesting the lake and topping up one
+    node.  The data-placement complement of zorder/layout_audit
+    (that file layout is WITHIN a shard; this is which shard).
+
+    Integer determinism: 48-bit md5 weights packed as (h << 6) | s
+    so one n-ary greatest() both picks the max weight AND carries
+    the winning shard id (the house packed-argmax; 6 bits caps
+    shards at 64, asserted).  One corpus scan, one 2-row aggregate.
+
+    Returns (method, n_keys, moved, moved_ppm)."""
+    from ..functions.hashing import md5_int
+    assert n_to <= 64 and n_from <= 64, "packed shard id is 6 bits"
+    key = key_col if hasattr(key_col, "cast") else F.col(key_col)
+    h = md5_int(key, bits_hex=12, salt=salt)
+
+    def hrw(n):
+        packed = [
+            F.shiftleft(md5_int(F.concat(key, F.lit(f"#{s}")),
+                                bits_hex=12, salt=salt), 6) + s
+            for s in range(n)]
+        return F.pmod(F.greatest(*packed), F.lit(64))
+    tagged = df.select(
+        (F.pmod(h, F.lit(n_from)) != F.pmod(h, F.lit(n_to)))
+        .cast("int").alias("mod_moved"),
+        (hrw(n_from) != hrw(n_to)).cast("int").alias("hrw_moved"))
+    agg = tagged.agg(F.count("*").alias("n"),
+                     F.sum("mod_moved").alias("mm"),
+                     F.sum("hrw_moved").alias("hm"))
+    return agg.selectExpr(
+        "stack(2, 'mod', CAST(mm AS BIGINT),"
+        " 'rendezvous', CAST(hm AS BIGINT)) AS (method, moved)",
+        "CAST(n AS BIGINT) AS n_keys") \
+        .select("method", "n_keys", "moved",
+                F.expr("(moved * 1000000) div n_keys")
+                .cast("bigint").alias("moved_ppm"))

@@ -492,3 +492,58 @@ def textrank_keywords(docs: DataFrame, text_col: str, id_col: str,
                     F.col("pr").cast("bigint").alias("pr"))
     res.unpersist_input = lambda: edges.unpersist()
     return res
+
+
+def postings_gap_audit(df: DataFrame, text_col: str,
+                       id_col: str, bigrams: bool = False) -> DataFrame:
+    """Delta-gap compression audit of the inverted index: postings
+    lists store doc-id GAPS, not ids, and a gap costs ~bit_length
+    bits under any Elias/varint-family code — so sum(bitlen(gap))
+    vs 32 bits/posting is the storage ratio an index layout decision
+    needs BEFORE building the index (the classic IR result: frequent
+    terms have dense lists, tiny gaps, and compress hardest).
+    Reported per df-class (bit_length of document frequency, the
+    q99/q143 bucketing idiom) so the frequent-term compression
+    advantage is visible as a monotone ratio column.
+
+    One distinct (word, doc) aggregate, one per-word lag() window
+    (partition = one posting list, the q122 postings discipline),
+    one combinable rollup.  First gap = doc_id + 1 (gap from the
+    virtual id -1), so every gap >= 1 and bit_length is total.
+
+    Returns (df_bits, n_terms, n_postings, gap_bits, fixed_bits,
+    ratio_ppm) — ratio_ppm = gap_bits * 1e6 div fixed_bits."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda s: s != F.lit(""))
+    if bigrams:
+        # widen the term universe (and the df spectrum) with word
+        # bigrams — the q125 feature construction, unhashed
+        n = F.size(toks)
+        lead = F.greatest(n - 1, F.lit(1))
+        big = F.filter(
+            F.zip_with(F.slice(toks, 1, lead), F.slice(toks, 2, lead),
+                       lambda a, b: F.concat(a, F.lit("_"), b)),
+            lambda x: x.isNotNull())
+        toks = F.concat(toks, big)
+    post = (df.select(F.col(id_col).alias("doc"),
+                      F.explode(toks).alias("word"))
+            .distinct())
+    w = Window.partitionBy("word").orderBy("doc")
+    gaps = post.withColumn(
+        "gap", F.col("doc") - F.coalesce(F.lag("doc").over(w),
+                                         F.lit(-1)))
+    per_word = (gaps.groupBy("word")
+                .agg(F.count("*").alias("df"),
+                     F.sum(F.length(F.bin("gap"))).alias("gbits")))
+    return (per_word
+            .groupBy(F.length(F.bin("df")).cast("int")
+                     .alias("df_bits"))
+            .agg(F.count("*").cast("bigint").alias("n_terms"),
+                 F.sum("df").cast("bigint").alias("n_postings"),
+                 F.sum("gbits").cast("bigint").alias("gap_bits"))
+            .withColumn("fixed_bits",
+                        (F.col("n_postings") * 32).cast("bigint"))
+            .withColumn("ratio_ppm",
+                        F.expr("(gap_bits * 1000000) div fixed_bits")
+                        .cast("bigint")))

@@ -640,3 +640,76 @@ def test_weak_vote_fusion_matches_python_twin(spark):
     # the anti-correlated gate must earn a NEGATIVE weight and the
     # fusion must actually overrule some majorities
     assert any(v[4] == 1 for v in got.values())
+
+
+# ---------------------------------------------------- reshard audit
+
+def test_reshard_audit_matches_python_twin(spark):
+    from pyspark.sql import functions as F
+
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+    from python_mecab_ner_spark.operators.layout import reshard_audit
+    keys = [f"k{i}" for i in range(600)]
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    got = {r["method"]: (r["n_keys"], r["moved"], r["moved_ppm"])
+           for r in reshard_audit(df, F.col("key"), 8, 9).collect()}
+
+    def hrw(k, n):
+        return max(((md5_int_py(f"{k}#{s}", bits_hex=12,
+                                salt="shard:") << 6) + s)
+                   for s in range(n)) % 64
+    mm = sum(1 for k in keys
+             if md5_int_py(k, bits_hex=12, salt="shard:") % 8
+             != md5_int_py(k, bits_hex=12, salt="shard:") % 9)
+    hm = sum(1 for k in keys if hrw(k, 8) != hrw(k, 9))
+    exp = {"mod": (600, mm, mm * 1_000_000 // 600),
+           "rendezvous": (600, hm, hm * 1_000_000 // 600)}
+    assert got == exp
+    # the whole point: rendezvous moves ~1/9, mod moves ~8/9
+    assert got["rendezvous"][1] < got["mod"][1] // 4
+
+
+def test_hrw_only_new_shard_gains_keys():
+    # minimal-disruption property: every moved key lands on the NEW
+    # shard (id n_from), never reshuffles between old shards
+    from python_mecab_ner_spark.functions.hashing import md5_int_py
+
+    def hrw(k, n):
+        return max(((md5_int_py(f"{k}#{s}", bits_hex=12,
+                                salt="shard:") << 6) + s)
+                   for s in range(n)) % 64
+    for i in range(500):
+        a, b = hrw(f"x{i}", 8), hrw(f"x{i}", 9)
+        if a != b:
+            assert b == 8
+
+
+# ----------------------------------------------- postings gap audit
+
+def test_postings_gap_audit_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.retrieval import (
+        postings_gap_audit)
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(3, 25))))
+            for i in range(120)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["df_bits"]: (r["n_terms"], r["n_postings"], r["gap_bits"],
+                          r["fixed_bits"], r["ratio_ppm"])
+           for r in postings_gap_audit(df, "text", "doc_id").collect()}
+    posts = {}
+    for i, t in docs:
+        for w in set(t.split()):
+            posts.setdefault(w, set()).add(i)
+    agg = {}
+    for w, ids in posts.items():
+        ids = sorted(ids)
+        gbits = sum((g - p).bit_length()
+                    for p, g in zip([-1] + ids, ids))
+        b = len(ids).bit_length()
+        t0, p0, g0 = agg.get(b, (0, 0, 0))
+        agg[b] = (t0 + 1, p0 + len(ids), g0 + gbits)
+    exp = {b: (t, p, g, p * 32, g * 1_000_000 // (p * 32))
+           for b, (t, p, g) in agg.items()}
+    assert got == exp
