@@ -5403,6 +5403,94 @@ _POSTINGS_GAP_ORACLE_SQL = """
     FROM pw GROUP BY 1"""
 
 
+def q222_class_terms(spark, sf_dir):
+    """Class-based TF-IDF distinctive terms (operators.retrieval
+    .class_tfidf_terms, BERTopic's c-TF-IDF integerized): each
+    source as one meta-document, terms scored ctf * bitlen-icf,
+    top-5 per source with bigram terms — the "name this cluster"
+    step after any grouping; q38 ranks within a document, this
+    ranks what SEPARATES a class from the rest."""
+    from python_mecab_ner_spark.operators.retrieval import (
+        class_tfidf_terms)
+    d = _loadp(spark, sf_dir, "documents")
+    return class_tfidf_terms(d, "text", "source", k=5)
+
+
+_CLASS_TERMS_ORACLE_SQL = """
+    WITH t AS (SELECT source,
+                      list_filter(regexp_split_to_array(
+                          lower(trim(text)), '\\s+'),
+                          s -> s <> '') AS w
+               FROM documents),
+    uni AS (SELECT source, unnest(w) AS term FROM t),
+    bidx AS (SELECT source, w,
+                    unnest(range(0, greatest(len(w) - 1, 0))) AS i
+             FROM t),
+    big AS (SELECT source, w[i + 1] || '_' || w[i + 2] AS term
+            FROM bidx),
+    tok AS (SELECT source AS cls, term FROM uni
+            UNION ALL SELECT source, term FROM big),
+    ctf AS (SELECT cls, term, count(*) AS ctf
+            FROM tok GROUP BY 1, 2),
+    cf AS (SELECT term, count(*) AS cf FROM ctf GROUP BY 1),
+    ncls AS (SELECT count(DISTINCT cls) AS c FROM tok),
+    scored AS (SELECT cls, term, ctf, cf,
+                      ctf * length(bin(c // cf)) AS score
+               FROM ctf JOIN cf USING (term) CROSS JOIN ncls)
+    SELECT cls AS source, CAST(rank AS INT) AS rank, term,
+           CAST(ctf AS BIGINT) AS ctf, CAST(cf AS BIGINT) AS cf,
+           CAST(score AS BIGINT) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY cls
+                                       ORDER BY score DESC,
+                                                 term ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5"""
+
+
+def q223_neyman(spark, sf_dir):
+    """Neyman-optimal stratified budget allocation (operators.sample
+    .neyman_allocation): 1000 labeling seats split across sources
+    by N_h * sigma_h of n_chars — exact via one isqrt of
+    N*sum(x^2) - sum(x)^2 per stratum (the q143 ladder) and
+    Hamilton largest-remainder apportionment (sum(alloc) == budget
+    always, proven by test).  The variance-aware member of the
+    allocation family: q55 proportional, q143 temperature, q165
+    epochs, this one minimizes estimator variance per seat."""
+    from python_mecab_ner_spark.operators.sample import (
+        neyman_allocation)
+    d = _load(spark, sf_dir, "documents")
+    return (neyman_allocation(d, "source", "n_chars", budget=1000)
+            .withColumnRenamed("stratum", "source"))
+
+
+def _neyman_oracle_sql(budget: int = 1000) -> str:
+    from python_mecab_ner_spark.operators.sample import isqrt_sql
+    return f"""
+        WITH g AS (SELECT source AS stratum,
+                          CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(n_chars) AS BIGINT) AS s1,
+                          CAST(sum(CAST(n_chars AS BIGINT)
+                                   * n_chars) AS BIGINT) AS s2
+                   FROM documents GROUP BY 1),
+        w AS (SELECT stratum, n_docs,
+                     {isqrt_sql('n_docs * s2 - s1 * s1')} AS w
+              FROM g),
+        tot AS (SELECT sum(w) AS tw FROM w),
+        a AS (SELECT stratum, n_docs, w,
+                     ({budget} * w) // tw AS base,
+                     ({budget} * w) % tw AS rem
+              FROM w CROSS JOIN tot),
+        seats AS (SELECT {budget} - sum(base) AS leftover FROM a),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC,
+                                           stratum ASC) AS rk
+              FROM a)
+        SELECT stratum AS source, n_docs,
+               CAST(w AS BIGINT) AS w_scaled,
+               CAST(base + (CASE WHEN rk <= leftover
+                            THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+        FROM r CROSS JOIN seats"""
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -7292,6 +7380,8 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_weak_vote": q219_weak_vote,
         "q220_reshard": q220_reshard,
         "q221_postings_gaps": q221_postings_gaps,
+        "q222_class_terms": q222_class_terms,
+        "q223_neyman": q223_neyman,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10595,6 +10685,8 @@ def oracle_sql() -> dict[str, str]:
         "q218_katz": _katz_oracle_sql(),
         "q220_reshard": _reshard_oracle_sql(),
         "q221_postings_gaps": _POSTINGS_GAP_ORACLE_SQL,
+        "q222_class_terms": _CLASS_TERMS_ORACLE_SQL,
+        "q223_neyman": _neyman_oracle_sql(),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

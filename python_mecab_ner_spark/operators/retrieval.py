@@ -547,3 +547,58 @@ def postings_gap_audit(df: DataFrame, text_col: str,
             .withColumn("ratio_ppm",
                         F.expr("(gap_bits * 1000000) div fixed_bits")
                         .cast("bigint")))
+
+
+def class_tfidf_terms(df: DataFrame, text_col: str, class_col: str,
+                      k: int = 5, bigrams: bool = True) -> DataFrame:
+    """Class-based TF-IDF distinctive terms (the c-TF-IDF of
+    BERTopic, Grootendorst 2022): treat each CLASS (source,
+    community, cluster) as one meta-document, score term w in class
+    c by ctf(w,c) * icf(w) with icf = bit_length(C div cf(w)) (the
+    q38 integer-idf family; cf = classes containing w), and keep the
+    top-k per class — "name this cluster" for communities, "what is
+    this source about" for provenance audits.  Per-DOC tf-idf (q38)
+    ranks terms within one document; this ranks what separates one
+    CLASS from the rest — the label-generation step after any
+    clustering (LPA/LSH/k-center) produces unlabeled groups.
+
+    Bigram terms are on by default: distinctive phrases usually ARE
+    bigrams ("climate summit" vs "climate", and a 31-word template
+    vocabulary has every unigram in every class).  Ties break term
+    asc; all arithmetic integer.
+
+    Scale shape: one token explode, two combinable aggregates
+    ((class, term) counts; term->class df), one top-k window
+    partitioned by class (k rows survive per class).  Returns
+    (class, rank, term, ctf, cf, score)."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda s: s != F.lit(""))
+    if bigrams:
+        n = F.size(toks)
+        lead = F.greatest(n - 1, F.lit(1))
+        big = F.filter(
+            F.zip_with(F.slice(toks, 1, lead), F.slice(toks, 2, lead),
+                       lambda a, b: F.concat(a, F.lit("_"), b)),
+            lambda x: x.isNotNull())
+        toks = F.concat(toks, big)
+    tok = df.select(F.col(class_col).alias("cls"),
+                    F.explode(toks).alias("term"))
+    ctf = tok.groupBy("cls", "term").agg(
+        F.count("*").cast("bigint").alias("ctf"))
+    cf = (ctf.groupBy("term")
+          .agg(F.count("*").cast("bigint").alias("cf")))
+    n_cls = tok.select("cls").distinct().count()
+    scored = (ctf.join(F.broadcast(cf), "term")
+              .withColumn(
+                  "score",
+                  (F.col("ctf")
+                   * F.length(F.bin(F.expr(f"{n_cls} div cf"))))
+                  .cast("bigint")))
+    w = Window.partitionBy("cls").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("cls").alias(class_col),
+                    F.col("rank").cast("int").alias("rank"),
+                    "term", "ctf", "cf", "score"))

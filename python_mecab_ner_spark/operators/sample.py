@@ -617,3 +617,51 @@ def pareto_frontier(df: DataFrame, id_col: str, x_col: str, y_col: str,
         md5_int(F.col(id_col).cast("string"), salt="pf:"),
         F.lit(n_buckets)))
     return _prune(local, F.lit(0))
+
+
+def neyman_allocation(df: DataFrame, strata_col: str, value_col: str,
+                      budget: int = 1000) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a labeling
+    / eval budget, stratum h gets n_h ∝ N_h * sigma_h — big AND
+    internally-varied strata deserve more of the budget than big
+    uniform ones (proportional allocation over-samples homogeneous
+    strata; Neyman is the variance-minimizing split for estimating
+    the population mean).  The budget-planning complement of q55
+    (proportional), q143 (temperature) and q165 (epoch allocation).
+
+    Exact integer end-to-end: (N_h * sigma_h)^2 = N_h^2 * sigma_h^2
+    = N_h * sum(x^2) - sum(x)^2, so ONE isqrt of that integer gives
+    the exact floor of the Neyman weight N_h * sigma_h (the q143
+    isqrt ladder); seats then split largest-remainder (Hamilton
+    apportionment): base = budget*W_h div sum(W), the leftover
+    seats go to the largest (budget*W_h) mod sum(W), ties by
+    stratum asc — sum(alloc) == budget ALWAYS, proven by test.
+    int64 bound: N_h * sum(x^2) < 2^63 — pre-scale value units
+    (e.g. kilo-chars) for strata beyond ~1e5 rows of ~1e4-sized
+    values.
+
+    Scale shape: one combinable stratum aggregate, then
+    dimension-sized windows only.  Returns (stratum, n_docs,
+    w_scaled, alloc)."""
+    g = (df.groupBy(F.col(strata_col).alias("stratum"))
+         .agg(F.count("*").cast("bigint").alias("n_docs"),
+              F.sum(F.col(value_col).cast("bigint")).alias("s1"),
+              F.sum(F.col(value_col).cast("bigint")
+                    * F.col(value_col).cast("bigint")).alias("s2")))
+    g = g.withColumn(
+        "w", isqrt_col(F.col("n_docs") * F.col("s2")
+                       - F.col("s1") * F.col("s1")))
+    tot = g.agg(F.sum("w").alias("tw"))
+    a = (g.crossJoin(F.broadcast(tot))
+         .withColumn("base", F.expr(f"({budget} * w) div tw"))
+         .withColumn("rem", F.expr(f"({budget} * w) % tw")))
+    seats = a.agg((F.lit(budget) - F.sum("base")).alias("left"))
+    w_rk = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    return (a.crossJoin(F.broadcast(seats))
+            .withColumn("rk", F.row_number().over(w_rk))
+            .select("stratum",
+                    "n_docs",
+                    F.col("w").cast("bigint").alias("w_scaled"),
+                    (F.col("base")
+                     + (F.col("rk") <= F.col("left")).cast("int"))
+                    .cast("bigint").alias("alloc")))

@@ -713,3 +713,82 @@ def test_postings_gap_audit_matches_python_twin(spark):
     exp = {b: (t, p, g, p * 32, g * 1_000_000 // (p * 32))
            for b, (t, p, g) in agg.items()}
     assert got == exp
+
+
+# -------------------------------------------------- Neyman allocation
+
+def _py_neyman(rows, budget):
+    import math
+    groups = {}
+    for s, v in rows:
+        n, s1, s2 = groups.get(s, (0, 0, 0))
+        groups[s] = (n + 1, s1 + v, s2 + v * v)
+    w = {s: math.isqrt(n * s2 - s1 * s1)
+         for s, (n, s1, s2) in groups.items()}
+    tw = sum(w.values())
+    base = {s: budget * x // tw for s, x in w.items()}
+    rem = {s: budget * x % tw for s, x in w.items()}
+    left = budget - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    return {s: (groups[s][0], w[s],
+                base[s] + (1 if order.index(s) < left else 0))
+            for s in w}
+
+
+def test_neyman_matches_python_twin_and_sums_to_budget(spark):
+    from python_mecab_ner_spark.operators.sample import neyman_allocation
+    rng = random.Random(67)
+    # s0 large+uniform, s1 small+wild, s2 medium
+    rows = ([("s0", 100 + rng.randrange(3)) for _ in range(300)]
+            + [("s1", rng.randrange(1, 2000)) for _ in range(40)]
+            + [("s2", rng.randrange(50, 150)) for _ in range(120)])
+    df = spark.createDataFrame(rows, ["source", "v"])
+    got = {r["stratum"]: (r["n_docs"], r["w_scaled"], r["alloc"])
+           for r in neyman_allocation(df, "source", "v",
+                                      budget=997).collect()}
+    assert got == _py_neyman(rows, 997)
+    assert sum(v[2] for v in got.values()) == 997
+    # the wild small stratum must out-draw the uniform big one
+    # per capita
+    assert got["s1"][2] * got["s0"][0] > got["s0"][2] * got["s1"][0]
+
+
+# ----------------------------------------------------- c-TF-IDF terms
+
+def test_class_tfidf_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.retrieval import (
+        class_tfidf_terms)
+    rng = random.Random(71)
+    common = [f"c{i}" for i in range(6)]
+    docs = []
+    for i in range(90):
+        cls = f"k{i % 3}"
+        words = [rng.choice(common) for _ in range(8)] + [f"own{i % 3}"]
+        rng.shuffle(words)
+        docs.append((i, " ".join(words), cls))
+    df = spark.createDataFrame(docs, ["doc_id", "text", "cls"])
+    out = class_tfidf_terms(df, "text", "cls", k=3, bigrams=False)
+    got = {(r["cls"], r["rank"]): (r["term"], r["ctf"], r["cf"],
+                                   r["score"])
+           for r in out.collect()}
+    ctf, cls_of = Counter(), {}
+    for _, t, c in docs:
+        for w in t.split():
+            ctf[(c, w)] += 1
+    cf = Counter()
+    for c, w in ctf:
+        cf[w] += 1
+    ncls = 3
+    exp = {}
+    for c in {"k0", "k1", "k2"}:
+        scored = sorted(
+            ((w, ctf[(c, w)], cf[w],
+              ctf[(c, w)] * ((ncls // cf[w]).bit_length()))
+             for (cc, w) in ctf if cc == c),
+            key=lambda t: (-t[3], t[0]))
+        for rk, (w, tf_, cf_, sc) in enumerate(scored[:3], 1):
+            exp[(c, rk)] = (w, tf_, cf_, sc)
+    assert got == exp
+    # each class's own marker word must be its #1 distinctive term
+    for c in {"k0", "k1", "k2"}:
+        assert got[(c, 1)][0] == "own" + c[1]
