@@ -5491,6 +5491,57 @@ def _neyman_oracle_sql(budget: int = 1000) -> str:
         FROM r CROSS JOIN seats"""
 
 
+def q224_seasonal_outliers(spark, sf_dir):
+    """Seasonality-adjusted daily anomalies (operators.spans
+    .seasonal_outliers): per event type, days deviating > 18% from
+    their OWN weekday's mean count — the detector that survives
+    weekly rhythm (q85's global-mean burst rule alarms every Monday
+    on weekday-heavy streams; q189's CUSUM finds level shifts, not
+    single days).  Weekday = epoch_day % 7, zone-free integer (the
+    ntz discipline); deviation test cross-multiplied, no division;
+    worst day recovered from one packed argmax."""
+    from python_mecab_ner_spark.operators.spans import seasonal_outliers
+    ev = _load(spark, sf_dir, "events")
+    # dev_pct=18, not the operator's 50 default: the synthetic
+    # streams are near-Poisson (p90 deviation ~15%, max ~27%,
+    # measured), so 50 never fires and the packed-argmax branch
+    # would go untested; 18 flags the true tail days
+    return (seasonal_outliers(ev, "ts", "event_type", dev_pct=18)
+            .orderBy("event_type"))
+
+
+_SEASONAL_ORACLE_SQL = f"""
+    WITH d AS (SELECT event_type AS k,
+                      (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+               FROM events),
+    daily AS (SELECT k, day, CAST(count(*) AS BIGINT) AS cnt
+              FROM d GROUP BY 1, 2),
+    prof AS (SELECT k, day % 7 AS dow, sum(cnt) AS total,
+                    count(*) AS n_days
+             FROM daily GROUP BY 1, 2),
+    j AS (SELECT daily.k, daily.day, daily.cnt, prof.total,
+                 prof.n_days,
+                 abs(daily.cnt * prof.n_days - prof.total) AS dev
+          FROM daily JOIN prof ON prof.k = daily.k
+           AND prof.dow = daily.day % 7),
+    f AS (SELECT *, CASE WHEN dev * 100 > 18 * total
+                         THEN 1 ELSE 0 END AS is_out FROM j),
+    agg AS (SELECT k, count(DISTINCT day) AS n_days,
+                   sum(is_out) AS n_outlier_days,
+                   max(CASE WHEN is_out = 1 THEN
+                       dev * {1 << 42}
+                       + ({(1 << 21) - 1} - day) * {1 << 21}
+                       + cnt END) AS pk
+            FROM f GROUP BY 1)
+    SELECT k AS event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(n_outlier_days AS BIGINT) AS n_outlier_days,
+           CAST(coalesce({(1 << 21) - 1}
+                         - ((pk // {1 << 21}) % {1 << 21}), -1)
+                AS BIGINT) AS worst_day,
+           CAST(coalesce(pk % {1 << 21}, -1) AS BIGINT) AS worst_cnt
+    FROM agg"""
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -6681,6 +6732,42 @@ def _kg_dense_sym(spark, min_pairs: int = 2):
     return _KG_DENSE[key]
 
 
+def kg_community_labels(spark, sf_dir):
+    """Name the real KG communities (operators.retrieval
+    .class_tfidf_from_tokens, the q222 scoring on mention-context
+    tokens): for each LPA community on the co-mention graph, the
+    top-5 context words around its members' mentions by c-TF-IDF —
+    the label-generation step that turns an opaque community id
+    into "what this cluster is about".  Terms are the ±3-token
+    mention contexts (the build_stats window), class = the member
+    surface's community.  At this corpus's C ~ 13 communities the
+    bitlen-icf only softly suppresses Korean particles (cf=10 and
+    cf=13 both floor to icf=1), so top-5 lists mix one or two
+    function words with the genuinely community-specific content
+    terms (pagoda-site, cat-breed, sequoia, moon clusters at
+    sf0.001) — the honest small-C limit; production class counts
+    (hundreds of communities) separate cleanly.  Rows-only; the
+    scoring kernel is q222's oracle."""
+    from python_mecab_ner_spark.operators.retrieval import (
+        class_tfidf_from_tokens)
+    sym, lpa, _, dense = _kg_dense_sym(spark)
+    g = _kg_graph(spark)
+    ent = (dense.join(lpa.withColumnRenamed("node", "nid"), "nid")
+           .select(F.col("node").alias("surface"), "community"))
+    m = (g["mentions"].select("url", F.col("start").alias("midx"),
+                              "surface")
+         .join(F.broadcast(ent), "surface"))
+    ctx = g["context"].select("url", "idx", "word")
+    tok = (m.join(ctx, "url")
+           .where((F.abs(F.col("idx") - F.col("midx")) <= 3)
+                  & (F.col("idx") != F.col("midx")))
+           .select(F.col("community").alias("cls"),
+                   F.col("word").alias("term")))
+    return (class_tfidf_from_tokens(tok, k=5)
+            .withColumnRenamed("cls", "community")
+            .orderBy("community", "rank"))
+
+
 def kg_modularity(spark, sf_dir):
     """Modularity Q of the LPA partition on the REAL co-mention
     entity graph (operators.graph.modularity_ppm, the q154-certified
@@ -7382,6 +7469,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_postings_gaps": q221_postings_gaps,
         "q222_class_terms": q222_class_terms,
         "q223_neyman": q223_neyman,
+        "q224_seasonal_outliers": q224_seasonal_outliers,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -7412,6 +7500,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_outlink_hosts": kg_outlink_hosts,
         "kg_host_rank": kg_host_rank,
         "kg_host_trust": kg_host_trust,
+        "kg_community_labels": kg_community_labels,
         "kg_entity_communities": kg_entity_communities,
         "kg_anchor_profile": kg_anchor_profile,
         "kg_recrawl_merge": kg_recrawl_merge,
@@ -10687,6 +10776,7 @@ def oracle_sql() -> dict[str, str]:
         "q221_postings_gaps": _POSTINGS_GAP_ORACLE_SQL,
         "q222_class_terms": _CLASS_TERMS_ORACLE_SQL,
         "q223_neyman": _neyman_oracle_sql(),
+        "q224_seasonal_outliers": _SEASONAL_ORACLE_SQL,
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

@@ -584,6 +584,17 @@ def class_tfidf_terms(df: DataFrame, text_col: str, class_col: str,
         toks = F.concat(toks, big)
     tok = df.select(F.col(class_col).alias("cls"),
                     F.explode(toks).alias("term"))
+    return (class_tfidf_from_tokens(tok, k=k)
+            .withColumnRenamed("cls", class_col))
+
+
+def class_tfidf_from_tokens(tok: DataFrame, k: int = 5) -> DataFrame:
+    """Token-level core of class_tfidf_terms: input is an already-
+    built (cls, term) occurrence table — the seam that lets the
+    same scoring run on mention-context tokens (kg_community_labels)
+    or any custom term universe.  Same contract: top-k per class by
+    ctf * bitlen(C div cf), ties term asc."""
+    from pyspark.sql import Window
     ctf = tok.groupBy("cls", "term").agg(
         F.count("*").cast("bigint").alias("ctf"))
     cf = (ctf.groupBy("term")
@@ -599,6 +610,5 @@ def class_tfidf_terms(df: DataFrame, text_col: str, class_col: str,
         F.col("score").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select(F.col("cls").alias(class_col),
-                    F.col("rank").cast("int").alias("rank"),
+            .select("cls", F.col("rank").cast("int").alias("rank"),
                     "term", "ctf", "cf", "score"))

@@ -431,3 +431,66 @@ def interval_join(left: DataFrame, right: DataFrame,
                    & (F.col("_bk")
                       == F.expr(f"greatest({ls}, {rs}) div {bucket}")))
             .drop("_bk"))
+
+
+def seasonal_outliers(events: DataFrame, ts_col: str, key_col: str,
+                      dev_pct: int = 50) -> DataFrame:
+    """Seasonality-adjusted daily-volume anomalies: per key, build
+    the day-of-week profile (mean daily count per weekday) and flag
+    days deviating more than dev_pct% from THEIR OWN weekday's mean
+    — the detector that survives weekly rhythm, where q85's
+    global-mean burst rule alarms every Monday on a weekday-heavy
+    stream and q189's CUSUM finds level shifts, not single days.
+
+    Weekday = epoch_day % 7 (zone-free integer arithmetic on
+    unix_date, the q178/q179 ntz discipline — NEVER dayofweek(),
+    whose week origin differs across engines).  Deviation test in
+    cross-multiplied integers: |cnt * n_days - total| * 100 >
+    dev_pct * total, all per (key, weekday) — no division, no
+    floats, no ties ambiguity.
+
+    Scale shape: one (key, day) count, one (key, weekday) rollup
+    (<= 7 rows per key, broadcast back), one flag pass.  Returns
+    per key: (key, n_days, n_outlier_days, worst_day, worst_cnt)
+    with worst = largest |cnt*n - total| packed-argmax, ties
+    earliest day."""
+    d = events.select(F.col(key_col).alias("k"),
+                      F.unix_date(F.col(ts_col).cast("date"))
+                      .alias("day"))
+    daily = d.groupBy("k", "day").agg(
+        F.count("*").cast("bigint").alias("cnt"))
+    prof = (daily.withColumn("dow", F.pmod(F.col("day"), F.lit(7)))
+            .groupBy("k", "dow")
+            .agg(F.sum("cnt").alias("total"),
+                 F.count("*").cast("bigint").alias("n_days")))
+    j = (daily.withColumn("dow", F.pmod(F.col("day"), F.lit(7)))
+         .join(F.broadcast(prof), ["k", "dow"]))
+    dev = F.abs(F.col("cnt") * F.col("n_days") - F.col("total"))
+    # packed argmax (house pattern): (dev, earliest-day-wins, cnt)
+    # in one bigint — dev * 2^42 + (2^21-1-day) * 2^21 + cnt.
+    # int64 bound: dev < 2^20 (daily count * days-per-weekday), day
+    # and cnt < 2^21 — epoch days are ~1.5e4 and the profile totals
+    # are corpus-day-bounded; callers with >2^20 deviations rescale
+    m21 = 1 << 21
+    packed = (F.col("dev").cast("bigint") * F.lit(1 << 42)
+              + (F.lit(m21 - 1) - F.col("day")).cast("bigint")
+              * F.lit(m21)
+              + F.col("cnt"))
+    agg = (j.withColumn("dev", dev)
+           .withColumn("is_out",
+                       (F.col("dev") * 100
+                        > F.lit(dev_pct) * F.col("total"))
+                       .cast("int"))
+           .groupBy("k")
+           .agg(F.countDistinct("day").cast("bigint").alias("n_days"),
+                F.sum("is_out").cast("bigint")
+                .alias("n_outlier_days"),
+                F.max(F.when(F.col("is_out") == 1, packed))
+                .alias("_pk")))
+    return agg.select(
+        F.col("k").alias(key_col), "n_days", "n_outlier_days",
+        F.coalesce(F.lit(m21 - 1)
+                   - F.pmod(F.expr("_pk div %d" % m21), F.lit(m21)),
+                   F.lit(-1)).cast("bigint").alias("worst_day"),
+        F.coalesce(F.pmod(F.col("_pk"), F.lit(m21)),
+                   F.lit(-1)).cast("bigint").alias("worst_cnt"))

@@ -792,3 +792,47 @@ def test_class_tfidf_matches_python_twin(spark):
     # each class's own marker word must be its #1 distinctive term
     for c in {"k0", "k1", "k2"}:
         assert got[(c, 1)][0] == "own" + c[1]
+
+
+# ------------------------------------------------- seasonal outliers
+
+def test_seasonal_outliers_matches_python_twin(spark):
+    import datetime
+
+    from python_mecab_ner_spark.operators.spans import seasonal_outliers
+    rng = random.Random(73)
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(28):
+        day = base + datetime.timedelta(days=d)
+        # weekday-shaped rate + two planted spikes
+        n = 40 if (17532 + d) % 7 < 5 else 12   # 2024-01-01 = day 19723
+        if d in (9, 20):
+            n *= 2
+        for i in range(n):
+            rows.append(("ev", day + datetime.timedelta(seconds=i)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = seasonal_outliers(df, "ts", "event_type", dev_pct=50).collect()
+    assert len(got) == 1
+    r = got[0]
+    daily = Counter()
+    for _, ts in rows:
+        daily[(ts.date() - datetime.date(1970, 1, 1)).days] += 1
+    prof = {}
+    for day, cnt in daily.items():
+        t, n = prof.get(day % 7, (0, 0))
+        prof[day % 7] = (t + cnt, n + 1)
+    outs = []
+    for day, cnt in daily.items():
+        t, n = prof[day % 7]
+        dev = abs(cnt * n - t)
+        if dev * 100 > 50 * t:
+            outs.append((dev, -day, cnt))
+    worst = max(outs)
+    assert (r["n_days"], r["n_outlier_days"]) == (28, len(outs))
+    assert (r["worst_day"], r["worst_cnt"]) == (-worst[1], worst[2])
+    # the two planted spike days are exactly the outliers
+    spike_days = {(datetime.date(2024, 1, 1)
+                   - datetime.date(1970, 1, 1)).days + d
+                  for d in (9, 20)}
+    assert {-d for _, d, _ in outs} == spike_days
