@@ -78,6 +78,12 @@ def main() -> int:
                    "acc_ppm": r[0]["acc_ppm"]})
     run("kg_entity_communities", e.kg_entity_communities,
         lambda r: {"n_rows": len(r)})
+    run("kg_host_trust", e.kg_host_trust,
+        lambda r: {"n_hosts": len(r),
+                   "max_spam_ppm": max(x["spam_ppm"] for x in r)})
+    run("kg_community_labels", e.kg_community_labels,
+        lambda r: {"n_rows": len(r),
+                   "n_communities": len({x["community"] for x in r})})
 
     # support-threshold sweep: at a FIXED vocabulary a constant
     # min_pairs saturates the co-mention graph as docs grow (the
