@@ -5268,9 +5268,10 @@ def _katz_oracle_sql(iters: int = 3, scale: int = 1_000_000,
 
 def q219_weak_vote(spark, sf_dir):
     """Weak-supervision label fusion (operators.classify
-    .weak_vote_fusion): five real heuristic gates — length >= 200,
-    >= 30 words, digit share <= 10%, no blocklist phrase, >= 50%
-    distinct words — majority-vote, earn agreement-ppm reliability
+    .weak_vote_fusion): five real heuristic gates — length >= 300,
+    >= 56 words, >= 5.5 chars/word, no blocklist phrase, >= 46%
+    distinct words (all at the corpus medians, see the threshold
+    note below) — majority-vote, earn chance-centered reliability
     weights, and re-vote weighted; `flipped` marks docs where the
     weighted vote overrules the raw majority.  The data-programming
     rung between q56's single gate and q125's trained gate (whose
@@ -6738,8 +6739,9 @@ def kg_community_labels(spark, sf_dir):
     tokens): for each LPA community on the co-mention graph, the
     top-5 context words around its members' mentions by c-TF-IDF —
     the label-generation step that turns an opaque community id
-    into "what this cluster is about".  Terms are the ±3-token
-    mention contexts (the build_stats window), class = the member
+    into "what this cluster is about".  Terms are the 3 tokens
+    either side of each mention SPAN, the span body itself excluded
+    (the build_stats window discipline), class = the member
     surface's community.  At this corpus's C ~ 13 communities the
     bitlen-icf only softly suppresses Korean particles (cf=10 and
     cf=13 both floor to icf=1), so top-5 lists mix one or two
@@ -6754,13 +6756,19 @@ def kg_community_labels(spark, sf_dir):
     g = _kg_graph(spark)
     ent = (dense.join(lpa.withColumnRenamed("node", "nid"), "nid")
            .select(F.col("node").alias("surface"), "community"))
-    m = (g["mentions"].select("url", F.col("start").alias("midx"),
-                              "surface")
+    m = (g["mentions"].select("url", F.col("start").alias("ms"),
+                              F.col("end").alias("me"), "surface")
          .join(F.broadcast(ent), "surface"))
     ctx = g["context"].select("url", "idx", "word")
+    # window = 3 tokens either side of the SPAN, excluding the whole
+    # [start, end) mention body — excluding only the first token let
+    # multi-token mentions label their own community with their own
+    # surface words (review finding)
     tok = (m.join(ctx, "url")
-           .where((F.abs(F.col("idx") - F.col("midx")) <= 3)
-                  & (F.col("idx") != F.col("midx")))
+           .where((F.col("idx") >= F.col("ms") - 3)
+                  & (F.col("idx") < F.col("me") + 3)
+                  & ((F.col("idx") < F.col("ms"))
+                     | (F.col("idx") >= F.col("me"))))
            .select(F.col("community").alias("cls"),
                    F.col("word").alias("term")))
     return (class_tfidf_from_tokens(tok, k=5)

@@ -96,7 +96,8 @@ def reshard_audit(df: DataFrame, key_col, n_from: int = 16,
 
     Returns (method, n_keys, moved, moved_ppm)."""
     from ..functions.hashing import md5_int
-    assert n_to <= 64 and n_from <= 64, "packed shard id is 6 bits"
+    assert 2 <= n_from <= 64 and 2 <= n_to <= 64, \
+        "2..64 shards (packed id is 6 bits; greatest() needs >= 2)"
     key = key_col if hasattr(key_col, "cast") else F.col(key_col)
     h = md5_int(key, bits_hex=12, salt=salt)
 

@@ -494,6 +494,22 @@ def textrank_keywords(docs: DataFrame, text_col: str, id_col: str,
     return res
 
 
+
+def word_bigrams(toks):
+    """Null-padded zip_with word-bigram array over an already-
+    FILTERED token array column — the shared widening idiom of
+    postings_gap_audit and class_tfidf_terms (classify's
+    _feature_array builds the same shape over its own unfiltered
+    split; its hash-salted oracle twins pin it separately, so it
+    stays independent by design)."""
+    n = F.size(toks)
+    lead = F.greatest(n - 1, F.lit(1))
+    return F.filter(
+        F.zip_with(F.slice(toks, 1, lead), F.slice(toks, 2, lead),
+                   lambda a, b: F.concat(a, F.lit("_"), b)),
+        lambda x: x.isNotNull())
+
+
 def postings_gap_audit(df: DataFrame, text_col: str,
                        id_col: str, bigrams: bool = False) -> DataFrame:
     """Delta-gap compression audit of the inverted index: postings
@@ -519,13 +535,7 @@ def postings_gap_audit(df: DataFrame, text_col: str,
     if bigrams:
         # widen the term universe (and the df spectrum) with word
         # bigrams — the q125 feature construction, unhashed
-        n = F.size(toks)
-        lead = F.greatest(n - 1, F.lit(1))
-        big = F.filter(
-            F.zip_with(F.slice(toks, 1, lead), F.slice(toks, 2, lead),
-                       lambda a, b: F.concat(a, F.lit("_"), b)),
-            lambda x: x.isNotNull())
-        toks = F.concat(toks, big)
+        toks = F.concat(toks, word_bigrams(toks))
     post = (df.select(F.col(id_col).alias("doc"),
                       F.explode(toks).alias("word"))
             .distinct())
@@ -571,17 +581,10 @@ def class_tfidf_terms(df: DataFrame, text_col: str, class_col: str,
     ((class, term) counts; term->class df), one top-k window
     partitioned by class (k rows survive per class).  Returns
     (class, rank, term, ctf, cf, score)."""
-    from pyspark.sql import Window
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda s: s != F.lit(""))
     if bigrams:
-        n = F.size(toks)
-        lead = F.greatest(n - 1, F.lit(1))
-        big = F.filter(
-            F.zip_with(F.slice(toks, 1, lead), F.slice(toks, 2, lead),
-                       lambda a, b: F.concat(a, F.lit("_"), b)),
-            lambda x: x.isNotNull())
-        toks = F.concat(toks, big)
+        toks = F.concat(toks, word_bigrams(toks))
     tok = df.select(F.col(class_col).alias("cls"),
                     F.explode(toks).alias("term"))
     return (class_tfidf_from_tokens(tok, k=k)
@@ -599,13 +602,19 @@ def class_tfidf_from_tokens(tok: DataFrame, k: int = 5) -> DataFrame:
         F.count("*").cast("bigint").alias("ctf"))
     cf = (ctf.groupBy("term")
           .agg(F.count("*").cast("bigint").alias("cf")))
-    n_cls = tok.select("cls").distinct().count()
+    # class count derived LAZILY from the already-aggregated ctf
+    # table (exchange-identical subtree -> ReusedExchange dedups the
+    # scan); an eager .count() here executed the whole upstream
+    # token pipeline twice (review finding)
+    ncls = ctf.agg(F.countDistinct("cls").alias("_ncls"))
     scored = (ctf.join(F.broadcast(cf), "term")
+              .crossJoin(F.broadcast(ncls))
               .withColumn(
                   "score",
                   (F.col("ctf")
-                   * F.length(F.bin(F.expr(f"{n_cls} div cf"))))
-                  .cast("bigint")))
+                   * F.length(F.bin(F.expr("_ncls div cf"))))
+                  .cast("bigint"))
+              .drop("_ncls"))
     w = Window.partitionBy("cls").orderBy(
         F.col("score").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
