@@ -5543,6 +5543,84 @@ _SEASONAL_ORACLE_SQL = f"""
     FROM agg"""
 
 
+def q225_robustness(spark, sf_dir):
+    """Targeted hub-attack robustness curve (operators.graph
+    .robustness_curve) on the qty<=5 co-purchase graph — the graph
+    sits just past its percolation threshold there (giant component
+    215 of 301 nodes at sf0.01; qty<=2 is subcritical and already
+    shattered, certifying nothing — measured both): remove
+    the top 0/10/20/40% highest-degree parts, largest surviving
+    component + edge/component counts per level — how fast the
+    graph SHATTERS when exactly the central nodes go (the
+    infrastructure-audit complement of the rank family).  Star-CC
+    per level; the oracle re-derives every level's components from
+    a recursive-CTE closure, so removal rank, anti-joins, singleton
+    accounting, and all four CC runs are hash-certified."""
+    from python_mecab_ner_spark.operators.graph import robustness_curve
+    pairs = _copurchase_pairs(spark, sf_dir, max_qty=5)
+    return robustness_curve(pairs).orderBy("pct_removed")
+
+
+def _robustness_oracle_sql(pcts=(0, 10, 20, 40)) -> str:
+    """Generated DuckDB twin of q225: shared degree rank, then one
+    recursive-closure CC chain per removal level."""
+    s = """
+        WITH RECURSIVE li AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            WHERE l1.l_quantity <= 5 AND l2.l_quantity <= 5),
+        e AS MATERIALIZED (SELECT a, b FROM li WHERE a <> b),
+        sym AS (SELECT a AS s, b AS d FROM e
+                UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT s AS node, count(*) AS deg
+                FROM sym GROUP BY 1),
+        rk AS MATERIALIZED (
+            SELECT node, row_number() OVER (ORDER BY deg DESC,
+                                            node ASC) AS rk
+            FROM deg),
+        nn AS (SELECT count(*) AS n FROM rk)"""
+    sels = []
+    for p in pcts:
+        s += f""",
+        rem{p} AS (SELECT node FROM rk CROSS JOIN nn
+                   WHERE rk <= (nn.n * {p}) // 100),
+        ke{p} AS MATERIALIZED (
+            SELECT a, b FROM e
+            WHERE a NOT IN (SELECT node FROM rem{p})
+              AND b NOT IN (SELECT node FROM rem{p})),
+        se{p} AS (SELECT a AS s, b AS d FROM ke{p}
+                  UNION ALL SELECT b, a FROM ke{p}),
+        reach{p}(s, d) AS (
+            SELECT s, d FROM se{p}
+            UNION
+            SELECT r.s, x.d FROM reach{p} r
+            JOIN se{p} x ON x.s = r.d),
+        comp{p} AS (SELECT s AS node, least(s, min(d)) AS comp
+                    FROM reach{p} GROUP BY s),
+        sz{p} AS (SELECT comp, count(*) AS sz
+                  FROM comp{p} GROUP BY 1),
+        st{p} AS (SELECT coalesce(max(sz), 0) AS mx,
+                         count(*) AS ncc,
+                         coalesce(sum(sz), 0) AS in_cc
+                  FROM sz{p}),
+        ne{p} AS (SELECT count(*) AS ne FROM ke{p}),
+        kk{p} AS (SELECT (nn.n * {p}) // 100 AS k, nn.n AS n
+                  FROM nn)"""
+        sels.append(f"""
+        SELECT CAST({p} AS INT) AS pct_removed,
+               CAST(k AS BIGINT) AS n_removed,
+               CAST(n - k AS BIGINT) AS n_nodes_left,
+               CAST(ne AS BIGINT) AS n_edges_left,
+               CAST(greatest(mx, CASE WHEN n - k > in_cc
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS largest_cc,
+               CAST(ncc + (n - k) - in_cc AS BIGINT) AS n_components
+        FROM st{p} CROSS JOIN ne{p} CROSS JOIN kk{p}""")
+    return s + "\n        UNION ALL".join(sels)
+
+
 def q189_cusum(spark, sf_dir):
     """Single change-point per event type (operators.spans
     .cusum_changepoint): the integer CUSUM statistic
@@ -7478,6 +7556,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_class_terms": q222_class_terms,
         "q223_neyman": q223_neyman,
         "q224_seasonal_outliers": q224_seasonal_outliers,
+        "q225_robustness": q225_robustness,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10785,6 +10864,7 @@ def oracle_sql() -> dict[str, str]:
         "q222_class_terms": _CLASS_TERMS_ORACLE_SQL,
         "q223_neyman": _neyman_oracle_sql(),
         "q224_seasonal_outliers": _SEASONAL_ORACLE_SQL,
+        "q225_robustness": _robustness_oracle_sql(),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

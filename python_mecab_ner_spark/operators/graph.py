@@ -2693,3 +2693,76 @@ def katz_int(edges: DataFrame, iters: int = 3,
                       + F.expr(f"coalesce(m, 0) div {atten_den}"))
                      .cast("bigint").alias("k")))
     return k
+
+
+def robustness_curve(pairs: DataFrame,
+                     removal_pcts: tuple = (0, 10, 20, 40),
+                     a: str = "a", b: str = "b",
+                     max_rounds: int = 20) -> DataFrame:
+    """Targeted-attack robustness curve (Albert, Jeong & Barabasi
+    2000): remove the top pct% highest-degree nodes and measure what
+    survives — largest component, edge count, component count — per
+    removal level.  The infrastructure-audit complement of the
+    centrality family: q40/q218 say who MATTERS, this says how fast
+    the graph SHATTERS when exactly those nodes go (scale-free
+    graphs survive random failure but crumble under hub attack; a
+    flat curve here means the crawl/KG connectivity has no
+    single-host dependency).
+
+    Input is a canonical undirected pair list (a < b).  Removal
+    rank = (degree desc, node asc) over the NODE DIMENSION (one
+    dimension-sized window, the LPA dense-relabel precedent — never
+    a corpus-sized sort); per level, surviving edges anti-join the
+    removed set on both endpoints and components come from
+    connected_components_star (O(log n) rounds, budget-raising).
+    Nodes whose every neighbor was removed survive as singleton
+    components and are counted as such.
+
+    Scale shape: len(removal_pcts) independent CC runs over
+    shrinking edge sets; each is star-CC's alternation loop with
+    per-round localCheckpoints.  Returns one row per level:
+    (pct_removed, n_removed, n_nodes_left, n_edges_left,
+    largest_cc, n_components)."""
+    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")) \
+        .where(F.col(a) != F.col(b)).distinct().localCheckpoint()
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg"))
+    rk = (deg.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("deg").desc(), F.col("node").asc())))
+        .localCheckpoint())
+    n = rk.count()
+    out = None
+    for pct in removal_pcts:
+        k = (n * pct) // 100
+        removed = rk.where(F.col("rk") <= k).select("node")
+        kept = (e.join(removed.withColumnRenamed("node", "a"),
+                       "a", "left_anti")
+                .join(removed.withColumnRenamed("node", "b"),
+                      "b", "left_anti"))
+        cc = connected_components_star(
+            kept.select(F.col("a").alias("src"),
+                        F.col("b").alias("dst")),
+            max_rounds=max_rounds)
+        sizes = cc.groupBy("comp").agg(F.count("*").alias("sz"))
+        stats = (sizes.agg(
+            F.coalesce(F.max("sz"), F.lit(0)).alias("mx"),
+            F.count("*").alias("ncc"),
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("in_cc"))
+            .crossJoin(kept.agg(F.count("*").alias("ne"))))
+        row = stats.select(
+            F.lit(pct).cast("int").alias("pct_removed"),
+            F.lit(k).cast("bigint").alias("n_removed"),
+            F.lit(n - k).cast("bigint").alias("n_nodes_left"),
+            F.col("ne").cast("bigint").alias("n_edges_left"),
+            # all-neighbors-removed survivors are singleton comps
+            F.greatest(F.col("mx"),
+                       F.when(F.lit(n - k) > F.col("in_cc"),
+                              F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint").alias("largest_cc"),
+            (F.col("ncc") + F.lit(n - k) - F.col("in_cc"))
+            .cast("bigint").alias("n_components"))
+        out = row if out is None else out.unionByName(row)
+    return out

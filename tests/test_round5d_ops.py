@@ -836,3 +836,72 @@ def test_seasonal_outliers_matches_python_twin(spark):
                    - datetime.date(1970, 1, 1)).days + d
                   for d in (9, 20)}
     assert {-d for _, d, _ in outs} == spike_days
+
+
+# ------------------------------------------------- robustness curve
+
+def _py_robustness(pairs, pcts):
+    pairs = sorted({(a, b) for a, b in pairs if a != b})
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    rank = sorted(nodes, key=lambda v: (-deg[v], v))
+    n = len(nodes)
+    out = []
+    for p in pcts:
+        k = (n * p) // 100
+        rem = set(rank[:k])
+        kept = [(a, b) for a, b in pairs
+                if a not in rem and b not in rem]
+        adj = {}
+        for a, b in kept:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        seen, comps = set(), []
+        for v in adj:
+            if v in seen:
+                continue
+            stack, size = [v], 0
+            seen.add(v)
+            while stack:
+                x = stack.pop()
+                size += 1
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        stack.append(y)
+            comps.append(size)
+        in_cc = sum(comps)
+        singles = (n - k) - in_cc
+        largest = max(comps + ([1] if singles else [0]))
+        out.append((p, k, n - k, len(kept), largest,
+                    len(comps) + singles))
+    return out
+
+
+def test_robustness_curve_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.graph import robustness_curve
+    rng = random.Random(79)
+    pairs = {tuple(sorted((rng.randrange(60), rng.randrange(60))))
+             for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    got = [tuple(r) for r in
+           robustness_curve(df, removal_pcts=(0, 15, 30)).collect()]
+    assert sorted(got) == sorted(_py_robustness(pairs, (0, 15, 30)))
+
+
+def test_robustness_hub_star_shatters(spark):
+    # a 30-leaf star: removing ~4% of nodes (= the hub) drops the
+    # largest component from 31 to 1 — the scale-free attack story
+    from python_mecab_ner_spark.operators.graph import robustness_curve
+    pairs = [(0, i) for i in range(1, 31)]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    rows = {r["pct_removed"]: r for r in
+            robustness_curve(df, removal_pcts=(0, 4)).collect()}
+    assert rows[0]["largest_cc"] == 31
+    assert rows[4]["n_removed"] == 1
+    assert rows[4]["largest_cc"] == 1
+    assert rows[4]["n_components"] == 30
