@@ -1,5 +1,9 @@
-"""Round-5 closeout additions: TextRank keywords, Z-order layout
-audit, bottom-k quantile sketch, TrustRank spam mass.
+"""Round-5 post-closeout additions (q209-q225): TextRank, Z-order
+layout audit, bottom-k quantile sketch, TrustRank spam mass,
+Rand/ARI, LOO source valuation, CDC chunking, KMV overlap, node2vec
+walks, Katz, weak-vote fusion, resharding audit, postings gaps,
+Neyman allocation, c-TF-IDF class terms, seasonal outliers,
+hub-attack robustness.
 
 Discipline as in test_round5_ops.py: every test recomputes the
 expected answer with plain Python on small hand-built or randomized
