@@ -5543,6 +5543,24 @@ _SEASONAL_ORACLE_SQL = f"""
     FROM agg"""
 
 
+def q226_attack_vs_failure(spark, sf_dir):
+    """Targeted attack vs random failure (the Albert-Jeong-Barabasi
+    2000 contrast) on the q225 graph: the same robustness curve
+    computed twice — degree-ranked removal vs md5-ranked removal —
+    in one table.  A heavy-tailed graph shrugs off random failure
+    at levels where the hub attack has already shattered it; both
+    rank orders, all anti-joins, and all eight star-CC runs are
+    hash-certified by the per-method generated oracle."""
+    from python_mecab_ner_spark.operators.graph import robustness_curve
+    pairs = _copurchase_pairs(spark, sf_dir, max_qty=5)
+    out = None
+    for m in ("degree", "random"):
+        r = (robustness_curve(pairs, rank_by=m)
+             .select(F.lit(m).alias("method"), "*"))
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("method", "pct_removed")
+
+
 def q225_robustness(spark, sf_dir):
     """Targeted hub-attack robustness curve (operators.graph
     .robustness_curve) on the qty<=5 co-purchase graph — the graph
@@ -5561,9 +5579,14 @@ def q225_robustness(spark, sf_dir):
     return robustness_curve(pairs).orderBy("pct_removed")
 
 
-def _robustness_oracle_sql(pcts=(0, 10, 20, 40)) -> str:
-    """Generated DuckDB twin of q225: shared degree rank, then one
-    recursive-closure CC chain per removal level."""
+RANDOM_RANK_SQL = md5_int_sql("CAST(node AS VARCHAR)", salt="rrm:")
+
+
+def _robustness_oracle_sql(pcts=(0, 10, 20, 40),
+                           methods=None) -> str:
+    """Generated DuckDB twin of q225 (methods=None: degree rank
+    only, no method column) and q226 (methods=("degree","random"):
+    one rank CTE + closure chain per method, method column out)."""
     s = """
         WITH RECURSIVE li AS (
             SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
@@ -5576,40 +5599,51 @@ def _robustness_oracle_sql(pcts=(0, 10, 20, 40)) -> str:
                 UNION ALL SELECT b, a FROM e),
         deg AS (SELECT s AS node, count(*) AS deg
                 FROM sym GROUP BY 1),
-        rk AS MATERIALIZED (
-            SELECT node, row_number() OVER (ORDER BY deg DESC,
-                                            node ASC) AS rk
-            FROM deg),
-        nn AS (SELECT count(*) AS n FROM rk)"""
+        nn AS (SELECT count(*) AS n FROM deg)"""
+    orders = {
+        "degree": "deg DESC, node ASC",
+        "random": RANDOM_RANK_SQL + ", node ASC",
+    }
+    mtags = [("", "degree")] if methods is None else [
+        (m, m) for m in methods]
     sels = []
-    for p in pcts:
+    for tag, m in mtags:
         s += f""",
-        rem{p} AS (SELECT node FROM rk CROSS JOIN nn
+        rk{tag} AS MATERIALIZED (
+            SELECT node, row_number() OVER (ORDER BY {orders[m]})
+                AS rk
+            FROM deg)"""
+        for p in pcts:
+            t = f"{tag}{p}"
+            s += f""",
+        rem{t} AS (SELECT node FROM rk{tag} CROSS JOIN nn
                    WHERE rk <= (nn.n * {p}) // 100),
-        ke{p} AS MATERIALIZED (
+        ke{t} AS MATERIALIZED (
             SELECT a, b FROM e
-            WHERE a NOT IN (SELECT node FROM rem{p})
-              AND b NOT IN (SELECT node FROM rem{p})),
-        se{p} AS (SELECT a AS s, b AS d FROM ke{p}
-                  UNION ALL SELECT b, a FROM ke{p}),
-        reach{p}(s, d) AS (
-            SELECT s, d FROM se{p}
+            WHERE a NOT IN (SELECT node FROM rem{t})
+              AND b NOT IN (SELECT node FROM rem{t})),
+        se{t} AS (SELECT a AS s, b AS d FROM ke{t}
+                  UNION ALL SELECT b, a FROM ke{t}),
+        reach{t}(s, d) AS (
+            SELECT s, d FROM se{t}
             UNION
-            SELECT r.s, x.d FROM reach{p} r
-            JOIN se{p} x ON x.s = r.d),
-        comp{p} AS (SELECT s AS node, least(s, min(d)) AS comp
-                    FROM reach{p} GROUP BY s),
-        sz{p} AS (SELECT comp, count(*) AS sz
-                  FROM comp{p} GROUP BY 1),
-        st{p} AS (SELECT coalesce(max(sz), 0) AS mx,
+            SELECT r.s, x.d FROM reach{t} r
+            JOIN se{t} x ON x.s = r.d),
+        comp{t} AS (SELECT s AS node, least(s, min(d)) AS comp
+                    FROM reach{t} GROUP BY s),
+        sz{t} AS (SELECT comp, count(*) AS sz
+                  FROM comp{t} GROUP BY 1),
+        st{t} AS (SELECT coalesce(max(sz), 0) AS mx,
                          count(*) AS ncc,
                          coalesce(sum(sz), 0) AS in_cc
-                  FROM sz{p}),
-        ne{p} AS (SELECT count(*) AS ne FROM ke{p}),
-        kk{p} AS (SELECT (nn.n * {p}) // 100 AS k, nn.n AS n
+                  FROM sz{t}),
+        ne{t} AS (SELECT count(*) AS ne FROM ke{t}),
+        kk{t} AS (SELECT (nn.n * {p}) // 100 AS k, nn.n AS n
                   FROM nn)"""
-        sels.append(f"""
-        SELECT CAST({p} AS INT) AS pct_removed,
+            mcol = "" if methods is None else \
+                f"'{m}' AS method,\n               "
+            sels.append(f"""
+        SELECT {mcol}CAST({p} AS INT) AS pct_removed,
                CAST(k AS BIGINT) AS n_removed,
                CAST(n - k AS BIGINT) AS n_nodes_left,
                CAST(ne AS BIGINT) AS n_edges_left,
@@ -5617,7 +5651,7 @@ def _robustness_oracle_sql(pcts=(0, 10, 20, 40)) -> str:
                                  THEN 1 ELSE 0 END) AS BIGINT)
                    AS largest_cc,
                CAST(ncc + (n - k) - in_cc AS BIGINT) AS n_components
-        FROM st{p} CROSS JOIN ne{p} CROSS JOIN kk{p}""")
+        FROM st{t} CROSS JOIN ne{t} CROSS JOIN kk{t}""")
     return s + "\n        UNION ALL".join(sels)
 
 
@@ -7557,6 +7591,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_neyman": q223_neyman,
         "q224_seasonal_outliers": q224_seasonal_outliers,
         "q225_robustness": q225_robustness,
+        "q226_attack_vs_failure": q226_attack_vs_failure,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10865,6 +10900,8 @@ def oracle_sql() -> dict[str, str]:
         "q223_neyman": _neyman_oracle_sql(),
         "q224_seasonal_outliers": _SEASONAL_ORACLE_SQL,
         "q225_robustness": _robustness_oracle_sql(),
+        "q226_attack_vs_failure": _robustness_oracle_sql(
+            methods=("degree", "random")),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

@@ -2698,7 +2698,9 @@ def katz_int(edges: DataFrame, iters: int = 3,
 def robustness_curve(pairs: DataFrame,
                      removal_pcts: tuple = (0, 10, 20, 40),
                      a: str = "a", b: str = "b",
-                     max_rounds: int = 20) -> DataFrame:
+                     max_rounds: int = 20,
+                     rank_by: str = "degree",
+                     salt: str = "rrm:") -> DataFrame:
     """Targeted-attack robustness curve (Albert, Jeong & Barabasi
     2000): remove the top pct% highest-degree nodes and measure what
     survives — largest component, edge count, component count — per
@@ -2709,7 +2711,12 @@ def robustness_curve(pairs: DataFrame,
     flat curve here means the crawl/KG connectivity has no
     single-host dependency).
 
-    Input is a canonical undirected pair list (a < b).  Removal
+    Input is a canonical undirected pair list (a < b).
+    rank_by="degree" is the targeted attack; rank_by="random"
+    removes md5-ranked nodes instead — the Albert-Barabasi CONTRAST:
+    a heavy-tailed graph shrugs off random failure at removal
+    levels where the hub attack has already shattered it (q226
+    runs both on one graph).  Removal
     rank = (degree desc, node asc) over the NODE DIMENSION (one
     dimension-sized window, the LPA dense-relabel precedent — never
     a corpus-sized sort); per level, surviving edges anti-join the
@@ -2729,9 +2736,15 @@ def robustness_curve(pairs: DataFrame,
                                  F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("node")).agg(
         F.count("*").alias("deg"))
+    if rank_by == "degree":
+        order = [F.col("deg").desc(), F.col("node").asc()]
+    elif rank_by == "random":
+        order = [md5_int(F.col("node").cast("string"), salt=salt),
+                 F.col("node").asc()]
+    else:
+        raise ValueError(f"rank_by must be degree|random: {rank_by}")
     rk = (deg.withColumn(
-        "rk", F.row_number().over(
-            Window.orderBy(F.col("deg").desc(), F.col("node").asc())))
+        "rk", F.row_number().over(Window.orderBy(*order)))
         .localCheckpoint())
     n = rk.count()
     out = None

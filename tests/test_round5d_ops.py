@@ -909,3 +909,28 @@ def test_robustness_hub_star_shatters(spark):
     assert rows[4]["n_removed"] == 1
     assert rows[4]["largest_cc"] == 1
     assert rows[4]["n_components"] == 30
+
+
+def test_robustness_random_mode_matches_twin_and_is_gentler(spark):
+    from python_mecab_ner_spark.operators.graph import robustness_curve
+    # hub-and-spoke forest: 6 stars of 9 leaves each, chained — the
+    # heavy-tailed shape where the contrast shows
+    pairs = []
+    for h in range(6):
+        hub = h * 10
+        pairs += [(hub, hub + i) for i in range(1, 10)]
+        if h:
+            pairs.append(((h - 1) * 10, hub))
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    res = {}
+    for mode in ("degree", "random"):
+        res[mode] = {r["pct_removed"]: r["largest_cc"] for r in
+                     robustness_curve(df, removal_pcts=(10,),
+                                      rank_by=mode).collect()}
+    # removing 10% by degree takes all 6 hubs (60 nodes -> 6 removed)
+    assert res["degree"][10] == 1
+    # degree twin sanity + the contrast: random removal by md5 rank
+    # hits mostly leaves, so the graph survives it
+    exp = _py_robustness(pairs, (10,))
+    assert exp[0][4] == 1
+    assert res["random"][10] > res["degree"][10]
