@@ -5561,6 +5561,79 @@ def q226_attack_vs_failure(spark, sf_dir):
     return out.orderBy("method", "pct_removed")
 
 
+def q227_lsh_plan(spark, sf_dir):
+    """LSH parameter planner (operators.dedup.lsh_plan_audit): for
+    every (bands, rows) split of the 16-hash budget, the expected
+    candidate probability 1-(1-s^r)^b averaged over the REAL q16
+    Jaccard pair distribution — overall, over near-dups (s >= 0.7),
+    and over junk (s < 0.3) — all fixed-point-integer so the sheet
+    is hash-exact.  The design rationale behind q17/q21's (4,4)
+    banding, computed instead of asserted: OR-heavy bands drag junk
+    into verification, AND-heavy rows drop true near-dups."""
+    from python_mecab_ner_spark.operators.dedup import (jaccard_pairs,
+                                                        lsh_plan_audit)
+    d = _loadp(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "text", "doc_id", k=3, min_shared=2,
+                          max_df=MAX_SH_DF)
+    out = lsh_plan_audit(pairs)
+    res = out.orderBy("bands")
+    res.unpersist_input = pairs.unpersist_input
+    return res
+
+
+def _lsh_plan_oracle_sql(shingle_cte: str, max_df: int) -> str:
+    """DuckDB twin of q227: the q16 pair CTEs + the shared
+    fixed-point collision expressions + one aggregate + a UNION-ALL
+    row per config."""
+    from python_mecab_ner_spark.operators.dedup import (
+        LSH_PLAN_CONFIGS, lsh_collision_ppm_expr)
+    aggs = ["count(*) AS n",
+            "sum(CASE WHEN sim >= 700000 THEN 1 ELSE 0 END) AS nh",
+            "sum(CASE WHEN sim < 300000 THEN 1 ELSE 0 END) AS nl"]
+    sels = []
+    for i, (b, r) in enumerate(LSH_PLAN_CONFIGS):
+        p = lsh_collision_ppm_expr("sim", b, r, "//")
+        aggs += [
+            f"sum({p}) AS s{i}",
+            f"sum(CASE WHEN sim >= 700000 THEN {p} ELSE 0 END)"
+            f" AS sh{i}",
+            f"sum(CASE WHEN sim < 300000 THEN {p} ELSE 0 END)"
+            f" AS sl{i}"]
+        sels.append(f"""
+            SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CAST(nh AS BIGINT) AS n_hi,
+                   CAST(nl AS BIGINT) AS n_lo,
+                   CAST(s{i} // greatest(n, 1) AS BIGINT)
+                       AS exp_recall_ppm,
+                   CAST(sh{i} // greatest(nh, 1) AS BIGINT)
+                       AS hi_recall_ppm,
+                   CAST(sl{i} // greatest(nl, 1) AS BIGINT)
+                       AS lo_catch_ppm
+            FROM one""")
+    return shingle_cte + f"""
+        , keep AS (SELECT shingle FROM sh
+                   GROUP BY shingle HAVING count(*) <= {max_df}),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN keep USING (shingle)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh
+                  FROM shc GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter
+          FROM shc a JOIN shc b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jp AS (SELECT (inter * 1000000)
+                          // (sa.n_sh + sb.n_sh - inter) AS sim
+               FROM pairs
+               JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+               WHERE inter >= 2),
+        one AS (SELECT {', '.join(aggs)} FROM jp)
+        {' UNION ALL '.join(sels)}"""
+
+
 def q225_robustness(spark, sf_dir):
     """Targeted hub-attack robustness curve (operators.graph
     .robustness_curve) on the qty<=5 co-purchase graph — the graph
@@ -7592,6 +7665,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_seasonal_outliers": q224_seasonal_outliers,
         "q225_robustness": q225_robustness,
         "q226_attack_vs_failure": q226_attack_vs_failure,
+        "q227_lsh_plan": q227_lsh_plan,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10902,6 +10976,7 @@ def oracle_sql() -> dict[str, str]:
         "q225_robustness": _robustness_oracle_sql(),
         "q226_attack_vs_failure": _robustness_oracle_sql(
             methods=("degree", "random")),
+        "q227_lsh_plan": _lsh_plan_oracle_sql(shingle_cte, MAX_SH_DF),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

@@ -1148,3 +1148,78 @@ def fixed_chunks(df: DataFrame, text_col: str, id_col: str,
                     .cast("bigint").alias("chunk_len"),
                     F.md5(F.expr(f"substring(_txt, start, {size})"))
                     .alias("chunk_md5")))
+
+
+LSH_PLAN_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def lsh_collision_ppm_expr(sim: str, bands: int, rows: int,
+                           divop: str = "div") -> str:
+    """Fixed-point LSH candidate probability 1 - (1 - s^r)^b in ppm,
+    as an engine-neutral SQL expression over an integer ppm
+    similarity `sim` (divop = 'div' for Spark, '//' for DuckDB).
+    Every power step floors ((x*s) divop 1e6), so both engines and
+    the python twin agree bit-for-bit — float pow can never
+    hash-match.  Expression size is O(bands*rows) references to
+    `sim` (the 16-hash budget keeps it tiny)."""
+    def powp(x: str, n: int) -> str:
+        e = f"({x})"
+        for _ in range(n - 1):
+            e = f"((({e}) * ({x})) {divop} 1000000)"
+        return e
+    q = f"(1000000 - {powp(sim, rows)})"
+    return f"(1000000 - {powp(q, bands)})"
+
+
+def lsh_plan_audit(pairs: DataFrame, inter: str = "inter",
+                   uni: str = "uni",
+                   configs=LSH_PLAN_CONFIGS) -> DataFrame:
+    """LSH parameter planner grounded on OBSERVED pair similarities:
+    for each (bands, rows) split of the signature budget, the
+    expected candidate probability 1-(1-s^r)^b averaged over the
+    real Jaccard pair distribution — overall, over true near-dups
+    (sim >= 0.7), and over junk pairs (sim < 0.3).  This is the
+    sheet that justifies a banding choice BEFORE building the index:
+    more bands (OR-heavy) buys near-dup recall but drags junk into
+    the verify stage; more rows (AND-heavy) inverts the trade.  The
+    q17/q21 (4,4)-at-16-hashes choice reads straight off it.
+
+    All fixed-point integer (lsh_collision_ppm_expr), so the sheet
+    is hash-exact cross-engine.  ONE aggregate over the pair table
+    computes every config's three averages (3*len(configs) CASE
+    sums), then a stack projection emits one row per config — no
+    per-config scans.
+
+    Returns (bands, rows, n_pairs, n_hi, n_lo, exp_recall_ppm,
+    hi_recall_ppm, lo_catch_ppm)."""
+    base = pairs.select(
+        F.expr(f"({inter} * 1000000) div {uni}")
+        .cast("bigint").alias("sim"))
+    aggs = [F.count("*").alias("n"),
+            F.expr("sum(CASE WHEN sim >= 700000 THEN 1 ELSE 0 END)")
+            .alias("nh"),
+            F.expr("sum(CASE WHEN sim < 300000 THEN 1 ELSE 0 END)")
+            .alias("nl")]
+    for i, (b, r) in enumerate(configs):
+        p = lsh_collision_ppm_expr("sim", b, r, "div")
+        aggs += [
+            F.expr(f"sum({p})").alias(f"s{i}"),
+            F.expr(f"sum(CASE WHEN sim >= 700000 THEN {p}"
+                   f" ELSE 0 END)").alias(f"sh{i}"),
+            F.expr(f"sum(CASE WHEN sim < 300000 THEN {p}"
+                   f" ELSE 0 END)").alias(f"sl{i}")]
+    one = base.agg(*aggs)
+    rows_sql = ", ".join(
+        f"CAST({b} AS INT), CAST({r} AS INT), "
+        f"CAST(s{i} div greatest(n, 1) AS BIGINT), "
+        f"CAST(sh{i} div greatest(nh, 1) AS BIGINT), "
+        f"CAST(sl{i} div greatest(nl, 1) AS BIGINT)"
+        for i, (b, r) in enumerate(configs))
+    return (one.selectExpr(
+        f"stack({len(configs)}, {rows_sql}) AS "
+        "(bands, rows, exp_recall_ppm, hi_recall_ppm, lo_catch_ppm)",
+        "CAST(n AS BIGINT) AS n_pairs",
+        "CAST(nh AS BIGINT) AS n_hi",
+        "CAST(nl AS BIGINT) AS n_lo")
+        .select("bands", "rows", "n_pairs", "n_hi", "n_lo",
+                "exp_recall_ppm", "hi_recall_ppm", "lo_catch_ppm"))

@@ -934,3 +934,44 @@ def test_robustness_random_mode_matches_twin_and_is_gentler(spark):
     exp = _py_robustness(pairs, (10,))
     assert exp[0][4] == 1
     assert res["random"][10] > res["degree"][10]
+
+
+# ---------------------------------------------------- LSH planner
+
+def _py_lsh_p(sim, b, r):
+    x = sim
+    for _ in range(r - 1):
+        x = (x * sim) // 1_000_000
+    q = 1_000_000 - x
+    y = q
+    for _ in range(b - 1):
+        y = (y * q) // 1_000_000
+    return 1_000_000 - y
+
+
+def test_lsh_plan_audit_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.dedup import lsh_plan_audit
+    rng = random.Random(83)
+    rows = [(rng.randrange(1, 50), 50) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["inter", "uni"])
+    got = {(r["bands"], r["rows"]):
+           (r["n_pairs"], r["n_hi"], r["n_lo"], r["exp_recall_ppm"],
+            r["hi_recall_ppm"], r["lo_catch_ppm"])
+           for r in lsh_plan_audit(df).collect()}
+    sims = [(i * 1_000_000) // u for i, u in rows]
+    hi = [s for s in sims if s >= 700_000]
+    lo = [s for s in sims if s < 300_000]
+    exp = {}
+    for b, r in ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)):
+        ps = [_py_lsh_p(s, b, r) for s in sims]
+        ph = [_py_lsh_p(s, b, r) for s in hi]
+        pl = [_py_lsh_p(s, b, r) for s in lo]
+        exp[(b, r)] = (len(sims), len(hi), len(lo),
+                       sum(ps) // max(len(sims), 1),
+                       sum(ph) // max(len(hi), 1),
+                       sum(pl) // max(len(lo), 1))
+    assert got == exp
+    # the trade must be visible: OR-heavy catches the most junk,
+    # AND-heavy drops the most near-dups
+    assert got[(16, 1)][5] == max(v[5] for v in got.values())
+    assert got[(1, 16)][4] == min(v[4] for v in got.values())
