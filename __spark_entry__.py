@@ -5634,6 +5634,78 @@ def _lsh_plan_oracle_sql(shingle_cte: str, max_df: int) -> str:
         {' UNION ALL '.join(sels)}"""
 
 
+def q228_fresh_rank(spark, sf_dir):
+    """Freshness-decayed authority rank: customer->supplier order
+    edges weighted by power-of-two recency decay (q92's shiftright
+    discipline — weight 1024 halves per year of age, floor 1), then
+    the q68-certified weighted integer PageRank.  The crawl-
+    scheduling composition: a host whose inlinks are ALL stale
+    outranks nothing, however many there are — authority with a
+    freshness prior, the signal a recrawl scheduler actually wants
+    (q68 ranks by volume alone; q92 decays but does not propagate).
+    Age anchors to the in-query max order date (both engines derive
+    it from the same scan), epoch-day integer arithmetic (the ntz
+    discipline)."""
+    from python_mecab_ner_spark.operators.graph import \
+        pagerank_weighted_int
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    mx = o.agg(F.max(F.unix_date(F.col("o_orderdate").cast("date")))
+               .alias("mx"))
+    pairs = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .crossJoin(F.broadcast(mx))
+             .select((F.col("o_custkey") * 2).alias("c"),
+                     (F.col("l_suppkey") * 2 + 1).alias("s"),
+                     F.expr("greatest(shiftright(1024,"
+                            " CAST((mx - unix_date(CAST(o_orderdate"
+                            " AS DATE))) div 365 AS INT)), 1)")
+                     .alias("w"))
+             .groupBy("c", "s").agg(F.sum("w").alias("w")))
+    edges = (pairs.select(F.col("c").alias("src"),
+                          F.col("s").alias("dst"), "w")
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"), "w")))
+    return (pagerank_weighted_int(edges, iters=3)
+            .select(F.col("node").cast("bigint").alias("node"), "pr"))
+
+
+def _fresh_rank_oracle_sql(iters: int = 3, scale: int = 1_000_000,
+                           dn: int = 85, dd: int = 100) -> str:
+    """Generated DuckDB twin of q228: decayed-weight edge CTE + the
+    q68 unrolled weighted-PR rounds."""
+    base = (scale * (dd - dn)) // dd
+    s = f"""
+        WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)
+                               - DATE '1970-01-01') AS mx
+                    FROM orders),
+        pairs AS (SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+                         CAST(sum(greatest(1024 >> CAST(
+                             (mx.mx - (CAST(o_orderdate AS DATE)
+                                       - DATE '1970-01-01')) // 365
+                             AS INT), 1)) AS BIGINT) AS w
+                  FROM orders JOIN lineitem
+                    ON o_orderkey = l_orderkey
+                  CROSS JOIN mx
+                  GROUP BY 1, 2),
+        e AS (SELECT c AS src, s AS dst, w FROM pairs
+              UNION ALL SELECT s, c, w FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        wt AS (SELECT src, sum(w) AS wt FROM e GROUP BY 1),
+        pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr
+                FROM nodes)"""
+    for k in range(1, iters + 1):
+        s += f""",
+        m{k} AS (SELECT e.dst AS node, SUM((p.pr * e.w) // t.wt) AS m
+                 FROM e JOIN pr{k - 1} p ON p.node = e.src
+                 JOIN wt t ON t.src = e.src GROUP BY 1),
+        pr{k} AS (SELECT n.node,
+                         CAST({base} + ({dn} * coalesce(m{k}.m, 0)) // {dd}
+                              AS BIGINT) AS pr
+                  FROM nodes n LEFT JOIN m{k} ON m{k}.node = n.node)"""
+    return s + f"""
+        SELECT CAST(node AS BIGINT) AS node, pr FROM pr{iters}"""
+
+
 def q225_robustness(spark, sf_dir):
     """Targeted hub-attack robustness curve (operators.graph
     .robustness_curve) on the qty<=5 co-purchase graph — the graph
@@ -7666,6 +7738,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_robustness": q225_robustness,
         "q226_attack_vs_failure": q226_attack_vs_failure,
         "q227_lsh_plan": q227_lsh_plan,
+        "q228_fresh_rank": q228_fresh_rank,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -10977,6 +11050,7 @@ def oracle_sql() -> dict[str, str]:
         "q226_attack_vs_failure": _robustness_oracle_sql(
             methods=("degree", "random")),
         "q227_lsh_plan": _lsh_plan_oracle_sql(shingle_cte, MAX_SH_DF),
+        "q228_fresh_rank": _fresh_rank_oracle_sql(),
         "q188_merge_matching": matching_sql,
         # q187: recursive-CTE ancestor closure over the part-catalog
         # DAG; layer = max upward path length (== the Kahn peel

@@ -975,3 +975,23 @@ def test_lsh_plan_audit_matches_python_twin(spark):
     # AND-heavy drops the most near-dups
     assert got[(16, 1)][5] == max(v[5] for v in got.values())
     assert got[(1, 16)][4] == min(v[4] for v in got.values())
+
+
+# ---------------------------------------------------- fresh rank
+
+def test_fresh_rank_decay_expression(spark):
+    # the q228 edge weight: 1024 halves per year of age, floor 1 —
+    # exact shiftright semantics, identical to python's >> on every
+    # age the data can produce
+    from pyspark.sql import functions as F
+    df = spark.range(0, 4000, 137).select(
+        F.col("id").alias("age"),
+        F.expr("greatest(shiftright(1024,"
+               " CAST(age div 365 AS INT)), 1)").alias("w"))
+    got = {r["age"]: r["w"] for r in df.collect()}
+    assert got == {a: max(1024 >> (a // 365), 1)
+                   for a in range(0, 4000, 137)}
+    # a stale-only node's inbound mass is ~1/1024 of a fresh one's:
+    # the decay spans three orders of magnitude across TPC-H's
+    # seven-year order window
+    assert max(got.values()) == 1024 and min(got.values()) == 1
