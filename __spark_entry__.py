@@ -1892,6 +1892,22 @@ def q126_calibration(spark, sf_dir):
                             score_col="score", label_col="y", n_bins=10)
 
 
+def q229_calibration_summary(spark, sf_dir):
+    """One-row gate-health summary (operators.classify
+    .calibration_summary) over q126's reliability bins: Murphy
+    resolution (bin-weighted |pos_ppm - pool|; the discrimination a
+    retrain must not lose) + adjacent-bin monotonicity inversions
+    (count + worst magnitude; each one is a score region where
+    thresholding misorders documents).  Classic ECE needs a
+    probability reading a raw integer score lacks — these are the
+    decomposition parts that survive without a calibration map,
+    exact in ppm.  Completes the eval family: q183 AUC, q126 bins,
+    q130 confusion, q131 kappa, this is the trend line."""
+    from python_mecab_ner_spark.operators.classify import (
+        calibration_summary)
+    return calibration_summary(q126_calibration(spark, sf_dir))
+
+
 EMB_OUTLIER_Z10 = 30  # |z| > 3.0, cross-multiplied exact-integer test
 
 
@@ -7739,6 +7755,7 @@ def _queries_all() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_attack_vs_failure": q226_attack_vs_failure,
         "q227_lsh_plan": q227_lsh_plan,
         "q228_fresh_rank": q228_fresh_rank,
+        "q229_calibration_summary": q229_calibration_summary,
         "kg_triples_by_pred": kg_triples_by_pred,
         "kg_modularity": kg_modularity,
         "kg_edge_cut": kg_edge_cut,
@@ -8771,6 +8788,34 @@ def oracle_sql() -> dict[str, str]:
         FROM b GROUP BY 1
     """
 
+    # q229: the q126 bins wrapped in a resolution + inversion summary
+    calib_summary_sql = f"""
+        WITH bins AS ({calibration_sql}),
+        pool AS (SELECT count(*) AS nb, sum(n_docs) AS nn,
+                        sum(n_pos) * 1000000 // sum(n_docs)
+                            AS pool_ppm
+                 FROM bins),
+        res AS (SELECT sum(n_docs * abs(pos_ppm - pool.pool_ppm))
+                           // max(pool.nn) AS resolution_ppm
+                FROM bins CROSS JOIN pool),
+        inv AS (SELECT sum(CASE WHEN pos_ppm < prev THEN 1
+                            ELSE 0 END) AS n_inversions,
+                       coalesce(max(CASE WHEN pos_ppm < prev
+                                    THEN prev - pos_ppm
+                                    ELSE 0 END), 0)
+                           AS max_inversion_ppm
+                FROM (SELECT pos_ppm,
+                             lag(pos_ppm) OVER (ORDER BY bin) AS prev
+                      FROM bins))
+        SELECT CAST(nb AS BIGINT) AS n_bins,
+               CAST(nn AS BIGINT) AS n_docs,
+               CAST(pool_ppm AS BIGINT) AS pool_ppm,
+               CAST(resolution_ppm AS BIGINT) AS resolution_ppm,
+               CAST(n_inversions AS BIGINT) AS n_inversions,
+               CAST(max_inversion_ppm AS BIGINT) AS max_inversion_ppm
+        FROM pool CROSS JOIN res CROSS JOIN inv
+    """
+
     # embedding outlier oracle (q127): q51's floor-clip int8
     # quantization, per-dim (n, s, ss), cross-multiplied z-test
     emb_outliers_sql = f"""
@@ -9709,6 +9754,7 @@ def oracle_sql() -> dict[str, str]:
         "q214_loo_valuation": loo_sql,
         "q219_weak_vote": weak_vote_sql,
         "q126_calibration": calibration_sql,
+        "q229_calibration_summary": calib_summary_sql,
         "q127_embedding_outliers": emb_outliers_sql,
         "q128_blocking_audit": blocking_audit_sql,
         "q129_robots_gate": robots_gate_sql,

@@ -522,3 +522,46 @@ def weak_vote_fusion(df: DataFrame, id_col: str,
             .withColumn("flipped",
                         (F.col("fused") != F.col("majority"))
                         .cast("int")))
+
+
+def calibration_summary(bins: DataFrame) -> DataFrame:
+    """One-row summary of a calibration_bins table: the two numbers
+    a gate owner actually tracks across retrains — RESOLUTION
+    (Murphy-decomposition discrimination: bin-weighted mean
+    |pos_ppm - pool rate|; 0 = the score separates nothing, higher =
+    bins genuinely differ from the base rate) and MONOTONICITY
+    (adjacent-bin inversions: count + worst magnitude; a calibrated
+    score never gets LESS positive as it grows, and every inversion
+    is a region where thresholding misorders documents).  Raw
+    integer scores have no probability reading, so classic ECE
+    against identity confidence is undefined here — resolution +
+    inversions are the parts that survive without a calibration
+    map, exact in integer ppm.
+
+    Scale shape: the input is already the n_bins-row audit table —
+    one 1-row fold + one <= n_bins lag window.  Returns (n_bins,
+    n_docs, pool_ppm, resolution_ppm, n_inversions,
+    max_inversion_ppm)."""
+    from pyspark.sql import Window
+    pool = bins.agg(
+        F.count("*").cast("bigint").alias("nb"),
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.expr("sum(n_pos) * 1000000 div sum(n_docs)")
+        .cast("bigint").alias("pool_ppm"))
+    j = bins.crossJoin(F.broadcast(pool))
+    res = j.agg(
+        F.expr("sum(n_docs * abs(pos_ppm - pool_ppm))"
+               " div max(nn)").cast("bigint").alias("resolution_ppm"))
+    w = Window.orderBy("bin")
+    inv = (bins.withColumn("prev", F.lag("pos_ppm").over(w))
+           .agg(F.expr("sum(CASE WHEN pos_ppm < prev THEN 1"
+                       " ELSE 0 END)").cast("bigint")
+                .alias("n_inversions"),
+                F.expr("coalesce(max(CASE WHEN pos_ppm < prev"
+                       " THEN prev - pos_ppm ELSE 0 END), 0)")
+                .cast("bigint").alias("max_inversion_ppm")))
+    return (pool.crossJoin(res).crossJoin(inv)
+            .select(F.col("nb").alias("n_bins"),
+                    F.col("nn").alias("n_docs"),
+                    "pool_ppm", "resolution_ppm",
+                    "n_inversions", "max_inversion_ppm"))

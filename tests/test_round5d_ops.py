@@ -995,3 +995,30 @@ def test_fresh_rank_decay_expression(spark):
     # the decay spans three orders of magnitude across TPC-H's
     # seven-year order window
     assert max(got.values()) == 1024 and min(got.values()) == 1
+
+
+# ------------------------------------------- calibration summary
+
+def test_calibration_summary_matches_python_twin(spark):
+    from python_mecab_ner_spark.operators.classify import (
+        calibration_summary)
+    bins = [(0, 40, 2), (1, 30, 3), (2, 25, 5), (3, 20, 3),
+            (4, 15, 6), (5, 10, 7)]
+    rows = [(b, n, p, 0, 0, (p * 1_000_000) // n)
+            for b, n, p in bins]
+    df = spark.createDataFrame(
+        rows, ["bin", "n_docs", "n_pos", "lo_score", "hi_score",
+               "pos_ppm"])
+    r = calibration_summary(df).collect()[0]
+    nn = sum(n for _, n, _ in bins)
+    pool = sum(p for _, _, p in bins) * 1_000_000 // nn
+    ppms = [(p * 1_000_000) // n for _, n, p in bins]
+    resolution = sum(n * abs(pp - pool)
+                     for (_, n, _), pp in zip(bins, ppms)) // nn
+    invs = [(a - b) for a, b in zip(ppms, ppms[1:]) if b < a]
+    assert (r["n_bins"], r["n_docs"], r["pool_ppm"]) == (6, nn, pool)
+    assert r["resolution_ppm"] == resolution
+    assert (r["n_inversions"], r["max_inversion_ppm"]) == (
+        len(invs), max(invs))
+    # the planted inversion (bin 2 -> 3: 200000 -> 150000) is seen
+    assert r["n_inversions"] == 1
